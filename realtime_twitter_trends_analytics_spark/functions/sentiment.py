@@ -1,0 +1,143 @@
+"""Deterministic lexicon sentiment with the reference's scoring *structure*.
+
+The reference scores each tweet with CoreNLP (proc:142-196): per-sentence
+class 0..4, a length-WEIGHTED mean as the score, -1.0 sentinel when there are
+no sentences, then bins the score into a lowercase type string (proc:186-194).
+CoreNLP itself is a JVM model we neither can nor should ship; per SURVEY §7.4
+we reproduce the structure over a deterministic lexicon so results are stable
+and oracle-checkable.
+
+Semantics (both engines, generated from one template):
+- "sentences" = consecutive chunks of SENT_CHUNK tokens (driver documents are
+  unpunctuated token streams; chunking stands in for sentence split).
+- per-sentence class = clamp(2 + sum(lexicon valence of tokens), 0, 4)
+- score = sum(class * chunk_char_len) / sum(chunk_char_len); -1.0 if no tokens
+- binning (proc:186-194 quirks preserved, §7.4 divergences documented):
+    score <= 0 -> notunderstood   (the 0.0 / -1.0 sentinel collision, kept)
+    < 1 verynegative, < 2 negative, < 3 neutral, < 4 positive, < 5 verypositive
+    >= 5 -> notunderstood         (reference raises MatchError; we clamp)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from . import dialect as dl
+
+SENT_CHUNK = 8
+
+# Valence over the driver documents vocabulary (31 tokens). Anything absent
+# scores 0 (neutral), like out-of-lexicon words.
+LEXICON: dict[str, int] = {
+    "fast": 2,
+    "spark": 1,
+    "big": 1,
+    "vector": 1,
+    "merge": 1,
+    "slow": -2,
+    "dup": -2,
+    "small": -1,
+    "filter": -1,
+}
+
+
+def _valence_case(d: str, var: str) -> str:
+    whens = " ".join(f"WHEN '{w}' THEN {v}" for w, v in sorted(LEXICON.items()))
+    return f"(CASE {var} {whens} ELSE 0 END)"
+
+
+def score_sql(d: str, text_col: str) -> str:
+    """Dual-dialect SQL expression: length-weighted mean sentence class in
+    [0,4], or -1.0 when the text has no tokens."""
+    toks = dl.split_ws(d, text_col)
+    n = dl.arr_size(d, toks)
+    nchunks = f"CAST(ceil(CAST({n} AS DOUBLE) / {SENT_CHUNK}) AS INT)"
+    chunk = dl.arr_slice(d, toks, f"c * {SENT_CHUNK} + 1", str(SENT_CHUNK))
+    valences = dl.transform(d, chunk, "t", _valence_case(d, "t"))
+    vsum = dl.arr_sum_bigint(d, valences)
+    cls = f"least(greatest(2 + {vsum}, 0), 4)"
+    clen = f"length({dl.arr_join(d, chunk, ' ')})"
+    weighted = dl.transform(
+        d, dl.seq(d, "0", f"{nchunks} - 1"), "c", f"CAST(({cls}) * ({clen}) AS DOUBLE)"
+    )
+    weights = dl.transform(
+        d, dl.seq(d, "0", f"{nchunks} - 1"), "c", f"CAST({clen} AS DOUBLE)"
+    )
+    num = dl.arr_sum_double(d, weighted)
+    den = dl.arr_sum_double(d, weights)
+    return (
+        f"(CASE WHEN {n} = 0 OR trim({text_col}) = '' THEN -1.0 "
+        f"ELSE ({num}) / ({den}) END)"
+    )
+
+
+def type_sql(score_expr: str) -> str:
+    """Binning chain (dialect-neutral SQL), proc:186-194 semantics."""
+    return (
+        f"(CASE WHEN ({score_expr}) <= 0.0 THEN 'notunderstood' "
+        f"WHEN ({score_expr}) < 1.0 THEN 'verynegative' "
+        f"WHEN ({score_expr}) < 2.0 THEN 'negative' "
+        f"WHEN ({score_expr}) < 3.0 THEN 'neutral' "
+        f"WHEN ({score_expr}) < 4.0 THEN 'positive' "
+        f"WHEN ({score_expr}) < 5.0 THEN 'verypositive' "
+        f"ELSE 'notunderstood' END)"
+    )
+
+
+def sentiment_score(text: Column | str) -> Column:
+    """Spark column: deterministic sentiment score (pure expressions —
+    Catalyst-visible, whole-stage-codegen; no Python in the hot path)."""
+    col = text if isinstance(text, str) else None
+    if col is None:
+        raise TypeError("pass the column NAME so the shared SQL template applies")
+    return F.expr(score_sql(dl.SPARK, col))
+
+
+def sentiment_type(score: Column) -> Column:
+    """Bin a score column into the reference's lowercase type labels."""
+    return (
+        F.when(score <= 0.0, "notunderstood")
+        .when(score < 1.0, "verynegative")
+        .when(score < 2.0, "negative")
+        .when(score < 3.0, "neutral")
+        .when(score < 4.0, "positive")
+        .when(score < 5.0, "verypositive")
+        .otherwise("notunderstood")
+    )
+
+
+def score_texts_pandas(texts) -> "list[float]":  # pragma: no cover - helper
+    """Plain-Python reference implementation of the same scoring, used by the
+    streaming path's pandas_udf (model-per-worker pattern the reference got
+    wrong by constructing CoreNLP per record, proc:144) and by unit tests."""
+    out = []
+    for t in texts:
+        toks = [x for x in (t or "").split(" ") if x != ""]
+        if not toks or not (t or "").strip():
+            out.append(-1.0)
+            continue
+        num = den = 0.0
+        for i in range(0, len(toks), SENT_CHUNK):
+            chunk = toks[i : i + SENT_CHUNK]
+            vsum = sum(LEXICON.get(w, 0) for w in chunk)
+            cls = min(max(2 + vsum, 0), 4)
+            clen = len(" ".join(chunk))
+            num += cls * clen
+            den += clen
+        out.append(num / den if den else -1.0)
+    return out
+
+
+def bin_score(score: float) -> str:
+    if score <= 0.0:
+        return "notunderstood"
+    for hi, label in [
+        (1.0, "verynegative"),
+        (2.0, "negative"),
+        (3.0, "neutral"),
+        (4.0, "positive"),
+        (5.0, "verypositive"),
+    ]:
+        if score < hi:
+            return label
+    return "notunderstood"

@@ -1,0 +1,75 @@
+"""Tweet-pipeline text transforms as pure column expressions.
+
+Reproduces the reference's bespoke row-level transforms (SURVEY.md §2.2) with
+built-in ``pyspark.sql.functions`` — no UDFs, so Catalyst sees through every
+step (pushdown, codegen):
+
+- sentinel parse (proc:219, 243): ``"<loc> /TLOC/ <text>"`` -> struct
+- tweet-text cleaning chain (proc:224-228)
+- hashtag extraction incl. the len>1 rule (proc:217-218, 134-135)
+- hashtag cleanup regex (proc:244)
+- country heuristic incl. 2-letter->USA and "NULL" default (proc:198-210)
+
+`proc` = /root/reference/src/main/scala/org/streaming/KafkaSparkProcessor.scala.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+SENTINEL = " /TLOC/ "
+
+
+def parse_sentinel(value: Column) -> Column:
+    """proc:219/243: split the producer's sentinel-encoded value into a
+    struct(location, text). We parse once at ingest and never re-stringify."""
+    parts = F.split(value, SENTINEL)
+    return F.struct(
+        parts.getItem(0).alias("location"),
+        parts.getItem(1).alias("text"),
+    )
+
+
+def clean_tweet_text(text: Column) -> Column:
+    """proc:224-228 cleaning chain, same regexes in the same order:
+    strip leading RT, keep [a-zA-Z0-9\\s.,!@], drop URLs, @mention -> Foo,
+    strip leading Foo."""
+    c = F.regexp_replace(text, r"^RT\s+", "")
+    c = F.regexp_replace(c, r"http\S+", "")
+    c = F.regexp_replace(c, r"[^a-zA-Z0-9\s.,!@#]", "")
+    c = F.regexp_replace(c, r"@\w+", "Foo")
+    c = F.regexp_replace(c, r"^Foo\s*", "")
+    return c
+
+
+def clean_hashtag(tag: Column) -> Column:
+    """proc:244: ``replaceAll("(\\w*RT)|[^a-zA-Z0-9#]", "")``."""
+    return F.regexp_replace(tag, r"(\w*RT)|[^a-zA-Z0-9#]", "")
+
+
+def extract_hashtags(text: Column) -> Column:
+    """proc:217-218: whitespace tokenize, keep '#'-prefixed tokens whose
+    whitespace-stripped length > 1. Returns array<string> (explode after)."""
+    toks = F.split(text, r"\s+")
+    return F.filter(
+        toks,
+        lambda t: t.startswith("#")
+        & (F.length(F.regexp_replace(t, r"\s", "")) > F.lit(1)),
+    )
+
+
+def country_from_location(location: Column) -> Column:
+    """proc:198-210 heuristic, as one when/otherwise chain (no UDF):
+    split on ',', take LAST segment, strip non-alphanumerics; if the location
+    had exactly 2 segments and the trimmed last segment has length 2 -> 'USA'
+    (US state code); else uppercase(trim(segment)); literal 'NULL' when the
+    location has no comma (proc:199-200)."""
+    segs = F.split(location, ",")
+    nseg = F.size(segs)
+    last = F.element_at(segs, -1)
+    cleaned = F.trim(F.regexp_replace(last, r"[^a-zA-Z0-9\s]", ""))
+    return (
+        F.when(nseg < 2, F.lit("NULL"))
+        .when((nseg == 2) & (F.length(cleaned) == 2), F.lit("USA"))
+        .otherwise(F.upper(cleaned))
+    )

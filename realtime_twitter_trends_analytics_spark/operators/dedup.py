@@ -1,0 +1,298 @@
+"""Deduplication operators over the documents table (north-star surface).
+
+The reference's only dedup is exact dropDuplicates on the output key
+(proc:115). A 100 TB training-data pipeline needs the full ladder:
+
+- exact dedup: content-hash groupBy (one shuffle on a uniform 128-bit key —
+  skew-free by construction)
+- MinHash near-dedup: shingle -> K salted-md5 min-hashes -> banded LSH
+  self-join -> estimated-Jaccard filter. Candidate generation is the banded
+  join (bucket sizes stay small), NOT an all-pairs product — the only
+  formulation that survives 100 TB.
+- SimHash: K-bit signature from per-token salted hash bits; equal-signature
+  buckets are near-dup groups. One agg + one self-join on the signature.
+- n-gram Jaccard: exact pairwise similarity via shingle-equijoin +
+  |A∩B| / (|A|+|B|-|A∩B|) — the verifier for the approximate methods.
+
+Hashing is md5-based (identical hex output in Spark and DuckDB), so every
+operator here is generated from ONE dual-dialect template (functions/dialect)
+and hash-matches its oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import dialect as dl
+from ..sources.loaders import load_table
+
+SHINGLE = 3            # tokens per shingle
+MINHASH_K = 8          # minhash functions (salted md5 mins)
+BANDS = 4              # LSH bands of ROWS_PER_BAND hashes each
+ROWS_PER_BAND = MINHASH_K // BANDS
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 16
+
+
+def shingles_sql(d: str, text_col: str) -> str:
+    """Array of SHINGLE-token shingles of ``text_col`` (dual-dialect)."""
+    toks = dl.split_ws(d, text_col)
+    n = dl.arr_size(d, toks)
+    body = dl.arr_join(d, dl.arr_slice(d, toks, "i", str(SHINGLE)), " ")
+    return dl.transform(d, dl.seq(d, "1", f"{n} - {SHINGLE - 1}"), "i", body)
+
+
+def _minhash_agg_sql(d: str, k: int) -> str:
+    """Min over salted md5 of the shingle column 'sh' -> hash column h{k}."""
+    return f"min(md5(concat('mh{k}|', sh)))"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by full-content hash; reports each group's
+    canonical keeper (min doc_id) and size, only for real dup groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS group_size
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + K minhash columns h0..h{K-1} (distinct-shingle explode, one
+    groupBy — partial aggregation makes the min() map-side cheap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "text")))).alias("sh"),
+    )
+    aggs = [F.expr(_minhash_agg_sql(dl.SPARK, k)).alias(f"h{k}") for k in range(MINHASH_K)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _oracle_signatures() -> str:
+    d = dl.DUCK
+    aggs = ",\n  ".join(f"{_minhash_agg_sql(d, k)} AS h{k}" for k in range(MINHASH_K))
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql(d, 'text')}) AS sh FROM documents
+)
+SELECT doc_id, {aggs} FROM sh GROUP BY doc_id
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs with estimated Jaccard >= threshold.
+
+    Bands: md5 over each band's ROWS_PER_BAND hashes; self-join per band on
+    the band key (union of BANDS equi-joins), dedup pairs, then estimate
+    jaccard as matching-hash-fraction. At scale the band join is the whole
+    trick: candidates ~ O(sum bucket^2), never O(n^2)."""
+    sig = minhash_signatures(spark, sf_dir).cache()
+    hash_cols = [f"h{k}" for k in range(MINHASH_K)]
+    pairs = None
+    for b in range(BANDS):
+        cols = hash_cols[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        band = sig.select(
+            "doc_id", F.md5(F.concat_ws("|", *cols)).alias("band_key"), *hash_cols
+        )
+        left = band.select(
+            F.col("doc_id").alias("a"),
+            F.col("band_key"),
+            *[F.col(h).alias(f"a_{h}") for h in hash_cols],
+        )
+        right = band.select(
+            F.col("doc_id").alias("b"),
+            F.col("band_key"),
+            *[F.col(h).alias(f"b_{h}") for h in hash_cols],
+        )
+        cand = left.join(right, "band_key").filter(F.col("a") < F.col("b"))
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    matches = sum(
+        F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0) for h in hash_cols
+    )
+    return (
+        pairs.select("a", "b", matches.alias("n_matches"))
+        .groupBy("a", "b")
+        .agg(F.max("n_matches").alias("n_matches"))
+        .withColumn("est_jaccard", F.round(F.col("n_matches") / F.lit(MINHASH_K), 4))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select("a", "b", "est_jaccard")
+    )
+
+
+def _oracle_minhash_pairs() -> str:
+    hash_cols = [f"h{k}" for k in range(MINHASH_K)]
+    band_selects = []
+    for b in range(BANDS):
+        cols = hash_cols[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        band_key = f"md5(concat_ws('|', {', '.join(cols)}))"
+        band_selects.append(f"SELECT doc_id, {band_key} AS band_key, {', '.join(hash_cols)} FROM sig")
+    bands = " UNION ALL ".join(band_selects)
+    match_expr = " + ".join(
+        f"(CASE WHEN l.{h} = r.{h} THEN 1 ELSE 0 END)" for h in hash_cols
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql(dl.DUCK, 'text')}) AS sh FROM documents
+), sig AS (
+  SELECT doc_id, {', '.join(f'{_minhash_agg_sql(dl.DUCK, k)} AS h{k}' for k in range(MINHASH_K))}
+  FROM sh GROUP BY doc_id
+), banded AS ({bands}),
+cand AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, {match_expr} AS n_matches
+  FROM banded l JOIN banded r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+), dedup AS (
+  SELECT a, b, max(n_matches) AS n_matches FROM cand GROUP BY a, b
+)
+SELECT a, b, round(n_matches / {MINHASH_K}.0, 4) AS est_jaccard
+FROM dedup WHERE round(n_matches / {MINHASH_K}.0, 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash_bit_sql(d: str, b: int) -> str:
+    """+1/-1 vote of token 'tok' on bit b: parity of the first md5 nibble
+    under salt b (portable, unbiased)."""
+    nib = dl.md5_prefix_nibble(d, f"concat('sh{b}|', tok)")
+    return f"(CASE WHEN ({nib}) % 2 = 1 THEN 1 ELSE -1 END)"
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMHASH_BITS-bit signature per doc: sum token votes per bit, take the
+    sign, pack to one BIGINT. One explode + one groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("tok"))
+    votes = [
+        F.sum(F.expr(_simhash_bit_sql(dl.SPARK, b))).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    packed = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", packed.cast("bigint").alias("simhash"))
+
+
+def _oracle_simhash_core() -> str:
+    votes = ",\n    ".join(
+        f"sum({_simhash_bit_sql(dl.DUCK, b)}) AS v{b}" for b in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), agg AS (
+  SELECT doc_id, {votes} FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM agg
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing an identical SimHash signature (Hamming distance 0
+    buckets): groups with keeper + size."""
+    sig = simhash_docs(spark, sf_dir)
+    return (
+        sig.groupBy("simhash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def _oracle_dedup_simhash() -> str:
+    return f"""
+WITH sig AS ({_oracle_simhash_core()})
+SELECT simhash, min(doc_id) AS keeper_doc_id, count(*) AS group_size
+FROM sig GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over candidate pairs that share >= 1 shingle.
+    shingle-equijoin -> per-pair intersection count -> sizes via broadcast
+    of the per-doc shingle counts. Pairs with jaccard >= threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "text")))).alias("sh"),
+    ).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("l")
+        .join(sh.alias("r"), (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "size_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "size_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a", "b", "n_inter", "jaccard")
+    )
+
+
+def _oracle_ngram_jaccard() -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql(dl.DUCK, 'text')}) AS sh FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_inter
+  FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_inter,
+  round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signatures": minhash_signatures,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_signatures": _oracle_signatures(),
+    "dedup_minhash_pairs": _oracle_minhash_pairs(),
+    "dedup_simhash": _oracle_dedup_simhash(),
+    "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
+}

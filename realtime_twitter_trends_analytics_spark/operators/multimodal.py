@@ -1,0 +1,170 @@
+"""Multimodal column plumbing (north-star surface).
+
+Real pipelines carry image/audio/video as opaque ``binary`` columns with
+typed metadata and run decode / feature-extract steps as Arrow-batched
+pandas functions over ``mapInPandas``. The container has no media libraries
+(TESTDATA has no binary tables either), so:
+
+- the binary payloads are derived deterministically from documents.text
+  (utf-8 encode) — REAL binary columns, stable bytes;
+- the *decode* step is a clearly-marked deterministic fake (byte statistics
+  + fixed-width "frame" sampling) with the real Spark-side plumbing: typed
+  output schema, Arrow batches, partition-preserving mapInPandas;
+- a genuine media decoder would replace ``_fake_decode_features`` only —
+  the schema, batching and distribution story stay identical.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row pickling); the
+UDF is stateless so partitions process independently — the operator scales
+linearly with executors and never shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.loaders import load_table
+
+N_FRAMES = 4  # fixed-width byte "frames" sampled per payload
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("byte_min", IntegerType()),
+        StructField("byte_max", IntegerType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> opaque binary payload + typed metadata (the multimodal
+    table shape: id, media_type tag, bytes, size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "image/fake").otherwise("audio/fake").alias("media_type"),
+        F.encode("text", "UTF-8").cast("binary").alias("payload"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def _fake_decode_features(payload: bytes) -> tuple[float, int, int, int]:
+    """DETERMINISTIC FAKE of a media decoder (no media libs in container).
+
+    Stands in for decode+feature-extract: byte stats plus a checksum over
+    N_FRAMES evenly-sampled fixed-width frames (the frame-sample pattern a
+    video pipeline uses). Replace with a real decoder to productionize."""
+    b = payload or b"\x00"
+    n = len(b)
+    byte_mean = sum(b) / n
+    step = max(n // N_FRAMES, 1)
+    frames = [b[i : i + 8] for i in range(0, n, step)][:N_FRAMES]
+    checksum = 0
+    for fr in frames:
+        for x in fr:
+            checksum = (checksum * 31 + x) % 1_000_000_007
+    return byte_mean, min(b), max(b), checksum
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column via
+    mapInPandas — the real distributed plumbing around the fake decoder."""
+    media = media_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(_fake_decode_features)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "byte_mean": feats.map(lambda t: round(t[0], 4)),
+                    "byte_min": feats.map(lambda t: t[1]).astype("int32"),
+                    "byte_max": feats.map(lambda t: t[2]).astype("int32"),
+                    "frame_checksum": feats.map(lambda t: t[3]).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def multimodal_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated view of the extracted features (oracle-friendly shape:
+    byte stats are pure functions of the utf-8 text, so DuckDB can verify
+    everything except the mapInPandas transport itself)."""
+    return (
+        multimodal_features(spark, sf_dir)
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.sum("byte_mean") / F.count(F.lit(1)), 4).alias("avg_byte_mean"),
+            F.min("byte_min").alias("min_byte"),
+            F.max("byte_max").alias("max_byte"),
+        )
+    )
+
+
+# Byte stats of utf-8 ASCII text are expressible in SQL: mean over ascii of
+# each char. DuckDB verifies the fake decoder's arithmetic end-to-end.
+ORACLE_FEATURE_SUMMARY = """
+WITH media AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type,
+    text, CAST(length(text) AS BIGINT) AS n_bytes
+  FROM documents
+), chars AS (
+  SELECT media_type, n_bytes,
+    list_transform(generate_series(1, CAST(n_bytes AS INT)), i -> ascii(substr(text, i, 1))) AS bytes
+  FROM media
+), stats AS (
+  SELECT media_type, n_bytes,
+    round(list_sum(list_transform(bytes, b -> CAST(b AS DOUBLE))) / n_bytes, 4) AS byte_mean,
+    list_min(bytes) AS byte_min,
+    list_max(bytes) AS byte_max
+  FROM chars
+)
+SELECT media_type, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+  round(sum(byte_mean) / count(*), 4) AS avg_byte_mean,
+  CAST(min(byte_min) AS INT) AS min_byte,
+  CAST(max(byte_max) AS INT) AS max_byte
+FROM stats GROUP BY media_type
+"""
+
+
+QUERIES = {
+    "multimodal_features": multimodal_features,
+    "multimodal_feature_summary": multimodal_feature_summary,
+}
+
+# multimodal_features itself is rows-only checked (binary payload transport
+# is not SQL-comparable); the summary IS oracle-verified.
+ORACLES = {
+    "multimodal_feature_summary": ORACLE_FEATURE_SUMMARY,
+}

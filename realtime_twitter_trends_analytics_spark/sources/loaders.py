@@ -1,0 +1,65 @@
+"""Parquet loaders for the driver's synthetic tables.
+
+Replaces the reference's sources (twitter4j push stream, KafkaTwitterProducer.java:44-73;
+Kafka direct stream, KafkaSparkProcessor.scala:75-88) with declarative
+``spark.read.parquet`` scans over the TPC-H-ish star schema plus the
+events/documents/embeddings tables (TESTDATA.md).
+
+Scale notes:
+- Plain ``spark.read.parquet`` keeps predicate pushdown and column pruning
+  live: downstream ``filter``/``select`` reach the scan (check
+  ``PushedFilters`` / ``ReadSchema`` in ``df.explain("formatted")``).
+- The ``events.ts`` column is stored as TIMESTAMP(NANOS); Spark reads it as
+  int64 under ``spark.sql.legacy.parquet.nanosAsLong`` and we convert to a
+  proper TimestampType column here, once, at the source — so event-time
+  operators (windows, watermarks) see a typed column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor (region is 5
+# rows, nation 25 at every SF; supplier/part grow slowly). Used by operators
+# to pick explicit broadcast joins.
+BROADCAST_TABLES = ("region", "nation", "supplier", "part")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; normalizes the events.ts nanos column to TimestampType."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 nanos -> microsecond timestamp. INTEGER division: the double
+        # path loses 1us above 2^53 ns, which breaks oracle equality.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for spark.sql entry points)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
