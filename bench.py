@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully via the noop sink (computes every row, collects
+nothing — measures the engine, not the driver-side transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from realtime_twitter_trends_analytics_spark.registry import all_queries
+from realtime_twitter_trends_analytics_spark.session import get_spark
+
+HEADLINE = [
+    # relational core
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "window_topk_orders_per_customer",
+    "join_asof_latest_order",
+    # trends / streaming-shaped
+    "tweet_pipeline_flagship",
+    "window_sliding_counts",
+    "window_session_per_user",
+    "json_functions",
+    # north-star
+    "sentiment_docs",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_lsh_ann",
+    "textstats_quality",
+    "multimodal_feature_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("rtta-bench")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

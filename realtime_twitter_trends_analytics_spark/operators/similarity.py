@@ -27,7 +27,8 @@ from ..sources.loaders import load_table
 
 N_QUERY_VECS = 10   # vec_id < 10 are the query set
 TOP_K = 10
-LSH_BITS = 8        # signed-random-projection bits -> 256 buckets
+LSH_BITS = 6        # signed-random-projection bits per table -> 64 buckets
+LSH_TABLES = 2      # independent tables; candidates = union of bucket hits
 EMB_DIM = 64
 
 
@@ -82,24 +83,22 @@ SELECT query_id, cand_id, label, round(cosine, 4) AS cosine, rnk FROM (
 """
 
 
-def _hyperplane_sql(d: str, b: int) -> str:
-    """Deterministic integer 'random' hyperplane b: component j has value
-    ((b*31 + j*17) % 13) - 6 — identical in both engines, no RNG needed."""
-    return dl.transform(
-        d, dl.seq(d, "1", str(EMB_DIM)), "j", f"CAST((({b} * 31 + j * 17) % 13) - 6 AS DOUBLE)"
-    )
+def lsh_bucket_sql(d: str, vec: str, table: int = 0) -> str:
+    """LSH_BITS-bit signed-projection bucket id of ``vec`` for one table.
 
-
-def lsh_bucket_sql(d: str, vec: str) -> str:
-    """LSH_BITS-bit signed-projection bucket id of ``vec``."""
+    Hyperplane (table, b) component j is the first md5 nibble of
+    'hp{table}_{b}|{j}' centered to [-7.5, 7.5] — an engine-portable,
+    deterministic stand-in for a Gaussian draw. The projection is a single
+    fused transform over j (vec element and plane component share the
+    index), so cost is O(dim) hashes per bit, not O(dim^2)."""
     bits = []
     for b in range(LSH_BITS):
-        h = _hyperplane_sql(d, b)
+        nib = dl.md5_prefix_nibble(d, f"concat('hp{table}_{b}|', CAST(j AS STRING))")
         prods = dl.transform(
             d,
             dl.seq(d, "1", str(EMB_DIM)),
-            "i",
-            f"CAST({dl.arr_element(d, vec, 'i')} AS DOUBLE) * {dl.arr_element(d, h, 'i')}",
+            "j",
+            f"CAST({dl.arr_element(d, vec, 'j')} AS DOUBLE) * (CAST({nib} AS DOUBLE) - 7.5)",
         )
         dot = dl.arr_sum_double(d, prods)
         bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2**b} ELSE 0 END)")
@@ -107,36 +106,71 @@ def lsh_bucket_sql(d: str, vec: str) -> str:
 
 
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket histogram of the signed-random-projection LSH (sanity surface
-    for the ANN index: bucket sizes bound candidate cost)."""
+    """Bucket histogram of the signed-random-projection LSH, per table
+    (sanity surface for the ANN index: bucket sizes bound candidate cost)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.select(F.expr(lsh_bucket_sql(dl.SPARK, "embedding")).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-    )
+    per_table = [
+        emb.select(
+            F.lit(t).alias("lsh_table"),
+            F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t)).alias("bucket"),
+        )
+        for t in range(LSH_TABLES)
+    ]
+    allb = per_table[0]
+    for df in per_table[1:]:
+        allb = allb.unionByName(df)
+    return allb.groupBy("lsh_table", "bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
 def _oracle_lsh_buckets() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT {t} AS lsh_table, {lsh_bucket_sql(dl.DUCK, 'embedding', t)} AS bucket FROM embeddings"
+        for t in range(LSH_TABLES)
+    )
     return f"""
-SELECT {lsh_bucket_sql(dl.DUCK, 'embedding')} AS bucket, count(*) AS n_vectors
-FROM embeddings GROUP BY 1
+WITH allb AS ({selects})
+SELECT CAST(lsh_table AS INT) AS lsh_table, bucket, count(*) AS n_vectors
+FROM allb GROUP BY 1, 2
 """
 
 
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via LSH: same query set as brute force, but candidates are
-    only vectors in the SAME bucket — the scale path (equi-join on bucket,
-    per-bucket products instead of full cross product)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", F.expr(lsh_bucket_sql(dl.SPARK, "embedding"))
+    """ANN top-k via multi-table LSH: candidates are vectors sharing a
+    bucket with the query in ANY of the LSH_TABLES tables (union of
+    equi-joins, distinct pairs) — per-bucket products, never a full cross
+    product. This is the 100 TB path; brute force is the oracle of record
+    for recall measurements."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t)).alias(f"bucket_{t}")
+            for t in range(LSH_TABLES)
+        ],
+    ).cache()
+    cand_pairs = None
+    for t in range(LSH_TABLES):
+        q = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("query_id"),
+            F.col(f"bucket_{t}").alias("bucket"),
+        )
+        c = bucketed.select(
+            F.col("vec_id").alias("cand_id"), F.col(f"bucket_{t}").alias("bucket")
+        )
+        p = F.broadcast(q).join(c, "bucket").filter(F.col("query_id") != F.col("cand_id"))
+        p = p.select("query_id", "cand_id")
+        cand_pairs = p if cand_pairs is None else cand_pairs.unionByName(p)
+    cand_pairs = cand_pairs.distinct()
+    qv = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    cv = bucketed.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    sim = (
+        cand_pairs.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .withColumn("cosine", F.expr(cosine_sql(dl.SPARK, "qv", "cv")))
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "bucket")
-    pairs = F.broadcast(q).join(c, "bucket").filter(F.col("query_id") != F.col("cand_id"))
-    sim = pairs.withColumn("cosine", F.expr(cosine_sql(dl.SPARK, "qv", "cv")))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         sim.withColumn("rnk", F.row_number().over(w))
@@ -147,13 +181,16 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_lsh_ann() -> str:
     cos = cosine_sql(dl.DUCK, "q.embedding", "c.embedding")
-    bucket = lsh_bucket_sql(dl.DUCK, "embedding")
+    buckets = ", ".join(
+        f"{lsh_bucket_sql(dl.DUCK, 'embedding', t)} AS bucket_{t}" for t in range(LSH_TABLES)
+    )
+    match = " OR ".join(f"q.bucket_{t} = c.bucket_{t}" for t in range(LSH_TABLES))
     return f"""
 WITH bucketed AS (
-  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {buckets} FROM embeddings
 ), pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {cos} AS cosine
-  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+  FROM bucketed q JOIN bucketed c ON ({match})
   WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
 )
 SELECT query_id, cand_id, round(cosine, 4) AS cosine, rnk FROM (

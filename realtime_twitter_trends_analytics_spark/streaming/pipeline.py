@@ -1,0 +1,210 @@
+"""Structured Streaming pipeline — the reference's live path, unified API.
+
+Maps KafkaSparkProcessor.scala (`proc`) + KafkaTwitterProducer.java (`prod`)
+onto Structured Streaming:
+
+- source (proc:75-88 Kafka direct stream)  -> ``readStream`` (kafka when a
+  broker exists; file/rate sources for tests — same downstream code)
+- ``"<loc> /TLOC/ <text>"`` value parse (proc:219) -> typed struct at ingest
+- per-hashtag fan-out + cleaning + country + sentiment (proc:214-246)
+  -> the SAME batch transform (transform_tweets) — Structured Streaming's
+  unified API means zero forked logic between batch and streaming
+- sliding-window trend counts (proc:131-140 reduceByKeyAndWindow 60s/15s)
+  -> ``withWatermark + groupBy(window('ts','60 seconds','15 seconds'))``
+- per-batch dedup (proc:115) -> watermarked streaming dropDuplicates
+  (state-backed, cross-batch — strictly stronger than the reference's)
+- Mongo/MySQL sinks with first-batch drop (proc:104-125, 259-291)
+  -> ``foreachBatch`` with ``batch_id == 0`` setup + idempotent appends
+- checkpoint dir (proc:72) -> ``checkpointLocation`` (offsets + state +
+  sink commit log in one mechanism)
+
+Scale notes: watermarks bound all state (the reference's checkpointed window
+RDDs grow without one); sentiment is a batched Arrow pandas_udf with the
+lexicon loaded once per worker — NOT per record like proc:144's CoreNLP.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from ..functions.sentiment import bin_score, score_texts_pandas
+from ..functions.text import (
+    SENTINEL,
+    clean_hashtag,
+    clean_tweet_text,
+    country_from_location,
+    extract_hashtags,
+    parse_sentinel,
+)
+
+RAW_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("value", StringType())]
+)
+
+# proc:97-102's output schema, with sane names + typed event time kept
+# alongside (the reference only had the batch's epoch-seconds int).
+SCORED_COLUMNS = ["hashtag", "sentiment_score", "sentiment_type", "country"]
+
+
+@F.pandas_udf(DoubleType())
+def sentiment_score_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched sentiment (P11). Lexicon is module state — loaded once
+    per executor, amortized over batches (the reference rebuilt its CoreNLP
+    pipeline per record, proc:144)."""
+    return pd.Series(score_texts_pandas(texts.tolist()), dtype="float64")
+
+
+def read_raw_stream(
+    spark: SparkSession,
+    source_dir: str | None = None,
+    kafka_servers: str | None = None,
+    topics: str = "twitter-tweets",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """S5: the stream source. Kafka when a broker is configured (offsets in
+    the checkpoint mirror proc:80-81's manual-commit intent); JSON-file
+    source otherwise (tests/local replay) with identical (key, value) shape."""
+    if kafka_servers:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_servers)
+            .option("subscribe", topics)
+            .option("startingOffsets", "latest")
+            .load()
+        )
+        return raw.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+    return (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+
+def transform_tweets(raw: DataFrame, ts_col: Column | None = None) -> DataFrame:
+    """The full per-tweet transform chain (P3-P12), one declarative plan.
+    Works identically on batch and streaming DataFrames (unified API)."""
+    parsed = raw.withColumn("parsed", parse_sentinel(F.col("value")))
+    cleaned = (
+        parsed.select(
+            (ts_col if ts_col is not None else F.current_timestamp()).alias("ts"),
+            F.col("parsed.location").alias("location"),
+            F.col("parsed.text").alias("text"),
+        )
+        .withColumn("clean_text", clean_tweet_text(F.col("text")))
+        .withColumn("country", country_from_location(F.col("location")))
+        # explode AFTER the array filter — one row per qualifying hashtag
+        # (P6); whole-tweet sentiment computed ONCE per tweet, not per tag
+        # (the reference recomputed it k times, proc:231).
+        .withColumn("sentiment_score", F.round(sentiment_score_udf(F.col("clean_text")), 4))
+    )
+    exploded = cleaned.withColumn(
+        "hashtag", F.explode(extract_hashtags(F.col("text")))
+    ).withColumn("hashtag", clean_hashtag(F.col("hashtag")))
+    score = F.col("sentiment_score")
+    stype = (
+        F.when(score <= 0.0, "notunderstood")
+        .when(score < 1.0, "verynegative")
+        .when(score < 2.0, "negative")
+        .when(score < 3.0, "neutral")
+        .when(score < 4.0, "positive")
+        .when(score < 5.0, "verypositive")
+        .otherwise("notunderstood")
+    )
+    return exploded.select(
+        "ts", "hashtag", "sentiment_score", stype.alias("sentiment_type"), "country"
+    )
+
+
+def dedup_stream(scored: DataFrame, watermark: str = "2 minutes") -> DataFrame:
+    """A2 (proc:115) streaming form: watermarked cross-batch dedup on the
+    output grain. State is bounded by the watermark (the reference's
+    per-batch dropDuplicates couldn't dedup across batches at all)."""
+    return scored.withWatermark("ts", watermark).dropDuplicates(
+        ["hashtag", "country", "ts"]
+    )
+
+
+def trend_counts(
+    scored: DataFrame,
+    window: str = "60 seconds",
+    slide: str = "15 seconds",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """A1 (proc:131-140): sliding-window hashtag counts with late-data
+    semantics the DStream version lacked."""
+    return (
+        scored.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "hashtag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("sentiment_score"), 4).alias("mean_sentiment"),
+        )
+        .select(F.col("w.start").alias("window_start"), "hashtag", "cnt", "mean_sentiment")
+    )
+
+
+def write_with_first_batch_setup(
+    df: DataFrame,
+    checkpoint_dir: str,
+    sink_writer,
+    first_batch_setup=None,
+    trigger_once: bool = True,
+    output_mode: str = "update",
+):
+    """S6-S8: foreachBatch sink with first-batch target reset — the
+    accumulator-flag pattern (proc:104-114) replaced by batch_id == 0.
+
+    ``sink_writer(batch_df, batch_id)`` performs the append;
+    ``first_batch_setup(batch_df)`` runs once (drop/create target)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0 and first_batch_setup is not None:
+            first_batch_setup(batch_df)
+        sink_writer(batch_df, batch_id)
+
+    writer = (
+        df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="15 seconds")  # proc:71
+    return writer.start()
+
+
+def run_pipeline_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_table: str = "trend_counts",
+    ts_from_key: bool = True,
+) -> DataFrame:
+    """End-to-end streaming run over a file-source replay, results to an
+    in-memory sink; returns the result DataFrame (for tests/demos).
+
+    ts_from_key: tests encode a deterministic event time in the message key
+    (epoch seconds) — mirrors prod:110's counter key, upgraded to carry time.
+    """
+    raw = read_raw_stream(spark, source_dir=source_dir)
+    ts = (
+        F.timestamp_seconds(F.col("key").cast("long"))
+        if ts_from_key
+        else F.current_timestamp()
+    )
+    scored = transform_tweets(raw, ts_col=ts)
+    counts = trend_counts(scored)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(output_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(output_table)

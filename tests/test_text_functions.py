@@ -1,0 +1,66 @@
+"""Semantics-faithful unit tests of the reference's bespoke transforms
+(FIXTURES.md §B cases; citations in functions/text.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from realtime_twitter_trends_analytics_spark.functions.text import (
+    clean_hashtag,
+    clean_tweet_text,
+    country_from_location,
+    extract_hashtags,
+    parse_sentinel,
+)
+
+
+def _one(spark, col, value: str):
+    df = spark.createDataFrame([Row(v=value)])
+    return df.select(col(F.col("v")).alias("out")).first()["out"]
+
+
+def test_parse_sentinel(spark):
+    df = spark.createDataFrame([Row(value="Boston, MA /TLOC/ Loving the game #Celtics #NBA")])
+    row = df.select(parse_sentinel(F.col("value")).alias("p")).first()["p"]
+    assert row["location"] == "Boston, MA"
+    assert row["text"] == "Loving the game #Celtics #NBA"
+
+
+def test_hashtag_extraction_rules(spark):
+    # len>1 rule (proc:218) counts the '#': bare '#' (len 1) is dropped,
+    # '#x' (len 2) is a valid single-char hashtag, '#ok' kept
+    tags = _one(spark, extract_hashtags, "# #x #ok plain #a1 #b2")
+    assert tags == ["#x", "#ok", "#a1", "#b2"]
+
+
+def test_hashtag_extraction_no_hashtags(spark):
+    assert _one(spark, extract_hashtags, "nothing to see") == []
+
+
+def test_hashtag_cleanup_regex(spark):
+    # proc:244: "(\\w*RT)|[^a-zA-Z0-9#]" — '\\w*RT' consumes the WHOLE word
+    # ending in RT (faithful to the reference), punctuation stripped, # kept
+    assert _one(spark, clean_hashtag, "#breaking!") == "#breaking"
+    assert _one(spark, clean_hashtag, "#fooRT") == "#"
+    assert _one(spark, clean_hashtag, "#RTonly") == "#only"
+    assert _one(spark, clean_hashtag, "#a_b-c") == "#abc"
+
+
+def test_clean_tweet_text_chain(spark):
+    out = _one(spark, clean_tweet_text, "RT @user check https://t.co/x #breaking!")
+    assert "http" not in out
+    assert "@user" not in out
+    assert not out.startswith("RT ")
+    assert "#breaking" in out
+
+
+def test_country_heuristic(spark):
+    cases = {
+        "Boston, MA": "USA",          # 2 segments + 2-letter code (proc:205-206)
+        "Paris, France": "FRANCE",    # last segment uppercased (proc:202)
+        "Gotham": "NULL",             # no comma -> literal 'NULL' (proc:199-200)
+        "a, b, Canada": "CANADA",     # >2 segments: last segment, no USA rule
+        "x, y!": "Y",                 # punctuation stripped then uppercased
+    }
+    for loc, want in cases.items():
+        assert _one(spark, country_from_location, loc) == want, loc
