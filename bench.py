@@ -50,6 +50,11 @@ def main() -> None:
     spark = get_spark("rtta-bench")
     queries = all_queries()
 
+    # Warm-up pass: JVM JIT + whole-stage codegen + parquet footer caches.
+    # Steady-state is what a resident engine delivers; cold-start is ~4x.
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)

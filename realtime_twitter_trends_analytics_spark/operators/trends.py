@@ -30,16 +30,23 @@ TOKENS = "split(text, ' ')"
 
 
 def docs_with_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + deterministic sentiment score/type columns (P11/P12)."""
+    """documents + deterministic sentiment score/type columns (P11/P12).
+
+    The score expression is materialized into a column FIRST and the type
+    binning reads that column — evaluating the (expensive) chunked-lexicon
+    expression once per row, not once per consumer."""
     d = load_table(spark, sf_dir, "documents")
     score = score_sql(dl.SPARK, "text")
-    return d.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.round(F.expr(score), 4).alias("sentiment_score"),
-        F.expr(type_sql(score)).alias("sentiment_type"),
+    return (
+        d.withColumn("_score", F.expr(score))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            F.round(F.col("_score"), 4).alias("sentiment_score"),
+            F.expr(type_sql("_score")).alias("sentiment_type"),
+        )
     )
 
 
