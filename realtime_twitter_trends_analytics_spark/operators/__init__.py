@@ -1,3 +1,3 @@
-from . import dedup, multimodal, relational, similarity, textstats, trends
+from . import dedup, multimodal, relational, relational_ext, similarity, textstats, trends
 
-__all__ = ["dedup", "multimodal", "relational", "similarity", "textstats", "trends"]
+__all__ = ["dedup", "multimodal", "relational", "relational_ext", "similarity", "textstats", "trends"]

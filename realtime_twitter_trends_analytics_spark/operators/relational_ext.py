@@ -1,0 +1,318 @@
+"""Extended relational surface: statistical aggregates, percentiles, pivot,
+subqueries, map/JSON functions, higher-order array functions, null-handling,
+and the reference's parse/clean/country chain as an oracle-checked batch
+query (P7/P8/P10 of SURVEY §2.2).
+
+Determinism notes:
+- stddev/variance/corr are computed from EXACT decimal power sums
+  (sum x, sum x^2, sum xy as DECIMAL(38,4)) with the closed-form formulas
+  evaluated in double at the end — the one-pass streaming moments built into
+  each engine differ in update order and would not hash-match. The plan
+  shape is the same partial/final hash agg either way.
+- percentile/median use linear interpolation in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import (
+    clean_tweet_text,
+    country_from_location,
+    parse_sentinel,
+)
+from ..sources.loaders import load_table
+
+
+def _dec4(col) -> "F.Column":
+    return col.cast("decimal(38,4)")
+
+
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / covariance / correlation per group from exact
+    decimal power sums (deterministic across partitionings)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(18,2)")
+    y = F.col("l_quantity").cast("decimal(18,2)")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(_dec4(x * x)).cast("double").alias("sxx"),
+        F.sum(_dec4(y * y)).cast("double").alias("syy"),
+        F.sum(_dec4(x * y)).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(var_x, 4).alias("var_price"),
+        F.round(F.sqrt(var_x), 4).alias("stddev_price"),
+        F.round(cov, 4).alias("covar_price_qty"),
+        F.round(cov / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("corr_price_qty"),
+    )
+
+
+ORACLE_STATS = """
+WITH agg AS (
+  SELECT l_returnflag, count(*) AS n,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  round((sxx - sx * sx / n) / (n - 1), 4) AS var_price,
+  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_price,
+  round((sxy - sx * sy / n) / (n - 1), 4) AS covar_price_qty,
+  round(((sxy - sx * sy / n) / (n - 1)) /
+        (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))), 6) AS corr_price_qty
+FROM agg
+"""
+
+
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) + median per group."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_linestatus,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts, status x priority (explicit value list — at
+    scale you never let pivot discover values with an extra job)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"prio_{p[0]}" for p in PRIORITIES}
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    return piv.na.fill(0)
+
+
+ORACLE_PIVOT = """
+SELECT o_orderstatus,
+  coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS prio_1,
+  coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS prio_2,
+  coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS prio_3,
+  coalesce(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS prio_4,
+  coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS prio_5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# One ANSI text, two engines: run via spark.sql AND DuckDB verbatim.
+SQL_SUBQUERIES = """
+SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+  AND EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000
+  )
+"""
+
+
+def subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + IN + correlated-EXISTS subqueries through the SQL front-end
+    (one ANSI text shared verbatim with the oracle)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_SUBQUERIES)
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON -> map<string,bigint>, key/value extraction."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(m).alias("n_props"),
+    )
+
+
+ORACLE_MAP_FUNCS = """
+SELECT event_id,
+  array_to_string(json_keys(props), ',') AS prop_keys,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+  CAST(len(json_keys(props)) AS INT) AS n_props
+FROM events
+"""
+
+
+def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate /
+    array_contains / slice+sort — all JVM-side, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) >= 5)).alias("n_long_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_token_chars"),
+        F.array_contains(toks, "dup").cast("int").alias("has_dup_marker"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 3), ",").alias("first3_sorted"),
+    )
+
+
+ORACLE_HIGHER_ORDER = """
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 5)) AS INT) AS n_long_tokens,
+  CAST(coalesce(list_sum(list_transform(string_split(text, ' '), t -> length(t))), 0) AS BIGINT) AS total_token_chars,
+  CAST(list_contains(string_split(text, ' '), 'dup') AS INT) AS has_dup_marker,
+  array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 3), ',') AS first3_sorted
+FROM documents
+"""
+
+
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / nvl2 / least / greatest surface over events."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("(err)")).alias("type_or_err"),
+        F.round(F.least(v, F.lit(100.0)), 4).alias("value_capped"),
+        F.round(F.greatest(v, F.lit(0.0)), 4).alias("value_floored"),
+        F.when(v > 100, "high").when(v > 10, "mid").otherwise("low").alias("value_band"),
+    )
+
+
+ORACLE_NULL_HANDLING = """
+SELECT event_id,
+  coalesce(nullif(event_type, 'error'), '(err)') AS type_or_err,
+  round(least(value, 100.0), 4) AS value_capped,
+  round(greatest(value, 0.0), 4) AS value_floored,
+  CASE WHEN value > 100 THEN 'high' WHEN value > 10 THEN 'mid' ELSE 'low' END AS value_band
+FROM events
+"""
+
+
+def tweet_parse_clean_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 + P8 + P10 end-to-end, oracle-checked in batch: build sentinel
+    messages from documents, parse them back, run the cleaning chain and the
+    country heuristic. Location patterns cycle to hit every branch of
+    proc:198-210 (USA 2-letter rule / last-segment / no-comma 'NULL')."""
+    d = load_table(spark, sf_dir, "documents")
+    location = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("Springfield, "), F.upper("lang")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("City, Area, "), F.col("source")))
+        .otherwise(F.col("source"))
+    )
+    noisy = F.concat(F.lit("RT @user "), F.col("text"), F.lit(" https://t.co/xyz !!"))
+    msg = d.select(
+        "doc_id", F.concat(location, F.lit(" /TLOC/ "), noisy).alias("value")
+    )
+    parsed = msg.withColumn("p", parse_sentinel(F.col("value")))
+    return parsed.select(
+        "doc_id",
+        F.col("p.location").alias("location"),
+        country_from_location(F.col("p.location")).alias("country"),
+        F.substring(clean_tweet_text(F.col("p.text")), 1, 40).alias("clean_prefix"),
+    )
+
+
+ORACLE_TWEET_PARSE = r"""
+WITH msg AS (
+  SELECT doc_id,
+    concat(
+      CASE WHEN doc_id % 3 = 0 THEN concat('Springfield, ', upper(lang))
+           WHEN doc_id % 3 = 1 THEN concat('City, Area, ', source)
+           ELSE source END,
+      ' /TLOC/ ', concat('RT @user ', text, ' https://t.co/xyz !!')
+    ) AS value
+  FROM documents
+), parsed AS (
+  SELECT doc_id,
+    string_split(value, ' /TLOC/ ')[1] AS location,
+    string_split(value, ' /TLOC/ ')[2] AS txt
+  FROM msg
+), country AS (
+  SELECT doc_id, location, txt,
+    string_split(location, ',') AS segs
+  FROM parsed
+)
+SELECT doc_id, location,
+  CASE WHEN len(segs) < 2 THEN 'NULL'
+       WHEN len(segs) = 2 AND length(trim(regexp_replace(segs[-1], '[^a-zA-Z0-9\s]', '', 'g'))) = 2 THEN 'USA'
+       ELSE upper(trim(regexp_replace(segs[-1], '[^a-zA-Z0-9\s]', '', 'g')))
+  END AS country,
+  substr(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(txt, '^RT\s+', '', 'g'),
+          'http\S+', '', 'g'),
+        '[^a-zA-Z0-9\s.,!@#]', '', 'g'),
+      '@\w+', 'Foo', 'g'),
+    '^Foo\s*', '', 'g'),
+  1, 40) AS clean_prefix
+FROM country
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct counts (approx_count_distinct) — the sketch the
+    reference never had for 'how many unique hashtags'. No SQL oracle (HLL
+    estimates are engine-specific); the driver records rows-only and
+    tests/test_operators_oracle.py bounds the estimation error vs exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+QUERIES = {
+    "agg_approx_distinct": agg_approx_distinct,
+    "stats_aggregates": stats_aggregates,
+    "percentiles": percentiles,
+    "pivot_status_priority": pivot_status_priority,
+    "subqueries": subqueries,
+    "map_functions": map_functions,
+    "higher_order_functions": higher_order_functions,
+    "null_handling": null_handling,
+    "tweet_parse_clean_country": tweet_parse_clean_country,
+}
+
+ORACLES = {
+    "stats_aggregates": ORACLE_STATS,
+    "percentiles": ORACLE_PERCENTILES,
+    "pivot_status_priority": ORACLE_PIVOT,
+    "subqueries": SQL_SUBQUERIES,
+    "map_functions": ORACLE_MAP_FUNCS,
+    "higher_order_functions": ORACLE_HIGHER_ORDER,
+    "null_handling": ORACLE_NULL_HANDLING,
+    "tweet_parse_clean_country": ORACLE_TWEET_PARSE,
+}

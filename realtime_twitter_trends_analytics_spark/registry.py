@@ -12,9 +12,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, multimodal, relational, similarity, textstats, trends
+from .operators import (
+    dedup,
+    multimodal,
+    relational,
+    relational_ext,
+    similarity,
+    textstats,
+    trends,
+)
 
-_MODULES = [relational, trends, dedup, similarity, textstats, multimodal]
+_MODULES = [relational, relational_ext, trends, dedup, similarity, textstats, multimodal]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

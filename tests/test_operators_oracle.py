@@ -36,7 +36,32 @@ def test_every_query_has_callable_and_most_have_oracles():
     assert len(q) >= 40
     assert set(o) <= set(q)
     # rows-only entries must be the documented non-SQL-expressible ones
-    assert set(q) - set(o) == {"multimodal_features"}
+    assert set(q) - set(o) == {"multimodal_features", "agg_approx_distinct"}
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from realtime_twitter_trends_analytics_spark.operators.relational_ext import (
+        agg_approx_distinct,
+    )
+    from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
+
+    import pyspark.sql.functions as F
+
+    approx = {r["l_returnflag"]: r for r in agg_approx_distinct(spark, sf_dir).collect()}
+    exact = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("parts"),
+            F.count_distinct("l_orderkey").alias("orders"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["parts"]) <= 0.1 * e["parts"]
+        assert abs(a["approx_orders"] - e["orders"]) <= 0.1 * e["orders"]
 
 
 def test_sliding_windows_sum_to_window_multiple(spark, sf_dir):

@@ -1,0 +1,73 @@
+"""Physical-plan quality gates (SURVEY §4): pushdown, broadcast, top-k
+planning, shuffle budget. These fail if a refactor silently degrades the
+100 TB story even while correctness stays green."""
+
+from __future__ import annotations
+
+from realtime_twitter_trends_analytics_spark.operators.relational import (
+    q01_pricing_summary,
+    q05_region_revenue,
+    q06_forecast_revenue,
+    sort_global_topk,
+)
+from realtime_twitter_trends_analytics_spark.operators.trends import (
+    trends_token_topk,
+    tweet_pipeline_flagship,
+)
+from realtime_twitter_trends_analytics_spark.plans.explain import (
+    count_exchanges,
+    explain_str,
+    has_node,
+    has_pushed_filters,
+)
+
+
+def test_q06_filters_reach_parquet_scan(spark, sf_dir):
+    df = q06_forecast_revenue(spark, sf_dir)
+    assert has_pushed_filters(df, "l_shipdate")
+    assert has_pushed_filters(df, "l_discount")
+    assert has_pushed_filters(df, "l_quantity")
+
+
+def test_q01_column_pruning(spark, sf_dir):
+    plan = explain_str(q01_pricing_summary(spark, sf_dir))
+    # scan must NOT read the unused fact columns
+    assert "l_partkey" not in plan
+    assert "l_suppkey" not in plan
+    assert has_pushed_filters(q01_pricing_summary(spark, sf_dir), "l_shipdate")
+
+
+def test_q05_broadcasts_dimensions(spark, sf_dir):
+    plan = explain_str(q05_region_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    assert has_node(sort_global_topk(spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_whole_stage_codegen_covers_scan_agg(spark, sf_dir):
+    # AQE hides codegen subtrees pre-execution; disable it for inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = explain_str(q01_pricing_summary(spark, sf_dir), "codegen")
+        n = int(plan.split("Found ")[1].split(" WholeStageCodegen")[0])
+        assert n >= 2  # scan+partial-agg subtree and final-agg subtree
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_shuffle_budget_trends_topk(spark, sf_dir):
+    # explode (map-side) -> agg shuffle -> window shuffle: exactly 2
+    assert count_exchanges(trends_token_topk(spark, sf_dir)) <= 2
+
+
+def test_shuffle_budget_flagship(spark, sf_dir):
+    # sentiment+explode map-side; one agg shuffle + one window shuffle
+    assert count_exchanges(tweet_pipeline_flagship(spark, sf_dir)) <= 2
+
+
+def test_q01_shuffle_budget(spark, sf_dir):
+    # partial/final hash agg: a single exchange
+    assert count_exchanges(q01_pricing_summary(spark, sf_dir)) <= 1
