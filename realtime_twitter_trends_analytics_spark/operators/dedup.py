@@ -170,9 +170,11 @@ FROM dedup WHERE round(n_matches / {MINHASH_K}.0, 4) >= {JACCARD_THRESHOLD}
 # ---------------------------------------------------------------------------
 
 def _simhash_bit_sql(d: str, b: int) -> str:
-    """+1/-1 vote of token 'tok' on bit b: parity of the first md5 nibble
-    under salt b (portable, unbiased)."""
-    nib = dl.md5_prefix_nibble(d, f"concat('sh{b}|', tok)")
+    """+1/-1 vote of the (pre-hashed) token on bit b: parity of nibble b of
+    its md5 ('h' column). ONE md5 per token feeds all SIMHASH_BITS votes —
+    16x less hashing than per-bit salts, same independent-bit family (md5
+    nibbles are independent)."""
+    nib = dl.hex_nibble(d, f"substr(h, {b + 1}, 1)")
     return f"(CASE WHEN ({nib}) % 2 = 1 THEN 1 ELSE -1 END)"
 
 
@@ -180,7 +182,9 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SIMHASH_BITS-bit signature per doc: sum token votes per bit, take the
     sign, pack to one BIGINT. One explode + one groupBy."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("tok"))
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
     votes = [
         F.sum(F.expr(_simhash_bit_sql(dl.SPARK, b))).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
@@ -202,7 +206,7 @@ def _oracle_simhash_core() -> str:
     )
     return f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
 ), agg AS (
   SELECT doc_id, {votes} FROM tok GROUP BY doc_id
 )
