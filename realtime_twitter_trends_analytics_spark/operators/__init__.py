@@ -1,3 +1,3 @@
-from . import dedup, multimodal, relational, relational_ext, similarity, textstats, trends
+from . import dedup, multimodal, relational, relational_ext, similarity, skew, textstats, trends
 
-__all__ = ["dedup", "multimodal", "relational", "relational_ext", "similarity", "textstats", "trends"]
+__all__ = ["dedup", "multimodal", "relational", "relational_ext", "similarity", "skew", "textstats", "trends"]

@@ -18,11 +18,12 @@ from .operators import (
     relational,
     relational_ext,
     similarity,
+    skew,
     textstats,
     trends,
 )
 
-_MODULES = [relational, relational_ext, trends, dedup, similarity, textstats, multimodal]
+_MODULES = [relational, relational_ext, trends, dedup, similarity, skew, textstats, multimodal]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
