@@ -99,35 +99,37 @@ SELECT doc_id, {aggs} FROM sh GROUP BY doc_id
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH candidate pairs with estimated Jaccard >= threshold.
 
-    Bands: md5 over each band's ROWS_PER_BAND hashes; self-join per band on
-    the band key (union of BANDS equi-joins), dedup pairs, then estimate
-    jaccard as matching-hash-fraction. At scale the band join is the whole
+    One pass: explode each signature into (band_id, band_key) rows — the
+    band key is md5 over that band's ROWS_PER_BAND hashes — then ONE
+    self-join on (band_id, band_key). Joining on (band_id, key) instead of
+    unioning BANDS separate joins means a single shuffle of n x BANDS small
+    rows and a single join stage. At scale the band join is the whole
     trick: candidates ~ O(sum bucket^2), never O(n^2)."""
-    sig = minhash_signatures(spark, sf_dir).cache()
+    sig = minhash_signatures(spark, sf_dir)
     hash_cols = [f"h{k}" for k in range(MINHASH_K)]
-    pairs = None
-    for b in range(BANDS):
-        cols = hash_cols[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-        band = sig.select(
-            "doc_id", F.md5(F.concat_ws("|", *cols)).alias("band_key"), *hash_cols
-        )
-        left = band.select(
-            F.col("doc_id").alias("a"),
-            F.col("band_key"),
-            *[F.col(h).alias(f"a_{h}") for h in hash_cols],
-        )
-        right = band.select(
-            F.col("doc_id").alias("b"),
-            F.col("band_key"),
-            *[F.col(h).alias(f"b_{h}") for h in hash_cols],
-        )
-        cand = left.join(right, "band_key").filter(F.col("a") < F.col("b"))
-        pairs = cand if pairs is None else pairs.unionByName(cand)
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *hash_cols[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]))
+            for b in range(BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", *hash_cols, F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    left = banded.select(
+        F.col("doc_id").alias("a"), "band_id", "band_key",
+        *[F.col(h).alias(f"a_{h}") for h in hash_cols],
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b"), "band_id", "band_key",
+        *[F.col(h).alias(f"b_{h}") for h in hash_cols],
+    )
+    cand = left.join(right, ["band_id", "band_key"]).filter(F.col("a") < F.col("b"))
     matches = sum(
         F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0) for h in hash_cols
     )
     return (
-        pairs.select("a", "b", matches.alias("n_matches"))
+        cand.select("a", "b", matches.alias("n_matches"))
         .groupBy("a", "b")
         .agg(F.max("n_matches").alias("n_matches"))
         .withColumn("est_jaccard", F.round(F.col("n_matches") / F.lit(MINHASH_K), 4))
@@ -142,7 +144,9 @@ def _oracle_minhash_pairs() -> str:
     for b in range(BANDS):
         cols = hash_cols[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
         band_key = f"md5(concat_ws('|', {', '.join(cols)}))"
-        band_selects.append(f"SELECT doc_id, {band_key} AS band_key, {', '.join(hash_cols)} FROM sig")
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {band_key} AS band_key, {', '.join(hash_cols)} FROM sig"
+        )
     bands = " UNION ALL ".join(band_selects)
     match_expr = " + ".join(
         f"(CASE WHEN l.{h} = r.{h} THEN 1 ELSE 0 END)" for h in hash_cols
@@ -156,7 +160,8 @@ WITH sh AS (
 ), banded AS ({bands}),
 cand AS (
   SELECT l.doc_id AS a, r.doc_id AS b, {match_expr} AS n_matches
-  FROM banded l JOIN banded r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 ), dedup AS (
   SELECT a, b, max(n_matches) AS n_matches FROM cand GROUP BY a, b
 )

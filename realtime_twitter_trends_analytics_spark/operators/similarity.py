@@ -231,10 +231,94 @@ FROM exploded GROUP BY label, dim
 """
 
 
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize each query to its nearest centroid
+    (the label clusters act as the IVF codebook — in production the codebook
+    comes from k-means), then search ONLY that inverted list. Plan shape:
+    tiny centroid table broadcast for assignment, candidate equi-join on the
+    cell id — per-cell products, never all-pairs. nprobe=1 here; raising it
+    is a filter change on the assignment rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg((F.sum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("c"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    qdims = q.select(
+        F.col("vec_id").alias("query_id"), F.posexplode("embedding").alias("dim", "qv")
+    )
+    dist = (
+        qdims.join(F.broadcast(cent), "dim")
+        .groupBy("query_id", "label")
+        .agg(F.sum((F.col("qv").cast("double") - F.col("c")) ** 2).alias("d2"))
+    )
+    wassign = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("label"))
+    probe = (
+        dist.withColumn("arnk", F.row_number().over(wassign))
+        .filter(F.col("arnk") == 1)
+        .select("query_id", F.col("label").alias("cell"))
+    )
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("cell"), F.col("embedding").alias("cv")
+    )
+    pairs = (
+        F.broadcast(probe.join(qv, "query_id"))
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.expr(cosine_sql(dl.SPARK, "qv", "cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cell", "cand_id", F.round("cosine", 4).alias("cosine"), "rnk")
+    )
+
+
+def _oracle_ivf_ann() -> str:
+    cos = cosine_sql(dl.DUCK, "q.embedding", "c.embedding")
+    return f"""
+WITH cent AS (
+  SELECT label, dim, sum(CAST(v AS DOUBLE)) / count(*) AS c
+  FROM (
+    SELECT label,
+      unnest(generate_series(0, len(embedding) - 1)) AS dim,
+      unnest(embedding) AS v
+    FROM embeddings
+  ) GROUP BY label, dim
+), qdims AS (
+  SELECT vec_id AS query_id,
+    unnest(generate_series(0, len(embedding) - 1)) AS dim,
+    unnest(embedding) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+), dist AS (
+  SELECT query_id, label, sum((CAST(qv AS DOUBLE) - c) ^ 2) AS d2
+  FROM qdims JOIN cent USING (dim) GROUP BY query_id, label
+), probe AS (
+  SELECT query_id, label AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, label ASC) AS arnk
+    FROM dist
+  ) WHERE arnk = 1
+), pairs AS (
+  SELECT p.query_id, p.cell, c.vec_id AS cand_id, {cos} AS cosine
+  FROM probe p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.label = p.cell AND c.vec_id <> p.query_id
+)
+SELECT query_id, cell, cand_id, round(cosine, 4) AS cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM pairs
+) WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_ann": sim_lsh_ann,
+    "sim_ivf_ann": sim_ivf_ann,
     "sim_label_centroids": sim_label_centroids,
 }
 
@@ -242,5 +326,6 @@ ORACLES = {
     "sim_topk_bruteforce": _oracle_bruteforce(),
     "sim_lsh_buckets": _oracle_lsh_buckets(),
     "sim_lsh_ann": _oracle_lsh_ann(),
+    "sim_ivf_ann": _oracle_ivf_ann(),
     "sim_label_centroids": ORACLE_CENTROIDS,
 }
