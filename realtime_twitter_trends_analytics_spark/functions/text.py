@@ -58,6 +58,14 @@ def extract_hashtags(text: Column) -> Column:
     )
 
 
+def to_sentinel(location: Column, text: Column) -> Column:
+    """P2 (prod:101-108): producer-side sentinel encoding
+    ``"<location> /TLOC/ <text>"`` — provided for wire-compat with existing
+    consumers of the reference's Kafka topic. Inside THIS engine data stays
+    struct-typed; this exists only at the egress boundary."""
+    return F.concat_ws(SENTINEL, location, text)
+
+
 def country_from_location(location: Column) -> Column:
     """proc:198-210 heuristic, as one when/otherwise chain (no UDF):
     split on ',', take LAST segment, strip non-alphanumerics; if the location

@@ -118,6 +118,21 @@ def transform_tweets(raw: DataFrame, ts_col: Column | None = None) -> DataFrame:
     )
 
 
+def to_reference_schema(scored: DataFrame) -> DataFrame:
+    """Exact wire-compat projection to the reference's declared output
+    schema (proc:97-102): hyphenated column names, ``timestamp`` as epoch
+    SECONDS int (proc:109), country with its literal 'NULL' convention.
+    Downstream consumers of the reference's MongoDB/MySQL tables can read
+    this engine's output unchanged."""
+    return scored.select(
+        F.unix_timestamp("ts").cast("int").alias("timestamp"),
+        F.col("hashtag"),
+        F.col("sentiment_score").alias("sentiment-score"),
+        F.col("sentiment_type").alias("sentiment-type"),
+        F.col("country"),
+    )
+
+
 def dedup_stream(scored: DataFrame, watermark: str = "2 minutes") -> DataFrame:
     """A2 (proc:115) streaming form: watermarked cross-batch dedup on the
     output grain. State is bounded by the watermark (the reference's
