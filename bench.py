@@ -25,20 +25,27 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_region_revenue",
     "q06_forecast_revenue",
+    "agg_rollup",
+    "stats_aggregates",
+    "percentiles",
     "window_topk_orders_per_customer",
     "join_asof_latest_order",
     # trends / streaming-shaped
     "tweet_pipeline_flagship",
+    "tweet_parse_clean_country",
     "window_sliding_counts",
     "window_session_per_user",
     "json_functions",
+    "trends_token_topk_salted",
     # north-star
     "sentiment_docs",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
     "sim_lsh_ann",
+    "sim_ivf_ann",
     "textstats_quality",
     "multimodal_feature_summary",
 ]
@@ -52,15 +59,23 @@ def main() -> None:
 
     # Warm-up pass: JVM JIT + whole-stage codegen + parquet footer caches.
     # Steady-state is what a resident engine delivers; cold-start is ~4x.
+    # clearCache between queries: intra-query caches (shingle tables, LSH
+    # buckets) are part of a query's own cost and must not accumulate into
+    # memory pressure for later queries.
     for name in HEADLINE:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
 
+    # two timed runs, keep the min: damps one-off GC pauses / host noise
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            df = queries[name](spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
