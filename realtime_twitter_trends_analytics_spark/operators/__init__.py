@@ -1,3 +1,23 @@
-from . import dedup, multimodal, relational, relational_ext, similarity, skew, textstats, trends
+from . import (
+    dedup,
+    grouped_pandas,
+    multimodal,
+    relational,
+    relational_ext,
+    similarity,
+    skew,
+    textstats,
+    trends,
+)
 
-__all__ = ["dedup", "multimodal", "relational", "relational_ext", "similarity", "skew", "textstats", "trends"]
+__all__ = [
+    "dedup",
+    "grouped_pandas",
+    "multimodal",
+    "relational",
+    "relational_ext",
+    "similarity",
+    "skew",
+    "textstats",
+    "trends",
+]

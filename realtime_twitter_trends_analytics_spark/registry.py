@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
     dedup,
+    grouped_pandas,
     multimodal,
     relational,
     relational_ext,
@@ -23,7 +24,17 @@ from .operators import (
     trends,
 )
 
-_MODULES = [relational, relational_ext, trends, dedup, similarity, skew, textstats, multimodal]
+_MODULES = [
+    relational,
+    relational_ext,
+    trends,
+    dedup,
+    similarity,
+    skew,
+    textstats,
+    multimodal,
+    grouped_pandas,
+]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
