@@ -57,6 +57,32 @@ def sentiment_score_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(score_texts_pandas(texts.tolist()), dtype="float64")
 
 
+def use_rocksdb_state_store(spark: SparkSession) -> None:
+    """Opt into the RocksDB state store provider — the 100 TB streaming
+    state backend (bounded heap, state spills to local disk + checkpoint).
+    The default HDFS-backed in-memory provider is fine for tests; at scale
+    the window/dedup state of a firehose stream does not fit a JVM heap
+    (SURVEY §4.3). Runtime-settable; applies to newly started queries."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
+def observed(df: DataFrame, name: str = "pipeline_metrics") -> DataFrame:
+    """A3 (proc:126 per-batch count print), done right: ``observe()``
+    attaches accumulator-backed metrics evaluated inline with the stream —
+    read them per batch from StreamingQueryProgress.observedMetrics instead
+    of running a second counting job like the reference did."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("hashtag").alias("n_hashtags"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
 def read_raw_stream(
     spark: SparkSession,
     source_dir: str | None = None,
