@@ -150,7 +150,7 @@ WITH media AS (
     list_max(bytes) AS byte_max
   FROM chars
 )
-SELECT media_type, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+SELECT media_type, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
   round(sum(byte_mean) / count(*), 4) AS avg_byte_mean,
   CAST(min(byte_min) AS INT) AS min_byte,
   CAST(max(byte_max) AS INT) AS max_byte

@@ -406,7 +406,8 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 ORACLE_WINDOW_TOPK = """
-SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, rn, rk, drk
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+  CAST(rn AS INT) AS rn, CAST(rk AS INT) AS rk, CAST(drk AS INT) AS drk
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
     row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
@@ -438,7 +439,7 @@ SELECT o_custkey, o_orderkey,
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_total,
   round(lag(o_totalprice, 1) OVER w, 4) AS prev_price,
   round(lead(o_totalprice, 1) OVER w, 4) AS next_price,
-  row_number() OVER w AS order_seq
+  CAST(row_number() OVER w AS INT) AS order_seq
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
@@ -509,7 +510,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STRING_FUNCS = """
 SELECT p_partkey,
   upper(p_name) AS name_upper,
-  length(p_name) AS name_len,
+  CAST(length(p_name) AS INT) AS name_len,
   substr(p_name, 1, 4) AS name_prefix,
   replace(p_name, ' ', '_') AS name_snake,
   concat_ws('|', p_brand, p_type) AS brand_type,
@@ -569,7 +570,7 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_FUNCS = """
 SELECT event_type, count(*) AS n_events,
-  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
   count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k

@@ -117,11 +117,11 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PIVOT = """
 SELECT o_orderstatus,
-  coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS prio_1,
-  coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS prio_2,
-  coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS prio_3,
-  coalesce(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS prio_4,
-  coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS prio_5
+  CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS prio_1,
+  CAST(coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS BIGINT) AS prio_2,
+  CAST(coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS BIGINT) AS prio_3,
+  CAST(coalesce(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS BIGINT) AS prio_4,
+  CAST(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS BIGINT) AS prio_5
 FROM orders GROUP BY o_orderstatus
 """
 

@@ -76,7 +76,7 @@ WITH pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label, {cos} AS cosine
   FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
 )
-SELECT query_id, cand_id, label, round(cosine, 4) AS cosine, rnk FROM (
+SELECT query_id, cand_id, label, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
   FROM pairs
 ) WHERE rnk <= {TOP_K}
@@ -193,7 +193,7 @@ WITH bucketed AS (
   FROM bucketed q JOIN bucketed c ON ({match})
   WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
 )
-SELECT query_id, cand_id, round(cosine, 4) AS cosine, rnk FROM (
+SELECT query_id, cand_id, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
   FROM pairs
 ) WHERE rnk <= {TOP_K}
@@ -307,7 +307,7 @@ WITH cent AS (
   JOIN embeddings q ON q.vec_id = p.query_id
   JOIN embeddings c ON c.label = p.cell AND c.vec_id <> p.query_id
 )
-SELECT query_id, cell, cand_id, round(cosine, 4) AS cosine, rnk FROM (
+SELECT query_id, cell, cand_id, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
   FROM pairs
 ) WHERE rnk <= {TOP_K}

@@ -59,7 +59,7 @@ WITH tok AS (
   SELECT source, token, count(*) AS cnt FROM tok WHERE length(token) > 1
   GROUP BY source, token
 )
-SELECT source, token, cnt, rnk FROM (
+SELECT source, token, cnt, CAST(rnk AS INT) AS rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token ASC) AS rnk
   FROM counts
 ) WHERE rnk <= 5

@@ -86,7 +86,7 @@ WITH tok AS (
   SELECT source, token, count(*) AS cnt FROM tok WHERE length(token) > 1
   GROUP BY source, token
 )
-SELECT source, token, cnt, rnk FROM (
+SELECT source, token, cnt, CAST(rnk AS INT) AS rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token ASC) AS rnk
   FROM counts
 ) WHERE rnk <= 5
@@ -264,7 +264,7 @@ WITH scored AS (
     round(sum(sentiment_score) / count(*), 4) AS mean_sentiment
   FROM tok WHERE length(token) > 1 GROUP BY lang, token
 )
-SELECT lang, token, cnt, mean_sentiment, rnk FROM (
+SELECT lang, token, cnt, mean_sentiment, CAST(rnk AS INT) AS rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rnk
   FROM agg
 ) WHERE rnk <= 10
