@@ -4,6 +4,7 @@ from . import (
     multimodal,
     relational,
     relational_ext,
+    sampling,
     similarity,
     skew,
     textstats,
@@ -16,6 +17,7 @@ __all__ = [
     "multimodal",
     "relational",
     "relational_ext",
+    "sampling",
     "similarity",
     "skew",
     "textstats",

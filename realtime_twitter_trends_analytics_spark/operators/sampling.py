@@ -1,0 +1,119 @@
+"""Dataset sampling / splitting / quantization — training-data pipeline
+operators that must be DETERMINISTIC at scale (a re-run or a retried task
+must assign the same row to the same split, or the dataset is corrupt).
+
+Everything keys off md5 content/id hashes, not rand(): reproducible across
+runs, engines (oracle-verified), cluster sizes, and task retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import dialect as dl
+from ..sources.loaders import load_table
+
+
+def _bucket16_sql(d: str, expr: str) -> str:
+    """Deterministic 0..15 bucket from the first md5 nibble of ``expr``."""
+    return dl.md5_prefix_nibble(d, expr)
+
+
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split documents into train/val/test (14/1/1 of 16 buckets) on
+    doc_id — stable under re-partitioning, appends, and retries (the rand()
+    alternative is none of those). Returns per-split counts + char volume."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket16_sql(dl.SPARK, "CAST(doc_id AS STRING)"))
+    split = (
+        F.when(bucket == 0, "test").when(bucket == 1, "val").otherwise("train")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+def _oracle_split() -> str:
+    b = _bucket16_sql(dl.DUCK, "CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT CASE WHEN {b} = 0 THEN 'test' WHEN {b} = 1 THEN 'val' ELSE 'train' END AS split,
+  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 systematic sample by CONTENT hash (id-independent:
+    survives re-keying; duplicates sample together — handy for dedup QA)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket16_sql(dl.SPARK, "text"))
+    return (
+        d.filter(bucket == 0)
+        .select("doc_id", "lang", "source", F.length("text").alias("text_len"))
+    )
+
+
+def _oracle_sample() -> str:
+    b = _bucket16_sql(dl.DUCK, "text")
+    return f"""
+SELECT doc_id, lang, source, CAST(length(text) AS INT) AS text_len
+FROM documents WHERE {b} = 0
+"""
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x| / 127,
+    q_i = round(x_i / scale). Emitted long-form summary (quantization error
+    stats) so the oracle can verify the arithmetic; the quantized array
+    itself stays an array column in the intermediate.
+
+    At 100 TB this is how embeddings ship: 4x smaller, dot products in int8
+    with one rescale — the quantized column is written once and reused."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    amax = "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+    scale = f"({amax}) / 127.0"
+    q = f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / ({scale})) AS INT))"
+    err = (
+        f"aggregate(zip_with(embedding, {q}, (x, qq) -> "
+        f"abs(CAST(x AS DOUBLE) - qq * ({scale}))), CAST(0.0 AS DOUBLE), (a, e) -> a + e)"
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.expr(scale), 6).alias("scale"),
+        F.expr(f"array_max({q})").alias("q_max"),
+        F.expr(f"array_min({q})").alias("q_min"),
+        F.round(F.expr(err) / F.size("embedding"), 6).alias("mean_abs_err"),
+    )
+
+
+def _oracle_quantize() -> str:
+    amax = "coalesce(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0)"
+    scale = f"({amax}) / 127.0"
+    q = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / ({scale})) AS INT))"
+    err = (
+        f"list_sum(list_transform(generate_series(1, len(embedding)), i -> "
+        f"abs(CAST(embedding[i] AS DOUBLE) - list_extract({q}, i) * ({scale}))))"
+    )
+    return f"""
+SELECT vec_id,
+  round({scale}, 6) AS scale,
+  list_max({q}) AS q_max,
+  list_min({q}) AS q_min,
+  round(({err}) / len(embedding), 6) AS mean_abs_err
+FROM embeddings
+"""
+
+
+QUERIES = {
+    "dataset_split_assign": dataset_split_assign,
+    "sample_systematic": sample_systematic,
+    "embedding_quantize_int8": embedding_quantize_int8,
+}
+
+ORACLES = {
+    "dataset_split_assign": _oracle_split(),
+    "sample_systematic": _oracle_sample(),
+    "embedding_quantize_int8": _oracle_quantize(),
+}

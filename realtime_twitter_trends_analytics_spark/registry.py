@@ -18,6 +18,7 @@ from .operators import (
     multimodal,
     relational,
     relational_ext,
+    sampling,
     similarity,
     skew,
     textstats,
@@ -34,6 +35,7 @@ _MODULES = [
     textstats,
     multimodal,
     grouped_pandas,
+    sampling,
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
