@@ -79,11 +79,22 @@ FROM agg
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) + median per group."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_linestatus").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+    # ONE percentile agg with an array of fractions = one sort buffer per
+    # group, not three (Spark's exact percentile sorts per aggregate call).
+    pct = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+    return (
+        l.groupBy("l_linestatus")
+        .agg(
+            pct.alias("pct"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        )
+        .select(
+            "l_linestatus",
+            F.round(F.col("pct")[0], 4).alias("p50_price"),
+            F.round(F.col("pct")[1], 4).alias("p90_price"),
+            F.round(F.col("pct")[2], 4).alias("p99_price"),
+            "p50_qty",
+        )
     )
 
 

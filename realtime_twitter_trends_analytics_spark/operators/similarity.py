@@ -53,14 +53,29 @@ def cosine_sql(d: str, a: str, b: str) -> str:
 
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-K for each of the first N_QUERY_VECS vectors against all
-    others. Query side is broadcast; candidates stream through map-side."""
+    others. Query side is broadcast; candidates stream through map-side.
+
+    Norms are PRE-COMPUTED per side before the pair join (O(n·d)), so the
+    per-pair work is one dot product — not dot + two norms (3x the array
+    arithmetic, O(pairs·d) each). Same doubles, so the oracle still
+    hash-matches whichever side computes them."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "label")
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        "label",
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("cnorm"),
+    )
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
-    sim = pairs.withColumn("cosine", F.expr(cosine_sql(dl.SPARK, "qv", "cv")))
+    sim = pairs.withColumn(
+        "cosine",
+        F.expr(dot_sql(dl.SPARK, "qv", "cv")) / (F.col("qnorm") * F.col("cnorm")),
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         sim.withColumn("rnk", F.row_number().over(w))
@@ -162,6 +177,10 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = p.select("query_id", "cand_id")
         cand_pairs = p if cand_pairs is None else cand_pairs.unionByName(p)
     cand_pairs = cand_pairs.distinct()
+    # cosine inline per PAIR: the candidate set is a small fraction of the
+    # corpus, so computing norms for all n rows up front would cost more
+    # than recomputing them on the few joined pairs (opposite trade-off to
+    # brute force, where pairs >> corpus and norms are hoisted).
     qv = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
