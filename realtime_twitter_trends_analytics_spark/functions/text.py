@@ -58,6 +58,24 @@ def extract_hashtags(text: Column) -> Column:
     )
 
 
+def producer_ingest_filter(df, location: str = "location", text: str = "text",
+                           lang: str | None = None, keywords: list[str] | None = None):
+    """P1 + S2 + S3 (prod:102, prod:33, prod:71-72): the producer-side gate —
+    drop rows with no location or no qualifying hashtag; optional language
+    equality and keyword tracking (comma-split keywords OR-matched, like
+    twitter4j's FilterQuery.track). All pure predicates: they push down to
+    the scan in batch and filter at the source in streaming."""
+    out = df.filter(
+        F.col(location).isNotNull() & (F.size(extract_hashtags(F.col(text))) > 0)
+    )
+    if lang is not None:
+        out = out.filter(F.col("lang") == lang)
+    if keywords:
+        pattern = "|".join(keywords)
+        out = out.filter(F.col(text).rlike(pattern))
+    return out
+
+
 def to_sentinel(location: Column, text: Column) -> Column:
     """P2 (prod:101-108): producer-side sentinel encoding
     ``"<location> /TLOC/ <text>"`` — provided for wire-compat with existing

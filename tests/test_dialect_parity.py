@@ -1,0 +1,86 @@
+"""Cross-engine property test for the dual-dialect layer: on RANDOM token
+texts, the Spark and DuckDB renderings of the shared templates (sentiment
+score, shingles, quality features, split-bucket) must agree exactly. This is
+the foundation every hash-defined operator (MinHash, SimHash, LSH) rests on."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+
+from pyspark.sql import Row, functions as F
+
+from realtime_twitter_trends_analytics_spark.functions import dialect as dl
+from realtime_twitter_trends_analytics_spark.functions.sentiment import (
+    score_sql,
+    score_texts_pandas,
+)
+from realtime_twitter_trends_analytics_spark.operators.dedup import shingles_sql
+from realtime_twitter_trends_analytics_spark.operators.textstats import quality_sql
+
+WORDS = [
+    "fast", "slow", "dup", "the", "a", "spark", "merge", "small", "big",
+    "zzz", "Q", "x1", "hashJoin", "UPPER", "mixedCase", "1234",
+]
+
+
+def _random_texts(n: int = 40, seed: int = 7) -> list[str]:
+    rng = random.Random(seed)
+    texts = ["", "fast", "a b"]
+    for _ in range(n):
+        k = rng.randint(1, 30)
+        texts.append(" ".join(rng.choice(WORDS) for _ in range(k)))
+    return texts
+
+
+def test_sentiment_template_agrees_across_engines(spark, duck):
+    texts = _random_texts()
+    sdf = spark.createDataFrame([Row(text=t) for t in texts])
+    got_spark = [
+        r["s"] for r in sdf.select(F.expr(score_sql(dl.SPARK, "text")).alias("s")).collect()
+    ]
+    duck.register("t_dlg", pd.DataFrame({"text": texts}))
+    got_duck = [r[0] for r in duck.execute(
+        f"SELECT {score_sql(dl.DUCK, 'text')} FROM t_dlg"
+    ).fetchall()]
+    ref = score_texts_pandas(texts)
+    assert got_spark == got_duck == ref
+    duck.unregister("t_dlg")
+
+
+def test_shingles_template_agrees_across_engines(spark, duck):
+    texts = [t for t in _random_texts(seed=11)]
+    sdf = spark.createDataFrame([Row(text=t) for t in texts])
+    got_spark = [
+        r["s"] for r in sdf.select(F.expr(shingles_sql(dl.SPARK, "text")).alias("s")).collect()
+    ]
+    duck.register("t_dlg2", pd.DataFrame({"text": texts}))
+    got_duck = [r[0] for r in duck.execute(
+        f"SELECT {shingles_sql(dl.DUCK, 'text')} FROM t_dlg2"
+    ).fetchall()]
+    assert got_spark == got_duck
+    # python reference: consecutive 3-token windows
+    for t, sh in zip(texts, got_spark):
+        toks = t.split(" ")
+        want = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)] if len(toks) >= 3 else []
+        assert sh == want, t
+    duck.unregister("t_dlg2")
+
+
+def test_quality_template_agrees_across_engines(spark, duck):
+    texts = [t for t in _random_texts(seed=13) if t]  # ratios undefined on ""
+    feats_s, score_s = quality_sql(dl.SPARK)
+    feats_d, score_d = quality_sql(dl.DUCK)
+    sdf = spark.createDataFrame([Row(text=t) for t in texts])
+    cols = [F.expr(sql).alias(k) for k, sql in feats_s.items()] + [
+        F.expr(score_s).alias("q")
+    ]
+    got_spark = [tuple(r) for r in sdf.select(*cols).collect()]
+    duck.register("t_dlg3", pd.DataFrame({"text": texts}))
+    sel = ", ".join(f"{sql} AS {k}" for k, sql in feats_d.items())
+    got_duck = [
+        tuple(r) for r in duck.execute(f"SELECT {sel}, {score_d} AS q FROM t_dlg3").fetchall()
+    ]
+    assert got_spark == got_duck
+    duck.unregister("t_dlg3")
