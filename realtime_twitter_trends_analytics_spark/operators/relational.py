@@ -188,6 +188,130 @@ GROUP BY n_name
 """
 
 
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + CASE conditional aggregation
+    (high/low priority line counts per returnflag-year)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_lines"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional sum to total sum (promo revenue
+    share per ship-year), dim join broadcast."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc_price).cast("double"), 4
+            ).alias("promo_revenue_pct"),
+            _sumd(disc_price, "total_revenue"),
+        )
+    )
+
+
+ORACLE_Q14 = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS promo_revenue_pct,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery joined back to
+    the dimension chain (orders whose total quantity exceeds a threshold)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec("l_quantity")).cast("double"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                F.round("o_totalprice", 4).alias("o_totalprice"), "total_qty")
+    )
+
+
+ORACLE_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+  round(o_totalprice, 4) AS o_totalprice, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across a join (brand/size/qty
+    bands) — exercises disjunctive pushdown + constant folding."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity").between(20, 50)))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_sumd(disc_price, "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+ORACLE_Q19 = """
+SELECT
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count_distinct / sum_distinct per group (expand + two-phase agg)."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -606,6 +730,10 @@ QUERIES = {
     "q03_shipping_priority": q03_shipping_priority,
     "q05_region_revenue": q05_region_revenue,
     "q06_forecast_revenue": q06_forecast_revenue,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "agg_distinct": agg_distinct,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
@@ -629,6 +757,10 @@ ORACLES = {
     "q03_shipping_priority": ORACLE_Q03,
     "q05_region_revenue": ORACLE_Q05,
     "q06_forecast_revenue": ORACLE_Q06,
+    "q12_priority_shipping": ORACLE_Q12,
+    "q14_promo_revenue": ORACLE_Q14,
+    "q18_large_volume_customers": ORACLE_Q18,
+    "q19_disjunctive_predicates": ORACLE_Q19,
     "agg_distinct": ORACLE_AGG_DISTINCT,
     "agg_rollup": ORACLE_AGG_ROLLUP,
     "agg_cube": ORACLE_AGG_CUBE,
