@@ -34,12 +34,12 @@ JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 16
 
 
-def shingles_sql(d: str, text_col: str) -> str:
-    """Array of SHINGLE-token shingles of ``text_col`` (dual-dialect)."""
+def shingles_sql(d: str, text_col: str, n_tokens: int = SHINGLE) -> str:
+    """Array of ``n_tokens``-token shingles of ``text_col`` (dual-dialect)."""
     toks = dl.split_ws(d, text_col)
     n = dl.arr_size(d, toks)
-    body = dl.arr_join(d, dl.arr_slice(d, toks, "i", str(SHINGLE)), " ")
-    return dl.transform(d, dl.seq(d, "1", f"{n} - {SHINGLE - 1}"), "i", body)
+    body = dl.arr_join(d, dl.arr_slice(d, toks, "i", str(n_tokens)), " ")
+    return dl.transform(d, dl.seq(d, "1", f"{n} - {n_tokens - 1}"), "i", body)
 
 
 def _minhash_agg_sql(d: str, k: int) -> str:

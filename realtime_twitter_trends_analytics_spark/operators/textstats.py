@@ -151,7 +151,43 @@ FROM documents
 """
 
 
+def textstats_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams with document frequency — the n-gram counting
+    surface (reuses the dedup shingle template with n=2; explode is
+    map-side, one agg shuffle on the bigram key)."""
+    from .dedup import shingles_sql  # shared dual-dialect template
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(F.expr(shingles_sql(dl.SPARK, "text", 2))).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+def _oracle_bigrams() -> str:
+    from .dedup import shingles_sql
+
+    return f"""
+WITH bg AS (
+  SELECT doc_id, unnest({shingles_sql(dl.DUCK, 'text', 2)}) AS bigram FROM documents
+)
+SELECT bigram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+FROM bg GROUP BY bigram
+ORDER BY occurrences DESC, bigram ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "textstats_bigrams": textstats_bigrams,
     "textstats_langid": textstats_langid,
     "textstats_quality": textstats_quality,
     "textstats_token_hist": textstats_token_hist,
@@ -159,6 +195,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "textstats_bigrams": _oracle_bigrams(),
     "textstats_langid": _oracle_langid(),
     "textstats_quality": _oracle_quality(),
     "textstats_token_hist": ORACLE_TOKEN_HIST,
