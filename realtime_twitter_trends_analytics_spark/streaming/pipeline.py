@@ -30,9 +30,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
-from ..functions.sentiment import bin_score, score_texts_pandas
+from ..functions.sentiment import score_texts_pandas
 from ..functions.text import (
-    SENTINEL,
     clean_hashtag,
     clean_tweet_text,
     country_from_location,
