@@ -7,6 +7,7 @@ from . import (
     sampling,
     similarity,
     skew,
+    sql_battery,
     textstats,
     trends,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "sampling",
     "similarity",
     "skew",
+    "sql_battery",
     "textstats",
     "trends",
 ]

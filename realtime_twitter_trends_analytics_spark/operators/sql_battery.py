@@ -1,0 +1,75 @@
+"""Shared-ANSI-text SQL battery: each query is ONE SQL string executed
+verbatim by BOTH engines (spark.sql over temp views; DuckDB over the same
+parquet views) — proving the SQL front-end end-to-end with zero translation
+layer. Shapes: correlated scalar subquery in a predicate (Q2-ish),
+two-sided dimension filter with year extraction (Q7-ish), top-k customer
+ranking over a filtered join (Q10-ish).
+
+Determinism: decimal sums -> double -> round(4); total ORDER BY on every
+LIMIT; only functions with identical semantics in both engines (year widths
+differ — DuckDB BIGINT vs Spark INT — so date_part is explicitly CAST). Catalyst plans these exactly like the DataFrame versions:
+the SQL front-end and the DSL meet in the same logical plan space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.loaders import load_table
+
+SQL_Q2_MIN_COST_SUPPLIER = """
+SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_acctbal = (
+  SELECT max(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey
+)
+"""
+
+SQL_Q7_VOLUME_BY_YEAR = """
+SELECT n1.n_name AS cust_nation,
+  CAST(date_part('year', l.l_shipdate) AS INT) AS ship_year,
+  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+GROUP BY n1.n_name, 2
+"""
+
+SQL_Q10_RETURNED_ITEMS = """
+SELECT c.c_custkey, c.c_name,
+  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
+  round(c.c_acctbal, 4) AS c_acctbal, c.c_mktsegment
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+_SQL = {
+    "sql_q2_min_cost_supplier": SQL_Q2_MIN_COST_SUPPLIER,
+    "sql_q7_volume_by_year": SQL_Q7_VOLUME_BY_YEAR,
+    "sql_q10_returned_items": SQL_Q10_RETURNED_ITEMS,
+}
+
+_NEEDED = ("supplier", "nation", "lineitem", "orders", "customer")
+
+
+def _run(sql: str):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in _NEEDED:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return runner
+
+
+QUERIES = {name: _run(sql) for name, sql in _SQL.items()}
+ORACLES = dict(_SQL)

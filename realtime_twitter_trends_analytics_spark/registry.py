@@ -21,6 +21,7 @@ from .operators import (
     sampling,
     similarity,
     skew,
+    sql_battery,
     textstats,
     trends,
 )
@@ -32,6 +33,7 @@ _MODULES = [
     dedup,
     similarity,
     skew,
+    sql_battery,
     textstats,
     multimodal,
     grouped_pandas,
