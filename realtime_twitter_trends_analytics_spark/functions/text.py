@@ -31,14 +31,26 @@ def parse_sentinel(value: Column) -> Column:
 
 
 def clean_tweet_text(text: Column) -> Column:
-    """proc:224-228 cleaning chain, same regexes in the same order:
-    strip leading RT, keep [a-zA-Z0-9\\s.,!@], drop URLs, @mention -> Foo,
-    strip leading Foo."""
-    c = F.regexp_replace(text, r"^RT\s+", "")
+    """proc:224-228 cleaning chain — the reference's exact four replaceAll
+    calls in the reference's order:
+
+    1. ``(\\b\\w*RT)|[^a-zA-Z0-9\\s.,!@]`` -> "" — drops any word ending in
+       RT (anywhere, not just a leading retweet marker) AND every char
+       outside the keep-class. Note the keep-class has NO '#': hashtag
+       marks are stripped from the sentiment input (hashtag extraction
+       runs on the RAW text, mirroring proc:217's split of the uncleaned
+       tweet, so this does not affect trend keys).
+    2. ``http\\S+`` -> "" — URL removal AFTER the char-class pass (the
+       class already ate ':' and '/', leaving e.g. 'httpst.coxyz', which
+       this still matches).
+    3. ``@\\w+`` -> "Foo".
+    4. ``^Foo`` -> "" — only a Foo at position 0; a mention that became
+       " Foo" after step 1 removed a leading RT keeps its space (faithful
+       to the reference, which anchors without trimming)."""
+    c = F.regexp_replace(text, r"(\b\w*RT)|[^a-zA-Z0-9\s.,!@]", "")
     c = F.regexp_replace(c, r"http\S+", "")
-    c = F.regexp_replace(c, r"[^a-zA-Z0-9\s.,!@#]", "")
     c = F.regexp_replace(c, r"@\w+", "Foo")
-    c = F.regexp_replace(c, r"^Foo\s*", "")
+    c = F.regexp_replace(c, r"^Foo", "")
     return c
 
 
@@ -86,10 +98,18 @@ def to_sentinel(location: Column, text: Column) -> Column:
 
 def country_from_location(location: Column) -> Column:
     """proc:198-210 heuristic, as one when/otherwise chain (no UDF):
-    split on ',', take LAST segment, strip non-alphanumerics; if the location
-    had exactly 2 segments and the trimmed last segment has length 2 -> 'USA'
-    (US state code); else uppercase(trim(segment)); literal 'NULL' when the
-    location has no comma (proc:199-200)."""
+    split on ',', take LAST segment; if the location had exactly 2 segments
+    and the punctuation-stripped, trimmed segment has length 2 -> 'USA'
+    (US state code, proc:205-206); else uppercase(trim(RAW segment)) —
+    the reference returns the raw segment, punctuation intact (proc:209);
+    literal 'NULL' when the location has no comma (proc:199-200).
+
+    Documented divergence (COVERAGE.md §7.4 table): the reference's
+    punctuation-strip regex ``[\\p{Punct}&&[^a-zA-Z]]]`` is malformed — the
+    stray ']' makes it match only punctuation-followed-by-']', i.e. a
+    near-no-op. We implement the evident INTENT (strip punctuation before
+    the length-2 test); the two differ only for last segments whose
+    punctuation sits immediately before a ']'."""
     segs = F.split(location, ",")
     nseg = F.size(segs)
     last = F.element_at(segs, -1)
@@ -97,5 +117,5 @@ def country_from_location(location: Column) -> Column:
     return (
         F.when(nseg < 2, F.lit("NULL"))
         .when((nseg == 2) & (F.length(cleaned) == 2), F.lit("USA"))
-        .otherwise(F.upper(cleaned))
+        .otherwise(F.upper(F.trim(last)))
     )

@@ -55,11 +55,14 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
         std = math.sqrt(var) if var > 0 else 0.0
         mean = sx / n
         z = (cents - mean) / std if std > 0 else pd.Series([0.0] * n, index=pdf.index)
+    # No rounding here: pandas .round() is half-to-even while Spark/DuckDB
+    # round() is half away from zero — the caller applies F.round so both
+    # engines round the same way on exact 5-at-the-5th-decimal ties.
     return pd.DataFrame(
         {
             "event_id": pdf["event_id"],
             "user_id": pdf["user_id"],
-            "zscore": pd.Series(z, index=pdf.index).round(4),
+            "zscore": pd.Series(z, index=pdf.index, dtype="float64"),
         }
     )
 
@@ -71,6 +74,7 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_id", "user_id", "value")
         .groupBy("user_id")
         .applyInPandas(_zscore_group, schema=ZSCORE_SCHEMA)
+        .withColumn("zscore", F.round("zscore", 4))
     )
 
 
@@ -95,12 +99,16 @@ FROM cents JOIN stats ON cents.user_id = stats.user_id
 @F.pandas_udf(DoubleType())
 def _weighted_mean_cents(v: pd.Series, w: pd.Series) -> float:
     """GROUPED_AGG pandas UDAF: k-weighted mean of value, exact int sums."""
+    # (v * 100).round() is banker's rounding, but value has exactly 2
+    # decimals so no tie at the 0.5 boundary can occur — the result is the
+    # exact integer cents either way. Final rounding happens Spark-side
+    # (F.round, half away from zero) to match the DuckDB oracle.
     cents = (v * 100).round().astype("int64")
     wi = w.astype("int64")
     tw = int(wi.sum())
     if tw == 0:
         return -1.0
-    return round(int((cents * wi).sum()) / tw / 100.0, 4)
+    return int((cents * wi).sum()) / tw / 100.0
 
 
 def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,7 +119,7 @@ def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select("event_type", "value", k.alias("k"))
         .groupBy("event_type")
-        .agg(_weighted_mean_cents("value", "k").alias("weighted_mean_value"))
+        .agg(F.round(_weighted_mean_cents("value", "k"), 4).alias("weighted_mean_value"))
     )
 
 

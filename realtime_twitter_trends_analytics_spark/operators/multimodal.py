@@ -104,14 +104,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["n_bytes"],
-                    "byte_mean": feats.map(lambda t: round(t[0], 4)),
+                    # unrounded: Python round() is half-to-even; the caller
+                    # applies F.round (half away from zero, = DuckDB round)
+                    "byte_mean": feats.map(lambda t: t[0]).astype("float64"),
                     "byte_min": feats.map(lambda t: t[1]).astype("int32"),
                     "byte_max": feats.map(lambda t: t[2]).astype("int32"),
                     "frame_checksum": feats.map(lambda t: t[3]).astype("int64"),
                 }
             )
 
-    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA).withColumn(
+        "byte_mean", F.round("byte_mean", 4)
+    )
 
 
 def multimodal_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -276,18 +276,16 @@ WITH msg AS (
 SELECT doc_id, location,
   CASE WHEN len(segs) < 2 THEN 'NULL'
        WHEN len(segs) = 2 AND length(trim(regexp_replace(segs[-1], '[^a-zA-Z0-9\s]', '', 'g'))) = 2 THEN 'USA'
-       ELSE upper(trim(regexp_replace(segs[-1], '[^a-zA-Z0-9\s]', '', 'g')))
+       ELSE upper(trim(segs[-1]))
   END AS country,
   substr(
     regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(
-            regexp_replace(txt, '^RT\s+', '', 'g'),
-          'http\S+', '', 'g'),
-        '[^a-zA-Z0-9\s.,!@#]', '', 'g'),
+          regexp_replace(txt, '(\b\w*RT)|[^a-zA-Z0-9\s.,!@]', '', 'g'),
+        'http\S+', '', 'g'),
       '@\w+', 'Foo', 'g'),
-    '^Foo\s*', '', 'g'),
+    '^Foo', ''),
   1, 40) AS clean_prefix
 FROM country
 """

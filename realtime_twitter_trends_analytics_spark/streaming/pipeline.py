@@ -123,12 +123,15 @@ def transform_tweets(raw: DataFrame, ts_col: Column | None = None) -> DataFrame:
         # explode AFTER the array filter — one row per qualifying hashtag
         # (P6); whole-tweet sentiment computed ONCE per tweet, not per tag
         # (the reference recomputed it k times, proc:231).
-        .withColumn("sentiment_score", F.round(sentiment_score_udf(F.col("clean_text")), 4))
+        .withColumn("_score", sentiment_score_udf(F.col("clean_text")))
     )
     exploded = cleaned.withColumn(
         "hashtag", F.explode(extract_hashtags(F.col("text")))
     ).withColumn("hashtag", clean_hashtag(F.col("hashtag")))
-    score = F.col("sentiment_score")
+    # Bin from the UNROUNDED score (same as the batch path,
+    # trends.docs_with_sentiment) — rounding first would move boundary
+    # scores like 3.99996 into the wrong bin; round only the display column.
+    score = F.col("_score")
     stype = (
         F.when(score <= 0.0, "notunderstood")
         .when(score < 1.0, "verynegative")
@@ -139,7 +142,11 @@ def transform_tweets(raw: DataFrame, ts_col: Column | None = None) -> DataFrame:
         .otherwise("notunderstood")
     )
     return exploded.select(
-        "ts", "hashtag", "sentiment_score", stype.alias("sentiment_type"), "country"
+        "ts",
+        "hashtag",
+        F.round(score, 4).alias("sentiment_score"),
+        stype.alias("sentiment_type"),
+        "country",
     )
 
 
@@ -229,6 +236,13 @@ def run_pipeline_availablenow(
 
     ts_from_key: tests encode a deterministic event time in the message key
     (epoch seconds) — mirrors prod:110's counter key, upgraded to carry time.
+
+    NOTE: this runner uses outputMode('complete') so a bounded replay
+    surfaces EVERY window (in complete mode the watermark set inside
+    trend_counts never evicts state). That is test-only: the module
+    docstring's "watermarks bound all state" claim holds for the
+    production entry point (write_with_first_batch_setup with
+    update/append mode), not for this one.
     """
     raw = read_raw_stream(spark, source_dir=source_dir)
     ts = (

@@ -51,7 +51,24 @@ def test_clean_tweet_text_chain(spark):
     assert "http" not in out
     assert "@user" not in out
     assert not out.startswith("RT ")
-    assert "#breaking" in out
+    # proc:225's keep-class has no '#': hash marks are stripped from the
+    # sentiment input (hashtags come from the RAW text, proc:217)
+    assert "#" not in out
+    assert "breaking!" in out
+
+
+def test_clean_tweet_text_reference_quirks(spark):
+    # (\b\w*RT) removes any word ending in RT anywhere, not just a leading
+    # retweet marker (proc:225)
+    assert _one(spark, clean_tweet_text, "the START of it") == "the  of it"
+    # a leading "RT @user" leaves " Foo": step 1 eats "RT", step 3 makes
+    # " Foo", and step 4's ^Foo anchor does NOT match past the space
+    assert _one(spark, clean_tweet_text, "RT @user hello") == " Foo hello"
+    # ^Foo fires when the mention itself starts the tweet
+    assert _one(spark, clean_tweet_text, "@user hello") == " hello"
+    # URL survives as 'httpst.cox' after the char-class pass, then step 2
+    # still removes it (http prefix intact)
+    assert _one(spark, clean_tweet_text, "see https://t.co/x now") == "see  now"
 
 
 def test_country_heuristic(spark):
@@ -60,7 +77,10 @@ def test_country_heuristic(spark):
         "Paris, France": "FRANCE",    # last segment uppercased (proc:202)
         "Gotham": "NULL",             # no comma -> literal 'NULL' (proc:199-200)
         "a, b, Canada": "CANADA",     # >2 segments: last segment, no USA rule
-        "x, y!": "Y",                 # punctuation stripped then uppercased
+        "x, y!": "Y!",                # raw segment uppercased (proc:209 returns
+                                      # the unstripped segment; punctuation is
+                                      # only stripped for the length-2 USA test)
+        "x, U.S.": "USA",             # punct-stripped 'US' has length 2
     }
     for loc, want in cases.items():
         assert _one(spark, country_from_location, loc) == want, loc
