@@ -77,7 +77,13 @@ FROM agg
 
 
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation) + median per group."""
+    """Exact percentiles (linear interpolation) + median per group.
+
+    SCALE NOTE: exact percentile buffers and sorts every group member — a
+    per-group global sort that does not survive 100 TB. This operator is
+    the small-sf ORACLE; the scale path is ``percentiles_approx`` below
+    (mergeable sketch, bounded memory), kept side-by-side so the bench can
+    show both and the rank-error bound is test-asserted between them."""
     l = load_table(spark, sf_dir, "lineitem")
     # ONE percentile agg with an array of fractions = one sort buffer per
     # group, not three (Spark's exact percentile sorts per aggregate call).
@@ -106,6 +112,44 @@ SELECT l_linestatus,
   round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
 FROM lineitem GROUP BY l_linestatus
 """
+
+
+# Greenwald-Khanna accuracy: rank error <= group_size / accuracy.
+APPROX_PCT_ACCURACY = 10_000
+
+
+def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``approx_percentile`` (Greenwald-Khanna
+    sketch). Partial sketches merge map-side like any algebraic agg —
+    bounded memory per group, no per-group sort, one shuffle of
+    O(accuracy)-sized sketches instead of raw values.
+
+    No SQL oracle (sketch contents are engine-specific, so the driver
+    records rows-only): correctness is asserted by
+    tests/test_operators_oracle.py::test_approx_percentile_rank_bound,
+    which checks each approx value's true rank against the GK guarantee
+    |rank(v) - p*n| <= n/accuracy (with interpolation slack) vs the exact
+    operator on the same data."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        f"approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), {APPROX_PCT_ACCURACY})"
+    )
+    return (
+        l.groupBy("l_linestatus")
+        .agg(
+            pct.alias("pct"),
+            F.round(
+                F.expr(f"approx_percentile(l_quantity, 0.5, {APPROX_PCT_ACCURACY})"), 4
+            ).alias("p50_qty"),
+        )
+        .select(
+            "l_linestatus",
+            F.round(F.col("pct")[0], 4).alias("p50_price"),
+            F.round(F.col("pct")[1], 4).alias("p90_price"),
+            F.round(F.col("pct")[2], 4).alias("p99_price"),
+            "p50_qty",
+        )
+    )
 
 
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -307,6 +351,7 @@ QUERIES = {
     "agg_approx_distinct": agg_approx_distinct,
     "stats_aggregates": stats_aggregates,
     "percentiles": percentiles,
+    "percentiles_approx": percentiles_approx,
     "pivot_status_priority": pivot_status_priority,
     "subqueries": subqueries,
     "map_functions": map_functions,

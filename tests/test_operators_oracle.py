@@ -36,7 +36,11 @@ def test_every_query_has_callable_and_most_have_oracles():
     assert len(q) >= 40
     assert set(o) <= set(q)
     # rows-only entries must be the documented non-SQL-expressible ones
-    assert set(q) - set(o) == {"multimodal_features", "agg_approx_distinct"}
+    assert set(q) - set(o) == {
+        "multimodal_features",
+        "agg_approx_distinct",
+        "percentiles_approx",
+    }
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
@@ -62,6 +66,41 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         a = approx[flag]
         assert abs(a["approx_parts"] - e["parts"]) <= 0.1 * e["parts"]
         assert abs(a["approx_orders"] - e["orders"]) <= 0.1 * e["orders"]
+
+
+def test_approx_percentile_rank_bound(spark, sf_dir):
+    """GK guarantee: for each approx p-quantile value v of a group of n
+    rows, the true rank of v is within n/accuracy of p*n (plus 1 for
+    the exact operator's interpolation between adjacent ranks)."""
+    from realtime_twitter_trends_analytics_spark.operators.relational_ext import (
+        APPROX_PCT_ACCURACY,
+        percentiles_approx,
+    )
+    from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
+
+    import pyspark.sql.functions as F
+
+    approx = {r["l_linestatus"]: r for r in percentiles_approx(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select("l_linestatus", "l_extendedprice", "l_quantity")
+    groups = {
+        r["l_linestatus"]: r["n"]
+        for r in li.groupBy("l_linestatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    checks = [("p50_price", "l_extendedprice", 0.5), ("p90_price", "l_extendedprice", 0.9),
+              ("p99_price", "l_extendedprice", 0.99), ("p50_qty", "l_quantity", 0.5)]
+    for status, n in groups.items():
+        tol = n / APPROX_PCT_ACCURACY + 1
+        for col, src, p in checks:
+            v = approx[status][col]
+            # with tied values the rank of v is an interval
+            # [count(x < v) + 1, count(x <= v)]; GK guarantees SOME rank in
+            # that interval is within tol of p*n
+            grp = li.filter(F.col("l_linestatus") == status)
+            rank_lo = grp.filter(F.col(src) < F.lit(v)).count() + 1
+            rank_hi = grp.filter(F.col(src) <= F.lit(v)).count()
+            assert rank_lo <= p * n + tol and rank_hi >= p * n - tol, (
+                status, col, rank_lo, rank_hi, p * n, tol,
+            )
 
 
 def test_sliding_windows_sum_to_window_multiple(spark, sf_dir):
