@@ -224,6 +224,29 @@ def write_with_first_batch_setup(
     return writer.start()
 
 
+def jdbc_sink_writer(url: str, table: str, properties: dict | None = None, partitions: int = 10):
+    """S7 (proc:259-283): the reference's JDBC sink as a foreachBatch
+    ``sink_writer``, executed for real against embedded Derby in tests
+    (tests/test_jdbc_sink.py — Derby ships in pyspark's jars):
+
+    - ``repartition(partitions)`` mirrors proc:282's ``repartition(10)``
+      (sink-connection parallelism control)
+    - batch 0 writes mode='overwrite' — Spark's JDBC overwrite is
+      DROP TABLE + CREATE, i.e. proc:270-279's first-batch
+      ``DROP TABLE IF EXISTS`` reset folded into the writer
+    - later batches append (proc:282 SaveMode.Append)
+    - isolationLevel READ_COMMITTED mirrors proc:268's
+      TRANSACTION_READ_COMMITTED connection setting."""
+    props = dict(properties or {})
+    props.setdefault("isolationLevel", "READ_COMMITTED")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        mode = "overwrite" if batch_id == 0 else "append"
+        batch_df.repartition(partitions).write.jdbc(url, table, mode=mode, properties=props)
+
+    return write
+
+
 def run_pipeline_availablenow(
     spark: SparkSession,
     source_dir: str,
