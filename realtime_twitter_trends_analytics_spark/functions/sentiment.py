@@ -106,10 +106,34 @@ def sentiment_type(score: Column) -> Column:
     )
 
 
-def score_texts_pandas(texts) -> "list[float]":  # pragma: no cover - helper
+# An INDEPENDENT generic-English polarity wordlist (AFINN-style integer
+# valences, hand-embedded because the build sandbox has no network to fetch
+# a published lexicon file). Used ONLY by the divergence study
+# (tests/test_sentiment_divergence.py) to quantify how sensitive the binned
+# output is to the lexicon choice — the axis on which this engine diverges
+# from the reference's CoreNLP model (the scoring STRUCTURE is faithful;
+# the lexicon is the documented stand-in, SURVEY §7.4).
+GENERIC_LEXICON: dict[str, int] = {
+    "love": 3, "loving": 2, "loved": 3, "great": 3, "good": 2, "happy": 3,
+    "awesome": 4, "amazing": 4, "excellent": 3, "best": 3, "nice": 2,
+    "cool": 1, "fun": 2, "win": 2, "winning": 2, "beautiful": 3, "thanks": 2,
+    "excited": 3, "perfect": 3, "glad": 2,
+    "bad": -3, "terrible": -3, "awful": -3, "hate": -3, "hated": -3,
+    "sad": -2, "angry": -2, "worst": -3, "lose": -2, "losing": -2,
+    "broken": -2, "fail": -2, "failed": -2, "crash": -2, "ugly": -2,
+    "boring": -2, "annoying": -2, "disappointed": -2, "wrong": -2, "never": -1,
+}
+
+
+def score_texts_pandas(texts, lexicon: dict[str, int] | None = None) -> "list[float]":  # pragma: no cover - helper
     """Plain-Python reference implementation of the same scoring, used by the
     streaming path's pandas_udf (model-per-worker pattern the reference got
-    wrong by constructing CoreNLP per record, proc:144) and by unit tests."""
+    wrong by constructing CoreNLP per record, proc:144) and by unit tests.
+
+    ``lexicon`` swaps the valence table (default: the engine LEXICON) while
+    keeping the chunk -> clamp -> length-weighted-mean structure fixed — the
+    hook the divergence study uses."""
+    lex = LEXICON if lexicon is None else lexicon
     out = []
     for t in texts:
         toks = [x for x in (t or "").split(" ") if x != ""]
@@ -119,7 +143,7 @@ def score_texts_pandas(texts) -> "list[float]":  # pragma: no cover - helper
         num = den = 0.0
         for i in range(0, len(toks), SENT_CHUNK):
             chunk = toks[i : i + SENT_CHUNK]
-            vsum = sum(LEXICON.get(w, 0) for w in chunk)
+            vsum = sum(lex.get(w, 0) for w in chunk)
             cls = min(max(2 + vsum, 0), 4)
             clen = len(" ".join(chunk))
             num += cls * clen
