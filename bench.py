@@ -77,6 +77,14 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
             spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
+
+    # Quality metric alongside the timings: ANN recall@10 vs brute force
+    # (guards candidate generation; see similarity.ann_recall docstring).
+    from realtime_twitter_trends_analytics_spark.operators.similarity import ann_recall
+
+    recall = ann_recall(spark, sf_dir)
+    spark.catalog.clearCache()
+
     print(
         json.dumps(
             {
@@ -85,6 +93,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "ann_recall_at_10": recall,
             }
         )
     )

@@ -333,6 +333,24 @@ SELECT query_id, cell, cand_id, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS 
 """
 
 
+def ann_recall(spark: SparkSession, sf_dir: str) -> dict:
+    """recall@TOP_K of the two ANN paths against the brute-force oracle of
+    record, averaged over the query set. Reported in bench output and
+    asserted (as a floor) in tests/test_ann_recall.py — the number itself
+    is expected to be modest on the isotropic test vectors (no cluster
+    structure for LSH/IVF to exploit); the point is guarding against silent
+    candidate-generation regressions, not advertising recall."""
+    def pairs(df):
+        return {(r["query_id"], r["cand_id"]) for r in df.collect()}
+
+    truth = pairs(sim_topk_bruteforce(spark, sf_dir))
+    out = {}
+    for name, fn in (("lsh", sim_lsh_ann), ("ivf", sim_ivf_ann)):
+        got = pairs(fn(spark, sf_dir))
+        out[name] = round(len(got & truth) / len(truth), 4)
+    return out
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_lsh_buckets": sim_lsh_buckets,
