@@ -50,14 +50,17 @@ def test_sentiment_template_agrees_across_engines(spark, duck):
 
 
 def test_shingles_template_agrees_across_engines(spark, duck):
+    # the template takes a pre-split token-array column (tokenize-once)
     texts = [t for t in _random_texts(seed=11)]
-    sdf = spark.createDataFrame([Row(text=t) for t in texts])
+    sdf = spark.createDataFrame([Row(text=t) for t in texts]).select(
+        F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+    )
     got_spark = [
-        r["s"] for r in sdf.select(F.expr(shingles_sql(dl.SPARK, "text")).alias("s")).collect()
+        r["s"] for r in sdf.select(F.expr(shingles_sql(dl.SPARK, "toks")).alias("s")).collect()
     ]
     duck.register("t_dlg2", pd.DataFrame({"text": texts}))
     got_duck = [r[0] for r in duck.execute(
-        f"SELECT {shingles_sql(dl.DUCK, 'text')} FROM t_dlg2"
+        f"SELECT {shingles_sql(dl.DUCK, dl.split_ws(dl.DUCK, 'text'))} FROM t_dlg2"
     ).fetchall()]
     assert got_spark == got_duck
     # python reference: consecutive 3-token windows
