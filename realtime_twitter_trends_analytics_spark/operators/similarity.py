@@ -98,22 +98,36 @@ SELECT query_id, cand_id, label, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS
 """
 
 
+def _plane_component(table: int, b: int, j: int) -> float:
+    """Hyperplane (table, b) component j: first md5 nibble of
+    'hp{table}_{b}|{j}' centered to [-7.5, 7.5] — an engine-portable,
+    deterministic stand-in for a Gaussian draw. Computed DRIVER-SIDE with
+    hashlib (bit-identical to SQL md5) exactly once per constant."""
+    import hashlib
+
+    nib = int(hashlib.md5(f"hp{table}_{b}|{j}".encode()).hexdigest()[0], 16)
+    return nib - 7.5
+
+
 def lsh_bucket_sql(d: str, vec: str, table: int = 0) -> str:
     """LSH_BITS-bit signed-projection bucket id of ``vec`` for one table.
 
-    Hyperplane (table, b) component j is the first md5 nibble of
-    'hp{table}_{b}|{j}' centered to [-7.5, 7.5] — an engine-portable,
-    deterministic stand-in for a Gaussian draw. The projection is a single
-    fused transform over j (vec element and plane component share the
-    index), so cost is O(dim) hashes per bit, not O(dim^2)."""
+    The hyperplanes are CONSTANTS: they are materialized driver-side
+    (_plane_component) and inlined as literal arrays, so per row the
+    engines do LSH_BITS fused dot products over the vector — zero md5
+    calls in the scan (the previous formulation hashed
+    rows x dims x bits x tables times; constant-folding md5 inside a
+    lambda is something neither engine does)."""
     bits = []
     for b in range(LSH_BITS):
-        nib = dl.md5_prefix_nibble(d, f"concat('hp{table}_{b}|', CAST(j AS STRING))")
+        plane = ", ".join(f"{_plane_component(table, b, j):.1f}" for j in range(1, EMB_DIM + 1))
+        plane_arr = f"array({plane})" if d == dl.SPARK else f"[{plane}]"
         prods = dl.transform(
             d,
             dl.seq(d, "1", str(EMB_DIM)),
             "j",
-            f"CAST({dl.arr_element(d, vec, 'j')} AS DOUBLE) * (CAST({nib} AS DOUBLE) - 7.5)",
+            f"CAST({dl.arr_element(d, vec, 'j')} AS DOUBLE) * "
+            f"CAST({dl.arr_element(d, f'({plane_arr})', 'j')} AS DOUBLE)",
         )
         dot = dl.arr_sum_double(d, prods)
         bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2**b} ELSE 0 END)")
