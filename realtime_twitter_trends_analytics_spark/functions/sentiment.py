@@ -46,10 +46,15 @@ def _valence_case(d: str, var: str) -> str:
     return f"(CASE {var} {whens} ELSE 0 END)"
 
 
-def score_sql(d: str, text_col: str) -> str:
+def score_sql(d: str, text_col: str, toks_col: str | None = None) -> str:
     """Dual-dialect SQL expression: length-weighted mean sentence class in
-    [0,4], or -1.0 when the text has no tokens."""
-    toks = dl.split_ws(d, text_col)
+    [0,4], or -1.0 when the text has no tokens.
+
+    ``toks_col`` (when given) must be ``text_col`` pre-split on ' ' in an
+    upstream projection/CTE — the tokenize-once pattern: an inline split is
+    re-evaluated inside the chunk lambdas (2.5x slower at sf0.1). The
+    inline form remains for contexts without a projection (tests)."""
+    toks = toks_col if toks_col is not None else dl.split_ws(d, text_col)
     n = dl.arr_size(d, toks)
     nchunks = f"CAST(ceil(CAST({n} AS DOUBLE) / {SENT_CHUNK}) AS INT)"
     chunk = dl.arr_slice(d, toks, f"c * {SENT_CHUNK} + 1", str(SENT_CHUNK))

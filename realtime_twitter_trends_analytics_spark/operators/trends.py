@@ -36,9 +36,11 @@ def docs_with_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     binning reads that column — evaluating the (expensive) chunked-lexicon
     expression once per row, not once per consumer."""
     d = load_table(spark, sf_dir, "documents")
-    score = score_sql(dl.SPARK, "text")
+    # tokenize-once projection barrier feeding the chunked-lexicon template
+    score = score_sql(dl.SPARK, "text", "toks")
     return (
-        d.withColumn("_score", F.expr(score))
+        d.withColumn("toks", F.expr(dl.split_ws(dl.SPARK, "text")))
+        .withColumn("_score", F.expr(score))
         .select(
             "doc_id",
             "lang",
@@ -56,12 +58,15 @@ def sentiment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_sentiment_docs() -> str:
-    score = score_sql(dl.DUCK, "text")
+    score = score_sql(dl.DUCK, "text", "toks")
     return f"""
+WITH tokd AS (
+  SELECT *, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+)
 SELECT doc_id, lang, source,
   round({score}, 4) AS sentiment_score,
   {type_sql(score)} AS sentiment_type
-FROM documents
+FROM tokd
 """
 
 
@@ -109,10 +114,12 @@ def trends_with_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_trends_with_sentiment() -> str:
-    score = score_sql(dl.DUCK, "text")
+    score = score_sql(dl.DUCK, "text", "toks")
     return f"""
-WITH scored AS (
-  SELECT text, round({score}, 4) AS sentiment_score FROM documents
+WITH tokd AS (
+  SELECT *, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), scored AS (
+  SELECT text, round({score}, 4) AS sentiment_score FROM tokd
 ), tok AS (
   SELECT sentiment_score, unnest(string_split(text, ' ')) AS token FROM scored
 ), keep AS (
@@ -253,10 +260,12 @@ def tweet_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_flagship() -> str:
-    score = score_sql(dl.DUCK, "text")
+    score = score_sql(dl.DUCK, "text", "toks")
     return f"""
-WITH scored AS (
-  SELECT lang, text, round({score}, 4) AS sentiment_score FROM documents
+WITH tokd AS (
+  SELECT *, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), scored AS (
+  SELECT lang, text, round({score}, 4) AS sentiment_score FROM tokd
 ), tok AS (
   SELECT lang, sentiment_score, unnest(string_split(text, ' ')) AS token FROM scored
 ), agg AS (
