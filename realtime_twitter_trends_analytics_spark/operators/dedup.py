@@ -171,7 +171,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash_pairs() -> str:
+def _oracle_pairs_ctes() -> str:
+    """CTE chain ending in ``dup_pairs(a, b)`` — the thresholded MinHash
+    near-dup pairs, shared by the pairs oracle and the clusters oracle."""
     hash_cols = [f"h{k}" for k in range(MINHASH_K)]
     band_selects = []
     for b in range(BANDS):
@@ -184,8 +186,7 @@ def _oracle_minhash_pairs() -> str:
     match_expr = " + ".join(
         f"(CASE WHEN sa.{h} = sb.{h} THEN 1 ELSE 0 END)" for h in hash_cols
     )
-    return f"""
-WITH {_oracle_shingle_ctes()}, sig AS (
+    return f"""{_oracle_shingle_ctes()}, sig AS (
   SELECT doc_id, {', '.join(f'{_minhash_agg_sql(dl.DUCK, k)} AS h{k}' for k in range(MINHASH_K))}
   FROM sh GROUP BY doc_id
 ), banded AS ({bands}),
@@ -196,9 +197,110 @@ cand AS (
 ), pairs AS (
   SELECT a, b, {match_expr} AS n_matches
   FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
+), dup_pairs AS (
+  SELECT a, b, round(n_matches / {MINHASH_K}.0, 4) AS est_jaccard
+  FROM pairs WHERE round(n_matches / {MINHASH_K}.0, 4) >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _oracle_minhash_pairs() -> str:
+    return f"""
+WITH {_oracle_pairs_ctes()}
+SELECT a, b, est_jaccard FROM dup_pairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list (a, b) ->
+    (node, cluster_id) where cluster_id = min doc_id of the component.
+
+    This is the step every dedup pipeline needs after pair generation:
+    near-dup PAIRS are not dedupable units, their transitive CLUSTERS are
+    (keep one doc per cluster). Iterative DataFrame algorithm, the
+    standard label-propagation shape (GraphX/GraphFrames do the same under
+    the hood): each round, every node takes min(own label, neighbors'
+    labels); converges in O(component diameter) rounds — near-dup clusters
+    are shallow (dups of a common source), so a handful of rounds.
+
+    Scale notes: each round is ONE shuffle join on node id + a hash agg;
+    ``localCheckpoint`` truncates the growing lineage each round (an
+    iterative plan replayed from parquet would otherwise recompute all
+    prior rounds on every action); the driver-side loop-with-convergence-
+    check is control flow, not data flow — the per-round `changed` count
+    is an aggregate scalar, not a collect of rows."""
+    und = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(und["a"].alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components of the MinHash pair graph,
+    summarized per cluster (keeper = min doc_id = the cluster id, size,
+    member list). The output a dedup pipeline acts on: keep keeper_doc_id,
+    drop the other members."""
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_join(F.array_sort(F.collect_list("node")), ",").alias("members"),
+        )
+        .select(
+            F.col("cluster_id").alias("keeper_doc_id"), "cluster_size", "members"
+        )
+    )
+
+
+def _oracle_dedup_clusters() -> str:
+    """Transitive closure by recursive CTE (UNION dedups, so it
+    terminates), then cluster = min over reachable nodes."""
+    return f"""
+WITH RECURSIVE {_oracle_pairs_ctes()}, e AS (
+  SELECT a, b FROM dup_pairs UNION ALL SELECT b, a FROM dup_pairs
+), reach AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a
+), labeled AS (
+  SELECT src AS node, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
 )
-SELECT a, b, round(n_matches / {MINHASH_K}.0, 4) AS est_jaccard
-FROM pairs WHERE round(n_matches / {MINHASH_K}.0, 4) >= {JACCARD_THRESHOLD}
+SELECT cluster_id AS keeper_doc_id, count(*) AS cluster_size,
+  array_to_string(list_sort(list(node)), ',') AS members
+FROM labeled GROUP BY cluster_id
 """
 
 
@@ -355,6 +457,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
 }
@@ -363,6 +466,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_signatures": _oracle_signatures(),
     "dedup_minhash_pairs": _oracle_minhash_pairs(),
+    "dedup_clusters": _oracle_dedup_clusters(),
     "dedup_simhash": _oracle_dedup_simhash(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
 }

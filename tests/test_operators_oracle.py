@@ -173,3 +173,20 @@ def test_lsh_ann_consistency_with_bruteforce(spark, sf_dir):
     overlap = sum(1 for r in ann_rows if (r["query_id"], r["cand_id"]) in bf_cos)
     random_baseline = 0.05 * len(bf_rows)  # ~bucket fraction of the corpus
     assert overlap >= random_baseline
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain + triangle + disjoint pair -> 3 components labeled by min id."""
+    from realtime_twitter_trends_analytics_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a BIGINT, b BIGINT",
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
