@@ -347,6 +347,71 @@ SELECT query_id, cell, cand_id, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS 
 """
 
 
+COSINE_DUP_THRESHOLD = 0.3
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the last rung of the dedup ladder
+    (exact -> MinHash -> SimHash -> n-gram Jaccard -> embedding cosine):
+    pairs above COSINE_DUP_THRESHOLD among LSH-bucket candidates, i.e. the
+    ANN candidate generation reused for dedup instead of search. Same
+    O(sum bucket^2) bound; never all-pairs.
+
+    Approximate BY DESIGN (a high-cosine pair hashed into disjoint buckets
+    in every table is missed — recall governed by LSH_TABLES x LSH_BITS);
+    the oracle mirrors the same candidate generation so the gate checks the
+    implementation, while test_embedding_cosine_dedup_finds_planted
+    verifies planted near-dups are found. The fixture embeddings are
+    isotropic, so the threshold here sits at the top of the natural cosine
+    range (~0.37 max) rather than a production 0.9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, COSINE_DUP_THRESHOLD)
+
+
+def embedding_cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """Core of dedup_embedding_cosine over any (vec_id, embedding) frame."""
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t)).alias(f"bucket_{t}")
+            for t in range(LSH_TABLES)
+        ],
+    ).cache()
+    cand = None
+    for t in range(LSH_TABLES):
+        l = bucketed.select(F.col("vec_id").alias("a"), F.col(f"bucket_{t}").alias("bk"))
+        r = bucketed.select(F.col("vec_id").alias("b"), F.col(f"bucket_{t}").alias("bk"))
+        p = l.join(r, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    av = bucketed.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    bv = bucketed.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        cand.join(av, "a")
+        .join(bv, "b")
+        .withColumn("cosine", F.round(F.expr(cosine_sql(dl.SPARK, "va", "vb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def _oracle_embedding_cosine() -> str:
+    cos = cosine_sql(dl.DUCK, "l.embedding", "r.embedding")
+    buckets = ", ".join(
+        f"{lsh_bucket_sql(dl.DUCK, 'embedding', t)} AS bucket_{t}" for t in range(LSH_TABLES)
+    )
+    match = " OR ".join(f"l.bucket_{t} = r.bucket_{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {buckets} FROM embeddings
+)
+SELECT l.vec_id AS a, r.vec_id AS b, round({cos}, 4) AS cosine
+FROM bucketed l JOIN bucketed r ON ({match}) AND l.vec_id < r.vec_id
+WHERE round({cos}, 4) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 def ann_recall(spark: SparkSession, sf_dir: str) -> dict:
     """recall@TOP_K of the two ANN paths against the brute-force oracle of
     record, averaged over the query set. Reported in bench output and
@@ -371,9 +436,11 @@ QUERIES = {
     "sim_lsh_ann": sim_lsh_ann,
     "sim_ivf_ann": sim_ivf_ann,
     "sim_label_centroids": sim_label_centroids,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
+    "dedup_embedding_cosine": _oracle_embedding_cosine(),
     "sim_topk_bruteforce": _oracle_bruteforce(),
     "sim_lsh_buckets": _oracle_lsh_buckets(),
     "sim_lsh_ann": _oracle_lsh_ann(),

@@ -188,8 +188,68 @@ LIMIT 20
 """
 
 
+TFIDF_TOP_TERMS = 3
+
+
+def textstats_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOP_TERMS terms per document by tf-idf (the classic
+    relevance weighting a training pipeline uses for keyword extraction /
+    quality filtering). Plan: one token explode -> (doc, token) tf agg ->
+    token df agg joined back (broadcast: vocab << corpus) -> per-doc
+    window top-k. idf = ln(N / df) on exact integer counts — identical
+    doubles in both engines.
+
+    At scale the df table is vocabulary-sized (Zipf: millions of terms vs
+    billions of docs) so the join back is a broadcast, and the only big
+    shuffles are the two hash aggs on uniform keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; oracle recomputes the same count
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("token")
+    ).filter(F.length("token") > 1)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "token").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def _oracle_tfidf() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), keep AS (
+  SELECT doc_id, token FROM tok WHERE length(token) > 1
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM keep GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TFIDF_TOP_TERMS}
+"""
+
+
 QUERIES = {
     "textstats_bigrams": textstats_bigrams,
+    "textstats_tfidf": textstats_tfidf,
     "textstats_langid": textstats_langid,
     "textstats_quality": textstats_quality,
     "textstats_token_hist": textstats_token_hist,
@@ -198,6 +258,7 @@ QUERIES = {
 
 ORACLES = {
     "textstats_bigrams": _oracle_bigrams(),
+    "textstats_tfidf": _oracle_tfidf(),
     "textstats_langid": _oracle_langid(),
     "textstats_quality": _oracle_quality(),
     "textstats_token_hist": ORACLE_TOKEN_HIST,

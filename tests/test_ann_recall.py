@@ -78,3 +78,33 @@ def test_lsh_candidates_bounded_by_bucket_sizes(spark, sf_dir):
         qb, cb = by_id[r["query_id"]], by_id[r["cand_id"]]
         # every returned pair shares at least one bucket in some table
         assert any(qb[t] == cb[t] for t in range(LSH_TABLES)), r
+
+
+def test_embedding_cosine_dedup_finds_planted(spark):
+    """Planted near-identical vectors must surface as cosine-dup pairs;
+    orthogonal vectors must not."""
+    import math
+
+    from realtime_twitter_trends_analytics_spark.operators.similarity import (
+        EMB_DIM,
+        embedding_cosine_pairs,
+    )
+
+    def unit(seed):
+        # deterministic pseudo-vector from a seed, normalized
+        vals = [math.sin(seed * 31 + j) for j in range(EMB_DIM)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    base = unit(1)
+    near = [v * 0.999 + 0.001 * w for v, w in zip(base, unit(2))]  # ~cos 1.0
+    rows = [
+        (0, base),
+        (1, near),          # planted dup of 0
+        (2, unit(7)),       # unrelated
+        (3, unit(13)),      # unrelated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    got = {(r["a"], r["b"]): r["cosine"] for r in embedding_cosine_pairs(emb, 0.95).collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    assert all(p == (0, 1) for p in got), got
