@@ -41,12 +41,16 @@ HEADLINE = [
     "sentiment_docs",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "sim_lsh_ann",
     "sim_ivf_ann",
     "textstats_quality",
+    "textstats_tfidf",
+    "percentiles_approx",
     "multimodal_feature_summary",
 ]
 
