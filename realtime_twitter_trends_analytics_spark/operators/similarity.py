@@ -369,10 +369,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
-    """Core of dedup_embedding_cosine over any (vec_id, embedding) frame."""
+    """Core of dedup_embedding_cosine over any (vec_id, embedding) frame.
+
+    Unlike the ANN query-set path (10 queries -> tiny candidate set, norms
+    inlined), this is ALL-pairs-above-threshold: every vector appears in
+    ~bucket_size pairs, so norms are hoisted per vector (O(n*d)) and the
+    per-pair work is one dot product — the brute-force trade-off, ~3x less
+    array arithmetic on the pair stream."""
     bucketed = emb.select(
         "vec_id",
         "embedding",
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("nrm"),
         *[
             F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t)).alias(f"bucket_{t}")
             for t in range(LSH_TABLES)
@@ -385,12 +392,15 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
         p = l.join(r, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
         cand = p if cand is None else cand.unionByName(p)
     cand = cand.distinct()
-    av = bucketed.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    bv = bucketed.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    av = bucketed.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"), F.col("nrm").alias("na"))
+    bv = bucketed.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
     return (
         cand.join(av, "a")
         .join(bv, "b")
-        .withColumn("cosine", F.round(F.expr(cosine_sql(dl.SPARK, "va", "vb")), 4))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(dot_sql(dl.SPARK, "va", "vb")) / (F.col("na") * F.col("nb")), 4),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
