@@ -232,9 +232,12 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     prior rounds on every action); the driver-side loop-with-convergence-
     check is control flow, not data flow — the per-round `changed` count
     is an aggregate scalar, not a collect of rows."""
+    # materialize the (small) undirected edge list ONCE — without this,
+    # every propagation round re-executes the upstream pair-generation
+    # pipeline that produced `edges`
     und = edges.select("a", "b").union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).localCheckpoint()
     labels = (
         und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
