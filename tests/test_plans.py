@@ -71,3 +71,41 @@ def test_shuffle_budget_flagship(spark, sf_dir):
 def test_q01_shuffle_budget(spark, sf_dir):
     # partial/final hash agg: a single exchange
     assert count_exchanges(q01_pricing_summary(spark, sf_dir)) <= 1
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    """The vocabulary-sized df table must broadcast (Zipf: vocab << corpus);
+    a shuffled join here would reshuffle the whole tf relation."""
+    from realtime_twitter_trends_analytics_spark.operators.textstats import (
+        textstats_tfidf,
+    )
+
+    plan = explain_str(textstats_tfidf(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_jaccard_hot_list_broadcasts_and_join_is_hashed(spark, sf_dir):
+    """The hot-shingle anti-join must be broadcast (map-side filter, no
+    extra shuffle of the shingle relation) and the self-join must be
+    shuffle-hash, not sort-merge (output feeds a hash agg)."""
+    from realtime_twitter_trends_analytics_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    plan = explain_str(dedup_ngram_jaccard(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "ShuffledHashJoin" in plan
+    spark.catalog.clearCache()
+
+
+def test_embedding_cosine_has_no_cartesian(spark, sf_dir):
+    """Candidates come from bucket equi-joins — a CartesianProduct or
+    BroadcastNestedLoopJoin in this plan means the LSH bound was lost."""
+    from realtime_twitter_trends_analytics_spark.operators.similarity import (
+        dedup_embedding_cosine,
+    )
+
+    plan = explain_str(dedup_embedding_cosine(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
