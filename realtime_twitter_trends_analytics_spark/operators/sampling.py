@@ -63,6 +63,47 @@ FROM documents WHERE {b} = 0
 """
 
 
+# buckets of 16 kept per language stratum (8/16, 4/16, 2/16, default 1/16)
+STRATA_KEEP = {"en": 8, "es": 4, "de": 2}
+DEFAULT_KEEP = 1
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — the class-rebalancing operator
+    (downsample dominant languages, keep rare ones): doc kept iff its
+    content-hash bucket < keep[lang]. Same hash-bucket machinery as the
+    systematic sample, so retries/re-partitioning/appends cannot change
+    membership. Output is the per-stratum audit (totals, kept, achieved
+    rate) a pipeline logs next to the sampled dataset."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket16_sql(dl.SPARK, "text"))
+    keep = F.lit(DEFAULT_KEEP)
+    for lang, k in sorted(STRATA_KEEP.items()):
+        keep = F.when(F.col("lang") == lang, k).otherwise(keep)
+    return (
+        d.select("lang", (bucket < keep).cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_sampled"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 4).alias("rate"),
+        )
+    )
+
+
+def _oracle_stratified() -> str:
+    b = _bucket16_sql(dl.DUCK, "text")
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {k}" for lang, k in sorted(STRATA_KEEP.items())
+    )
+    return f"""
+SELECT lang, count(*) AS n_docs,
+  sum(CASE WHEN {b} < (CASE lang {whens} ELSE {DEFAULT_KEEP} END) THEN 1 ELSE 0 END) AS n_sampled,
+  round(CAST(sum(CASE WHEN {b} < (CASE lang {whens} ELSE {DEFAULT_KEEP} END) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
+FROM documents GROUP BY lang
+"""
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization per vector: scale = max|x| / 127,
     q_i = round(x_i / scale). Emitted long-form summary (quantization error
@@ -109,11 +150,13 @@ FROM embeddings
 QUERIES = {
     "dataset_split_assign": dataset_split_assign,
     "sample_systematic": sample_systematic,
+    "sample_stratified": sample_stratified,
     "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLES = {
     "dataset_split_assign": _oracle_split(),
     "sample_systematic": _oracle_sample(),
+    "sample_stratified": _oracle_stratified(),
     "embedding_quantize_int8": _oracle_quantize(),
 }

@@ -124,6 +124,41 @@ FROM tok GROUP BY 1
 """
 
 
+# BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
+# punctuation marks — the shape GPT-style tokenizers split on before
+# merges. Written without backslash classes so the literal is identical
+# in Spark SQL (backslash-escaping strings) and DuckDB (standard SQL).
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def textstats_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both tokenizers side by side (the 'how many tokens
+    is this corpus' pipeline question): whitespace count vs BPE-ish regex
+    count per document, with the ratio as a fragmentation signal (high
+    ratio = punctuation/number-heavy text that will blow up in subword
+    tokenization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)"))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.round(bpe.cast("double") / ws, 4).alias("fragmentation"),
+    )
+
+
+def _oracle_token_count_regex() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INT) AS bpe_ish_tokens,
+  round(CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS DOUBLE)
+        / len(string_split(text, ' ')), 4) AS fragmentation
+FROM documents
+"""
+
+
 def textstats_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: raw content hash + order-insensitive content
     fingerprint (md5 of sorted distinct tokens — catches shuffled dups)."""
@@ -253,6 +288,7 @@ QUERIES = {
     "textstats_langid": textstats_langid,
     "textstats_quality": textstats_quality,
     "textstats_token_hist": textstats_token_hist,
+    "textstats_token_count_regex": textstats_token_count_regex,
     "textstats_fingerprint": textstats_fingerprint,
 }
 
@@ -262,5 +298,6 @@ ORACLES = {
     "textstats_langid": _oracle_langid(),
     "textstats_quality": _oracle_quality(),
     "textstats_token_hist": ORACLE_TOKEN_HIST,
+    "textstats_token_count_regex": _oracle_token_count_regex(),
     "textstats_fingerprint": _oracle_fingerprint(),
 }
