@@ -335,6 +335,56 @@ FROM country
 """
 
 
+def unpivot_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): per-nation customer/supplier balance columns
+    melted into (nation, metric, value) rows — the inverse of pivot,
+    completing the reshape surface. Spark plans unpivot as an Expand node
+    (each input row emits one row per value column, map-side, no shuffle
+    beyond the upstream aggs)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("cust_bal"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.sum(F.col("s_acctbal").cast("decimal(18,2)")).alias("supp_bal"))
+    )
+    wide = (
+        n.join(c, n["n_nationkey"] == c["c_nationkey"], "left")
+        .join(s, n["n_nationkey"] == s["s_nationkey"], "left")
+        .select(
+            "n_name",
+            F.round(F.coalesce(F.col("cust_bal").cast("double"), F.lit(0.0)), 4).alias("cust_bal"),
+            F.round(F.coalesce(F.col("supp_bal").cast("double"), F.lit(0.0)), 4).alias("supp_bal"),
+        )
+    )
+    return wide.unpivot(["n_name"], ["cust_bal", "supp_bal"], "metric", "value")
+
+
+ORACLE_UNPIVOT = """
+WITH c AS (
+  SELECT c_nationkey, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS cust_bal
+  FROM customer GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey, sum(CAST(s_acctbal AS DECIMAL(18,2))) AS supp_bal
+  FROM supplier GROUP BY s_nationkey
+), wide AS (
+  SELECT n.n_name,
+    round(coalesce(CAST(c.cust_bal AS DOUBLE), 0.0), 4) AS cust_bal,
+    round(coalesce(CAST(s.supp_bal AS DOUBLE), 0.0), 4) AS supp_bal
+  FROM nation n
+  LEFT JOIN c ON n.n_nationkey = c.c_nationkey
+  LEFT JOIN s ON n.n_nationkey = s.s_nationkey
+)
+SELECT n_name, 'cust_bal' AS metric, cust_bal AS value FROM wide
+UNION ALL
+SELECT n_name, 'supp_bal' AS metric, supp_bal AS value FROM wide
+"""
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct counts (approx_count_distinct) — the sketch the
     reference never had for 'how many unique hashtags'. No SQL oracle (HLL
@@ -353,6 +403,7 @@ QUERIES = {
     "percentiles": percentiles,
     "percentiles_approx": percentiles_approx,
     "pivot_status_priority": pivot_status_priority,
+    "unpivot_nation_balances": unpivot_nation_balances,
     "subqueries": subqueries,
     "map_functions": map_functions,
     "higher_order_functions": higher_order_functions,
@@ -364,6 +415,7 @@ ORACLES = {
     "stats_aggregates": ORACLE_STATS,
     "percentiles": ORACLE_PERCENTILES,
     "pivot_status_priority": ORACLE_PIVOT,
+    "unpivot_nation_balances": ORACLE_UNPIVOT,
     "subqueries": SQL_SUBQUERIES,
     "map_functions": ORACLE_MAP_FUNCS,
     "higher_order_functions": ORACLE_HIGHER_ORDER,
