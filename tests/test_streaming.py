@@ -123,3 +123,46 @@ def test_sentiment_computed_once_per_tweet(spark, fixture_dir):
     assert len(rows) == 3
     # all three tags fan out from one tweet -> identical whole-tweet score
     assert len({r["sentiment_score"] for r in rows}) == 1
+
+
+def test_streaming_session_windows_merge_across_batches(spark, fixture_dir, tmp_path):
+    """session_window in STREAMING mode (batch analogue: trends.
+    window_session_per_user): USA rows arrive at t=0 (2 hashtags, batch 1),
+    t=20 (1 hashtag, batch 1) and t=75 (2 hashtags, batch 2). The 20s gap
+    merges t=0 and t=20 into one session; the 55s gap (> 30s session gap)
+    starts a second session for t=75 — exercising both merge and split
+    across micro-batches."""
+    raw = read_raw_stream(spark, source_dir=fixture_dir)
+    scored = transform_tweets(raw, ts_col=F.timestamp_seconds(F.col("key").cast("long")))
+    sessions = (
+        scored.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 seconds").alias("w"), "country")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "country",
+            "n_rows",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_sessions").collect()
+    by_country = {}
+    for r in rows:
+        by_country.setdefault(r["country"], []).append(r)
+    usa = sorted(by_country["USA"], key=lambda r: r["session_start"])
+    assert len(usa) == 2
+    # session 1: t=0 (2 rows) merged with t=20 (1 row); end = 20 + 30
+    assert (usa[0]["session_end"] - usa[0]["session_start"]).total_seconds() == 50
+    assert usa[0]["n_rows"] == 3
+    # session 2: the t=75 dup tweet (2 hashtag rows); span = the 30s gap
+    assert (usa[1]["session_end"] - usa[1]["session_start"]).total_seconds() == 30
+    assert usa[1]["n_rows"] == 2
