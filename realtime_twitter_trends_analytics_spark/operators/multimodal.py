@@ -162,13 +162,85 @@ FROM stats GROUP BY media_type
 """
 
 
+THUMB_BUCKETS = 8
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("thumb", StringType()),
+    ]
+)
+
+
+def _thumbnail(payload: bytes) -> str:
+    """Byte-domain 'resize': downsample the payload to THUMB_BUCKETS equal
+    spans, reported as integer-exact 'sum/count' per bucket (the 1-D
+    analogue of image downscaling; integers so both engines compare
+    bit-for-bit with no float rounding). Bucket i covers
+    [floor(i*n/B), floor((i+1)*n/B))."""
+    b = payload or b""
+    n = len(b)
+    parts = []
+    for i in range(THUMB_BUCKETS):
+        lo, hi = (i * n) // THUMB_BUCKETS, ((i + 1) * n) // THUMB_BUCKETS
+        chunk = b[lo:hi]
+        parts.append(f"{sum(chunk)}/{len(chunk)}")
+    return ",".join(parts)
+
+
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize step of the multimodal pipeline, over mapInPandas (same
+    Arrow plumbing as the feature extractor; a real image resize replaces
+    ``_thumbnail`` only)."""
+    media = media_table(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "thumb": pdf["payload"].map(_thumbnail),
+                }
+            )
+
+    return media.mapInPandas(resize, schema=THUMB_SCHEMA)
+
+
+# ascii() over ASCII text == the payload bytes; bucket boundaries and the
+# sum/count encoding reproduce _thumbnail exactly in SQL.
+ORACLE_THUMBNAIL = f"""
+WITH media AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type,
+    text, length(text) AS n
+  FROM documents
+)
+SELECT doc_id, media_type,
+  array_to_string(
+    list_transform(generate_series(0, {THUMB_BUCKETS - 1}), i ->
+      concat(
+        CAST(coalesce(list_sum(list_transform(
+          generate_series((i * n) // {THUMB_BUCKETS} + 1, ((i + 1) * n) // {THUMB_BUCKETS}),
+          p -> ascii(substr(text, CAST(p AS INT), 1)))), 0) AS VARCHAR),
+        '/',
+        CAST(((i + 1) * n) // {THUMB_BUCKETS} - (i * n) // {THUMB_BUCKETS} AS VARCHAR)
+      )
+    ), ',') AS thumb
+FROM media
+"""
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_feature_summary": multimodal_feature_summary,
+    "multimodal_thumbnail": multimodal_thumbnail,
 }
 
 # multimodal_features itself is rows-only checked (binary payload transport
 # is not SQL-comparable); the summary IS oracle-verified.
 ORACLES = {
     "multimodal_feature_summary": ORACLE_FEATURE_SUMMARY,
+    "multimodal_thumbnail": ORACLE_THUMBNAIL,
 }

@@ -280,8 +280,63 @@ SELECT lang, token, cnt, mean_sentiment, CAST(rnk AS INT) AS rnk FROM (
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over the event stream: users who viewed,
+    then clicked AFTER their first view, then purchased AFTER their first
+    qualifying click. Each stage is one filtered agg + one equi-join on
+    user_id (broadcastable once the funnel narrows); no window over the
+    whole stream, no self-join on time ranges."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stages = [("1_view", v), ("2_view_click", c), ("3_view_click_purchase", p)]
+    out = None
+    for name, df in stages:
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT '2_view_click', count(*) FROM c
+UNION ALL SELECT '3_view_click_purchase', count(*) FROM p
+"""
+
+
 QUERIES = {
     "sentiment_docs": sentiment_docs,
+    "events_funnel": events_funnel,
     "trends_token_topk": trends_token_topk,
     "trends_with_sentiment": trends_with_sentiment,
     "dedup_grain": dedup_grain,
@@ -293,6 +348,7 @@ QUERIES = {
 
 ORACLES = {
     "sentiment_docs": _oracle_sentiment_docs(),
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
     "trends_token_topk": ORACLE_TRENDS_TOPK,
     "trends_with_sentiment": _oracle_trends_with_sentiment(),
     "dedup_grain": ORACLE_DEDUP_GRAIN,
