@@ -385,6 +385,90 @@ SELECT n_name, 'supp_bal' AS metric, supp_bal AS value FROM wide
 """
 
 
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-family window functions over orders partitioned by
+    priority: ntile quartiles, percent_rank, cume_dist, and first/last
+    value over the full partition frame. Ties broken by o_orderkey so
+    ntile is deterministic. One shuffle on the partition key; the sort
+    within partitions is the window's, no global sort."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first("o_totalprice").over(wf), 4).alias("cheapest_in_prio"),
+        F.round(F.last("o_totalprice").over(wf), 4).alias("priciest_in_prio"),
+    )
+
+
+ORACLE_WINDOW_DIST = """
+SELECT o_orderkey, o_orderpriority, round(o_totalprice, 4) AS o_totalprice,
+  CAST(ntile(4) OVER w AS INT) AS price_quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
+  round(first_value(o_totalprice) OVER wf, 4) AS cheapest_in_prio,
+  round(last_value(o_totalprice) OVER wf, 4) AS priciest_in_prio
+FROM orders
+WINDOW
+  w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC),
+  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream: users grouped by
+    first-seen week, counted per subsequent active week. Two shuffles
+    (min-per-user, then distinct cohort/offset/user) — the second is on
+    a composite key so no cohort hot-spot; at 100 TB the user-grain
+    pre-agg shrinks the input by the events-per-user factor before the
+    distinct."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+  FROM events
+)
+SELECT f.cohort_week,
+  CAST(date_diff('day', f.cohort_week, a.activity_week) / 7 AS INT) AS week_offset,
+  count(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+"""
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct counts (approx_count_distinct) — the sketch the
     reference never had for 'how many unique hashtags'. No SQL oracle (HLL
@@ -408,6 +492,8 @@ QUERIES = {
     "map_functions": map_functions,
     "higher_order_functions": higher_order_functions,
     "null_handling": null_handling,
+    "window_distribution_funcs": window_distribution_funcs,
+    "events_retention_cohorts": events_retention_cohorts,
     "tweet_parse_clean_country": tweet_parse_clean_country,
 }
 
@@ -420,5 +506,7 @@ ORACLES = {
     "map_functions": ORACLE_MAP_FUNCS,
     "higher_order_functions": ORACLE_HIGHER_ORDER,
     "null_handling": ORACLE_NULL_HANDLING,
+    "window_distribution_funcs": ORACLE_WINDOW_DIST,
+    "events_retention_cohorts": ORACLE_RETENTION,
     "tweet_parse_clean_country": ORACLE_TWEET_PARSE,
 }

@@ -98,7 +98,7 @@ def _oracle_stratified() -> str:
     )
     return f"""
 SELECT lang, count(*) AS n_docs,
-  sum(CASE WHEN {b} < (CASE lang {whens} ELSE {DEFAULT_KEEP} END) THEN 1 ELSE 0 END) AS n_sampled,
+  CAST(sum(CASE WHEN {b} < (CASE lang {whens} ELSE {DEFAULT_KEEP} END) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
   round(CAST(sum(CASE WHEN {b} < (CASE lang {whens} ELSE {DEFAULT_KEEP} END) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
 FROM documents GROUP BY lang
 """

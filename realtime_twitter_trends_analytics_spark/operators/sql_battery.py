@@ -6,11 +6,17 @@ two-sided dimension filter with year extraction (Q7-ish), top-k customer
 ranking over a filtered join (Q10-ish), EXISTS-under-agg with a date-
 interval correlation (Q4-ish), 5-way join with LIKE and year rollup
 (Q9-ish), left-outer count distribution (Q13-ish), doubly-correlated
-scalar-avg predicate (Q17-ish), NOT EXISTS + scalar-avg gate (Q22-ish).
+scalar-avg predicate (Q17-ish), NOT EXISTS + scalar-avg gate (Q22-ish),
+conditional-share-of-total over a 7-way join (Q8-ish), group-HAVING
+against a global scalar (Q11-ish), CTE + max-of-CTE self-reference
+(Q15-ish), NOT IN + count-distinct rollup (Q16-ish), nested IN with a
+grouped HAVING inner (Q20-ish), EXISTS + NOT EXISTS self-joins on the
+fact table (Q21-ish).
 
-The TPC-H columns absent from the driver tables (l_commitdate,
-l_receiptdate, c_phone) are replaced by equivalent-shape predicates on
-existing columns (shipdate-vs-orderdate lag, mktsegment grouping).
+The TPC-H columns/tables absent from the driver tables (l_commitdate,
+l_receiptdate, c_phone, partsupp) are replaced by equivalent-shape
+predicates on existing columns (shipdate-vs-orderdate lag, mktsegment
+grouping, lineitem-derived part-supplier supply relationships).
 
 Determinism: decimal sums -> double -> round(4); total ORDER BY on every
 LIMIT; only functions with identical semantics in both engines (year widths
@@ -109,10 +115,127 @@ WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
 GROUP BY c.c_mktsegment
 """
 
+SQL_Q8_MARKET_SHARE = """
+SELECT o_year,
+  round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+        / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(date_part('year', o.o_orderdate) AS INT) AS o_year,
+    CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS volume,
+    n2.n_name AS nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA'
+) all_nations
+GROUP BY o_year
+"""
+
+SQL_Q11_IMPORTANT_SUPPLY = """
+SELECT l.l_partkey AS ps_partkey,
+  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS supply_value
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_1'
+GROUP BY l.l_partkey
+HAVING sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) > (
+  SELECT 0.001 * sum(CAST(l2.l_extendedprice AS DECIMAL(18,2)) * CAST(l2.l_quantity AS DECIMAL(18,2)))
+  FROM lineitem l2
+  JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+  WHERE n2.n_name = 'NATION_1'
+)
+ORDER BY supply_value DESC, ps_partkey ASC
+"""
+
+SQL_Q15_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+SQL_Q16_SUPPLIER_CNT = """
+SELECT p.p_brand, p.p_type, p.p_size,
+  count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 2, 3, 4, 5, 10, 15, 20)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+SQL_Q20_EXCESS_SUPPLIERS = """
+SELECT s.s_name, s.s_suppkey
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_2'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING sum(l.l_quantity) > 30
+  )
+ORDER BY s.s_suppkey
+"""
+
+SQL_Q21_WAITING_ORDERS = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_name = 'NATION_3'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name ASC
+"""
+
 _SQL = {
     "sql_q2_min_cost_supplier": SQL_Q2_MIN_COST_SUPPLIER,
     "sql_q4_late_shipments": SQL_Q4_LATE_SHIPMENTS,
     "sql_q7_volume_by_year": SQL_Q7_VOLUME_BY_YEAR,
+    "sql_q8_market_share": SQL_Q8_MARKET_SHARE,
+    "sql_q11_important_supply": SQL_Q11_IMPORTANT_SUPPLY,
+    "sql_q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
+    "sql_q16_supplier_cnt": SQL_Q16_SUPPLIER_CNT,
+    "sql_q20_excess_suppliers": SQL_Q20_EXCESS_SUPPLIERS,
+    "sql_q21_waiting_orders": SQL_Q21_WAITING_ORDERS,
     "sql_q9_profit_by_nation_year": SQL_Q9_PROFIT_BY_NATION_YEAR,
     "sql_q10_returned_items": SQL_Q10_RETURNED_ITEMS,
     "sql_q13_customer_distribution": SQL_Q13_CUSTOMER_DISTRIBUTION,
@@ -120,7 +243,7 @@ _SQL = {
     "sql_q22_dormant_rich_customers": SQL_Q22_DORMANT_RICH_CUSTOMERS,
 }
 
-_NEEDED = ("supplier", "nation", "lineitem", "orders", "customer", "part")
+_NEEDED = ("supplier", "nation", "region", "lineitem", "orders", "customer", "part")
 
 
 def _run(sql: str):
