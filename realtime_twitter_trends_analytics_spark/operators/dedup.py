@@ -456,6 +456,63 @@ WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) >= {JACCAR
 """
 
 
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test n-gram contamination check (decontamination): for every
+    test-split document, the fraction of its 3-gram shingles that also
+    appear anywhere in the train split. The split is the same deterministic
+    md5-nibble assignment as ``dataset_split_assign`` (bucket 0 = test).
+
+    Scale design: the train side is reduced to DISTINCT shingles before the
+    join, so each test (doc, shingle) row matches at most one train row —
+    the join is linear in test shingles with no df^2 blowup, and needs no
+    hot-shingle cap. The distinct is one shuffle on a uniform md5-ish key;
+    at 100 TB the train-shingle set is the big object, and it partitions
+    uniformly by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(doc_id AS STRING)"))
+    # the split flag is one expression on doc_id, so it rides along as a
+    # broadcast join of the per-doc (doc_id, is_test) projection rather
+    # than being recomputed per exploded shingle row
+    flags = docs.select("doc_id", (bucket == 0).alias("is_test"))
+    sh = shingle_rel(docs).join(F.broadcast(flags), "doc_id")
+    train_sh = sh.filter(~F.col("is_test")).select("sh").distinct()
+    test_sh = sh.filter(F.col("is_test")).select("doc_id", "sh")
+    hits = test_sh.join(train_sh.withColumn("hit", F.lit(1)), "sh", "left")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 4).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def _oracle_decontaminate() -> str:
+    b = dl.md5_prefix_nibble(dl.DUCK, "CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH {_oracle_shingle_ctes()}, flags AS (
+  SELECT doc_id, ({b}) = 0 AS is_test FROM documents
+), train_sh AS (
+  SELECT DISTINCT sh.sh FROM sh JOIN flags USING (doc_id) WHERE NOT is_test
+), test_sh AS (
+  SELECT sh.doc_id, sh.sh FROM sh JOIN flags USING (doc_id) WHERE is_test
+)
+SELECT t.doc_id, count(*) AS n_shingles,
+  CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+  round(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS contamination
+FROM test_sh t LEFT JOIN train_sh tr ON t.sh = tr.sh
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": minhash_signatures,
@@ -463,6 +520,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
 }
 
 ORACLES = {
@@ -472,4 +530,5 @@ ORACLES = {
     "dedup_clusters": _oracle_dedup_clusters(),
     "dedup_simhash": _oracle_dedup_simhash(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
+    "decontaminate_ngram_overlap": _oracle_decontaminate(),
 }

@@ -223,6 +223,50 @@ LIMIT 20
 """
 
 
+def textstats_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    unigram fraction (1 - distinct/total tokens) and duplicate bigram
+    fraction, the filters a training pipeline uses to drop degenerate
+    repetitive text. Pure higher-order array expressions — one parquet
+    scan, zero shuffles, no explode: repetition is computed inside the
+    array domain (size vs size-of-distinct), so the per-doc cost is
+    linear in tokens and the operator is embarrassingly parallel."""
+    from .dedup import shingles_sql  # shared dual-dialect template
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+    ).select("doc_id", "toks", F.expr(shingles_sql(dl.SPARK, "toks", 2)).alias("bgs"))
+    n_tok = F.size("toks")
+    n_bg = F.size("bgs")
+    dup_uni = F.lit(1) - F.size(F.array_distinct("toks")) / n_tok.cast("double")
+    dup_bg = F.lit(1) - F.size(F.array_distinct("bgs")) / n_bg.cast("double")
+    return toks.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(dup_uni, 4).alias("dup_unigram_frac"),
+        F.round(dup_bg, 4).alias("dup_bigram_frac"),
+    )
+
+
+def _oracle_repetition() -> str:
+    from .dedup import shingles_sql
+
+    bgs = shingles_sql(dl.DUCK, "toks", 2)
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), wide AS (
+  SELECT doc_id, toks, {bgs} AS bgs FROM tokd
+)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  round(1 - len({dl.arr_distinct(dl.DUCK, 'toks')}) / CAST(len(toks) AS DOUBLE), 4) AS dup_unigram_frac,
+  round(1 - len({dl.arr_distinct(dl.DUCK, 'bgs')}) / CAST(len(bgs) AS DOUBLE), 4) AS dup_bigram_frac
+FROM wide
+"""
+
+
 TFIDF_TOP_TERMS = 3
 
 
@@ -290,6 +334,7 @@ QUERIES = {
     "textstats_token_hist": textstats_token_hist,
     "textstats_token_count_regex": textstats_token_count_regex,
     "textstats_fingerprint": textstats_fingerprint,
+    "textstats_repetition": textstats_repetition,
 }
 
 ORACLES = {
@@ -300,4 +345,5 @@ ORACLES = {
     "textstats_token_hist": ORACLE_TOKEN_HIST,
     "textstats_token_count_regex": _oracle_token_count_regex(),
     "textstats_fingerprint": _oracle_fingerprint(),
+    "textstats_repetition": _oracle_repetition(),
 }
