@@ -230,41 +230,41 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     ``localCheckpoint`` truncates the growing lineage each round (an
     iterative plan replayed from parquet would otherwise recompute all
     prior rounds on every action); the driver-side loop-with-convergence-
-    check is control flow, not data flow — the per-round `changed` count
-    is an aggregate scalar, not a collect of rows."""
+    check is control flow, not data flow — the per-round convergence
+    probe is one aggregate scalar (sum of labels, monotone decreasing),
+    not a collect of rows."""
     # materialize the (small) undirected edge list ONCE — without this,
     # every propagation round re-executes the upstream pair-generation
-    # pipeline that produced `edges`
-    und = edges.select("a", "b").union(
+    # pipeline that produced `edges`. Self-loops (node, node) fold the
+    # "least(own label, neighbor min)" step into the propagation join
+    # itself: min over {labels of b : (a,b) in und} with a~a present IS
+    # the new label, so each round is exactly one join + one hash agg.
+    sym = edges.select("a", "b").union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    und = sym.union(
+        sym.select("a", F.col("a").alias("b")).distinct()
     ).localCheckpoint()
     labels = (
         und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
+    prev_sum = None
     for _ in range(max_iters):
-        nbr_min = (
-            und.join(labels, und["b"] == labels["node"])
-            .groupBy(und["a"].alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy(und["a"].alias("node"))
+            .agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # convergence test without a join: labels only ever decrease
+        # (least of old and neighbor min), so the scalar sum(label) is
+        # strictly monotone and stalls exactly at the fixed point. One
+        # cheap agg over the just-checkpointed round output replaces the
+        # old full self-join + count per round.
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
