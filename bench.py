@@ -37,6 +37,11 @@ HEADLINE = [
     "window_session_per_user",
     "json_functions",
     "trends_token_topk_salted",
+    # SQL battery / behavioral analytics
+    "sql_q9_profit_by_nation_year",
+    "sql_q21_waiting_orders",
+    "window_distribution_funcs",
+    "events_retention_cohorts",
     # north-star
     "sentiment_docs",
     "dedup_exact",
@@ -45,6 +50,8 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "decontaminate_ngram_overlap",
+    "textstats_repetition",
     "sim_topk_bruteforce",
     "sim_lsh_ann",
     "sim_ivf_ann",

@@ -232,10 +232,71 @@ FROM media
 """
 
 
+FRAME_W = 8  # bytes per sampled frame
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame_sum", LongType()),
+    ]
+)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: each binary payload fans out to N_FRAMES rows, one
+    per evenly-spaced FRAME_W-byte frame (the video keyframe-sampling
+    pattern — one asset row becomes many frame rows for downstream
+    per-frame featurization). mapInPandas with >1 output row per input
+    row; frame stats are integer-exact so the oracle compares bit-for-bit.
+    A real video decoder replaces the byte-slice with frame extraction;
+    the fan-out shape, Arrow batching and schema stay identical."""
+    media = media_table(spark, sf_dir)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = payload or b""
+                n = len(b)
+                for i in range(N_FRAMES):
+                    off = (i * n) // N_FRAMES
+                    fr = b[off : off + FRAME_W]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_len"].append(len(fr))
+                    out["frame_sum"].append(sum(fr))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+ORACLE_FRAME_SAMPLE = f"""
+WITH media AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), frames AS (
+  SELECT doc_id, unnest(generate_series(0, {N_FRAMES - 1})) AS frame_idx, text, n
+  FROM media
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+  CAST((frame_idx * n) // {N_FRAMES} AS BIGINT) AS frame_offset,
+  CAST(least({FRAME_W}, n - (frame_idx * n) // {N_FRAMES}) AS INT) AS frame_len,
+  CAST(coalesce(list_sum(list_transform(
+    generate_series(CAST((frame_idx * n) // {N_FRAMES} + 1 AS INT),
+                    CAST(least((frame_idx * n) // {N_FRAMES} + {FRAME_W}, n) AS INT)),
+    p -> ascii(substr(text, p, 1)))), 0) AS BIGINT) AS frame_sum
+FROM frames
+"""
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_feature_summary": multimodal_feature_summary,
     "multimodal_thumbnail": multimodal_thumbnail,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 # multimodal_features itself is rows-only checked (binary payload transport
@@ -243,4 +304,5 @@ QUERIES = {
 ORACLES = {
     "multimodal_feature_summary": ORACLE_FEATURE_SUMMARY,
     "multimodal_thumbnail": ORACLE_THUMBNAIL,
+    "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
 }
