@@ -513,6 +513,61 @@ GROUP BY t.doc_id
 """
 
 
+FUZZY_TITLE_LEN = 40
+FUZZY_BLOCK_PREFIX = 8
+FUZZY_LEN_BUCKET = 64
+FUZZY_MAX_DIST = 12
+
+
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-title matching: candidate pairs come from an equi-join
+    on (prefix block, length bucket), then exact levenshtein filters within
+    blocks — the standard record-linkage shape. Edit distance is quadratic
+    per comparison, so the blocking key must bound block sizes; prefix +
+    length bucketing does (near-identical titles share both). At 100 TB
+    the equi-join shuffles on the block key like any other join; a hot
+    block would get the same df-cap treatment as hot shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.substring("text", 1, FUZZY_TITLE_LEN).alias("title"),
+        F.substring("text", 1, FUZZY_BLOCK_PREFIX).alias("blk"),
+        # floor, not cast: DuckDB CAST(double AS INT) rounds half-up while
+        # Spark's cast truncates — floor() agrees in both engines
+        F.floor(F.length("text") / FUZZY_LEN_BUCKET).cast("int").alias("lb"),
+    )
+    return (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.levenshtein("a.title", "b.title").alias("title_dist"),
+        )
+        .filter(F.col("title_dist") <= FUZZY_MAX_DIST)
+    )
+
+
+def _oracle_fuzzy_blocked() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, substr(text, 1, {FUZZY_TITLE_LEN}) AS title,
+    substr(text, 1, {FUZZY_BLOCK_PREFIX}) AS blk,
+    CAST(floor(length(text) / {FUZZY_LEN_BUCKET}) AS INT) AS lb
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  CAST(levenshtein(a.title, b.title) AS INT) AS title_dist
+FROM t a JOIN t b ON a.blk = b.blk AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_DIST}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": minhash_signatures,
@@ -521,6 +576,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "dedup_fuzzy_blocked": dedup_fuzzy_blocked,
 }
 
 ORACLES = {
@@ -531,4 +587,5 @@ ORACLES = {
     "dedup_simhash": _oracle_dedup_simhash(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
     "decontaminate_ngram_overlap": _oracle_decontaminate(),
+    "dedup_fuzzy_blocked": _oracle_fuzzy_blocked(),
 }

@@ -137,12 +137,52 @@ FROM t GROUP BY event_type
 """
 
 
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (the table-function UDF shape): each document
+    row expands to one row per token with its 0-based position, via a
+    registered UDTF in a LATERAL join. For plain whitespace split the
+    JVM-side posexplode(split(...)) is strictly faster — this operator
+    exists to exercise the UDTF path itself (arbitrary Python generators
+    per input row: parsers, tokenizers, chunkers that have no column-
+    expression equivalent). Bounded fan-out, Arrow-batched like the other
+    Python boundaries; only the first 12 tokens are emitted to keep the
+    oracle row count stable."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int")
+    class TokenPositions:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split(" ")[:12]):
+                yield tok, i
+
+    spark.udtf.register("token_positions", TokenPositions)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        "SELECT d.doc_id, s.token, s.pos "
+        "FROM udtf_docs_v d, LATERAL token_positions(d.text) s"
+    )
+
+
+ORACLE_UDTF_TOKENS = """
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+  unnest(toks[1:12]) AS token,
+  CAST(unnest(generate_series(0, least(len(toks), 12) - 1)) AS INT) AS pos
+FROM tokd
+"""
+
+
 QUERIES = {
     "grouped_zscore": grouped_zscore,
     "udaf_weighted_mean": udaf_weighted_mean,
+    "udtf_token_positions": udtf_token_positions,
 }
 
 ORACLES = {
     "grouped_zscore": ORACLE_GROUPED_ZSCORE,
     "udaf_weighted_mean": ORACLE_UDAF_WEIGHTED,
+    "udtf_token_positions": ORACLE_UDTF_TOKENS,
 }
