@@ -98,6 +98,39 @@ SELECT source, token, cnt, CAST(rnk AS INT) AS rnk FROM (
 """
 
 
+APPROX_TOPK_K = 20
+# tracked slots: >> vocab at test SF (sketch is exact there, verified by
+# tests/test_operators_oracle.py vs exact counts); at 100 TB the fixed-size
+# sketch is the point — frequent-items without a full (token, count) shuffle
+APPROX_TOPK_TRACKED = 10_000
+
+
+def trends_token_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based frequent items (approx_top_k): global top-K tokens with
+    estimated counts — 'trending hashtags' without materializing the full
+    exact count table. The sketch aggregates with map-side partials and a
+    constant-size merge, so the shuffle is O(sketch), not O(vocabulary).
+    Rows-only for the driver (sketch estimates are engine-specific, like
+    HLL); exactness at small SF is pinned by a pytest against exact counts."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.expr(TOKENS)).alias("token")).filter(
+        F.length("token") > 1
+    )
+    sk = tok.select(
+        F.expr(
+            f"approx_top_k(token, {APPROX_TOPK_K}, {APPROX_TOPK_TRACKED})"
+        ).alias("topk")
+    )
+    return (
+        sk.select(F.posexplode("topk").alias("rnk0", "entry"))
+        .select(
+            (F.col("rnk0") + 1).cast("int").alias("rnk"),
+            F.col("entry.item").alias("token"),
+            F.col("entry.count").alias("est_count"),
+        )
+    )
+
+
 def trends_with_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 + A4 + A5 composed (the reference's intended full pipeline,
     proc:92-94): per-token count JOINed with per-token mean sentiment.
@@ -338,6 +371,7 @@ QUERIES = {
     "sentiment_docs": sentiment_docs,
     "events_funnel": events_funnel,
     "trends_token_topk": trends_token_topk,
+    "trends_token_approx_topk": trends_token_approx_topk,
     "trends_with_sentiment": trends_with_sentiment,
     "dedup_grain": dedup_grain,
     "window_tumbling_counts": window_tumbling_counts,

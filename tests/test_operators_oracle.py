@@ -40,6 +40,7 @@ def test_every_query_has_callable_and_most_have_oracles():
         "multimodal_features",
         "agg_approx_distinct",
         "percentiles_approx",
+        "trends_token_approx_topk",
     }
 
 
@@ -101,6 +102,40 @@ def test_approx_percentile_rank_bound(spark, sf_dir):
             assert rank_lo <= p * n + tol and rank_hi >= p * n - tol, (
                 status, col, rank_lo, rank_hi, p * n, tol,
             )
+
+
+def test_approx_topk_exact_at_small_sf(spark, sf_dir):
+    """With tracked slots >> vocabulary the frequent-items sketch is exact:
+    the returned counts must equal the exact counts, and the returned item
+    set must be A valid top-K under ties (every returned count >= the K-th
+    exact count; items strictly above the K-th count all present)."""
+    from realtime_twitter_trends_analytics_spark.operators.trends import (
+        APPROX_TOPK_K,
+        trends_token_approx_topk,
+        trends_token_topk,  # noqa: F401  (same token rule)
+        TOKENS,
+    )
+    from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
+
+    import pyspark.sql.functions as F
+
+    approx = {r["token"]: r["est_count"] for r in trends_token_approx_topk(spark, sf_dir).collect()}
+    exact = {
+        r["token"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(TOKENS)).alias("token"))
+        .filter(F.length("token") > 1)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert len(approx) == APPROX_TOPK_K
+    kth = sorted(exact.values(), reverse=True)[APPROX_TOPK_K - 1]
+    for tok, est in approx.items():
+        assert est == exact[tok], (tok, est, exact[tok])
+        assert est >= kth
+    must_have = {t for t, c in exact.items() if c > kth}
+    assert must_have <= set(approx)
 
 
 def test_sliding_windows_sum_to_window_multiple(spark, sf_dir):
