@@ -98,6 +98,55 @@ def test_ngram_jaccard_hot_list_broadcasts_and_join_is_hashed(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_decontaminate_broadcasts_flags_and_joins_on_shingle(spark, sf_dir):
+    """The split-flag join must broadcast (per-doc flags are tiny next to
+    the exploded shingle relation) and the probe join must be an equi-join
+    on the shingle key (train side distinct -> linear, no cartesian)."""
+    from realtime_twitter_trends_analytics_spark.operators.dedup import (
+        decontaminate_ngram_overlap,
+    )
+
+    plan = explain_str(decontaminate_ngram_overlap(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_blocked_is_equijoin_not_cartesian(spark, sf_dir):
+    """Blocking must plan as an equi-join on (blk, lb) with levenshtein as
+    a post-join filter — a nested-loop join here means the blocking key
+    was lost and every title pairs with every title."""
+    from realtime_twitter_trends_analytics_spark.operators.dedup import (
+        dedup_fuzzy_blocked,
+    )
+
+    plan = explain_str(dedup_fuzzy_blocked(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_has_no_shuffle(spark, sf_dir):
+    """Repetition signals are per-row array math — any Exchange in this
+    plan is a regression (the operator must scale as one scan)."""
+    from realtime_twitter_trends_analytics_spark.operators.textstats import (
+        textstats_repetition,
+    )
+    from realtime_twitter_trends_analytics_spark.plans.explain import count_exchanges
+
+    assert count_exchanges(textstats_repetition(spark, sf_dir)) == 0
+
+
+def test_window_distribution_single_shuffle(spark, sf_dir):
+    """All five window functions share one partition spec -> exactly one
+    exchange on the partition key."""
+    from realtime_twitter_trends_analytics_spark.operators.relational_ext import (
+        window_distribution_funcs,
+    )
+    from realtime_twitter_trends_analytics_spark.plans.explain import count_exchanges
+
+    assert count_exchanges(window_distribution_funcs(spark, sf_dir)) == 1
+
+
 def test_embedding_cosine_has_no_cartesian(spark, sf_dir):
     """Candidates come from bucket equi-joins — a CartesianProduct or
     BroadcastNestedLoopJoin in this plan means the LSH bound was lost."""
