@@ -1,0 +1,49 @@
+"""Custom Python DataSource (Spark 4 API): registration, schema,
+partition planning, parallel read, determinism, and composition with
+downstream DataFrame operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_twitter_trends_analytics_spark.sources.pyds import (
+    _doc_text,
+    register_synthdocs,
+)
+
+
+def _load(spark, n_docs=64, partitions=4):
+    register_synthdocs(spark)
+    return (
+        spark.read.format("synthdocs")
+        .option("n_docs", n_docs)
+        .option("partitions", partitions)
+        .load()
+    )
+
+
+def test_synthdocs_schema_and_rowcount(spark):
+    df = _load(spark)
+    assert df.columns == ["doc_id", "text", "n_tokens"]
+    assert df.count() == 64
+    assert df.select("doc_id").distinct().count() == 64
+
+
+def test_synthdocs_partition_planning(spark):
+    assert _load(spark, 64, 8).rdd.getNumPartitions() == 8
+
+
+def test_synthdocs_rows_match_generator(spark):
+    rows = {r.doc_id: r for r in _load(spark, 16, 3).collect()}
+    for doc_id in (0, 7, 15):
+        assert rows[doc_id].text == _doc_text(doc_id)
+        assert rows[doc_id].n_tokens == len(_doc_text(doc_id).split(" "))
+
+
+def test_synthdocs_composes_with_operators(spark):
+    """The source is a normal DataFrame: aggregation over it must agree
+    with driver-side recomputation from the pure generator."""
+    df = _load(spark, 100, 5)
+    got = df.agg(F.sum("n_tokens").alias("s")).collect()[0]["s"]
+    expected = sum(len(_doc_text(i).split(" ")) for i in range(100))
+    assert got == expected
