@@ -273,6 +273,39 @@ FROM events
 """
 
 
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe error handling (the try_* family): division by a
+    sometimes-zero denominator, casts of non-numeric strings, and overflow
+    -safe add all yield NULL instead of failing the job — at 100 TB a
+    single malformed row must never kill a 6-hour pipeline run. Each
+    try_* is a row-local expression; nothing about the plan changes."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    # integer-cents numerator: round(x,4)-after-double-division is a tie
+    # hazard across engines; dividing two exactly-representable integers
+    # is ONE IEEE operation -> bit-identical in Spark and DuckDB
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return e.select(
+        "event_id",
+        F.try_divide(cents.cast("double"), k * 100).alias("value_per_k"),
+        F.col("event_type").try_cast("double").alias("type_as_num"),
+        F.substring(F.col("event_type"), 1, 1).try_cast("int").alias("first_char_int"),
+        F.try_add(k, F.lit(1)).alias("k_next"),
+    )
+
+
+# DuckDB: x / NULLIF(y, 0) == try_divide; TRY_CAST is native.
+ORACLE_TRY_FUNCS = """
+SELECT event_id,
+  CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)
+    / nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) * 100, 0) AS value_per_k,
+  TRY_CAST(event_type AS DOUBLE) AS type_as_num,
+  TRY_CAST(substr(event_type, 1, 1) AS INT) AS first_char_int,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS k_next
+FROM events
+"""
+
+
 def tweet_parse_clean_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 + P8 + P10 end-to-end, oracle-checked in batch: build sentinel
     messages from documents, parse them back, run the cleaning chain and the
@@ -492,6 +525,7 @@ QUERIES = {
     "map_functions": map_functions,
     "higher_order_functions": higher_order_functions,
     "null_handling": null_handling,
+    "try_functions": try_functions,
     "window_distribution_funcs": window_distribution_funcs,
     "events_retention_cohorts": events_retention_cohorts,
     "tweet_parse_clean_country": tweet_parse_clean_country,
@@ -506,6 +540,7 @@ ORACLES = {
     "map_functions": ORACLE_MAP_FUNCS,
     "higher_order_functions": ORACLE_HIGHER_ORDER,
     "null_handling": ORACLE_NULL_HANDLING,
+    "try_functions": ORACLE_TRY_FUNCS,
     "window_distribution_funcs": ORACLE_WINDOW_DIST,
     "events_retention_cohorts": ORACLE_RETENTION,
     "tweet_parse_clean_country": ORACLE_TWEET_PARSE,
