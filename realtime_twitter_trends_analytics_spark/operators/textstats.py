@@ -326,6 +326,82 @@ SELECT doc_id, token, tf, df, tfidf, CAST(rnk AS INT) AS rnk FROM (
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("data", "stream", "window")  # fixed query-term set
+BM25_TOP = 20
+
+
+def textstats_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of documents for a fixed query-term set — the IR
+    scoring step of a retrieval pipeline (tf-idf's production sibling).
+
+    Plan: the token explode is filtered to the query terms BEFORE any agg,
+    so the per-term tf relation is |query| x matching docs, not the full
+    corpus posting list; df and avgdl are two scalar-ish aggs; the final
+    score is one hash agg per doc. Every intermediate count is exact
+    integer, so the double-typed score is the same IEEE expression in both
+    engines; round(4) tolerates last-ulp ln() differences."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("token"))
+    qtok = toks.filter(F.col("token").isin(*BM25_QUERY))
+    tf = qtok.groupBy("doc_id", "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = (
+        docs.select(F.size(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("dl"))
+        .agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()[0]
+    )
+    avgdl_val = avgdl["s"] / avgdl["c"]
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl_val))
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "token")
+        .withColumn("term_score", idf * tf_part)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+
+
+def _oracle_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM tokd
+), tf AS (
+  SELECT doc_id, dl, token, count(*) AS tf FROM tok
+  WHERE token IN ({terms}) GROUP BY doc_id, dl, token
+), dfr AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), stats AS (
+  SELECT count(*) AS n_docs,
+    CAST(sum(len({dl.split_ws(dl.DUCK, 'text')})) AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+), scored AS (
+  SELECT tf.doc_id,
+    ln((CAST(stats.n_docs AS DOUBLE) - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+      * ((tf.tf * ({BM25_K1} + 1)) /
+         (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / stats.avgdl))) AS term_score
+  FROM tf JOIN dfr USING (token) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(term_score), 4) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP}
+"""
+
+
 QUERIES = {
     "textstats_bigrams": textstats_bigrams,
     "textstats_tfidf": textstats_tfidf,
@@ -335,6 +411,7 @@ QUERIES = {
     "textstats_token_count_regex": textstats_token_count_regex,
     "textstats_fingerprint": textstats_fingerprint,
     "textstats_repetition": textstats_repetition,
+    "textstats_bm25": textstats_bm25,
 }
 
 ORACLES = {
@@ -346,4 +423,5 @@ ORACLES = {
     "textstats_token_count_regex": _oracle_token_count_regex(),
     "textstats_fingerprint": _oracle_fingerprint(),
     "textstats_repetition": _oracle_repetition(),
+    "textstats_bm25": _oracle_bm25(),
 }
