@@ -245,6 +245,9 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     und = sym.union(
         sym.select("a", F.col("a").alias("b")).distinct()
     ).localCheckpoint()
+    # per-round parallelism: AQE's partition coalescing already sizes the
+    # tiny round shuffles down (measured: explicit repartition-by-edge-count
+    # adds a shuffle and buys nothing) — rely on it.
     labels = (
         und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
