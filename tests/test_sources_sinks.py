@@ -67,6 +67,44 @@ def test_csv_json_round_trip(spark, sf_dir, tmp_path):
     assert key(from_json.collect()) == key(n0.collect())
 
 
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """partitionOverwriteMode=dynamic: rewriting ONE partition must leave
+    sibling partitions untouched — the idempotent-backfill pattern (re-run
+    one day of a 1000-day table without truncating the other 999)."""
+    out = str(tmp_path / "events_dpo")
+    e = load_table(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    e.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    before = spark.read.parquet(out).count()
+    errors_fixed = (
+        e.filter(F.col("event_type") == "error").withColumn("value", F.lit(0.0))
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        errors_fixed.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.parquet(out)
+    assert back.count() == before  # nothing truncated
+    assert back.filter("event_type = 'error' AND value <> 0.0").count() == 0
+    n_signup = e.filter("event_type = 'signup'").count()
+    assert back.filter("event_type = 'signup'").count() == n_signup
+
+
+def test_schema_evolution_merge_schema(spark, sf_dir, tmp_path):
+    """mergeSchema=true unions per-file schemas (the appended-column
+    evolution a long-lived table accumulates); files written before the
+    column read back with NULLs."""
+    out = str(tmp_path / "evolving")
+    n = load_table(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name").write.mode("append").parquet(out)
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+    assert merged.count() == 2 * n.count()
+    assert merged.filter(F.col("n_regionkey").isNull()).count() == n.count()
+
+
 def test_repartition_controls_sink_parallelism(spark, sf_dir, tmp_path):
     """S6/A8 (proc:119 repartition(10) before write): sink file count
     follows the declared write parallelism."""
