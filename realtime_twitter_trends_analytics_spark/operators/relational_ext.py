@@ -502,6 +502,101 @@ GROUP BY f.cohort_week, week_offset
 """
 
 
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin via max_by/min_by aggregation — per event_type, the
+    event carrying the max (and min) value. At scale this is ONE hash agg
+    with map-side partials; the window-function formulation (row_number
+    over value desc) costs a full sort per partition for the same answer.
+    Ties are broken deterministically by folding event_id into the
+    ordering key (exact integer cents so the key is total)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    key = cents * 100_000_000 + F.col("event_id")
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", key).alias("max_value_event"),
+        F.min_by("event_id", key).alias("min_value_event"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+    )
+
+
+ORACLE_ARGMAX = """
+SELECT event_type,
+  max_by(event_id, CAST(round(value * 100) AS BIGINT) * 100000000 + event_id) AS max_value_event,
+  min_by(event_id, CAST(round(value * 100) AS BIGINT) * 100000000 + event_id) AS min_value_event,
+  round(max(value), 4) AS max_value,
+  round(min(value), 4) AS min_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: event-type pairs that happen for the
+    same user, with support and lift. The self-join is on user_id over the
+    DISTINCT (user, type) relation — at most |types| rows per user, so the
+    per-key join fan-out is bounded by the (tiny, fixed) type vocabulary,
+    never by the user's raw event count."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    n_users = e.select("user_id").distinct().count()
+    type_counts = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users_type")
+    )
+    pairs = (
+        ut.alias("x")
+        .join(ut.alias("y"), "user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = type_counts.select(
+        F.col("event_type").alias("type_a"), F.col("n_users_type").alias("n_a")
+    )
+    cb = type_counts.select(
+        F.col("event_type").alias("type_b"), F.col("n_users_type").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both") / F.lit(float(n_users)), 4).alias("support"),
+            F.round(
+                (F.col("n_both") * F.lit(float(n_users)))
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLE_COOCCURRENCE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n AS (
+  SELECT count(DISTINCT user_id) AS n_users FROM events
+), tc AS (
+  SELECT event_type, count(*) AS n_users_type FROM ut GROUP BY event_type
+), pairs AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS n_both
+  FROM ut x JOIN ut y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+  round(n_both / CAST(n.n_users AS DOUBLE), 4) AS support,
+  round((n_both * CAST(n.n_users AS DOUBLE)) / (ca.n_users_type * cb.n_users_type), 4) AS lift
+FROM pairs
+JOIN tc ca ON ca.event_type = type_a
+JOIN tc cb ON cb.event_type = type_b
+CROSS JOIN n
+"""
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct counts (approx_count_distinct) — the sketch the
     reference never had for 'how many unique hashtags'. No SQL oracle (HLL
@@ -526,6 +621,8 @@ QUERIES = {
     "higher_order_functions": higher_order_functions,
     "null_handling": null_handling,
     "try_functions": try_functions,
+    "agg_argmax": agg_argmax,
+    "events_cooccurrence": events_cooccurrence,
     "window_distribution_funcs": window_distribution_funcs,
     "events_retention_cohorts": events_retention_cohorts,
     "tweet_parse_clean_country": tweet_parse_clean_country,
@@ -541,6 +638,8 @@ ORACLES = {
     "higher_order_functions": ORACLE_HIGHER_ORDER,
     "null_handling": ORACLE_NULL_HANDLING,
     "try_functions": ORACLE_TRY_FUNCS,
+    "agg_argmax": ORACLE_ARGMAX,
+    "events_cooccurrence": ORACLE_COOCCURRENCE,
     "window_distribution_funcs": ORACLE_WINDOW_DIST,
     "events_retention_cohorts": ORACLE_RETENTION,
     "tweet_parse_clean_country": ORACLE_TWEET_PARSE,
