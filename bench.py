@@ -42,6 +42,9 @@ HEADLINE = [
     "sql_q21_waiting_orders",
     "window_distribution_funcs",
     "events_retention_cohorts",
+    "events_cooccurrence",
+    "agg_argmax",
+    "variant_functions",
     # north-star
     "sentiment_docs",
     "dedup_exact",
@@ -52,6 +55,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "decontaminate_ngram_overlap",
     "textstats_repetition",
+    "textstats_bm25",
+    "dedup_fuzzy_blocked",
     "sim_topk_bruteforce",
     "sim_lsh_ann",
     "sim_ivf_ann",
