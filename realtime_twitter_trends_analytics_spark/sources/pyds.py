@@ -20,7 +20,12 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 VOCAB = (
     "the", "a", "data", "row", "table", "column", "line", "part",
@@ -62,8 +67,48 @@ class SynthDocsReader(DataSourceReader):
             yield doc_id, text, len(text.split(" "))
 
 
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch streaming face of the same generator: the offset is the
+    next doc_id (a dict checkpointed by the engine), each trigger emits up
+    to ``rows_per_batch`` docs. This is the replayable-log contract the
+    reference got from Kafka (offset = position, deterministic re-read
+    between offsets on recovery) expressed in ~20 lines of source API —
+    ``readBetweenOffsets`` re-generates exactly the same rows, so
+    checkpoint recovery is exact."""
+
+    def __init__(self, options: dict) -> None:
+        self.rows_per_batch = int(options.get("rows_per_batch", 10))
+        self.max_docs = int(options.get("n_docs", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.rows_per_batch, self.max_docs)
+        return self._rows(lo, hi), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["next"], end["next"])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    @staticmethod
+    def _rows(lo: int, hi: int):
+        # a LIST, not a generator: the engine pickles the prefetched rows
+        # to ship them with the offset (SimpleDataSourceStreamReader runs
+        # on the driver; per-partition parallel reads are the full
+        # DataSourceStreamReader's job)
+        return [
+            (doc_id, _doc_text(doc_id), len(_doc_text(doc_id).split(" ")))
+            for doc_id in range(lo, hi)
+        ]
+
+
 class SynthDocsDataSource(DataSource):
-    """``spark.read.format("synthdocs").option("n_docs", ...)`` source."""
+    """``spark.read.format("synthdocs").option("n_docs", ...)`` source —
+    batch and streaming faces over one generator."""
 
     @classmethod
     def name(cls) -> str:
@@ -74,6 +119,9 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> SynthDocsReader:
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SynthDocsStreamReader:
+        return SynthDocsStreamReader(self.options)
 
 
 def register_synthdocs(spark) -> None:

@@ -40,6 +40,37 @@ def test_synthdocs_rows_match_generator(spark):
         assert rows[doc_id].n_tokens == len(_doc_text(doc_id).split(" "))
 
 
+def test_synthdocs_streaming_offsets_survive_checkpoint(spark, tmp_path):
+    """The streaming face: each run drains one rows_per_batch micro-batch;
+    re-starting on the SAME checkpoint resumes from the persisted offset —
+    the replayable-log recovery contract (what the reference relied on
+    Kafka offsets for), demonstrated on the custom source."""
+    register_synthdocs(spark)
+    out = str(tmp_path / "out")
+    for run in range(1, 4):
+        stream = (
+            spark.readStream.format("synthdocs")
+            .option("n_docs", 30)
+            .option("rows_per_batch", 10)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        # each run drained exactly one more micro-batch, no replay
+        assert len(rows) == run * 10
+        assert len({r.doc_id for r in rows}) == run * 10
+    seen = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert seen[13] == _doc_text(13)
+    assert sorted(seen) == list(range(30))
+
+
 def test_synthdocs_composes_with_operators(spark):
     """The source is a normal DataFrame: aggregation over it must agree
     with driver-side recomputation from the pure generator."""
