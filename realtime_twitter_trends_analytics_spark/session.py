@@ -44,6 +44,53 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+    input_tb: float = 100.0,
+) -> dict[str, str]:
+    """The conf profile this engine deploys with on a real cluster — the
+    100 TB sizing story made executable instead of prose. Local tests
+    never use this; it exists so 'would this hold at 1000 executors' has
+    one reviewable answer, parameterized by the actual fleet.
+
+    Sizing rules (each one maps to a failure mode at scale):
+    - shuffle.partitions ~ max(2x total cores, input / 200MB-per-task):
+      too few -> spill + stragglers; AQE coalesces the excess at runtime,
+      so erring high is safe and erring low is not.
+    - maxPartitionBytes 256MB: scan-task granularity; smaller wastes
+      scheduler throughput on 100k+ tasks, larger starves parallelism.
+    - autoBroadcastJoinThreshold 64MB: every dim table in this schema fits
+      far under it; a fact table never broadcasts.
+    - Kryo + registrationRequired=false: the few shuffled Python-facing
+      rows are Arrow-encoded anyway; JVM-side rows dominate shuffle bytes.
+    - shuffle.service + dynamicAllocation: executors scale with stage
+      width, shuffle files survive executor loss (task retry, not stage
+      retry, after preemption).
+    """
+    total_cores = executors * cores_per_executor
+    by_cores = 2 * total_cores
+    by_bytes = int(input_tb * 1024 * 1024 / 200)  # MB / 200MB tasks
+    return {
+        **RUNTIME_CONFS,
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.shuffle.partitions": str(max(by_cores, by_bytes)),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.shuffle.service.enabled": "true",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    }
+
+
 def get_spark(app_name: str = "rtta-spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) a session tuned for this engine.
 

@@ -78,3 +78,26 @@ def test_synthdocs_composes_with_operators(spark):
     got = df.agg(F.sum("n_tokens").alias("s")).collect()[0]["s"]
     expected = sum(len(_doc_text(i).split(" ")) for i in range(100))
     assert got == expected
+
+
+def test_cluster_conf_sizing_rules():
+    """cluster_conf is the reviewable 100 TB sizing story: partitions
+    scale with both fleet width and input bytes, and the safety knobs
+    (AQE, Kryo, shuffle service) are always present."""
+    from realtime_twitter_trends_analytics_spark.session import cluster_conf
+
+    big = cluster_conf(executors=1000, input_tb=100.0)
+    small = cluster_conf(executors=10, input_tb=0.1)
+    assert int(big["spark.sql.shuffle.partitions"]) >= 2 * 1000 * 4
+    assert int(big["spark.sql.shuffle.partitions"]) > int(
+        small["spark.sql.shuffle.partitions"]
+    )
+    # input-bound when data dominates: 100 TB / 200 MB tasks
+    assert int(big["spark.sql.shuffle.partitions"]) == 524288
+    for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.shuffle.service.enabled",
+        "spark.dynamicAllocation.enabled",
+    ):
+        assert big[k] == "true"
+    assert big["spark.serializer"].endswith("KryoSerializer")
