@@ -470,14 +470,26 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join is linear in test shingles with no df^2 blowup, and needs no
     hot-shingle cap. The distinct is one shuffle on a uniform md5-ish key;
     at 100 TB the train-shingle set is the big object, and it partitions
-    uniformly by construction."""
+    uniformly by construction. The split flag is computed INSIDE the
+    pre-explode projection (one md5 per document) — a join against a
+    per-doc flags table would make the 'small' side corpus-sized, which
+    is broadcast-OOM at scale and a needless shuffle otherwise."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(doc_id AS STRING)"))
-    # the split flag is one expression on doc_id, so it rides along as a
-    # broadcast join of the per-doc (doc_id, is_test) projection rather
-    # than being recomputed per exploded shingle row
-    flags = docs.select("doc_id", (bucket == 0).alias("is_test"))
-    sh = shingle_rel(docs).join(F.broadcast(flags), "doc_id")
+    sh = (
+        docs.select(
+            "doc_id",
+            (bucket == 0).alias("is_test"),
+            F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "is_test",
+            F.explode(
+                F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "toks")))
+            ).alias("sh"),
+        )
+    )
     train_sh = sh.filter(~F.col("is_test")).select("sh").distinct()
     test_sh = sh.filter(F.col("is_test")).select("doc_id", "sh")
     hits = test_sh.join(train_sh.withColumn("hit", F.lit(1)), "sh", "left")

@@ -98,18 +98,22 @@ def test_ngram_jaccard_hot_list_broadcasts_and_join_is_hashed(spark, sf_dir):
     spark.catalog.clearCache()
 
 
-def test_decontaminate_broadcasts_flags_and_joins_on_shingle(spark, sf_dir):
-    """The split-flag join must broadcast (per-doc flags are tiny next to
-    the exploded shingle relation) and the probe join must be an equi-join
-    on the shingle key (train side distinct -> linear, no cartesian)."""
+def test_decontaminate_single_equijoin_no_flag_join(spark, sf_dir):
+    """The split flag must be a projection expression, not a join against
+    a per-doc flags table (corpus-sized 'small' side = broadcast OOM at
+    scale): exactly ONE join in the plan — the shingle-key equi-join probe
+    (train side distinct -> linear, no cartesian)."""
+    import re
+
     from realtime_twitter_trends_analytics_spark.operators.dedup import (
         decontaminate_ngram_overlap,
     )
 
     plan = explain_str(decontaminate_ngram_overlap(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    n_joins = len(re.findall(r"\(\d+\) \w*(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan))
+    assert n_joins == 1, plan
 
 
 def test_fuzzy_blocked_is_equijoin_not_cartesian(spark, sf_dir):
