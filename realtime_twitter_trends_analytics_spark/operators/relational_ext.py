@@ -423,7 +423,14 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority: ntile quartiles, percent_rank, cume_dist, and first/last
     value over the full partition frame. Ties broken by o_orderkey so
     ntile is deterministic. One shuffle on the partition key; the sort
-    within partitions is the window's, no global sort."""
+    within partitions is the window's, no global sort.
+
+    Scale honesty: the partition key has 5 values, so each window is one
+    task's sort — at 100 TB these exact per-row ranks over giant
+    partitions are the wrong tool (stragglers by construction). The
+    scale path for distribution STATISTICS is approx_percentile per
+    group (see percentiles_approx); this query exists for the cases that
+    genuinely need a rank per row on bounded partitions."""
     from pyspark.sql.window import Window
 
     o = load_table(spark, sf_dir, "orders")

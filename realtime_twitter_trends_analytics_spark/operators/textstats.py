@@ -343,19 +343,20 @@ def textstats_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer, so the double-typed score is the same IEEE expression in both
     engines; round(4) tolerates last-ulp ln() differences."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
     toks = docs.select(
         "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
     ).select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("token"))
     qtok = toks.filter(F.col("token").isin(*BM25_QUERY))
     tf = qtok.groupBy("doc_id", "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    avgdl = (
+    # n_docs and avgdl from ONE corpus scan (they are the same agg row);
+    # a separate docs.count() would be a second full pass over the table
+    stats = (
         docs.select(F.size(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("dl"))
         .agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c"))
         .collect()[0]
     )
-    avgdl_val = avgdl["s"] / avgdl["c"]
+    n_docs, avgdl_val = stats["c"], stats["s"] / stats["c"]
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
