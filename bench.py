@@ -67,6 +67,74 @@ HEADLINE = [
 ]
 
 
+STREAM_ROWS = 200_000
+STREAM_FILES = 8
+
+
+def streaming_throughput(spark) -> dict:
+    """End-to-end streaming pipeline throughput over a bounded file
+    replay: parse -> clean -> sentiment (Arrow UDF) -> hashtag explode ->
+    watermarked sliding-window counts, drained with availableNow into the
+    noop sink. rows/sec here is the single-node analogue of the
+    reference's live path — whose producer self-caps at ~10 msg/s
+    (prod:~sleep), the only throughput number BASELINE.md records."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from realtime_twitter_trends_analytics_spark.streaming.pipeline import (
+        read_raw_stream,
+        transform_tweets,
+        trend_counts,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    src, ckpt = f"{work}/src", f"{work}/ckpt"
+    os.makedirs(src)
+    base_ts = 1_700_000_000
+    tags = ["#spark", "#data", "#ai", "#news", "#sports"]
+    per_file = STREAM_ROWS // STREAM_FILES
+    for f_idx in range(STREAM_FILES):
+        with open(f"{src}/b{f_idx}.json", "w") as fh:
+            for i in range(per_file):
+                row_id = f_idx * per_file + i
+                value = (
+                    f"user{row_id % 97}, City{row_id % 31} /TLOC/ "
+                    f"{tags[row_id % 5]} message text number {row_id} RT junk"
+                )
+                fh.write(
+                    _json.dumps({"key": str(base_ts + row_id % 3600), "value": value})
+                    + "\n"
+                )
+    try:
+        # 2 micro-batches: cross-batch window state is exercised, per-batch
+        # overhead stays amortized (1 batch: ~18k rows/s, 4: ~12k on this box)
+        raw = read_raw_stream(spark, source_dir=src, max_files_per_trigger=4)
+        scored = transform_tweets(
+            raw, ts_col=F.timestamp_seconds(F.col("key").cast("long"))
+        )
+        counts = trend_counts(scored)
+        t0 = time.time()
+        q = (
+            counts.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        dt = time.time() - t0
+        return {
+            "input_rows": STREAM_ROWS,
+            "elapsed_sec": round(dt, 3),
+            "rows_per_sec": round(STREAM_ROWS / dt, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -104,6 +172,8 @@ def main() -> None:
     recall = ann_recall(spark, sf_dir)
     spark.catalog.clearCache()
 
+    stream = streaming_throughput(spark)
+
     print(
         json.dumps(
             {
@@ -113,6 +183,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "ann_recall_at_10": recall,
+                "streaming_pipeline": stream,
             }
         )
     )
