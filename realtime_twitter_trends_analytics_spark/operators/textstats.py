@@ -403,6 +403,111 @@ LIMIT {BM25_TOP}
 """
 
 
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
+
+
+def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the embed-prep step (split
+    each doc into CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens,
+    keeping offsets so spans map back to the source). Pure array math:
+    tokenize once, generate chunk starts with sequence(), slice per chunk
+    — the explode is map-side and the operator never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(
+        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n"))
+    # chunk starts: 1, 1+stride, ... while start <= n (1-based slice)
+    starts = f"sequence(1, greatest(n, 1), {CHUNK_STRIDE})"
+    chunked = tokd.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.expr(starts)).alias("chunk_idx", "start_tok"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.least(
+            F.col("start_tok") + (CHUNK_TOKENS - 1), F.col("n")
+        ).alias("end_tok"),
+        F.array_join(
+            F.slice("toks", F.col("start_tok"), F.lit(CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+    )
+    return chunked.withColumn(
+        "chunk_tokens", (F.col("end_tok") - F.col("start_tok") + 1).cast("int")
+    )
+
+
+def _oracle_chunking() -> str:
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM tokd
+), chunks AS (
+  SELECT doc_id, n, toks,
+    unnest(generate_series(1, greatest(n, 1), {CHUNK_STRIDE})) AS start_tok
+  FROM sized
+)
+SELECT doc_id, CAST((start_tok - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+  CAST(start_tok AS INT) AS start_tok,
+  CAST(least(start_tok + {CHUNK_TOKENS - 1}, n) AS INT) AS end_tok,
+  array_to_string(toks[start_tok:start_tok + {CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+  CAST(least(start_tok + {CHUNK_TOKENS - 1}, n) - start_tok + 1 AS INT) AS chunk_tokens
+FROM chunks
+"""
+
+
+PACK_TARGET_TOKENS = 512
+
+
+def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to ~PACK_TARGET_TOKENS-token training
+    bins via a running token total per language shard (bin = cumsum //
+    target). The window partitions by lang — each shard's cumsum is
+    independent, so at 100 TB the packing parallelism is the shard count
+    and no global order exists (a single global cumsum would be one
+    straggler task; per-shard is how packing runs in practice)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    packed = toks.withColumn("cum_tok", F.sum("n_tok").over(w)).withColumn(
+        "bin_id", F.floor((F.col("cum_tok") - 1) / PACK_TARGET_TOKENS).cast("int")
+    )
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+def _oracle_pack_bins() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, len({dl.split_ws(dl.DUCK, 'text')}) AS n_tok FROM documents
+), packed AS (
+  SELECT doc_id, lang, n_tok,
+    CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+         / {PACK_TARGET_TOKENS}) AS INT) AS bin_id
+  FROM toks
+)
+SELECT lang, bin_id, count(*) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY lang, bin_id
+"""
+
+
 QUERIES = {
     "textstats_bigrams": textstats_bigrams,
     "textstats_tfidf": textstats_tfidf,
@@ -413,6 +518,8 @@ QUERIES = {
     "textstats_fingerprint": textstats_fingerprint,
     "textstats_repetition": textstats_repetition,
     "textstats_bm25": textstats_bm25,
+    "docs_chunking": docs_chunking,
+    "docs_pack_bins": docs_pack_bins,
 }
 
 ORACLES = {
@@ -425,4 +532,6 @@ ORACLES = {
     "textstats_fingerprint": _oracle_fingerprint(),
     "textstats_repetition": _oracle_repetition(),
     "textstats_bm25": _oracle_bm25(),
+    "docs_chunking": _oracle_chunking(),
+    "docs_pack_bins": _oracle_pack_bins(),
 }
