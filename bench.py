@@ -124,8 +124,14 @@ def streaming_throughput(spark) -> dict:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
         dt = time.time() - t0
+        if not finished:
+            # drain overran the timeout: the throughput number would be
+            # fabricated, and rmtree under a live file-source stream
+            # fails its tasks — stop first, report the overrun honestly
+            q.stop()
+            return {"input_rows": STREAM_ROWS, "elapsed_sec": None, "rows_per_sec": None, "timeout": True}
         return {
             "input_rows": STREAM_ROWS,
             "elapsed_sec": round(dt, 3),

@@ -214,7 +214,7 @@ SELECT a, b, est_jaccard FROM dup_pairs
 # Connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
-def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     """Min-label propagation over an undirected edge list (a, b) ->
     (node, cluster_id) where cluster_id = min doc_id of the component.
 
@@ -252,6 +252,7 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         new_labels = (
             und.join(labels, und["b"] == labels["node"])
@@ -266,8 +267,17 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # silent truncation would return WRONG labels (a chain component
+        # longer than max_iters splits into several reported clusters) and
+        # a dedup pipeline would quietly keep duplicates — fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "component diameter exceeds max_iters — raise it for this graph"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

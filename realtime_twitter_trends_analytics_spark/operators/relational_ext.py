@@ -514,11 +514,19 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     event carrying the max (and min) value. At scale this is ONE hash agg
     with map-side partials; the window-function formulation (row_number
     over value desc) costs a full sort per partition for the same answer.
-    Ties are broken deterministically by folding event_id into the
-    ordering key (exact integer cents so the key is total)."""
+    Ties are broken deterministically by a composite ordering key of
+    fixed-width zero-padded (cents, event_id) strings — lexicographic ==
+    numeric at ANY id magnitude, where an arithmetic packing like
+    cents*10^8 + id silently collides once ids pass the packing base
+    (neither engine's max_by accepts a struct ordering key). Cents are
+    offset +10^15 so negative values order correctly too."""
     e = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    key = cents * 100_000_000 + F.col("event_id")
+    cents = F.round(F.col("value") * 100).cast("bigint") + F.lit(10**15)
+    key = F.concat(
+        F.lpad(cents.cast("string"), 18, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 18, "0"),
+    )
     return e.groupBy("event_type").agg(
         F.max_by("event_id", key).alias("max_value_event"),
         F.min_by("event_id", key).alias("min_value_event"),
@@ -528,12 +536,18 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ARGMAX = """
+WITH keyed AS (
+  SELECT event_type, event_id, value,
+    lpad(CAST(CAST(round(value * 100) AS BIGINT) + 1000000000000000 AS VARCHAR), 18, '0')
+      || '|' || lpad(CAST(event_id AS VARCHAR), 18, '0') AS k
+  FROM events
+)
 SELECT event_type,
-  max_by(event_id, CAST(round(value * 100) AS BIGINT) * 100000000 + event_id) AS max_value_event,
-  min_by(event_id, CAST(round(value * 100) AS BIGINT) * 100000000 + event_id) AS min_value_event,
+  max_by(event_id, k) AS max_value_event,
+  min_by(event_id, k) AS min_value_event,
   round(max(value), 4) AS max_value,
   round(min(value), 4) AS min_value
-FROM events GROUP BY event_type
+FROM keyed GROUP BY event_type
 """
 
 

@@ -318,20 +318,23 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     then clicked AFTER their first view, then purchased AFTER their first
     qualifying click. Each stage is one filtered agg + one equi-join on
     user_id (broadcastable once the funnel narrows); no window over the
-    whole stream, no self-join on time ranges."""
+    whole stream, no self-join on time ranges. v and c are cached: each
+    feeds both the next stage's join AND its own stage count — without
+    the cache the three stage counts re-execute the shared lineage (six
+    scans of events instead of one per stage)."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
-    )
+    ).cache()
     c = (
         e.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
-    )
+    ).cache()
     p = (
         e.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")

@@ -57,8 +57,10 @@ class SynthDocsReader(DataSourceReader):
         self.n_parts = int(options.get("partitions", 4))
 
     def partitions(self):  # noqa: D102 - API hook
-        step = max(1, self.n_docs // self.n_parts)
-        bounds = list(range(0, self.n_docs, step)) + [self.n_docs]
+        # even splits honoring the requested count exactly (a fixed step
+        # plans a stray tail partition whenever n_docs % n_parts != 0)
+        parts = min(max(1, self.n_parts), max(1, self.n_docs))
+        bounds = [(i * self.n_docs) // parts for i in range(parts + 1)]
         return [_Range(a, b) for a, b in zip(bounds, bounds[1:])]
 
     def read(self, partition: _Range):  # noqa: D102 - API hook
@@ -100,10 +102,11 @@ class SynthDocsStreamReader(SimpleDataSourceStreamReader):
         # to ship them with the offset (SimpleDataSourceStreamReader runs
         # on the driver; per-partition parallel reads are the full
         # DataSourceStreamReader's job)
-        return [
-            (doc_id, _doc_text(doc_id), len(_doc_text(doc_id).split(" ")))
-            for doc_id in range(lo, hi)
-        ]
+        rows = []
+        for doc_id in range(lo, hi):
+            text = _doc_text(doc_id)
+            rows.append((doc_id, text, len(text.split(" "))))
+        return rows
 
 
 class SynthDocsDataSource(DataSource):

@@ -31,6 +31,13 @@ def test_synthdocs_schema_and_rowcount(spark):
 
 def test_synthdocs_partition_planning(spark):
     assert _load(spark, 64, 8).rdd.getNumPartitions() == 8
+    # non-divisible counts still honor the requested parallelism exactly
+    df = _load(spark, 10, 4)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 10
+    df = _load(spark, 100, 3)
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 100
 
 
 def test_synthdocs_rows_match_generator(spark):
