@@ -131,6 +131,66 @@ def trends_token_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_WINDOW_SEC = 600  # view -> click conversion window
+
+
+def events_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence detection without MATCH_RECOGNIZE: every click
+    preceded by a view from the same user within SEQ_WINDOW_SEC, with the
+    conversion latency. One window pass (running max of view-times per
+    user, ordered by event time) — no self-join, no range join: the state
+    per row is a single timestamp, so the operator is one shuffle on
+    user_id regardless of how many events each user has."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    flagged = e.withColumn("prev_view_ts", prev_view).filter(
+        (F.col("event_type") == "click")
+        & F.col("prev_view_ts").isNotNull()
+        & (
+            F.unix_timestamp("ts") - F.unix_timestamp("prev_view_ts")
+            <= SEQ_WINDOW_SEC
+        )
+    )
+    return flagged.select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("prev_view_ts").alias("view_ts"),
+        F.col("ts").alias("click_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("prev_view_ts"))
+        .cast("int")
+        .alias("latency_sec"),
+    )
+
+
+ORACLE_SEQUENCE_DETECT = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+    max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS prev_view_ts
+  FROM events
+)
+SELECT user_id, event_id AS click_event_id, prev_view_ts AS view_ts,
+  ts AS click_ts,
+  CAST(date_diff('second', prev_view_ts, ts) AS INT) AS latency_sec
+FROM flagged
+WHERE event_type = 'click' AND prev_view_ts IS NOT NULL
+  AND date_diff('second', prev_view_ts, ts) <= {SEQ_WINDOW_SEC}
+"""
+
+
 def trends_with_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 + A4 + A5 composed (the reference's intended full pipeline,
     proc:92-94): per-token count JOINed with per-token mean sentiment.
@@ -373,6 +433,7 @@ UNION ALL SELECT '3_view_click_purchase', count(*) FROM p
 QUERIES = {
     "sentiment_docs": sentiment_docs,
     "events_funnel": events_funnel,
+    "events_sequence_detect": events_sequence_detect,
     "trends_token_topk": trends_token_topk,
     "trends_token_approx_topk": trends_token_approx_topk,
     "trends_with_sentiment": trends_with_sentiment,
@@ -386,6 +447,7 @@ QUERIES = {
 ORACLES = {
     "sentiment_docs": _oracle_sentiment_docs(),
     "events_funnel": ORACLE_EVENTS_FUNNEL,
+    "events_sequence_detect": ORACLE_SEQUENCE_DETECT,
     "trends_token_topk": ORACLE_TRENDS_TOPK,
     "trends_with_sentiment": _oracle_trends_with_sentiment(),
     "dedup_grain": ORACLE_DEDUP_GRAIN,
