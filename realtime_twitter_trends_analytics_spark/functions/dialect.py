@@ -110,3 +110,20 @@ def md5_prefix_nibble(d: str, s: str) -> str:
 
 def int_div(d: str, a: str, b: str) -> str:
     return f"({a} DIV {b})" if d == SPARK else f"({a} // {b})"
+
+
+def round_ratio(d: str, num: str, den: str, digits: int = 4) -> str:
+    """round(num/den, digits) for NON-NEGATIVE INTEGER num/den, computed
+    entirely in BIGINT: half-up integer division of (2*num*10^digits + den)
+    by (2*den), then one exact division by 10^digits.
+
+    Why: an exact rational can land exactly on a .xxx5 rounding tie, where
+    Spark's round (BigDecimal over the binary double) and DuckDB's round
+    disagree by 1 ulp of the last kept digit (observed live:
+    textstats_quality at sf0.1, 0.65875 -> 0.6588 vs 0.6587). Integer
+    arithmetic has no representation error, so both engines round the tie
+    identically. Operands must be integer-typed expressions; num*10^digits
+    must fit BIGINT."""
+    scale = 10**digits
+    q = int_div(d, f"(2 * CAST({num} AS BIGINT) * {scale} + CAST({den} AS BIGINT))", f"(2 * CAST({den} AS BIGINT))")
+    return f"(CAST({q} AS DOUBLE) / {scale}.0)"

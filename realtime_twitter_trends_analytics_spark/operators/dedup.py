@@ -513,9 +513,9 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             "n_overlap",
-            F.round(F.col("n_overlap") / F.col("n_shingles"), 4).alias(
-                "contamination"
-            ),
+            F.expr(
+                dl.round_ratio(dl.SPARK, "n_overlap", "n_shingles")
+            ).alias("contamination"),
         )
     )
 
@@ -532,7 +532,7 @@ WITH {_oracle_shingle_ctes()}, flags AS (
 )
 SELECT t.doc_id, count(*) AS n_shingles,
   CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
-  round(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS contamination
+  {dl.round_ratio(dl.DUCK, "sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)", "count(*)")} AS contamination
 FROM test_sh t LEFT JOIN train_sh tr ON t.sh = tr.sh
 GROUP BY t.doc_id
 """

@@ -579,6 +579,8 @@ def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = type_counts.select(
         F.col("event_type").alias("type_b"), F.col("n_users_type").alias("n_b")
     )
+    from ..functions import dialect as dl
+
     return (
         pairs.join(F.broadcast(ca), "type_a")
         .join(F.broadcast(cb), "type_b")
@@ -586,17 +588,24 @@ def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_a",
             "type_b",
             "n_both",
-            F.round(F.col("n_both") / F.lit(float(n_users)), 4).alias("support"),
-            F.round(
-                (F.col("n_both") * F.lit(float(n_users)))
-                / (F.col("n_a") * F.col("n_b")),
-                4,
+            F.expr(
+                dl.round_ratio(dl.SPARK, "n_both", str(n_users))
+            ).alias("support"),
+            F.expr(
+                dl.round_ratio(dl.SPARK, f"n_both * {n_users}", "n_a * n_b")
             ).alias("lift"),
         )
     )
 
 
-ORACLE_COOCCURRENCE = """
+def _oracle_cooccurrence() -> str:
+    from ..functions import dialect as dl
+
+    support = dl.round_ratio(dl.DUCK, "n_both", "n.n_users")
+    lift = dl.round_ratio(
+        dl.DUCK, "n_both * n.n_users", "ca.n_users_type * cb.n_users_type"
+    )
+    return f"""
 WITH ut AS (
   SELECT DISTINCT user_id, event_type FROM events
 ), n AS (
@@ -609,8 +618,8 @@ WITH ut AS (
   GROUP BY 1, 2
 )
 SELECT type_a, type_b, n_both,
-  round(n_both / CAST(n.n_users AS DOUBLE), 4) AS support,
-  round((n_both * CAST(n.n_users AS DOUBLE)) / (ca.n_users_type * cb.n_users_type), 4) AS lift
+  {support} AS support,
+  {lift} AS lift
 FROM pairs
 JOIN tc ca ON ca.event_type = type_a
 JOIN tc cb ON cb.event_type = type_b
@@ -660,7 +669,7 @@ ORACLES = {
     "null_handling": ORACLE_NULL_HANDLING,
     "try_functions": ORACLE_TRY_FUNCS,
     "agg_argmax": ORACLE_ARGMAX,
-    "events_cooccurrence": ORACLE_COOCCURRENCE,
+    "events_cooccurrence": _oracle_cooccurrence(),
     "window_distribution_funcs": ORACLE_WINDOW_DIST,
     "events_retention_cohorts": ORACLE_RETENTION,
     "tweet_parse_clean_country": ORACLE_TWEET_PARSE,

@@ -86,7 +86,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("kept").alias("n_sampled"),
-            F.round(F.sum("kept") / F.count(F.lit(1)), 4).alias("rate"),
+            F.expr(dl.round_ratio(dl.SPARK, "sum(kept)", "count(*)")).alias("rate"),
         )
     )
 
@@ -96,10 +96,12 @@ def _oracle_stratified() -> str:
     whens = " ".join(
         f"WHEN '{lang}' THEN {k}" for lang, k in sorted(STRATA_KEEP.items())
     )
+    kept = f"sum(CASE WHEN {b} < (CASE lang {whens} ELSE {DEFAULT_KEEP} END) THEN 1 ELSE 0 END)"
+    rate = dl.round_ratio(dl.DUCK, kept, "count(*)")
     return f"""
 SELECT lang, count(*) AS n_docs,
-  CAST(sum(CASE WHEN {b} < (CASE lang {whens} ELSE {DEFAULT_KEEP} END) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-  round(CAST(sum(CASE WHEN {b} < (CASE lang {whens} ELSE {DEFAULT_KEEP} END) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
+  CAST({kept} AS BIGINT) AS n_sampled,
+  {rate} AS rate
 FROM documents GROUP BY lang
 """
 

@@ -71,18 +71,23 @@ def quality_sql(d: str) -> tuple[dict[str, str], str]:
     stop_lst = ", ".join(f"'{s}'" for s in STOPWORDS)
     arr = "array" if d == dl.SPARK else "list_value"
     nstop = dl.arr_size(d, dl.arr_filter(d, toks, "t", dl.arr_contains(d, f"{arr}({stop_lst})", "t")))
+    # integer-ratio rounds (dl.round_ratio): these exact rationals can land
+    # on .xxxx5 ties where double-rounding diverges between engines
     feats = {
         "n_tokens": f"CAST({n} AS BIGINT)",
         "n_distinct": f"CAST({ndist} AS BIGINT)",
-        "distinct_ratio": f"round(CAST({ndist} AS DOUBLE) / ({n}), 4)",
-        "stopword_ratio": f"round(CAST({nstop} AS DOUBLE) / ({n}), 4)",
-        "avg_token_len": f"round((CAST(length(text) AS DOUBLE) - ({n}) + 1) / ({n}), 4)",
+        "distinct_ratio": dl.round_ratio(d, ndist, n),
+        "stopword_ratio": dl.round_ratio(d, nstop, n),
+        "avg_token_len": dl.round_ratio(d, f"(length(text) - ({n}) + 1)", n),
     }
-    score = (
-        f"round(0.4 * (CAST({ndist} AS DOUBLE) / ({n})) "
-        f"+ 0.3 * (1.0 - CAST({nstop} AS DOUBLE) / ({n})) "
-        f"+ 0.3 * least(CAST({n} AS DOUBLE) / 100.0, 1.0), 4)"
+    # The composite score is the exact rational N/D with D = 1000n (seen
+    # ties live at sf0.1: 0.65875 -> 0.6588 vs 0.6587 between engines).
+    num = (
+        f"(100 * (4 * CAST({ndist} AS BIGINT) + 3 * (CAST({n} AS BIGINT) - CAST({nstop} AS BIGINT))) "
+        f"+ 3 * least(CAST({n} AS BIGINT), 100) * CAST({n} AS BIGINT))"
     )
+    den = f"(1000 * CAST({n} AS BIGINT))"
+    score = dl.round_ratio(d, num, den)
     return feats, score
 
 
@@ -140,21 +145,30 @@ def textstats_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
     bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)"))
+    frag = dl.round_ratio(
+        dl.SPARK,
+        f"size(regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0))",
+        f"size({dl.split_ws(dl.SPARK, 'text')})",
+    )
     return docs.select(
         "doc_id",
         ws.alias("ws_tokens"),
         bpe.alias("bpe_ish_tokens"),
-        F.round(bpe.cast("double") / ws, 4).alias("fragmentation"),
+        F.expr(frag).alias("fragmentation"),
     )
 
 
 def _oracle_token_count_regex() -> str:
+    frag = dl.round_ratio(
+        dl.DUCK,
+        f"len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))",
+        "len(string_split(text, ' '))",
+    )
     return f"""
 SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
   CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INT) AS bpe_ish_tokens,
-  round(CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS DOUBLE)
-        / len(string_split(text, ' ')), 4) AS fragmentation
+  {frag} AS fragmentation
 FROM documents
 """
 
@@ -237,32 +251,43 @@ def textstats_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
     ).select("doc_id", "toks", F.expr(shingles_sql(dl.SPARK, "toks", 2)).alias("bgs"))
-    n_tok = F.size("toks")
-    n_bg = F.size("bgs")
-    dup_uni = F.lit(1) - F.size(F.array_distinct("toks")) / n_tok.cast("double")
-    dup_bg = F.lit(1) - F.size(F.array_distinct("bgs")) / n_bg.cast("double")
+    d = dl.SPARK
+    # dup frac = (n - n_distinct)/n: exact integer ratio -> tie-safe round
+    dup_uni = dl.round_ratio(
+        d, "(size(toks) - size(array_distinct(toks)))", "size(toks)"
+    )
+    dup_bg = dl.round_ratio(
+        d, "(size(bgs) - size(array_distinct(bgs)))", "size(bgs)"
+    )
     return toks.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        F.round(dup_uni, 4).alias("dup_unigram_frac"),
-        F.round(dup_bg, 4).alias("dup_bigram_frac"),
+        F.size("toks").alias("n_tokens"),
+        F.expr(dup_uni).alias("dup_unigram_frac"),
+        F.expr(dup_bg).alias("dup_bigram_frac"),
     )
 
 
 def _oracle_repetition() -> str:
     from .dedup import shingles_sql
 
-    bgs = shingles_sql(dl.DUCK, "toks", 2)
+    d = dl.DUCK
+    bgs = shingles_sql(d, "toks", 2)
+    dup_uni = dl.round_ratio(
+        d, f"(len(toks) - len({dl.arr_distinct(d, 'toks')}))", "len(toks)"
+    )
+    dup_bg = dl.round_ratio(
+        d, f"(len(bgs) - len({dl.arr_distinct(d, 'bgs')}))", "len(bgs)"
+    )
     return f"""
 WITH tokd AS (
-  SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+  SELECT doc_id, {dl.split_ws(d, 'text')} AS toks FROM documents
 ), wide AS (
   SELECT doc_id, toks, {bgs} AS bgs FROM tokd
 )
 SELECT doc_id,
   CAST(len(toks) AS INT) AS n_tokens,
-  round(1 - len({dl.arr_distinct(dl.DUCK, 'toks')}) / CAST(len(toks) AS DOUBLE), 4) AS dup_unigram_frac,
-  round(1 - len({dl.arr_distinct(dl.DUCK, 'bgs')}) / CAST(len(bgs) AS DOUBLE), 4) AS dup_bigram_frac
+  {dup_uni} AS dup_unigram_frac,
+  {dup_bg} AS dup_bigram_frac
 FROM wide
 """
 
