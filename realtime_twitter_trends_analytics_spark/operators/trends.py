@@ -200,8 +200,17 @@ def trends_with_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sentiment_score", F.explode(F.expr(TOKENS)).alias("token")
     ).filter(F.length("token") > 1)
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # sentiment_score is round(.,4) -> score*10^4 is an exact integer, so
+    # the mean is an integer ratio: summation order (Spark partial aggs vs
+    # DuckDB sequential) can no longer flip a .xxxx5 rounding tie
     senti = tok.groupBy("token").agg(
-        F.round(F.sum("sentiment_score") / F.count(F.lit(1)), 4).alias("mean_sentiment")
+        F.expr(
+            dl.round_ratio(
+                dl.SPARK,
+                "sum(CAST(round(sentiment_score * 10000) AS BIGINT))",
+                "count(*) * 10000",
+            )
+        ).alias("mean_sentiment")
     )
     return counts.join(senti, "token")
 
@@ -220,7 +229,8 @@ WITH tokd AS (
 ), counts AS (
   SELECT token, count(*) AS cnt FROM keep GROUP BY token
 ), senti AS (
-  SELECT token, round(sum(sentiment_score) / count(*), 4) AS mean_sentiment
+  SELECT token,
+    {dl.round_ratio(dl.DUCK, "sum(CAST(round(sentiment_score * 10000) AS BIGINT))", "count(*) * 10000")} AS mean_sentiment
   FROM keep GROUP BY token
 )
 SELECT counts.token AS token, cnt, mean_sentiment FROM counts JOIN senti ON counts.token = senti.token
@@ -346,7 +356,15 @@ def tweet_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = tok.groupBy("lang", "token").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("sentiment_score") / F.count(F.lit(1)), 4).alias("mean_sentiment"),
+        # integer-ratio mean (scores are exact 4-decimal values) — see
+        # trends_with_sentiment for why summation order matters otherwise
+        F.expr(
+            dl.round_ratio(
+                dl.SPARK,
+                "sum(CAST(round(sentiment_score * 10000) AS BIGINT))",
+                "count(*) * 10000",
+            )
+        ).alias("mean_sentiment"),
     )
     w = W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
     return agg.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
@@ -363,7 +381,7 @@ WITH tokd AS (
   SELECT lang, sentiment_score, unnest(string_split(text, ' ')) AS token FROM scored
 ), agg AS (
   SELECT lang, token, count(*) AS cnt,
-    round(sum(sentiment_score) / count(*), 4) AS mean_sentiment
+    {dl.round_ratio(dl.DUCK, "sum(CAST(round(sentiment_score * 10000) AS BIGINT))", "count(*) * 10000")} AS mean_sentiment
   FROM tok WHERE length(token) > 1 GROUP BY lang, token
 )
 SELECT lang, token, cnt, mean_sentiment, CAST(rnk AS INT) AS rnk FROM (
