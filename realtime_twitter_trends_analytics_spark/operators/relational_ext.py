@@ -627,6 +627,70 @@ CROSS JOIN n
 """
 
 
+ROLLING_WINDOW_SEC = 300
+
+
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series feature engineering: per-user rolling 5-minute event
+    count and mean value (RANGE frame over event time) plus the gap to
+    the previous event — the standard online-feature shapes. The frame is
+    a range over epoch seconds so both engines bound it identically; the
+    rolling mean is an integer-cents ratio (tie-safe). One shuffle on
+    user_id; frames evaluate within the partition sort, no self-join."""
+    from ..functions import dialect as dl
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    epoch = F.unix_timestamp("ts")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-ROLLING_WINDOW_SEC, 0)
+    )
+    wl = Window.partitionBy("user_id").orderBy(epoch, F.col("event_id"))
+    cents_sum = F.sum(F.round(F.col("value") * 100).cast("bigint")).over(wr)
+    n_window = F.count(F.lit(1)).over(wr)
+    rolling_mean = F.expr(
+        dl.round_ratio(
+            dl.SPARK,
+            f"sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY unix_timestamp(ts) RANGE BETWEEN {ROLLING_WINDOW_SEC} PRECEDING AND CURRENT ROW)",
+            f"count(*) OVER (PARTITION BY user_id ORDER BY unix_timestamp(ts) RANGE BETWEEN {ROLLING_WINDOW_SEC} PRECEDING AND CURRENT ROW) * 100",
+        )
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        n_window.alias("n_last_5min"),
+        rolling_mean.alias("mean_value_5min"),
+        (epoch - F.lag(epoch).over(wl)).cast("int").alias("gap_sec"),
+    )
+
+
+def _oracle_rolling() -> str:
+    from ..functions import dialect as dl
+
+    frame = (
+        f"OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+        f"RANGE BETWEEN {ROLLING_WINDOW_SEC} PRECEDING AND CURRENT ROW)"
+    )
+    mean = dl.round_ratio(
+        dl.DUCK,
+        f"sum(CAST(round(value * 100) AS BIGINT)) {frame}",
+        f"count(*) {frame} * 100",
+    )
+    return f"""
+SELECT user_id, event_id,
+  count(*) {frame} AS n_last_5min,
+  {mean} AS mean_value_5min,
+  CAST(CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+  ) AS INT) AS gap_sec
+FROM events
+"""
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct counts (approx_count_distinct) — the sketch the
     reference never had for 'how many unique hashtags'. No SQL oracle (HLL
@@ -653,6 +717,7 @@ QUERIES = {
     "try_functions": try_functions,
     "agg_argmax": agg_argmax,
     "events_cooccurrence": events_cooccurrence,
+    "events_rolling_features": events_rolling_features,
     "window_distribution_funcs": window_distribution_funcs,
     "events_retention_cohorts": events_retention_cohorts,
     "tweet_parse_clean_country": tweet_parse_clean_country,
@@ -670,6 +735,7 @@ ORACLES = {
     "try_functions": ORACLE_TRY_FUNCS,
     "agg_argmax": ORACLE_ARGMAX,
     "events_cooccurrence": _oracle_cooccurrence(),
+    "events_rolling_features": _oracle_rolling(),
     "window_distribution_funcs": ORACLE_WINDOW_DIST,
     "events_retention_cohorts": ORACLE_RETENTION,
     "tweet_parse_clean_country": ORACLE_TWEET_PARSE,
