@@ -43,6 +43,8 @@ HEADLINE = [
     "window_distribution_funcs",
     "events_retention_cohorts",
     "events_cooccurrence",
+    "events_sequence_detect",
+    "events_rolling_features",
     "agg_argmax",
     "variant_functions",
     # north-star
@@ -57,6 +59,8 @@ HEADLINE = [
     "textstats_repetition",
     "textstats_bm25",
     "dedup_fuzzy_blocked",
+    "docs_chunking",
+    "docs_pack_bins",
     "sim_topk_bruteforce",
     "sim_lsh_ann",
     "sim_ivf_ann",

@@ -87,3 +87,43 @@ def test_quality_template_agrees_across_engines(spark, duck):
     ]
     assert got_spark == got_duck
     duck.unregister("t_dlg3")
+
+
+def test_round_ratio_matches_exact_fraction_rounding(spark, duck):
+    """Property: round_ratio(num, den, 4) equals decimal.Decimal
+    ROUND_HALF_UP of the exact fraction, in BOTH engines, including
+    .xxxx5 ties that double-rounding gets wrong."""
+    from decimal import Decimal, ROUND_HALF_UP
+    from fractions import Fraction
+
+    rng = random.Random(7)
+    cases = [(6587 * 100 + 50, 1_000_000), (1, 3), (1, 160), (3, 160), (0, 5)]
+    cases += [(rng.randrange(0, 10**9), rng.randrange(1, 10**6)) for _ in range(60)]
+    rows = [Row(i=i, num=n, den=d) for i, (n, d) in enumerate(cases)]
+    sdf = spark.createDataFrame(rows)
+    sdf.createOrReplaceTempView("rr_cases")
+    got_spark = {
+        r["i"]: r["v"]
+        for r in spark.sql(
+            f"SELECT i, {dl.round_ratio(dl.SPARK, 'num', 'den')} AS v FROM rr_cases"
+        ).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE rr_cases AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({i}, {n}, {d})" for i, (n, d) in enumerate(cases))
+                 + ") t(i, num, den)")
+    got_duck = {
+        i: v
+        for i, v in duck.execute(
+            f"SELECT i, {dl.round_ratio(dl.DUCK, 'num', 'den')} FROM rr_cases"
+        ).fetchall()
+    }
+    for i, (n, d) in enumerate(cases):
+        frac = Fraction(n, d)
+        want = float(
+            Decimal(frac.numerator)
+            .scaleb(4)  # num * 10^4
+            .__truediv__(Decimal(frac.denominator))
+            .quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        ) / 10**4
+        assert got_spark[i] == want, (i, n, d, got_spark[i], want)
+        assert got_duck[i] == want, (i, n, d, got_duck[i], want)
