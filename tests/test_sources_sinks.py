@@ -114,3 +114,48 @@ def test_repartition_controls_sink_parallelism(spark, sf_dir, tmp_path):
     load_table(spark, sf_dir, "orders").repartition(10).write.mode("overwrite").parquet(out)
     files = glob.glob(out + "/part-*.parquet")
     assert len(files) == 10
+
+
+def test_corrupt_json_records_captured_not_dropped(spark, tmp_path):
+    """Ingest robustness: malformed JSON lands in the corrupt-record
+    column (PERMISSIVE) instead of silently vanishing, and FAILFAST
+    raises — the two contracts a 100 TB ingest chooses between. At scale
+    silent drops are unauditable data loss."""
+    import pytest
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"key": "1", "value": "ok one"}\n'
+        "this is not json at all\n"
+        '{"key": "2", "value": "ok two"}\n'
+        '{"key": 3, "value": ["wrong", "type"]}\n'
+    )
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("value", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()  # SPARK-21610: corrupt-record column needs materialization
+    )
+    try:
+        assert df.count() == 4  # nothing dropped
+        # unparseable line -> corrupt record; valid JSON with non-string
+        # field values survives, the StringType column keeping the raw
+        # JSON text of the mismatched value
+        bad = [r["_corrupt_record"] for r in df.filter(df["_corrupt_record"].isNotNull()).collect()]
+        assert bad == ["this is not json at all"]
+        good = {r["key"]: r["value"] for r in df.filter(df["_corrupt_record"].isNull()).collect()}
+        assert good == {"1": "ok one", "2": "ok two", "3": '["wrong", "type"]'}
+    finally:
+        df.unpersist()
+
+    with pytest.raises(Exception):
+        spark.read.schema(schema).option("mode", "FAILFAST").json(str(p)).collect()
