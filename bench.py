@@ -68,6 +68,12 @@ HEADLINE = [
     "textstats_tfidf",
     "percentiles_approx",
     "multimodal_feature_summary",
+    # corpus cleaning / governance
+    "docs_pii_redact",
+    "docs_quality_filter",
+    "docs_mixture_weights",
+    "dedup_survivors",
+    "textstats_inverted_index",
 ]
 
 

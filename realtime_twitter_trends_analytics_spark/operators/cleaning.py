@@ -1,0 +1,226 @@
+"""Corpus-cleaning operators a training-data pipeline runs before anything
+else: PII redaction, a C4/Gopher-style quality gate, and mixture weighting.
+
+These generalize the reference's cleaning chain (proc:224-228 regex scrub,
+proc:218 token filter) into the governed-text steps of a 100 TB pipeline:
+
+- PII redaction is pure regexp column work — one scan, zero shuffles,
+  whole-stage codegen end to end.
+- The quality gate makes its keep/drop decision with INTEGER comparisons
+  only (``(n - n_distinct) * 100 > 65 * n`` instead of ``dup_frac > 0.65``)
+  so the boundary cases cannot diverge between engines or flap with float
+  rounding; the funnel output (one row per (lang, verdict)) is what a
+  pipeline logs next to the filtered dataset.
+- Mixture weighting computes per-(lang, source) sampling shares with
+  temperature sqrt-scaling, all in exact integer arithmetic: the weight is
+  ``floor(sqrt(tokens))`` (IEEE sqrt is correctly rounded, so both engines
+  floor the identical double) and every share is an integer-ratio round
+  (dialect.round_ratio) — no order-dependent double summation anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dialect as dl
+from ..sources.loaders import load_table
+
+# PII patterns, shared verbatim by both engines (no backslash classes, so
+# the literal is identical in Java regex and RE2).
+PHONE_PATTERN = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+EMAIL_PATTERN = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+
+# The synthetic tables carry no PII-shaped columns, so the redaction input
+# is the customer record rendered the way a support-ticket dump would render
+# it: free text + a deterministic key-derived contact line (phone digits
+# from c_custkey, email from c_name). Both engines build the identical
+# string, so the oracle verifies the actual regex scrub.
+
+
+def _raw_sql(d: str) -> str:
+    vtype = "STRING" if d == dl.SPARK else "VARCHAR"
+
+    def digits(expr: str, width: int) -> str:
+        return f"lpad(CAST(({expr}) % {10 ** width} AS {vtype}), {width}, '0')"
+
+    phone = (
+        f"concat({digits('c_custkey', 2)}, '-', {digits('c_custkey * 7', 3)}, "
+        f"'-', {digits('c_custkey * 13', 3)}, '-', {digits('c_custkey * 31', 4)})"
+    )
+    email = "concat(lower(replace(substr(c_name, 1, 18), '#', '.')), '@corp.example')"
+    return (
+        f"concat(c_mktsegment, ' account for ', c_name, "
+        f"' please call ', {phone}, ' or mail ', {email}, ' to follow up')"
+    )
+
+
+def _redact_sql(d: str) -> dict[str, str]:
+    raw = _raw_sql(d)
+    g = "" if d == dl.SPARK else ", 'g'"  # DuckDB replaces first-only by default
+    phone_clean = f"regexp_replace({raw}, '{PHONE_PATTERN}', '[PHONE]'{g})"
+    clean = f"regexp_replace({phone_clean}, '{EMAIL_PATTERN}', '[EMAIL]'{g})"
+    extract_all = (
+        (lambda p: f"regexp_extract_all({raw}, '{p}', 0)")
+        if d == dl.SPARK
+        else (lambda p: f"regexp_extract_all({raw}, '{p}')")
+    )
+    return {
+        "n_phone_hits": f"CAST({dl.arr_size(d, extract_all(PHONE_PATTERN))} AS INT)",
+        "n_email_hits": f"CAST({dl.arr_size(d, extract_all(EMAIL_PATTERN))} AS INT)",
+        "clean_text": clean,
+    }
+
+
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record PII scrub: count phone/email matches and emit the redacted
+    text. Row-parallel regexp projections — the shape of every PII pass at
+    scale (no shuffle; the regexes run inside whole-stage codegen)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cols = _redact_sql(dl.SPARK)
+    return cust.select(
+        "c_custkey", *[F.expr(sql).alias(name) for name, sql in cols.items()]
+    )
+
+
+def _oracle_pii_redact() -> str:
+    cols = _redact_sql(dl.DUCK)
+    sel = ",\n  ".join(f"{sql} AS {name}" for name, sql in cols.items())
+    return f"SELECT c_custkey,\n  {sel}\nFROM customer"
+
+
+# Quality-gate thresholds (calibrated on the corpus so every verdict bucket
+# is non-empty at sf>=0.01: token count p02=12/p95=94, dup-frac p90=0.68,
+# stopword-ratio p95=0.125). All comparisons are integer-exact.
+MIN_TOKENS = 12
+MAX_TOKENS = 94
+DUP_FRAC_PCT = 65        # drop when (n - n_distinct) * 100 > 65 * n
+STOPWORD_PCT = 15        # drop when n_stopwords * 100 > 15 * n
+MIN_AVG_TOKEN_LEN = 3    # drop when charsum < 3 * n  (charsum = len - n + 1)
+MAX_AVG_TOKEN_LEN = 6    # drop when charsum > 6 * n
+
+
+def _verdict_sql(d: str) -> str:
+    from .textstats import STOPWORDS  # single source of truth for the list
+
+    toks = dl.split_ws(d, "text")
+    n = f"CAST({dl.arr_size(d, toks)} AS BIGINT)"
+    nd = f"CAST({dl.arr_size(d, dl.arr_distinct(d, toks))} AS BIGINT)"
+    stop_lst = ", ".join(f"'{s}'" for s in STOPWORDS)
+    arr = "array" if d == dl.SPARK else "list_value"
+    nstop = (
+        f"CAST({dl.arr_size(d, dl.arr_filter(d, toks, 't', dl.arr_contains(d, f'{arr}({stop_lst})', 't')))} AS BIGINT)"
+    )
+    charsum = f"(length(text) - {n} + 1)"
+    return (
+        f"(CASE WHEN {n} < {MIN_TOKENS} THEN 'too_short' "
+        f"WHEN {n} > {MAX_TOKENS} THEN 'too_long' "
+        f"WHEN ({n} - {nd}) * 100 > {DUP_FRAC_PCT} * {n} THEN 'too_repetitive' "
+        f"WHEN {nstop} * 100 > {STOPWORD_PCT} * {n} THEN 'too_stopwordy' "
+        f"WHEN {charsum} < {MIN_AVG_TOKEN_LEN} * {n} THEN 'tokens_too_short' "
+        f"WHEN {charsum} > {MAX_AVG_TOKEN_LEN} * {n} THEN 'tokens_too_long' "
+        f"ELSE 'kept' END)"
+    )
+
+
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality gate: first-failing-rule verdict per doc,
+    aggregated to the (lang, verdict) funnel a pipeline logs. One scan, one
+    small agg shuffle; every rule is an integer comparison (no float
+    thresholds to diverge at boundaries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    verdict = F.expr(_verdict_sql(dl.SPARK))
+    n_tok = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
+    return (
+        docs.select("lang", verdict.alias("verdict"), n_tok.alias("n_tok"))
+        .groupBy("lang", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
+def _oracle_quality_filter() -> str:
+    v = _verdict_sql(dl.DUCK)
+    n = f"len({dl.split_ws(dl.DUCK, 'text')})"
+    return f"""
+SELECT lang, {v} AS verdict, count(*) AS n_docs,
+  CAST(sum({n}) AS BIGINT) AS total_tokens
+FROM documents GROUP BY 1, 2
+"""
+
+
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planner: per-(lang, source) token counts, the
+    proportional sampling share, the sqrt-temperature share (upweights rare
+    domains — the standard alpha=0.5 mixture), and the resulting boost
+    factor. Group count is #langs x #sources (tiny), so the global-total
+    window runs on a handful of rows; the only real shuffle is the one
+    hash agg over the corpus. Exact integer arithmetic throughout:
+    w = floor(sqrt(tokens)) is engine-identical (IEEE sqrt), and every
+    share is an integer-ratio round."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "lang", "source", F.size(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("n_tok")
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "w", F.expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)")
+        )
+    )
+    win = Window.partitionBy()  # global; runs over #lang x #source rows only
+    g = g.withColumn("tot_tok", F.sum("n_tokens").over(win)).withColumn(
+        "tot_w", F.sum("w").over(win)
+    )
+    d = dl.SPARK
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(dl.round_ratio(d, "n_tokens", "tot_tok")).alias("token_share"),
+        F.expr(dl.round_ratio(d, "w", "tot_w")).alias("temp_share"),
+        F.expr(dl.round_ratio(d, "(w * tot_tok)", "(n_tokens * tot_w)")).alias("boost"),
+    )
+
+
+def _oracle_mixture_weights() -> str:
+    d = dl.DUCK
+    n = f"len({dl.split_ws(d, 'text')})"
+    return f"""
+WITH g AS (
+  SELECT lang, source, count(*) AS n_docs,
+    CAST(sum({n}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+), w AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w FROM g
+), tot AS (
+  SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tok,
+    CAST(sum(w) OVER () AS BIGINT) AS tot_w
+  FROM w
+)
+SELECT lang, source, n_docs, n_tokens,
+  {dl.round_ratio(d, 'n_tokens', 'tot_tok')} AS token_share,
+  {dl.round_ratio(d, 'w', 'tot_w')} AS temp_share,
+  {dl.round_ratio(d, '(w * tot_tok)', '(n_tokens * tot_w)')} AS boost
+FROM tot
+"""
+
+
+QUERIES = {
+    "docs_pii_redact": docs_pii_redact,
+    "docs_quality_filter": docs_quality_filter,
+    "docs_mixture_weights": docs_mixture_weights,
+}
+
+ORACLES = {
+    "docs_pii_redact": _oracle_pii_redact(),
+    "docs_quality_filter": _oracle_quality_filter(),
+    "docs_mixture_weights": _oracle_mixture_weights(),
+}

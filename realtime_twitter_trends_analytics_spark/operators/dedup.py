@@ -538,6 +538,57 @@ GROUP BY t.doc_id
 """
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION applied to the corpus: greedy keep-lowest-id over
+    the MinHash near-dup pairs (a doc is dropped iff it has a qualifying
+    partner with a smaller doc_id), summarized per language — docs in,
+    docs dropped, docs and tokens surviving.
+
+    Greedy local-minimum keep is the standard single-pass rule (equivalent
+    to keep-first-seen per LSH bucket); it differs from full
+    connected-component canonicalization (``dedup_clusters``) only on
+    chains where a doc's every partner is itself dropped — at scale it
+    avoids the iterative CC entirely. The dropped set is derived with one
+    DISTINCT on pair.b and applied with one left join on the uniform
+    doc_id key; no broadcast of anything corpus-sized."""
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    dropped = pairs.select(F.col("b").alias("doc_id")).distinct().withColumn(
+        "is_dropped", F.lit(1)
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("n_tok")
+    )
+    flagged = docs.join(dropped, "doc_id", "left").select(
+        "lang", "n_tok", F.coalesce("is_dropped", F.lit(0)).alias("is_dropped")
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dropped").cast("bigint").alias("n_dropped"),
+        (F.count(F.lit(1)) - F.sum("is_dropped")).cast("bigint").alias("n_kept"),
+        F.sum(
+            F.when(F.col("is_dropped") == 0, F.col("n_tok")).otherwise(F.lit(0))
+        ).cast("bigint").alias("kept_tokens"),
+    )
+
+
+def _oracle_survivors() -> str:
+    n = f"len({dl.split_ws(dl.DUCK, 'text')})"
+    return f"""
+WITH {_oracle_pairs_ctes()}, dropped AS (
+  SELECT DISTINCT b AS doc_id FROM dup_pairs
+), flagged AS (
+  SELECT d.lang, {n} AS n_tok,
+    CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dropped
+  FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(is_dropped) AS BIGINT) AS n_dropped,
+  CAST(count(*) - sum(is_dropped) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN is_dropped = 0 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM flagged GROUP BY lang
+"""
+
+
 FUZZY_TITLE_LEN = 40
 FUZZY_BLOCK_PREFIX = 8
 FUZZY_LEN_BUCKET = 64
@@ -602,6 +653,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "dedup_fuzzy_blocked": dedup_fuzzy_blocked,
+    "dedup_survivors": dedup_survivors,
 }
 
 ORACLES = {
@@ -613,4 +665,5 @@ ORACLES = {
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
     "decontaminate_ngram_overlap": _oracle_decontaminate(),
     "dedup_fuzzy_blocked": _oracle_fuzzy_blocked(),
+    "dedup_survivors": _oracle_survivors(),
 }

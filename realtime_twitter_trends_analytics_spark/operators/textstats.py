@@ -485,6 +485,63 @@ FROM chunks
 """
 
 
+INV_POSTINGS_CAP = 16
+
+
+def textstats_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per token, document frequency, total
+    occurrences, and a bounded posting-list sample (the INV_POSTINGS_CAP
+    lowest doc_ids, comma-joined). The cap is the scale guard: postings are
+    ranked with a per-token window and filtered BEFORE any collect, so no
+    task ever materializes a hot token's full posting list (a real index
+    would shard full postings by (token, doc_id range) — the build plan is
+    the same ranked shape). Two hash-agg shuffles on the uniform token key,
+    one window, one broadcast-sized join back (vocab << corpus)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    ranked = (
+        tok.distinct()
+        .withColumn("rn", F.row_number().over(W.partitionBy("token").orderBy("doc_id")))
+        .filter(F.col("rn") <= INV_POSTINGS_CAP)
+    )
+    posts = ranked.groupBy("token").agg(
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings_sample")
+    )
+    return counts.join(posts, "token").select(
+        "token", "occurrences", "df", "postings_sample"
+    )
+
+
+def _oracle_inverted_index() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({dl.split_ws(dl.DUCK, 'text')}) AS token FROM documents
+), d AS (
+  SELECT DISTINCT doc_id, token FROM tok
+), ranked AS (
+  SELECT token, doc_id,
+    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM d
+), posts AS (
+  SELECT token, array_to_string(list_sort(list(doc_id)), ',') AS postings_sample
+  FROM ranked WHERE rn <= {INV_POSTINGS_CAP} GROUP BY token
+), counts AS (
+  SELECT token, count(*) AS occurrences, count(DISTINCT doc_id) AS df
+  FROM tok GROUP BY token
+)
+SELECT counts.token, occurrences, df, postings_sample
+FROM counts JOIN posts ON counts.token = posts.token
+"""
+
+
 PACK_TARGET_TOKENS = 512
 
 
@@ -543,6 +600,7 @@ QUERIES = {
     "textstats_fingerprint": textstats_fingerprint,
     "textstats_repetition": textstats_repetition,
     "textstats_bm25": textstats_bm25,
+    "textstats_inverted_index": textstats_inverted_index,
     "docs_chunking": docs_chunking,
     "docs_pack_bins": docs_pack_bins,
 }
@@ -557,6 +615,7 @@ ORACLES = {
     "textstats_fingerprint": _oracle_fingerprint(),
     "textstats_repetition": _oracle_repetition(),
     "textstats_bm25": _oracle_bm25(),
+    "textstats_inverted_index": _oracle_inverted_index(),
     "docs_chunking": _oracle_chunking(),
     "docs_pack_bins": _oracle_pack_bins(),
 }

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
+    cleaning,
     dedup,
     grouped_pandas,
     multimodal,
@@ -38,6 +39,7 @@ _MODULES = [
     multimodal,
     grouped_pandas,
     sampling,
+    cleaning,
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
