@@ -74,6 +74,9 @@ HEADLINE = [
     "docs_mixture_weights",
     "dedup_survivors",
     "textstats_inverted_index",
+    # data layout / warehouse shaping
+    "layout_zorder_key",
+    "orders_scd_ranges",
 ]
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import (
     cleaning,
     dedup,
+    layout,
     grouped_pandas,
     multimodal,
     relational,
@@ -40,6 +41,7 @@ _MODULES = [
     grouped_pandas,
     sampling,
     cleaning,
+    layout,
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
