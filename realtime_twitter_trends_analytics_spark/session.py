@@ -83,6 +83,14 @@ def cluster_conf(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Runtime bloom-filter join pruning: a selective dim filter builds a
+        # bloom filter that drops fact rows BEFORE the fact-side shuffle —
+        # at 100 TB this is the difference between shuffling the whole fact
+        # table and shuffling the matching ~1%. Default thresholds apply on
+        # a real cluster (the probe side must be big enough to pay for the
+        # filter); tests/test_plans.py gates the injection with floored
+        # thresholds since local tables are tiny.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
         "spark.shuffle.service.enabled": "true",
         "spark.dynamicAllocation.enabled": "true",
