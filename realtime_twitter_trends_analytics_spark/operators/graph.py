@@ -1,0 +1,358 @@
+"""Graph analytics over corpora (north-star surface): token co-occurrence
+degree statistics, triangle counting / clustering coefficient, and a
+TextRank-style PageRank over the directed bigram-transition graph.
+
+These extend the reference's token surface (tokenize proc:218, trend counts
+proc:230-234) to the graph-shaped analyses a corpus pipeline runs: keyword
+centrality (TextRank = PageRank on the bigram graph), community density
+(clustering coefficient), hub detection (degree). The driver corpus has a
+tiny shared vocabulary, so the graphs here are small-and-dense; the
+formulations are the ones that hold when nodes are a web-scale vocabulary:
+
+- Edge building explodes DISTINCT per-doc tokens, so per-doc fan-out is
+  C(distinct_tokens_per_doc, 2) — bounded by document length, never corpus
+  size. (Production adds a per-doc distinct-token cap and a stop-token
+  document-frequency cap, like dedup's HOT_SHINGLE_DF_CAP; neither binds on
+  the 31-token driver vocabulary so they are not applied here.)
+- Triangle counting uses DEGREE-ORDERED ORIENTATION: each undirected edge
+  is directed from its lower-(degree, token) endpoint to the higher one,
+  so every out-adjacency list is bounded by ~sqrt(2m) for heavy nodes and
+  the wedge join is Sum(out_deg^2), not Sum(deg^2) — the standard trick
+  that makes hub nodes survivable.
+- PageRank runs in FIXED-POINT INTEGER arithmetic (scale 1e12): every
+  rank, contribution, and damping step is BIGINT floor-division, so the
+  result is bit-identical across engines and across partitionings — no
+  float summation-order nondeterminism. Three unrolled iterations in one
+  declarative plan (one shuffle per iteration, keyed by token).
+
+All outputs are exact integers or ``dialect.round_ratio`` rationals — this
+module has zero float-parity risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import dialect as dl
+from ..sources.loaders import load_table
+
+# Undirected edge iff the pair co-occurs in >= 60% of documents (relative
+# support — an absolute count would flip the graph between complete and
+# empty as the corpus scales; integer arithmetic keeps it engine-exact).
+COOC_SUPPORT_NUM = 6
+COOC_SUPPORT_DEN = 10
+DEGREE_TOP = 20
+PAGERANK_TOP = 20
+PR_SCALE = 10**12      # fixed-point scale; rescale upward if vocab >> 1e6
+PR_ITERS = 3
+PR_DAMP_NUM = 85       # damping 0.85 as an integer ratio
+PR_DAMP_DEN = 100
+
+
+def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected token co-occurrence edges (tok_a < tok_b, co-doc count w).
+
+    Distinct-per-doc explode, self-join on doc_id, one agg shuffle on the
+    (a, b) pair key. Cached: every graph query fans out from this relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    min_support = (COOC_SUPPORT_NUM * n_docs) // COOC_SUPPORT_DEN
+    tok = docs.select(
+        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+    ).select("doc_id", F.explode(F.expr(dl.arr_distinct(dl.SPARK, "toks"))).alias("t"))
+    pairs = (
+        tok.alias("x")
+        .join(tok.alias("y"), "doc_id")
+        .filter(F.col("x.t") < F.col("y.t"))
+        .groupBy(F.col("x.t").alias("tok_a"), F.col("y.t").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_support)
+    )
+    return pairs
+
+
+_ORACLE_EDGE_CTES = f"""
+tokd AS (
+  SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), tok AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS t FROM tokd
+), edges AS (
+  SELECT x.t AS tok_a, y.t AS tok_b, count(*) AS w
+  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND x.t < y.t
+  GROUP BY 1, 2
+  HAVING count(*) >=
+    ({COOC_SUPPORT_NUM} * (SELECT count(*) FROM documents)) // {COOC_SUPPORT_DEN}
+)"""
+
+
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by co-occurrence degree (plus weighted degree).
+
+    Both directions of each undirected edge are exploded, then one agg
+    shuffle on the token key; top-k via TakeOrderedAndProject. Exact
+    integers only."""
+    edges = _cooc_edges(spark, sf_dir)
+    both = edges.select(
+        F.col("tok_a").alias("token"), "w"
+    ).unionAll(edges.select(F.col("tok_b").alias("token"), "w"))
+    return (
+        both.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("degree"),
+            F.sum("w").cast("bigint").alias("weighted_degree"),
+        )
+        .orderBy(F.desc("degree"), F.asc("token"))
+        .limit(DEGREE_TOP)
+    )
+
+
+def _oracle_degree() -> str:
+    return f"""
+WITH {_ORACLE_EDGE_CTES}, both_dirs AS (
+  SELECT tok_a AS token, w FROM edges
+  UNION ALL
+  SELECT tok_b AS token, w FROM edges
+)
+SELECT token, CAST(count(*) AS BIGINT) AS degree,
+  CAST(sum(w) AS BIGINT) AS weighted_degree
+FROM both_dirs GROUP BY token
+ORDER BY degree DESC, token ASC
+LIMIT {DEGREE_TOP}
+"""
+
+
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count + clustering coefficient, one summary row.
+
+    Degree-ordered orientation: each edge is directed from its lower
+    (degree, token) endpoint, so wedge enumeration joins two out-lists of
+    the SAME node and the candidate count is Sum(out_deg^2) with out_deg
+    bounded ~sqrt(2m) on hubs. Wedge closure is a semi-join back to the
+    oriented edge list. The clustering coefficient 3*triangles/wedges is an
+    integer-ratio round (no float drift)."""
+    edges = _cooc_edges(spark, sf_dir).cache()
+    deg = (
+        edges.select(F.col("tok_a").alias("token"))
+        .unionAll(edges.select(F.col("tok_b").alias("token")))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("token").alias("tok_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("token").alias("tok_b"), F.col("deg").alias("deg_b"))
+    ed = edges.join(F.broadcast(da), "tok_a").join(F.broadcast(db), "tok_b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("tok_a") < F.col("tok_b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("tok_a")).otherwise(F.col("tok_b")).alias("src"),
+        F.when(a_first, F.col("tok_b")).otherwise(F.col("tok_a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
+    ).cache()
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedge_ordered = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
+        (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(wedge_ordered)
+        .select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    n_triangles = wedges.join(closing, ["v", "w"], "left_semi").count()
+    n_edges = edges.count()
+    summary = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("(CAST(deg AS BIGINT) * (deg - 1)) DIV 2")).alias("n_wedges"),
+    )
+    return summary.select(
+        "n_nodes",
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(n_triangles).cast("bigint").alias("n_triangles"),
+        "n_wedges",
+        F.expr(
+            dl.round_ratio(dl.SPARK, str(3 * n_triangles), "n_wedges")
+        ).alias("clustering_coeff"),
+    )
+
+
+def _oracle_triangles() -> str:
+    cc = dl.round_ratio(dl.DUCK, "3 * (SELECT n FROM tri)", "w.n_wedges")
+    return f"""
+WITH {_ORACLE_EDGE_CTES}, deg AS (
+  SELECT token, count(*) AS deg FROM (
+    SELECT tok_a AS token FROM edges UNION ALL SELECT tok_b AS token FROM edges
+  ) GROUP BY token
+), oriented AS (
+  SELECT
+    CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.tok_a < e.tok_b)
+         THEN e.tok_a ELSE e.tok_b END AS src,
+    CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.tok_a < e.tok_b)
+         THEN e.tok_b ELSE e.tok_a END AS dst,
+    CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.tok_a < e.tok_b)
+         THEN db.deg ELSE da.deg END AS dst_deg
+  FROM edges e
+  JOIN deg da ON da.token = e.tok_a
+  JOIN deg db ON db.token = e.tok_b
+), tri AS (
+  SELECT count(*) AS n FROM oriented o1
+  JOIN oriented o2 ON o1.src = o2.src
+   AND ((o1.dst_deg < o2.dst_deg) OR (o1.dst_deg = o2.dst_deg AND o1.dst < o2.dst))
+  WHERE EXISTS (
+    SELECT 1 FROM oriented c WHERE c.src = o1.dst AND c.dst = o2.dst
+  )
+), w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+    CAST(sum((CAST(deg AS BIGINT) * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT w.n_nodes,
+  (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+  CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
+  w.n_wedges,
+  {cc} AS clustering_coeff
+FROM w
+"""
+
+
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword centrality: PageRank over the directed
+    bigram-transition graph (edge w1 -> w2 weighted by corpus bigram count,
+    self-loops dropped), PR_ITERS unrolled iterations, top-20 tokens.
+
+    Fixed-point integer arithmetic throughout (PR_SCALE = 1e12): rank
+    updates are BIGINT floor-divisions, so the result is bit-identical
+    across engines AND across partitionings — float PageRank is
+    summation-order nondeterministic, which would break both the oracle
+    hash and Spark's own run-to-run determinism. Dangling mass (tokens
+    with no out-bigram) is dropped, the standard simplification.
+
+    Plan: the edge list is one explode + one agg, cached once; each
+    iteration is one broadcast-ready join (ranks are |vocab| rows) + one
+    agg shuffle keyed by destination token. At web-scale vocab the rank
+    side outgrows broadcast and becomes a co-partitioned shuffle join on
+    the token key — same plan shape, no rewrite."""
+    from .dedup import shingles_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+    ).select(F.explode(F.expr(shingles_sql(dl.SPARK, "toks", 2))).alias("bigram"))
+    edges = (
+        bg.select(
+            F.expr("split_part(bigram, ' ', 1)").alias("src"),
+            F.expr("split_part(bigram, ' ', 2)").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    edges = edges.join(F.broadcast(out_w), "src").cache()
+    nodes = (
+        edges.select(F.col("src").alias("token"))
+        .union(edges.select(F.col("dst").alias("token")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    base = dl.int_div(
+        dl.SPARK, f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} DIV {n}))", str(PR_DAMP_DEN)
+    )
+    ranks = nodes.select("token", F.expr(f"{PR_SCALE} DIV {n}").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("token", "src"), "src")
+            .select(
+                F.col("dst").alias("token"),
+                F.expr(dl.int_div(dl.SPARK, "(r * w)", "w_out")).alias("c"),
+            )
+            .groupBy("token")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "token", "left").select(
+            "token",
+            F.expr(
+                f"({base}) + "
+                + dl.int_div(
+                    dl.SPARK, f"({PR_DAMP_NUM} * coalesce(contrib, CAST(0 AS BIGINT)))", str(PR_DAMP_DEN)
+                )
+            ).alias("r"),
+        )
+    return (
+        ranks.select(
+            "token",
+            F.col("r").cast("bigint").alias("rank_fp"),
+            F.expr(dl.round_ratio(dl.SPARK, "r", str(PR_SCALE), 6)).alias("rank"),
+        )
+        .orderBy(F.desc("rank_fp"), F.asc("token"))
+        .limit(PAGERANK_TOP)
+    )
+
+
+def _oracle_pagerank() -> str:
+    from .dedup import shingles_sql
+
+    d = dl.DUCK
+    base = dl.int_div(
+        d, f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} // (SELECT n FROM nn)))", str(PR_DAMP_DEN)
+    )
+    contrib = dl.int_div(d, "(r.r * e.w)", "e.w_out")
+    damp = dl.int_div(d, f"({PR_DAMP_NUM} * coalesce(c.contrib, CAST(0 AS BIGINT)))", str(PR_DAMP_DEN))
+    iter_ctes = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        iter_ctes.append(f"""c{k} AS (
+  SELECT e.dst AS token, sum({contrib.replace('r.r', f'{prev}.r')}) AS contrib
+  FROM edges e JOIN {prev} ON {prev}.token = e.src
+  GROUP BY e.dst
+), r{k} AS (
+  SELECT nodes.token, ({base}) + {damp.replace('c.contrib', f'c{k}.contrib')} AS r
+  FROM nodes LEFT JOIN c{k} ON c{k}.token = nodes.token
+)""")
+        prev = f"r{k}"
+    rank = dl.round_ratio(d, "r", str(PR_SCALE), 6)
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {dl.split_ws(d, 'text')} AS toks FROM documents
+), bg AS (
+  SELECT unnest({shingles_sql(d, 'toks', 2)}) AS bigram FROM tokd
+), edges_raw AS (
+  SELECT string_split(bigram, ' ')[1] AS src, string_split(bigram, ' ')[2] AS dst,
+    count(*) AS w
+  FROM bg GROUP BY 1, 2
+), edges AS (
+  SELECT e.src, e.dst, e.w, o.w_out FROM (
+    SELECT * FROM edges_raw WHERE src <> dst
+  ) e JOIN (
+    SELECT src, sum(w) AS w_out FROM edges_raw WHERE src <> dst GROUP BY src
+  ) o ON o.src = e.src
+), nodes AS (
+  SELECT DISTINCT token FROM (
+    SELECT src AS token FROM edges UNION SELECT dst AS token FROM edges
+  )
+), nn AS (
+  SELECT count(*) AS n FROM nodes
+), r0 AS (
+  SELECT token, {PR_SCALE} // (SELECT n FROM nn) AS r FROM nodes
+), {', '.join(iter_ctes)}
+SELECT token, CAST(r AS BIGINT) AS rank_fp, {rank} AS rank
+FROM r{PR_ITERS}
+ORDER BY rank_fp DESC, token ASC
+LIMIT {PAGERANK_TOP}
+"""
+
+
+QUERIES = {
+    "graph_degree_stats": graph_degree_stats,
+    "graph_triangle_stats": graph_triangle_stats,
+    "graph_pagerank_topk": graph_pagerank_topk,
+}
+
+ORACLES = {
+    "graph_degree_stats": _oracle_degree(),
+    "graph_triangle_stats": _oracle_triangles(),
+    "graph_pagerank_topk": _oracle_pagerank(),
+}

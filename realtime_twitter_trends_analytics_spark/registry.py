@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import (
     cleaning,
     dedup,
+    graph,
     layout,
     grouped_pandas,
     multimodal,
@@ -42,6 +43,7 @@ _MODULES = [
     sampling,
     cleaning,
     layout,
+    graph,
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
