@@ -590,7 +590,83 @@ FROM packed GROUP BY lang, bin_id
 """
 
 
+def textstats_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram language-model cross-entropy — the perplexity
+    quality signal a training pipeline uses to rank corpus slices (e.g.
+    CCNet buckets): score each bigram instance by its add-one-smoothed
+    corpus probability p = (c(w1 w2) + 1) / (c(w1 ·) + V), report
+    mean -ln(p) and perplexity per source.
+
+    Parity: every ln() input is a ratio of exact integers, so both engines
+    evaluate the same IEEE expression; the per-source mean is over ~1000s
+    of instances, so last-ulp ln()/summation-order drift is ~1e-13 relative
+    and round(4) absorbs it (same strategy as textstats_bm25).
+
+    Plan: one explode builds the bigram-instance relation; the two count
+    tables are vocab-sized (broadcast); vocab size V is one scalar agg.
+    One agg shuffle on source. At 100 TB the bigram table outgrows
+    broadcast and the instance join becomes a shuffle equi-join on the
+    bigram key — hot bigrams are uniform-ish after the smoothing join
+    keys, and AQE skew-split covers the rest."""
+    from .dedup import shingles_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(
+        "doc_id", "source", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+    )
+    vocab = tokd.select(F.explode("toks").alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    ).collect()[0]["v"]
+    bg = tokd.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(shingles_sql(dl.SPARK, "toks", 2))).alias("bigram"),
+    ).withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    nll = -F.log((F.col("n2") + 1) / (F.col("n1") + F.lit(vocab)))
+    return (
+        bg.join(F.broadcast(c2), "bigram")
+        .join(F.broadcast(c1), "w1")
+        .withColumn("nll", nll)
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("mean_nll"),
+            F.round(F.exp(F.avg("nll")), 4).alias("ppl"),
+        )
+    )
+
+
+def _oracle_lm_score() -> str:
+    from .dedup import shingles_sql
+
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, source, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), vocab AS (
+  SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM tokd)
+), bg AS (
+  SELECT doc_id, source, bigram, string_split(bigram, ' ')[1] AS w1
+  FROM (SELECT doc_id, source, unnest({shingles_sql(dl.DUCK, 'toks', 2)}) AS bigram FROM tokd)
+), c2 AS (
+  SELECT bigram, count(*) AS n2 FROM bg GROUP BY bigram
+), c1 AS (
+  SELECT w1, count(*) AS n1 FROM bg GROUP BY w1
+), scored AS (
+  SELECT bg.doc_id, bg.source,
+    -ln((c2.n2 + 1) / (c1.n1 + CAST((SELECT v FROM vocab) AS DOUBLE))) AS nll
+  FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1)
+)
+SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_bigrams,
+  round(avg(nll), 4) AS mean_nll, round(exp(avg(nll)), 4) AS ppl
+FROM scored GROUP BY source
+"""
+
+
 QUERIES = {
+    "textstats_lm_score": textstats_lm_score,
     "textstats_bigrams": textstats_bigrams,
     "textstats_tfidf": textstats_tfidf,
     "textstats_langid": textstats_langid,
@@ -606,6 +682,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "textstats_lm_score": _oracle_lm_score(),
     "textstats_bigrams": _oracle_bigrams(),
     "textstats_tfidf": _oracle_tfidf(),
     "textstats_langid": _oracle_langid(),
