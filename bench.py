@@ -77,6 +77,10 @@ HEADLINE = [
     # data layout / warehouse shaping
     "layout_zorder_key",
     "orders_scd_ranges",
+    # graph analytics / LM scoring
+    "graph_pagerank_topk",
+    "graph_triangle_stats",
+    "textstats_lm_score",
 ]
 
 
