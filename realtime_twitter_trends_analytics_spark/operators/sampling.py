@@ -149,7 +149,55 @@ FROM embeddings
 """
 
 
+SHUFFLE_SHARDS = 8
+SHUFFLE_SALT = "epoch0"
+
+
+def docs_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training order WITHOUT a global sort: shard by a salted
+    content-id hash, order within each shard by the hash — the shuffled-
+    dataset layout a training loader consumes (one file list per shard,
+    each internally ordered).
+
+    At 100 TB a global ORDER BY rand() is a full range-partition sort of
+    the corpus AND non-reproducible; this is ONE hash-partition shuffle
+    (the window partitions by shard), within-partition sort, no skew (md5
+    is uniform), and a task retry or re-run yields byte-identical order.
+    New epoch = new salt, nothing else changes."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(SHUFFLE_SALT)))
+    shard = F.expr(
+        f"{dl.hex_nibble(dl.SPARK, 'substr(shuffle_key, 1, 1)')} % {SHUFFLE_SHARDS}"
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("position", F.row_number().over(w))
+        .select("doc_id", "shard", "position", "shuffle_key")
+    )
+
+
+def _oracle_shard_order() -> str:
+    key = f"md5(CAST(doc_id AS VARCHAR) || '|' || '{SHUFFLE_SALT}')"
+    shard = f"({dl.hex_nibble(dl.DUCK, 'substr(shuffle_key, 1, 1)')} % {SHUFFLE_SHARDS})"
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {key} AS shuffle_key FROM documents
+)
+SELECT doc_id, CAST({shard} AS INT) AS shard,
+  CAST(row_number() OVER (
+    PARTITION BY {shard} ORDER BY shuffle_key, doc_id
+  ) AS INT) AS position,
+  shuffle_key
+FROM keyed
+"""
+
+
 QUERIES = {
+    "docs_shard_order": docs_shard_order,
     "dataset_split_assign": dataset_split_assign,
     "sample_systematic": sample_systematic,
     "sample_stratified": sample_stratified,
@@ -157,6 +205,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_shard_order": _oracle_shard_order(),
     "dataset_split_assign": _oracle_split(),
     "sample_systematic": _oracle_sample(),
     "sample_stratified": _oracle_stratified(),
