@@ -177,14 +177,62 @@ FROM nxt
 """
 
 
+INCR_SPLIT_DATE = "1997-01-01"
+
+
+def orders_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-customer order aggregate
+    is computed as BASE (orders before INCR_SPLIT_DATE, the 'materialized'
+    state) merged with DELTA (the increment) via a full-outer coalesce-sum
+    — never by re-aggregating the full history.
+
+    This is the pattern that keeps a 100 TB warehouse viable: the nightly
+    job aggregates only the new partition (pruned scan on the date
+    predicate) and merges it into customer-keyed state; both sides shuffle
+    on the same key so the merge co-partitions. All sums are integer cents
+    — the merge is EXACT, and the DuckDB oracle computes the aggregate the
+    non-incremental way (one direct groupBy over all orders), so the
+    hash-match proves merge(base, delta) == full recompute."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    split = F.lit(INCR_SPLIT_DATE).cast("timestamp")
+
+    def agg(df: DataFrame, n: str, c: str) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias(n), F.sum(cents).alias(c)
+        )
+
+    base = agg(o.filter(F.col("o_orderdate") < split), "bn", "bc")
+    delta = agg(o.filter(F.col("o_orderdate") >= split), "dn", "dc")
+    zero = F.lit(0).cast("bigint")
+    return base.join(delta, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (F.coalesce("bn", zero) + F.coalesce("dn", zero)).alias("n_orders"),
+        (F.coalesce("bc", zero) + F.coalesce("dc", zero)).alias("total_cents"),
+    )
+
+
+def _oracle_incremental_merge() -> str:
+    # deliberately NON-incremental: the direct aggregate over all orders.
+    # Hash-equality with the Spark merge result proves the incremental
+    # path reconstructs the full-recompute answer exactly.
+    return f"""
+SELECT o_custkey, count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY o_custkey
+"""
+
+
 QUERIES = {
     "layout_zorder_key": layout_zorder_key,
     "events_value_histogram": events_value_histogram,
     "orders_scd_ranges": orders_scd_ranges,
+    "orders_incremental_merge": orders_incremental_merge,
 }
 
 ORACLES = {
     "layout_zorder_key": _oracle_zorder(),
     "events_value_histogram": _oracle_value_histogram(),
     "orders_scd_ranges": _oracle_scd_ranges(),
+    "orders_incremental_merge": _oracle_incremental_merge(),
 }
