@@ -1,0 +1,62 @@
+"""Suite-wide plan-hygiene gate: EVERY registered query's physical plan is
+checked for the two classes of scale-killers that can slip in silently —
+cartesian/nested-loop products and row-at-a-time Python evaluation. Queries
+that legitimately use one are whitelisted HERE, with the reason, so any new
+offender fails loudly instead of shipping a 100 TB foot-gun.
+
+(Per-query plan shapes — pushdown, TakeOrderedAndProject, broadcast
+choices — are asserted in test_plans.py; this file is the dragnet.)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from realtime_twitter_trends_analytics_spark.registry import all_queries
+
+# query -> reason a product/nested-loop is the intended plan
+CARTESIAN_OK = {
+    # documented brute-force recall baseline: broadcast Q x N by design
+    "sim_topk_bruteforce": "broadcast query-set x candidates is the baseline",
+    # scalar-subquery brute-force pairs are the oracle for LSH candidates
+    "dedup_embedding_cosine": "planted-dup exact verifier joins on LSH "
+    "buckets; the tiny residual product is the bucket-pair check",
+    # salt replication crossJoins an N-row literal range (documented)
+    "skewed_join_salted": "explicit salt-replication crossJoin of a "
+    "SALT_FACTOR-row literal dimension",
+    "trends_token_topk_salted": "same salt-replication pattern",
+    # scalar aggregate (one row) feeding a predicate — BNLJ on a 1-row side
+    "join_range_theta": "non-equi range join against a tiny broadcast band "
+    "table — BroadcastNestedLoopJoin on the broadcast side IS the plan "
+    "(at scale: bucketize the range into an equi-join key, see SCALE.md)",
+    "sql_q11_important_supply": "scalar threshold subquery (1-row side)",
+    "sql_q15_top_supplier": "scalar max-of-CTE subquery (1-row side)",
+    "sql_q22_dormant_rich_customers": "scalar avg-balance subquery",
+    "subqueries": "scalar subquery demo (1-row side)",
+    "percentiles_approx": "approx vs exact comparison joins 1-row aggs",
+}
+
+# query -> reason Python evaluation is required (Arrow-batched paths
+# FlatMapGroupsInPandas / ArrowEvalPython / MapInPandas / PythonUDTF are
+# always allowed; this whitelist is ONLY for row-at-a-time BatchEvalPython)
+ROW_PYTHON_OK: dict[str, str] = {}
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_silent_scale_killers(spark, sf_dir, name):
+    df = all_queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name not in CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{name}: unplanned cartesian"
+        assert (
+            "BroadcastNestedLoopJoin" not in plan
+        ), f"{name}: unplanned nested-loop join"
+    if name not in ROW_PYTHON_OK:
+        # BatchEvalPythonUDTF (the lateral-UDTF surface demo) is allowed;
+        # plain BatchEvalPython (row-at-a-time scalar UDF) is not.
+        assert not re.search(
+            r"BatchEvalPython(?!UDTF)", plan
+        ), f"{name}: row-at-a-time Python UDF in the plan"
+    spark.catalog.clearCache()
