@@ -226,7 +226,30 @@ GROUP BY s.s_name
 ORDER BY numwait DESC, s_name ASC
 """
 
+# Spark 4 WITH RECURSIVE (and DuckDB's, same ANSI text): generate a
+# 60-day calendar spine by recursion, densify daily order counts so
+# zero-order days appear — the gap-free time-series shape reporting needs.
+# Integer-cents sums keep the join exact; depth 60 sits well under
+# spark.sql.cteRecursionLevelLimit (100).
+SQL_RECURSIVE_DATE_SPINE = """
+WITH RECURSIVE cal(d) AS (
+  SELECT CAST('1997-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM cal WHERE d < CAST('1997-03-01' AS DATE)
+), daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT cal.d AS order_day,
+  CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders,
+  CAST(coalesce(daily.cents, 0) AS BIGINT) AS total_cents
+FROM cal LEFT JOIN daily ON daily.d = cal.d
+ORDER BY order_day
+"""
+
 _SQL = {
+    "sql_recursive_date_spine": SQL_RECURSIVE_DATE_SPINE,
     "sql_q2_min_cost_supplier": SQL_Q2_MIN_COST_SUPPLIER,
     "sql_q4_late_shipments": SQL_Q4_LATE_SHIPMENTS,
     "sql_q7_volume_by_year": SQL_Q7_VOLUME_BY_YEAR,
