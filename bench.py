@@ -81,6 +81,10 @@ HEADLINE = [
     "graph_pagerank_topk",
     "graph_triangle_stats",
     "textstats_lm_score",
+    # warehouse maintenance / ordering
+    "orders_incremental_merge",
+    "docs_shard_order",
+    "sql_recursive_date_spine",
 ]
 
 

@@ -703,7 +703,58 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_DELETE_TYPE = "error"  # tombstone op in the synthetic CDC mapping
+
+
+def events_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: treat the event stream as a change log keyed by
+    user_id ('error' = delete tombstone, anything else = upsert), apply in
+    (ts, event_id) order, return the final live state — the batch analogue
+    of a Debezium/Delta MERGE apply.
+
+    Plan: one window shuffle keyed by user_id picks the last op per key
+    (no self-join, no global sort); tombstoned keys drop at the end. At
+    100 TB this compaction runs per ingest partition and merges like
+    orders_incremental_merge — last-writer-wins is associative, so
+    partial compactions compose."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("event_type") != CDC_DELETE_TYPE)
+    )
+    return latest.select(
+        "user_id",
+        F.col("ts").alias("state_ts"),
+        F.col("event_type").alias("last_op"),
+        F.round("value", 4).alias("value"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+def _oracle_cdc_state() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value, props,
+    row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rn
+  FROM events
+)
+SELECT user_id, ts AS state_ts, event_type AS last_op,
+  round(value, 4) AS value,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM ranked WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
+"""
+
+
 QUERIES = {
+    "events_cdc_state": events_cdc_state,
     "agg_approx_distinct": agg_approx_distinct,
     "stats_aggregates": stats_aggregates,
     "percentiles": percentiles,
@@ -724,6 +775,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cdc_state": _oracle_cdc_state(),
     "stats_aggregates": ORACLE_STATS,
     "percentiles": ORACLE_PERCENTILES,
     "pivot_status_priority": ORACLE_PIVOT,
