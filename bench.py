@@ -82,6 +82,8 @@ HEADLINE = [
     "graph_triangle_stats",
     "textstats_lm_score",
     # warehouse maintenance / ordering
+    "corpus_pipeline_flagship",
+    "events_cdc_state",
     "orders_incremental_merge",
     "docs_shard_order",
     "sql_recursive_date_spine",

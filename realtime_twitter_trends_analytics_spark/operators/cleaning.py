@@ -213,13 +213,79 @@ FROM tot
 """
 
 
+def corpus_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composition in ONE declarative plan: quality gate →
+    exact dedup → epoch-shard assignment → per-(shard, lang) accounting —
+    i.e. the corpus-preparation pipeline a training run consumes, end to
+    end (the `tweet_pipeline_flagship` of the 100 TB surface).
+
+    Plan shape (the whole corpus in THREE stages): codegen'd scan+filter
+    (verdict is pure column arithmetic, no shuffle), one hash shuffle on
+    the content hash (dedup keeps min doc_id per identical text), one agg
+    shuffle on (shard, lang). Every stage key is uniform (md5), every
+    output an exact integer."""
+    from pyspark.sql.window import Window
+
+    from .sampling import SHUFFLE_SALT, SHUFFLE_SHARDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.expr(_verdict_sql(dl.SPARK)) == "kept")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = (
+        kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    shard_key = f"md5(CAST(doc_id AS STRING) || '|' || '{SHUFFLE_SALT}')"
+    shard = F.expr(
+        f"{dl.hex_nibble(dl.SPARK, f'substr({shard_key}, 1, 1)')} % {SHUFFLE_SHARDS}"
+    )
+    n_tok = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
+    return (
+        survivors.select(
+            shard.cast("int").alias("shard"),
+            "lang",
+            "source",
+            n_tok.alias("n_tok"),
+        )
+        .groupBy("shard", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
+
+
+def _oracle_corpus_flagship() -> str:
+    from .sampling import SHUFFLE_SALT, SHUFFLE_SHARDS
+
+    v = _verdict_sql(dl.DUCK)
+    shard_key = f"md5(CAST(doc_id AS VARCHAR) || '|' || '{SHUFFLE_SALT}')"
+    shard = f"({dl.hex_nibble(dl.DUCK, f'substr({shard_key}, 1, 1)')} % {SHUFFLE_SHARDS})"
+    return f"""
+WITH kept AS (
+  SELECT * FROM documents WHERE {v} = 'kept'
+), survivors AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT CAST({shard} AS INT) AS shard, lang, count(*) AS n_docs,
+  CAST(sum(len({dl.split_ws(dl.DUCK, 'text')})) AS BIGINT) AS total_tokens,
+  count(DISTINCT source) AS n_sources
+FROM survivors GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "corpus_pipeline_flagship": corpus_pipeline_flagship,
     "docs_pii_redact": docs_pii_redact,
     "docs_quality_filter": docs_quality_filter,
     "docs_mixture_weights": docs_mixture_weights,
 }
 
 ORACLES = {
+    "corpus_pipeline_flagship": _oracle_corpus_flagship(),
     "docs_pii_redact": _oracle_pii_redact(),
     "docs_quality_filter": _oracle_quality_filter(),
     "docs_mixture_weights": _oracle_mixture_weights(),
