@@ -223,7 +223,99 @@ FROM orders GROUP BY o_custkey
 """
 
 
+# (column, numeric-projection SQL) — timestamps profile as epoch seconds,
+# so min/max stay in exact integer/double space (string-rendering of
+# timestamps/doubles is engine-divergent; numbers are not).
+PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS DOUBLE)"),
+    ("o_custkey", "CAST(o_custkey AS DOUBLE)"),
+    ("o_totalprice", "round(o_totalprice, 4)"),
+    ("o_orderdate", "CAST(CAST(o_orderdate AS DATE) - CAST('1970-01-01' AS DATE) AS DOUBLE)"),
+]
+PROFILE_STR_COLS = ["o_orderstatus", "o_orderpriority"]
+
+
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of orders in ONE scan: every column's
+    null count, distinct count, and min/max (numeric columns as values,
+    dates as day numbers, string columns lexicographic) computed as one
+    wide aggregate row, then unpivoted to a row per column.
+
+    At 100 TB profiling must not scan once per column — all 6 columns'
+    24 aggregates ride the same scan and the same (single-row) agg; the
+    unpivot is free. count(DISTINCT) over many columns in one agg would
+    multiply the shuffle (one expand row per distinct agg), so distincts
+    use approx-free exact two-phase aggregation over the expand — fine at
+    6 columns; at very wide tables swap in approx_count_distinct."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, num in PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.expr(num)).alias(f"{c}__min"),
+            F.max(F.expr(num)).alias(f"{c}__max"),
+        ]
+    for c in PROFILE_STR_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.lit(None).cast("double").alias(f"{c}__min"),
+            F.lit(None).cast("double").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    all_cols = [c for c, _ in PROFILE_COLS] + PROFILE_STR_COLS
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in all_cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(all_cols)}, {stack_args}) "
+            "AS (column_name, n_nulls, n_distinct, min_num, max_num)"
+        )
+    ).select(
+        "column_name",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_num",
+        "max_num",
+    )
+
+
+def _oracle_profile() -> str:
+    agg_exprs = []
+    for c, num in PROFILE_COLS:
+        agg_exprs += [
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}__nulls",
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS {c}__distinct",
+            f"min({num}) AS {c}__min",
+            f"max({num}) AS {c}__max",
+        ]
+    for c in PROFILE_STR_COLS:
+        agg_exprs += [
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}__nulls",
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS {c}__distinct",
+            f"CAST(NULL AS DOUBLE) AS {c}__min",
+            f"CAST(NULL AS DOUBLE) AS {c}__max",
+        ]
+    all_cols = [c for c, _ in PROFILE_COLS] + PROFILE_STR_COLS
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, {c}__nulls AS n_nulls, "
+        f"{c}__distinct AS n_distinct, {c}__min AS min_num, {c}__max AS max_num "
+        "FROM wide"
+        for c in all_cols
+    )
+    return f"""
+WITH wide AS (
+  SELECT {', '.join(agg_exprs)} FROM orders
+)
+{rows}
+"""
+
+
 QUERIES = {
+    "profile_orders_columns": profile_orders_columns,
     "layout_zorder_key": layout_zorder_key,
     "events_value_histogram": events_value_histogram,
     "orders_scd_ranges": orders_scd_ranges,
@@ -231,6 +323,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "profile_orders_columns": _oracle_profile(),
     "layout_zorder_key": _oracle_zorder(),
     "events_value_histogram": _oracle_value_histogram(),
     "orders_scd_ranges": _oracle_scd_ranges(),
