@@ -223,14 +223,21 @@ FROM orders GROUP BY o_custkey
 """
 
 
-# (column, numeric-projection SQL) — timestamps profile as epoch seconds,
-# so min/max stay in exact integer/double space (string-rendering of
-# timestamps/doubles is engine-divergent; numbers are not).
+# (column, spark-projection SQL, duckdb-projection SQL) — timestamps
+# profile as epoch days, so min/max stay in exact integer/double space
+# (string-rendering of timestamps/doubles is engine-divergent; numbers
+# are not). The date column needs per-engine SQL: in Spark 4 date−date
+# yields INTERVAL DAY (not castable to DOUBLE), so Spark uses
+# datediff(); DuckDB's date subtraction already returns integer days.
 PROFILE_COLS = [
-    ("o_orderkey", "CAST(o_orderkey AS DOUBLE)"),
-    ("o_custkey", "CAST(o_custkey AS DOUBLE)"),
-    ("o_totalprice", "round(o_totalprice, 4)"),
-    ("o_orderdate", "CAST(CAST(o_orderdate AS DATE) - CAST('1970-01-01' AS DATE) AS DOUBLE)"),
+    ("o_orderkey", "CAST(o_orderkey AS DOUBLE)", "CAST(o_orderkey AS DOUBLE)"),
+    ("o_custkey", "CAST(o_custkey AS DOUBLE)", "CAST(o_custkey AS DOUBLE)"),
+    ("o_totalprice", "round(o_totalprice, 4)", "round(o_totalprice, 4)"),
+    (
+        "o_orderdate",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS DOUBLE)",
+        "CAST(CAST(o_orderdate AS DATE) - CAST('1970-01-01' AS DATE) AS DOUBLE)",
+    ),
 ]
 PROFILE_STR_COLS = ["o_orderstatus", "o_orderpriority"]
 
@@ -249,7 +256,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 columns; at very wide tables swap in approx_count_distinct."""
     o = load_table(spark, sf_dir, "orders")
     aggs = []
-    for c, num in PROFILE_COLS:
+    for c, num, _ in PROFILE_COLS:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
@@ -264,7 +271,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias(f"{c}__max"),
         ]
     wide = o.agg(*aggs)
-    all_cols = [c for c, _ in PROFILE_COLS] + PROFILE_STR_COLS
+    all_cols = [c for c, _, _ in PROFILE_COLS] + PROFILE_STR_COLS
     stack_args = ", ".join(
         f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
         for c in all_cols
@@ -285,7 +292,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_profile() -> str:
     agg_exprs = []
-    for c, num in PROFILE_COLS:
+    for c, _, num in PROFILE_COLS:
         agg_exprs += [
             f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}__nulls",
             f"CAST(count(DISTINCT {c}) AS BIGINT) AS {c}__distinct",
@@ -299,7 +306,7 @@ def _oracle_profile() -> str:
             f"CAST(NULL AS DOUBLE) AS {c}__min",
             f"CAST(NULL AS DOUBLE) AS {c}__max",
         ]
-    all_cols = [c for c, _ in PROFILE_COLS] + PROFILE_STR_COLS
+    all_cols = [c for c, _, _ in PROFILE_COLS] + PROFILE_STR_COLS
     rows = " UNION ALL ".join(
         f"SELECT '{c}' AS column_name, {c}__nulls AS n_nulls, "
         f"{c}__distinct AS n_distinct, {c}__min AS min_num, {c}__max AS max_num "
