@@ -602,12 +602,15 @@ def textstats_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     of instances, so last-ulp ln()/summation-order drift is ~1e-13 relative
     and round(4) absorbs it (same strategy as textstats_bm25).
 
-    Plan: one explode builds the bigram-instance relation; the two count
-    tables are vocab-sized (broadcast); vocab size V is one scalar agg.
-    One agg shuffle on source. At 100 TB the bigram table outgrows
-    broadcast and the instance join becomes a shuffle equi-join on the
-    bigram key — hot bigrams are uniform-ish after the smoothing join
-    keys, and AQE skew-split covers the rest."""
+    Plan: one explode builds the bigram-instance relation; vocab size V is
+    one scalar agg; one agg shuffle on source. The bigram/unigram count
+    joins carry NO broadcast hint on purpose: the count tables grow with
+    corpus vocabulary (bigrams ~vocab²), so a forced broadcast is a
+    driver/executor OOM at 100 TB and, unlike an AQE decision, never
+    demotes. With AQE on, Spark broadcasts them when their runtime size is
+    under the threshold (the local case) and falls back to a shuffle
+    equi-join on the bigram key when it isn't — hot bigrams are
+    uniform-ish and AQE skew-split covers the rest."""
     from .dedup import shingles_sql
 
     docs = load_table(spark, sf_dir, "documents")
@@ -626,8 +629,8 @@ def textstats_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
     nll = -F.log((F.col("n2") + 1) / (F.col("n1") + F.lit(vocab)))
     return (
-        bg.join(F.broadcast(c2), "bigram")
-        .join(F.broadcast(c1), "w1")
+        bg.join(c2, "bigram")
+        .join(c1, "w1")
         .withColumn("nll", nll)
         .groupBy("source")
         .agg(
