@@ -10,10 +10,12 @@ tiny shared vocabulary, so the graphs here are small-and-dense; the
 formulations are the ones that hold when nodes are a web-scale vocabulary:
 
 - Edge building explodes DISTINCT per-doc tokens, so per-doc fan-out is
-  C(distinct_tokens_per_doc, 2) — bounded by document length, never corpus
-  size. (Production adds a per-doc distinct-token cap and a stop-token
-  document-frequency cap, like dedup's HOT_SHINGLE_DF_CAP; neither binds on
-  the 31-token driver vocabulary so they are not applied here.)
+  C(distinct_tokens_per_doc, 2) — bounded by ``COOC_DOC_TOKEN_CAP`` (the
+  cap is applied to the sorted distinct-token array BEFORE the explode, so
+  the bound holds before any shuffle), and tokens above the
+  ``COOC_STOP_DF_NUM/DEN`` document-frequency cap are dropped by a
+  broadcast anti-join (same pattern as dedup's HOT_SHINGLE_DF_CAP). Both
+  caps are mirrored in the DuckDB oracle CTEs.
 - Triangle counting uses DEGREE-ORDERED ORIENTATION: each undirected edge
   is directed from its lower-(degree, token) endpoint to the higher one,
   so every out-adjacency list is bounded by ~sqrt(2m) for heavy nodes and
@@ -41,6 +43,25 @@ from ..sources.loaders import load_table
 # empty as the corpus scales; integer arithmetic keeps it engine-exact).
 COOC_SUPPORT_NUM = 6
 COOC_SUPPORT_DEN = 10
+# Per-doc distinct-token cap: one pathological 50k-distinct-token document
+# would otherwise emit C(50k, 2) ≈ 1.25B pairs from a single row. Capping
+# the sorted distinct-token array at 128 before the explode bounds per-doc
+# fan-out at C(128, 2) = 8128 pairs. Deterministic (lexicographic prefix of
+# the sorted array), mirrored in the oracle. Never binds on the test corpus
+# (max per-doc distinct tokens = 31 = full vocab at sf0.01), so caps 128 and
+# ∞ produce identical results there; at web scale it is the difference
+# between a bounded explode and an OOM.
+COOC_DOC_TOKEN_CAP = 128
+# Stop-token document-frequency cap: the pair join's cost per token is
+# df^2, so corpus-boilerplate tokens (df near 100%) dominate join cost
+# while carrying no co-occurrence signal (they co-occur with everything).
+# Tokens in > 90% of documents are dropped via broadcast anti-join (the
+# stop set is tiny by construction: at most avg_doc_len/0.9 tokens can
+# exceed 90% df). 90% cannot interact with the 60% edge-support threshold
+# from below, and never binds on the test corpus (max token df = 80.4% of
+# docs at sf0.01: caps 90% and ∞ are result-identical there).
+COOC_STOP_DF_NUM = 9
+COOC_STOP_DF_DEN = 10
 DEGREE_TOP = 20
 PAGERANK_TOP = 20
 PR_SCALE = 10**12      # fixed-point scale; rescale upward if vocab >> 1e6
@@ -52,15 +73,31 @@ PR_DAMP_DEN = 100
 def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected token co-occurrence edges (tok_a < tok_b, co-doc count w).
 
-    Distinct-per-doc explode, self-join on doc_id, one agg shuffle on the
-    (a, b) pair key. Cached: every graph query fans out from this relation.
+    Distinct-per-doc tokens, sorted and capped at COOC_DOC_TOKEN_CAP while
+    still array-shaped (bounds the explode itself), stop tokens above the
+    COOC_STOP_DF cap removed by broadcast anti-join, then self-join on
+    doc_id and one agg shuffle on the (a, b) pair key. Every graph query
+    fans out from this relation.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     min_support = (COOC_SUPPORT_NUM * n_docs) // COOC_SUPPORT_DEN
+    capped = dl.arr_slice(
+        dl.SPARK,
+        dl.arr_sort(dl.SPARK, dl.arr_distinct(dl.SPARK, "toks")),
+        "1",
+        str(COOC_DOC_TOKEN_CAP),
+    )
     tok = docs.select(
         "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
-    ).select("doc_id", F.explode(F.expr(dl.arr_distinct(dl.SPARK, "toks"))).alias("t"))
+    ).select("doc_id", F.explode(F.expr(capped)).alias("t"))
+    stop = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") * COOC_STOP_DF_DEN > COOC_STOP_DF_NUM * n_docs)
+        .select("t")
+    )
+    tok = tok.join(F.broadcast(stop), "t", "left_anti")
     pairs = (
         tok.alias("x")
         .join(tok.alias("y"), "doc_id")
@@ -75,8 +112,14 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_EDGE_CTES = f"""
 tokd AS (
   SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), tok_all AS (
+  SELECT doc_id, unnest({dl.arr_slice(dl.DUCK, dl.arr_sort(dl.DUCK, dl.arr_distinct(dl.DUCK, 'toks')), '1', str(COOC_DOC_TOKEN_CAP))}) AS t
+  FROM tokd
+), stop AS (
+  SELECT t FROM (SELECT t, count(*) AS df FROM tok_all GROUP BY t)
+  WHERE df * {COOC_STOP_DF_DEN} > {COOC_STOP_DF_NUM} * (SELECT count(*) FROM documents)
 ), tok AS (
-  SELECT DISTINCT doc_id, unnest(toks) AS t FROM tokd
+  SELECT doc_id, t FROM tok_all WHERE t NOT IN (SELECT t FROM stop)
 ), edges AS (
   SELECT x.t AS tok_a, y.t AS tok_b, count(*) AS w
   FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND x.t < y.t
