@@ -81,6 +81,9 @@ HEADLINE = [
     "graph_pagerank_topk",
     "graph_triangle_stats",
     "textstats_lm_score",
+    # ML primitives
+    "ml_kmeans_embeddings",
+    "ml_embedding_dim_variance",
     # warehouse maintenance / ordering
     "corpus_pipeline_flagship",
     "events_cdc_state",

@@ -1,0 +1,211 @@
+"""Distributed ML primitives over the embeddings table: fixed-point k-means
+(Lloyd's algorithm, unrolled) and per-dimension feature statistics.
+
+Why fixed-point: true k-means averages doubles, and a double sum depends on
+aggregation order — a Spark hash-agg and a DuckDB agg (or two Spark runs with
+different partitioning) would diverge in the last ulp and cascade into
+different assignments. Quantizing every dimension to BIGINT (scale 2^10)
+makes every distance and every centroid sum EXACT integer arithmetic —
+order-independent, bit-equal across engines and cluster layouts. Same design
+as the BIGINT fixed-point PageRank in graph.py.
+
+Scale shape (the 100 TB story):
+- assignment = map-side broadcast of K tiny centroids against the embedding
+  scan; no shuffle of the vectors themselves.
+- centroid update = ONE hash agg keyed (cluster, dim) — K*D groups (512 here)
+  with full map-side partial aggregation; the only shuffle per iteration.
+- iterations are unrolled into a single plan (KMEANS_ITERS is small and
+  fixed); a production loop would localCheckpoint per round like
+  dedup_clusters does.
+
+Reference: the upstream repo (SURVEY §2) has no ML surface; this extends the
+LLM-data-pipeline operators (clustering for data curation / IVF codebooks —
+sim_ivf_ann's "in production the codebook comes from k-means" is this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import dialect as dl
+from ..sources.loaders import load_table
+
+EMB_DIM = 64
+K_CLUSTERS = 8       # seeds = vec_id 0..7
+KMEANS_SCALE = 1024  # fixed-point: q = round(x * 2^10)
+KMEANS_ITERS = 2     # unrolled Lloyd rounds (then one final assignment)
+
+
+def _quant_sql(d: str, col: str) -> str:
+    """Quantize a float array to BIGINT fixed-point (scale KMEANS_SCALE)."""
+    return dl.transform(
+        d, col, "x", f"CAST(round(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)"
+    )
+
+
+def _dist2_sql(d: str, a: str, b: str) -> str:
+    """Exact squared L2 distance of two BIGINT arrays (dual-dialect).
+
+    The two dialects use different but integer-exact formulations — safe
+    because BIGINT addition is associative (unlike the double folds elsewhere,
+    which must match op-for-op). Spark gets the compact ``zip_with`` form:
+    the indexed form inlines 4 ``element_at`` calls per dimension, and the
+    resulting ~256-term expression tree costs seconds of codegen compile per
+    distinct plan node (measured: 3s/assign at sf0.01)."""
+    if d == dl.SPARK:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+    e_a = dl.arr_element(d, a, "i")
+    e_b = dl.arr_element(d, b, "i")
+    diffs = dl.transform(
+        d, dl.seq(d, "1", str(EMB_DIM)), "i", f"(({e_a}) - ({e_b})) * (({e_a}) - ({e_b}))"
+    )
+    return dl.arr_sum_bigint(d, diffs)
+
+
+# Centroid dim = floor(sum / n), computed via IEEE double division of two
+# exact integers: both engines produce the identical double, hence the
+# identical floor. (Integer DIV/// disagree on negative operands; floor does
+# not.)
+_FLOOR_DIV = "CAST(floor(CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE)) AS BIGINT)"
+
+
+def _assign(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per vector. Broadcast K rows; ties -> lowest cluster."""
+    pairs = q.crossJoin(F.broadcast(cent))
+    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster"))
+    return (
+        pairs.select(
+            "vec_id", "qe", "cluster",
+            F.expr(_dist2_sql(dl.SPARK, "qe", "c")).alias("d2"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids: exact BIGINT per-(cluster, dim) sums, floor-div mean,
+    re-assembled into an array ordered by dim."""
+    sums = (
+        assigned.select("cluster", F.posexplode("qe").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("cv", F.expr(_FLOOR_DIV.format(s="s", n="n")))
+    )
+    return sums.groupBy("cluster").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, cv))), p -> p.cv)").alias("c")
+    )
+
+
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point k-means (K=8, 2 unrolled Lloyd rounds + final assignment)
+    over the embeddings table; returns per-cluster size and exact inertia."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", F.expr(_quant_sql(dl.SPARK, "embedding")).alias("qe"))
+    cent = q.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("qe").alias("c")
+    )
+    for _ in range(KMEANS_ITERS):
+        # The K-row centroid relation is referenced twice per round (distance
+        # expr + tie-order) and its lineage grows by a full assign+update per
+        # iteration — checkpoint it (tiny: K rows) so each round's plan reads
+        # materialized centroids instead of recomputing every prior round.
+        # Same lineage-truncation pattern as dedup_clusters.
+        cent = _update(_assign(q, cent)).localCheckpoint(eager=True)
+    final = _assign(q, cent)
+    return final.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("inertia")
+    )
+
+
+def _oracle_kmeans() -> str:
+    d = dl.DUCK
+    quant = _quant_sql(d, "embedding")
+    dist2 = _dist2_sql(d, "q.qe", "c.c")
+    fdiv = _FLOOR_DIV.format(s="sum(x)", n="count(*)")
+    ctes = [
+        f"q AS (SELECT vec_id, {quant} AS qe FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster, qe AS c FROM q WHERE vec_id < {K_CLUSTERS})",
+    ]
+    for i in range(KMEANS_ITERS + 1):
+        ctes.append(
+            f"a{i + 1} AS (SELECT vec_id, qe, cluster, d2 FROM ("
+            f"SELECT q.vec_id, q.qe, c.cluster, {dist2} AS d2, "
+            f"row_number() OVER (PARTITION BY q.vec_id "
+            f"ORDER BY {dist2}, c.cluster) AS rnk "
+            f"FROM q, c{i} c) WHERE rnk = 1)"
+        )
+        if i < KMEANS_ITERS:
+            ctes.append(
+                f"c{i + 1} AS (SELECT cluster, list(cv ORDER BY dim) AS c FROM ("
+                f"SELECT cluster, dim, {fdiv} AS cv FROM ("
+                f"SELECT cluster, unnest(generate_series(1, len(qe))) AS dim, "
+                f"unnest(qe) AS x FROM a{i + 1}) GROUP BY cluster, dim"
+                f") GROUP BY cluster)"
+            )
+    final = f"a{KMEANS_ITERS + 1}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT cluster, count(*) AS n_vecs, "
+        f"CAST(sum(d2) AS BIGINT) AS inertia FROM {final} GROUP BY cluster"
+    )
+
+
+def ml_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the (fixed-point) embedding corpus —
+    the stats a whitening / normalization pass consumes. Long form
+    (dim-keyed hash agg), exact BIGINT sums; s*s stays in BIGINT (it can
+    exceed 2^53, where double would silently round)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.expr(_quant_sql(dl.SPARK, "embedding"))).alias("dim0", "x")
+    )
+    agg = dims.groupBy("dim0").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("x * x")).alias("ss"),
+    )
+    return agg.select(
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        "n",
+        F.expr("CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)").alias("mean_fp"),
+        F.round(
+            (F.expr("CAST(ss AS DOUBLE)") - F.expr("CAST(s * s AS DOUBLE)") / F.col("n"))
+            / F.col("n"),
+            4,
+        ).alias("var_fp"),
+    )
+
+
+def _oracle_dim_variance() -> str:
+    quant = _quant_sql(dl.DUCK, "embedding")
+    return f"""
+WITH dims AS (
+  SELECT unnest(generate_series(1, len(qe))) AS dim, unnest(qe) AS x
+  FROM (SELECT {quant} AS qe FROM embeddings)
+),
+agg AS (
+  SELECT dim, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+    CAST(sum(x * x) AS BIGINT) AS ss
+  FROM dims GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim, n,
+  CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_fp,
+  round((CAST(ss AS DOUBLE) - CAST(s * s AS DOUBLE) / n) / n, 4) AS var_fp
+FROM agg
+"""
+
+
+QUERIES = {
+    "ml_kmeans_embeddings": ml_kmeans_embeddings,
+    "ml_embedding_dim_variance": ml_embedding_dim_variance,
+}
+
+ORACLES = {
+    "ml_kmeans_embeddings": _oracle_kmeans(),
+    "ml_embedding_dim_variance": _oracle_dim_variance(),
+}

@@ -18,6 +18,7 @@ from .operators import (
     graph,
     layout,
     grouped_pandas,
+    ml,
     multimodal,
     relational,
     relational_ext,
@@ -44,6 +45,7 @@ _MODULES = [
     cleaning,
     layout,
     graph,
+    ml,
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

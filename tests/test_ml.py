@@ -1,0 +1,81 @@
+"""Invariant tests for the ML primitives (engine parity is covered by the
+oracle gate; these check the algorithm means what it claims)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_twitter_trends_analytics_spark.functions import dialect as dl
+from realtime_twitter_trends_analytics_spark.operators.ml import (
+    K_CLUSTERS,
+    KMEANS_SCALE,
+    _assign,
+    _quant_sql,
+    _update,
+    ml_embedding_dim_variance,
+    ml_kmeans_embeddings,
+)
+from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
+
+
+def _quantized(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.expr(_quant_sql(dl.SPARK, "embedding")).alias("qe"))
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_dir):
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    rows = ml_kmeans_embeddings(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= K_CLUSTERS
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    assert all(r.inertia >= 0 for r in rows)
+
+
+def test_kmeans_update_does_not_increase_inertia(spark, sf_dir):
+    """The Lloyd invariant: reassigning against the updated centroids can
+    only lower (or keep) total inertia. Floor-quantizing the centroid shifts
+    each coordinate by <1 fixed-point unit, so allow that slack: the shift
+    inflates each squared distance by at most (2*|x-c|+1) per dim."""
+    q = _quantized(spark, sf_dir)
+    seed = q.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("qe").alias("c")
+    )
+    a1 = _assign(q, seed)
+    inertia1 = a1.agg(F.sum("d2")).collect()[0][0]
+    a2 = _assign(q, _update(a1))
+    inertia2 = a2.agg(F.sum("d2")).collect()[0][0]
+    n, d = q.count(), 64
+    # exact-mean update strictly minimizes; floor() can add < (2*sqrt(d2)+1)
+    # per dim, bounded loosely by 3 * n * d * KMEANS_SCALE
+    assert inertia2 <= inertia1 + 3 * n * d * KMEANS_SCALE
+
+
+def test_kmeans_assignment_is_nearest(spark, sf_dir):
+    """Spot-check: every assigned distance is <= the distance to seed 0."""
+    q = _quantized(spark, sf_dir)
+    seed = q.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("qe").alias("c")
+    )
+    a1 = _assign(q, seed)
+    c0 = q.filter(F.col("vec_id") == 0).select(F.col("qe").alias("c0"))
+    joined = a1.crossJoin(F.broadcast(c0)).select(
+        "d2",
+        F.expr(
+            "aggregate(zip_with(qe, c0, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("d2_seed0"),
+    )
+    bad = joined.filter(F.col("d2") > F.col("d2_seed0")).count()
+    assert bad == 0
+
+
+def test_dim_variance_shape_and_bounds(spark, sf_dir):
+    rows = ml_embedding_dim_variance(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == 64
+    assert {r.dim for r in rows} == set(range(1, 65))
+    for r in rows:
+        assert r.n == n_vecs
+        assert r.var_fp >= 0.0
+        # quantized dims live in a few units of the scale
+        assert abs(r.mean_fp) <= 8 * KMEANS_SCALE

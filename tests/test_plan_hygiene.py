@@ -36,6 +36,9 @@ CARTESIAN_OK = {
     "sql_q22_dormant_rich_customers": "scalar avg-balance subquery",
     "subqueries": "scalar subquery demo (1-row side)",
     "percentiles_approx": "approx vs exact comparison joins 1-row aggs",
+    "ml_kmeans_embeddings": "Lloyd assignment broadcasts the K-row centroid "
+    "relation against the vector scan — every-vector-vs-every-centroid is "
+    "the algorithm; K is a small constant (8), so the product is K*N map-side",
 }
 
 # query -> reason Python evaluation is required (Arrow-batched paths
