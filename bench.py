@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "dedup_embedding_cosine",
     "decontaminate_ngram_overlap",
     "textstats_repetition",
@@ -71,7 +72,9 @@ HEADLINE = [
     # corpus cleaning / governance
     "docs_pii_redact",
     "docs_quality_filter",
+    "docs_text_normalize",
     "docs_mixture_weights",
+    "sample_weighted_priority",
     "dedup_survivors",
     "textstats_inverted_index",
     # data layout / warehouse shaping
@@ -90,6 +93,7 @@ HEADLINE = [
     "orders_incremental_merge",
     "docs_shard_order",
     "sql_recursive_date_spine",
+    "sql_lateral_topk_orders",
 ]
 
 

@@ -277,8 +277,52 @@ FROM survivors GROUP BY 1, 2
 """
 
 
+# Unicode-lite normalization: ONE translate map shared verbatim by both
+# engines (not DuckDB strip_accents vs a Spark reimplementation — identical
+# construction, so parity is by shared text, not by hoping two folding
+# tables agree). ASCII regex classes mean Java regex and RE2 match alike.
+ACCENT_FROM = "àáâãäåèéêëìíîïòóôõöùúûüýçñ"
+ACCENT_TO = "aaaaaaeeeeiiiiooooouuuuycn"
+
+
+def _normalize_sql(d: str) -> str:
+    g = "" if d == dl.SPARK else ", 'g'"
+    folded = f"translate(lower(text), '{ACCENT_FROM}', '{ACCENT_TO}')"
+    stripped = f"regexp_replace({folded}, '[^a-z0-9 ]', ' '{g})"
+    collapsed = f"regexp_replace({stripped}, '[ ]+', ' '{g})"
+    return f"trim({collapsed})"
+
+
+def docs_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text-normalization pass (lowercase -> accent fold ->
+    punctuation strip -> whitespace collapse): the projection every exact
+    dedup / shingle pass should key on instead of raw text. Pure row-level
+    string work — no shuffle, whole-stage codegen end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.expr(_normalize_sql(dl.SPARK))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        F.size(F.split(norm, " ")).cast("bigint").alias("n_tokens_norm"),
+    )
+
+
+def _oracle_text_normalize() -> str:
+    norm = _normalize_sql(dl.DUCK)
+    return f"""
+SELECT doc_id, {norm} AS norm_text,
+  CAST(length(text) AS BIGINT) AS n_chars_raw,
+  CAST(length({norm}) AS BIGINT) AS n_chars_norm,
+  CAST(len(string_split({norm}, ' ')) AS BIGINT) AS n_tokens_norm
+FROM documents
+"""
+
+
 QUERIES = {
     "corpus_pipeline_flagship": corpus_pipeline_flagship,
+    "docs_text_normalize": docs_text_normalize,
     "docs_pii_redact": docs_pii_redact,
     "docs_quality_filter": docs_quality_filter,
     "docs_mixture_weights": docs_mixture_weights,
@@ -286,6 +330,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_pipeline_flagship": _oracle_corpus_flagship(),
+    "docs_text_normalize": _oracle_text_normalize(),
     "docs_pii_redact": _oracle_pii_redact(),
     "docs_quality_filter": _oracle_quality_filter(),
     "docs_mixture_weights": _oracle_mixture_weights(),

@@ -469,6 +469,79 @@ WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) >= {JACCAR
 """
 
 
+CONTAINMENT_PCT = 80  # keep pairs where n_inter * 100 >= 80 * min(size)
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment: C(a in b) = |A inter B| / |A|.
+    Jaccard misses subset duplication (a 40-line doc pasted inside a
+    400-line doc scores ~0.1 Jaccard but 1.0 containment) — this is the
+    near-dup test quote-inclusion / boilerplate-wrapping slips through.
+
+    Same capped shingle relation and shuffle_hash pair join as
+    dedup_ngram_jaccard (df <= HOT_SHINGLE_DF_CAP bounds every hash
+    bucket); the gate is INTEGER (n_inter * 100 >= PCT * min(size)) so the
+    keep/drop boundary cannot flap on float rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh_all = shingle_rel(docs).cache()
+    hot = (
+        sh_all.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > HOT_SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh = sh_all.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("l")
+        .hint("shuffle_hash")
+        .join(sh.alias("r"), (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "size_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "size_b"), "b")
+        .filter(
+            F.col("n_inter") * 100 >= CONTAINMENT_PCT * F.least("size_a", "size_b")
+        )
+        .select(
+            "a",
+            "b",
+            "n_inter",
+            F.expr(dl.round_ratio(dl.SPARK, "n_inter", "size_a")).alias("containment_a"),
+            F.expr(dl.round_ratio(dl.SPARK, "n_inter", "size_b")).alias("containment_b"),
+        )
+    )
+
+
+def _oracle_containment() -> str:
+    ca = dl.round_ratio(dl.DUCK, "n_inter", "sa.n_sh")
+    cb = dl.round_ratio(dl.DUCK, "n_inter", "sb.n_sh")
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), sh_all AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql(dl.DUCK, 'toks')}) AS sh FROM tokd
+), hot AS (
+  SELECT sh FROM sh_all GROUP BY sh HAVING count(*) > {HOT_SHINGLE_DF_CAP}
+), sh AS (
+  SELECT * FROM sh_all WHERE sh NOT IN (SELECT sh FROM hot)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_inter
+  FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_inter, {ca} AS containment_a, {cb} AS containment_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE n_inter * 100 >= {CONTAINMENT_PCT} * least(sa.n_sh, sb.n_sh)
+"""
+
+
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test n-gram contamination check (decontamination): for every
     test-split document, the fraction of its 3-gram shingles that also
@@ -651,6 +724,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "dedup_fuzzy_blocked": dedup_fuzzy_blocked,
     "dedup_survivors": dedup_survivors,
@@ -663,6 +737,7 @@ ORACLES = {
     "dedup_clusters": _oracle_dedup_clusters(),
     "dedup_simhash": _oracle_dedup_simhash(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
+    "dedup_containment": _oracle_containment(),
     "decontaminate_ngram_overlap": _oracle_decontaminate(),
     "dedup_fuzzy_blocked": _oracle_fuzzy_blocked(),
     "dedup_survivors": _oracle_survivors(),

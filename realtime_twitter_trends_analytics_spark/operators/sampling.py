@@ -196,8 +196,55 @@ FROM keyed
 """
 
 
+SAMPLE_WEIGHTED_K = 200
+
+
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample of K documents, inclusion probability
+    ~ n_chars: priority sampling (Duffield–Lund–Thorup) with key
+    u/w — u a 60-bit uniform from md5(doc_id), w the weight — keep the K
+    smallest keys. No ln()/pow() (libm differs across engines; the u/w key
+    is one IEEE division, bit-identical), no rand() (retry-stable).
+
+    Scale shape: the key is a map-side projection; the global K-smallest is
+    TakeOrderedAndProject (per-partition top-K, tiny final merge) — no full
+    sort, no shuffle of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn(
+        "priority",
+        F.expr(
+            f"CAST({dl.hex_prefix_u60(dl.SPARK, 'h')} + 1 AS DOUBLE)"
+            " / CAST(n_chars AS DOUBLE)"
+        ),
+    )
+    return (
+        keyed.select("doc_id", "n_chars", "priority")
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(SAMPLE_WEIGHTED_K)
+    )
+
+
+def _oracle_weighted() -> str:
+    u60 = dl.hex_prefix_u60(dl.DUCK, "h")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+)
+SELECT doc_id, n_chars,
+  CAST({u60} + 1 AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+FROM keyed
+ORDER BY priority ASC, doc_id ASC
+LIMIT {SAMPLE_WEIGHTED_K}
+"""
+
+
 QUERIES = {
     "docs_shard_order": docs_shard_order,
+    "sample_weighted_priority": sample_weighted_priority,
     "dataset_split_assign": dataset_split_assign,
     "sample_systematic": sample_systematic,
     "sample_stratified": sample_stratified,
@@ -206,6 +253,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_shard_order": _oracle_shard_order(),
+    "sample_weighted_priority": _oracle_weighted(),
     "dataset_split_assign": _oracle_split(),
     "sample_systematic": _oracle_sample(),
     "sample_stratified": _oracle_stratified(),

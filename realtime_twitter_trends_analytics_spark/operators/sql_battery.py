@@ -248,8 +248,23 @@ FROM cal LEFT JOIN daily ON daily.d = cal.d
 ORDER BY order_day
 """
 
+# Correlated LATERAL subquery (Spark 3.2+/DuckDB): per driving row, an
+# inner ordered-LIMIT scan — the "top-N related rows per entity" shape that
+# otherwise needs a window + filter. Catalyst decorrelates this into a
+# ranked join (no per-row re-execution); total ORDER BY in the inner LIMIT
+# keeps both engines deterministic.
+SQL_LATERAL_TOPK_ORDERS = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM (SELECT c_custkey, c_name
+      FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10) c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+"""
+
 _SQL = {
     "sql_recursive_date_spine": SQL_RECURSIVE_DATE_SPINE,
+    "sql_lateral_topk_orders": SQL_LATERAL_TOPK_ORDERS,
     "sql_q2_min_cost_supplier": SQL_Q2_MIN_COST_SUPPLIER,
     "sql_q4_late_shipments": SQL_Q4_LATE_SHIPMENTS,
     "sql_q7_volume_by_year": SQL_Q7_VOLUME_BY_YEAR,
