@@ -111,12 +111,18 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("int").alias("cluster"), F.col("qe").alias("c")
     )
     for _ in range(KMEANS_ITERS):
-        # The K-row centroid relation is referenced twice per round (distance
-        # expr + tie-order) and its lineage grows by a full assign+update per
-        # iteration — checkpoint it (tiny: K rows) so each round's plan reads
-        # materialized centroids instead of recomputing every prior round.
-        # Same lineage-truncation pattern as dedup_clusters.
-        cent = _update(_assign(q, cent)).localCheckpoint(eager=True)
+        # Centroids are DRIVER state (K*D = 512 BIGINTs), exactly as MLlib
+        # treats them: collect the K updated rows and re-emit them as a
+        # literal local relation. This truncates the growing lineage without
+        # localCheckpoint — whose BlockManager blocks outlive catalog
+        # clearCache and were measured degrading later queries in the same
+        # session. The collect is the scalar-aggregate kind the plan-hygiene
+        # policy allows (K rows, not data).
+        rows = _update(_assign(q, cent)).collect()
+        cent = spark.createDataFrame(
+            [(int(r.cluster), [int(v) for v in r.c]) for r in rows],
+            "cluster int, c array<bigint>",
+        )
     final = _assign(q, cent)
     return final.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("inertia")
