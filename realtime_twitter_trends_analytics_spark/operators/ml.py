@@ -102,11 +102,17 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-point k-means (K=8, 2 unrolled Lloyd rounds + final assignment)
-    over the embeddings table; returns per-cluster size and exact inertia."""
+def quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qe) — the fixed-point embedding relation k-means runs on."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", F.expr(_quant_sql(dl.SPARK, "embedding")).alias("qe"))
+    return emb.select("vec_id", F.expr(_quant_sql(dl.SPARK, "embedding")).alias("qe"))
+
+
+def kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run KMEANS_ITERS Lloyd rounds and return the final assignment
+    (vec_id, qe, cluster, d2). Shared by the k-means summary query and the
+    IVF-ANN that uses the centroids as its codebook."""
+    q = quantized_vectors(spark, sf_dir)
     cent = q.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("qe").alias("c")
     )
@@ -123,13 +129,21 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(int(r.cluster), [int(v) for v in r.c]) for r in rows],
             "cluster int, c array<bigint>",
         )
-    final = _assign(q, cent)
+    return _assign(q, cent)
+
+
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point k-means (K=8, 2 unrolled Lloyd rounds + final assignment)
+    over the embeddings table; returns per-cluster size and exact inertia."""
+    final = kmeans_assignment(spark, sf_dir)
     return final.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("inertia")
     )
 
 
-def _oracle_kmeans() -> str:
+def kmeans_oracle_ctes() -> tuple[str, str]:
+    """DuckDB CTE chain mirroring kmeans_assignment; returns (cte_block,
+    final_assignment_name). Reused by the IVF-kmeans oracle."""
     d = dl.DUCK
     quant = _quant_sql(d, "embedding")
     dist2 = _dist2_sql(d, "q.qe", "c.c")
@@ -154,9 +168,13 @@ def _oracle_kmeans() -> str:
                 f"unnest(qe) AS x FROM a{i + 1}) GROUP BY cluster, dim"
                 f") GROUP BY cluster)"
             )
-    final = f"a{KMEANS_ITERS + 1}"
+    return ",\n".join(ctes), f"a{KMEANS_ITERS + 1}"
+
+
+def _oracle_kmeans() -> str:
+    ctes, final = kmeans_oracle_ctes()
     return (
-        "WITH " + ",\n".join(ctes) + f"\nSELECT cluster, count(*) AS n_vecs, "
+        f"WITH {ctes}\nSELECT cluster, count(*) AS n_vecs, "
         f"CAST(sum(d2) AS BIGINT) AS inertia FROM {final} GROUP BY cluster"
     )
 

@@ -434,14 +434,84 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> dict:
 
     truth = pairs(sim_topk_bruteforce(spark, sf_dir))
     out = {}
-    for name, fn in (("lsh", sim_lsh_ann), ("ivf", sim_ivf_ann)):
+    for name, fn in (
+        ("lsh", sim_lsh_ann),
+        ("ivf", sim_ivf_ann),
+        ("ivf_kmeans", sim_ivf_kmeans_ann),
+    ):
         got = pairs(fn(spark, sf_dir))
         out[name] = round(len(got & truth) / len(truth), 4)
     return out
 
 
+def sim_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN with a REAL k-means codebook (what sim_ivf_ann's docstring
+    promises production does): cells come from the fixed-point Lloyd rounds
+    in operators.ml, so the coarse quantizer is learned, not the label
+    column. Cell assignment uses exact BIGINT distances (deterministic —
+    no float argmin flapping); in-cell ranking is the same sequential
+    double cosine as every other similarity op.
+
+    Plan shape: ONE assignment pass over all vectors (broadcast K
+    centroids, map-side), then query rows (tiny) broadcast-joined to their
+    cell's inverted list on the cell id — per-cell products only. nprobe=1;
+    raising it is a rank filter on the assignment."""
+    from .ml import kmeans_assignment
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_assignment(spark, sf_dir).select("vec_id", "cluster")
+    qv = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probe = cells.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("cluster").alias("cell")
+    )
+    cand = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")).join(
+        cells.withColumnRenamed("vec_id", "cand_id").withColumnRenamed("cluster", "cell"),
+        "cand_id",
+    )
+    pairs = (
+        F.broadcast(probe.join(qv, "query_id"))
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.expr(cosine_sql(dl.SPARK, "qv", "cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cell", "cand_id", F.round("cosine", 4).alias("cosine"), "rnk")
+    )
+
+
+def _oracle_ivf_kmeans() -> str:
+    from .ml import kmeans_oracle_ctes
+
+    ctes, final = kmeans_oracle_ctes()
+    cos = cosine_sql(dl.DUCK, "qe2.embedding", "ce.embedding")
+    return f"""
+WITH {ctes},
+probe AS (
+  SELECT vec_id AS query_id, cluster AS cell FROM {final}
+  WHERE vec_id < {N_QUERY_VECS}
+),
+pairs AS (
+  SELECT p.query_id, p.cell, cc.vec_id AS cand_id, {cos} AS cosine
+  FROM probe p
+  JOIN embeddings qe2 ON qe2.vec_id = p.query_id
+  JOIN {final} cc ON cc.cluster = p.cell AND cc.vec_id <> p.query_id
+  JOIN embeddings ce ON ce.vec_id = cc.vec_id
+)
+SELECT query_id, cell, cand_id, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM pairs
+) WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_ivf_kmeans_ann": sim_ivf_kmeans_ann,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_ann": sim_lsh_ann,
     "sim_ivf_ann": sim_ivf_ann,
@@ -451,6 +521,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_embedding_cosine": _oracle_embedding_cosine(),
+    "sim_ivf_kmeans_ann": _oracle_ivf_kmeans(),
     "sim_topk_bruteforce": _oracle_bruteforce(),
     "sim_lsh_buckets": _oracle_lsh_buckets(),
     "sim_lsh_ann": _oracle_lsh_ann(),

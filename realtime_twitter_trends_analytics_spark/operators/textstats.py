@@ -668,8 +668,60 @@ FROM scored GROUP BY source
 """
 
 
+BPE_TOP_MERGES = 50
+
+
+def textstats_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE tokenizer-induction iteration at corpus scale: the
+    most-frequent adjacent character pairs, weighted by word frequency.
+
+    Scale shape (the part that matters at 100 TB): the corpus is FIRST
+    reduced to the distinct (word, count) vocabulary — one hash agg on a
+    uniform key — and the char-pair explode runs over the vocab (bounded by
+    type count * word length), not over every corpus token occurrence.
+    Top-k is TakeOrderedAndProject. This is exactly how production BPE
+    trainers structure the count step (word-frequency table first)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs_arr = dl.transform(
+        dl.SPARK, dl.seq(dl.SPARK, "1", "length(word) - 1"), "i", "substr(word, i, 2)"
+    )
+    return (
+        vocab.select(F.explode(F.expr(pairs_arr)).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(BPE_TOP_MERGES)
+    )
+
+
+def _oracle_bpe_merges() -> str:
+    pairs_arr = dl.transform(
+        dl.DUCK, dl.seq(dl.DUCK, "1", "length(word) - 1"), "i", "substr(word, i, 2)"
+    )
+    return f"""
+WITH vocab AS (
+  SELECT word, count(*) AS wc FROM (
+    SELECT unnest({dl.split_ws(dl.DUCK, 'text')}) AS word FROM documents
+  ) WHERE length(word) >= 2 GROUP BY word
+), pairs AS (
+  SELECT unnest({pairs_arr}) AS pair, wc FROM vocab
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+FROM pairs GROUP BY pair
+ORDER BY freq DESC, pair ASC
+LIMIT {BPE_TOP_MERGES}
+"""
+
+
 QUERIES = {
     "textstats_lm_score": textstats_lm_score,
+    "textstats_bpe_merges": textstats_bpe_merges,
     "textstats_bigrams": textstats_bigrams,
     "textstats_tfidf": textstats_tfidf,
     "textstats_langid": textstats_langid,
@@ -686,6 +738,7 @@ QUERIES = {
 
 ORACLES = {
     "textstats_lm_score": _oracle_lm_score(),
+    "textstats_bpe_merges": _oracle_bpe_merges(),
     "textstats_bigrams": _oracle_bigrams(),
     "textstats_tfidf": _oracle_tfidf(),
     "textstats_langid": _oracle_langid(),

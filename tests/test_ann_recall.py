@@ -33,7 +33,10 @@ from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
 def test_recall_snapshot_vs_bruteforce(spark, sf_dir):
     # deterministic hashing + deterministic fixtures -> exact values;
     # a candidate-generation change shows up here as a number shift
-    assert ann_recall(spark, sf_dir) == {"lsh": 0.09, "ivf": 0.16}
+    # ivf_kmeans: the learned codebook lifts recall 0.16 -> 0.72 even on
+    # isotropic fixtures (cells follow the data, not an arbitrary label) —
+    # the quality argument for k-means IVF at scale, pinned here.
+    assert ann_recall(spark, sf_dir) == {"lsh": 0.09, "ivf": 0.16, "ivf_kmeans": 0.72}
 
 
 def test_ann_results_are_structurally_sound(spark, sf_dir):

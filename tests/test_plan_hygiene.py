@@ -39,6 +39,9 @@ CARTESIAN_OK = {
     "ml_kmeans_embeddings": "Lloyd assignment broadcasts the K-row centroid "
     "relation against the vector scan — every-vector-vs-every-centroid is "
     "the algorithm; K is a small constant (8), so the product is K*N map-side",
+    "sim_ivf_kmeans_ann": "inherits the K-row centroid broadcast product "
+    "from the k-means assignment it uses as its codebook (see "
+    "ml_kmeans_embeddings); the ANN join itself is an equi-join on cell id",
 }
 
 # query -> reason Python evaluation is required (Arrow-batched paths
