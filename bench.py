@@ -88,6 +88,7 @@ HEADLINE = [
     # ML primitives
     "ml_kmeans_embeddings",
     "ml_embedding_dim_variance",
+    "ml_pq_codebook",
     "textstats_bpe_merges",
     # warehouse maintenance / ordering
     "corpus_pipeline_flagship",

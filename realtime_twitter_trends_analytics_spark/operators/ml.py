@@ -74,17 +74,26 @@ _FLOOR_DIV = "CAST(floor(CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE)) AS BIGINT)"
 
 
 def _assign(q: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest centroid per vector. Broadcast K rows; ties -> lowest cluster."""
+    """Nearest centroid per vector. Broadcast K rows; ties -> lowest cluster.
+
+    The argmin is a hash agg of min(struct(d2, cluster)) — struct ordering
+    compares fields left-to-right, so it IS "order by d2, cluster" — not a
+    row_number window: the agg gets map-side partial aggregation (K rows
+    combined before any shuffle) where the window must sort; measured ~2x
+    on the PQ variant. any_value(qe) is sound: qe is functionally
+    determined by the group key."""
     pairs = q.crossJoin(F.broadcast(cent))
-    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster"))
     return (
         pairs.select(
             "vec_id", "qe", "cluster",
             F.expr(_dist2_sql(dl.SPARK, "qe", "c")).alias("d2"),
         )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .drop("rnk")
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cluster")).alias("m"),
+            F.any_value("qe").alias("qe"),
+        )
+        .select("vec_id", "qe", F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("d2"))
     )
 
 
@@ -224,12 +233,150 @@ FROM agg
 """
 
 
+PQ_BLOCKS = 8        # subvectors per embedding (EMB_DIM / PQ_SUB_DIM)
+PQ_SUB_DIM = 8       # dims per subvector
+PQ_K = 8             # codebook entries per block (3-bit codes)
+PQ_ITERS = 2
+
+
+def _pq_blocks(q: DataFrame) -> DataFrame:
+    """(vec_id, block, sub) — each quantized vector split into PQ_BLOCKS
+    contiguous PQ_SUB_DIM-wide subvectors. One projection, no shuffle."""
+    return q.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_BLOCKS - 1}), "
+                f"b -> struct(b AS block, slice(qe, b * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}) AS sub))"
+            )
+        ).alias("bs"),
+    ).select("vec_id", F.col("bs.block").alias("block"), F.col("bs.sub").alias("sub"))
+
+
+def _pq_dist2(d: str, a: str, b: str) -> str:
+    if d == dl.SPARK:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+    e_a = dl.arr_element(d, a, "i")
+    e_b = dl.arr_element(d, b, "i")
+    diffs = dl.transform(
+        d, dl.seq(d, "1", str(PQ_SUB_DIM)), "i", f"(({e_a}) - ({e_b})) * (({e_a}) - ({e_b}))"
+    )
+    return dl.arr_sum_bigint(d, diffs)
+
+
+def _pq_assign(blocks: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest codeword per (vec, block): EQUI-join on block id (PQ_K
+    candidate rows per block, broadcast), then exact BIGINT argmin via
+    min(struct(d2, code)) hash agg — see _assign for why agg, not window."""
+    return (
+        blocks.join(F.broadcast(cent), "block")
+        .select(
+            "vec_id", "block", "sub", "code",
+            F.expr(_pq_dist2(dl.SPARK, "sub", "c")).alias("d2"),
+        )
+        .groupBy("vec_id", "block")
+        .agg(
+            F.min(F.struct("d2", "code")).alias("m"),
+            F.any_value("sub").alias("sub"),
+        )
+        .select(
+            "vec_id", "block", "sub",
+            F.col("m.code").alias("code"), F.col("m.d2").alias("d2"),
+        )
+    )
+
+
+def _pq_update(assigned: DataFrame) -> DataFrame:
+    sums = (
+        assigned.select("block", "code", F.posexplode("sub").alias("dim", "x"))
+        .groupBy("block", "code", "dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("cv", F.expr(_FLOOR_DIV.format(s="s", n="n")))
+    )
+    return sums.groupBy("block", "code").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, cv))), p -> p.cv)").alias("c")
+    )
+
+
+def ml_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training: split each vector into
+    PQ_BLOCKS subvectors and train an independent PQ_K-entry k-means
+    codebook per block — ALL blocks in the same Lloyd rounds (the unit of
+    work is (vec, block), so one assignment join and one update agg train
+    all 8 subquantizers at once; 8 sequential trainers would cost 8x the
+    passes). Returns per-(block, code) codebook population + exact inertia
+    — the training summary a PQ index build logs.
+
+    PQ is how billion-vector ANN ships (8 bytes/vector here vs 256):
+    the fixed-point arithmetic makes the codebooks bit-identical across
+    engines and partitionings, same argument as ml_kmeans_embeddings.
+    Codebooks are driver state: PQ_BLOCKS * PQ_K * PQ_SUB_DIM = 512
+    BIGINTs collected per round."""
+    blocks = _pq_blocks(quantized_vectors(spark, sf_dir))
+    # seeds: vectors 0..PQ_K-1 provide the initial codeword for every block
+    cent = blocks.filter(F.col("vec_id") < PQ_K).select(
+        "block", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("c")
+    )
+    for _ in range(PQ_ITERS):
+        rows = _pq_update(_pq_assign(blocks, cent)).collect()
+        cent = spark.createDataFrame(
+            [(int(r.block), int(r.code), [int(v) for v in r.c]) for r in rows],
+            "block int, code int, c array<bigint>",
+        )
+    final = _pq_assign(blocks, cent)
+    return final.groupBy("block", "code").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("inertia")
+    )
+
+
+def _oracle_pq() -> str:
+    d = dl.DUCK
+    quant = _quant_sql(d, "embedding")
+    dist2 = _pq_dist2(d, "b.sub", "c.c")
+    fdiv = _FLOOR_DIV.format(s="sum(x)", n="count(*)")
+    # blocks: cross join vectors x block ids, slice each subvector
+    ctes = [
+        f"q AS (SELECT vec_id, {quant} AS qe FROM embeddings)",
+        f"blocks AS (SELECT vec_id, CAST(b AS INT) AS block, "
+        f"{dl.arr_slice(d, 'qe', f'b * {PQ_SUB_DIM} + 1', str(PQ_SUB_DIM))} AS sub "
+        f"FROM q, (SELECT unnest(generate_series(0, {PQ_BLOCKS - 1})) AS b))",
+        f"c0 AS (SELECT block, CAST(vec_id AS INT) AS code, sub AS c "
+        f"FROM blocks WHERE vec_id < {PQ_K})",
+    ]
+    for i in range(PQ_ITERS + 1):
+        ctes.append(
+            f"a{i + 1} AS (SELECT vec_id, block, sub, code, d2 FROM ("
+            f"SELECT b.vec_id, b.block, b.sub, c.code, {dist2} AS d2, "
+            f"row_number() OVER (PARTITION BY b.vec_id, b.block "
+            f"ORDER BY {dist2}, c.code) AS rnk "
+            f"FROM blocks b JOIN c{i} c ON c.block = b.block) WHERE rnk = 1)"
+        )
+        if i < PQ_ITERS:
+            ctes.append(
+                f"c{i + 1} AS (SELECT block, code, list(cv ORDER BY dim) AS c FROM ("
+                f"SELECT block, code, dim, {fdiv} AS cv FROM ("
+                f"SELECT block, code, unnest(generate_series(1, len(sub))) AS dim, "
+                f"unnest(sub) AS x FROM a{i + 1}) GROUP BY block, code, dim"
+                f") GROUP BY block, code)"
+            )
+    final = f"a{PQ_ITERS + 1}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT block, code, count(*) AS n_vecs, "
+        f"CAST(sum(d2) AS BIGINT) AS inertia FROM {final} GROUP BY block, code"
+    )
+
+
 QUERIES = {
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
     "ml_embedding_dim_variance": ml_embedding_dim_variance,
+    "ml_pq_codebook": ml_pq_codebook,
 }
 
 ORACLES = {
     "ml_kmeans_embeddings": _oracle_kmeans(),
     "ml_embedding_dim_variance": _oracle_dim_variance(),
+    "ml_pq_codebook": _oracle_pq(),
 }

@@ -69,6 +69,26 @@ def test_kmeans_assignment_is_nearest(spark, sf_dir):
     assert bad == 0
 
 
+def test_pq_codebook_partitions_every_block(spark, sf_dir):
+    """Every (vec, block) unit lands in exactly one codeword: per-block
+    populations each sum to the vector count, inertia non-negative, and
+    codes stay in [0, PQ_K)."""
+    from realtime_twitter_trends_analytics_spark.operators.ml import (
+        PQ_BLOCKS,
+        PQ_K,
+        ml_pq_codebook,
+    )
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    rows = ml_pq_codebook(spark, sf_dir).collect()
+    assert {r.block for r in rows} == set(range(PQ_BLOCKS))
+    for b in range(PQ_BLOCKS):
+        block_rows = [r for r in rows if r.block == b]
+        assert sum(r.n_vecs for r in block_rows) == n_vecs
+        assert all(0 <= r.code < PQ_K for r in block_rows)
+        assert all(r.inertia >= 0 for r in block_rows)
+
+
 def test_dim_variance_shape_and_bounds(spark, sf_dir):
     rows = ml_embedding_dim_variance(spark, sf_dir).collect()
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
