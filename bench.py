@@ -66,6 +66,7 @@ HEADLINE = [
     "sim_lsh_ann",
     "sim_ivf_ann",
     "sim_ivf_kmeans_ann",
+    "sim_pq_adc_ann",
     "textstats_quality",
     "textstats_tfidf",
     "percentiles_approx",

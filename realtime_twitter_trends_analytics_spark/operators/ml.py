@@ -315,6 +315,16 @@ def ml_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and partitionings, same argument as ml_kmeans_embeddings.
     Codebooks are driver state: PQ_BLOCKS * PQ_K * PQ_SUB_DIM = 512
     BIGINTs collected per round."""
+    blocks, cent = pq_trained(spark, sf_dir)
+    final = _pq_assign(blocks, cent)
+    return final.groupBy("block", "code").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("inertia")
+    )
+
+
+def pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(blocks, trained codebook) after PQ_ITERS Lloyd rounds — shared by
+    the codebook summary query and the ADC search query."""
     blocks = _pq_blocks(quantized_vectors(spark, sf_dir))
     # seeds: vectors 0..PQ_K-1 provide the initial codeword for every block
     cent = blocks.filter(F.col("vec_id") < PQ_K).select(
@@ -326,13 +336,12 @@ def ml_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(int(r.block), int(r.code), [int(v) for v in r.c]) for r in rows],
             "block int, code int, c array<bigint>",
         )
-    final = _pq_assign(blocks, cent)
-    return final.groupBy("block", "code").agg(
-        F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("inertia")
-    )
+    return blocks, cent
 
 
-def _oracle_pq() -> str:
+def pq_oracle_ctes() -> tuple[str, str, str]:
+    """DuckDB CTE chain mirroring PQ training; returns (cte_block,
+    final_assignment_name, final_codebook_name). Reused by the ADC oracle."""
     d = dl.DUCK
     quant = _quant_sql(d, "embedding")
     dist2 = _pq_dist2(d, "b.sub", "c.c")
@@ -362,9 +371,13 @@ def _oracle_pq() -> str:
                 f"unnest(sub) AS x FROM a{i + 1}) GROUP BY block, code, dim"
                 f") GROUP BY block, code)"
             )
-    final = f"a{PQ_ITERS + 1}"
+    return ",\n".join(ctes), f"a{PQ_ITERS + 1}", f"c{PQ_ITERS}"
+
+
+def _oracle_pq() -> str:
+    ctes, final, _ = pq_oracle_ctes()
     return (
-        "WITH " + ",\n".join(ctes) + f"\nSELECT block, code, count(*) AS n_vecs, "
+        f"WITH {ctes}\nSELECT block, code, count(*) AS n_vecs, "
         f"CAST(sum(d2) AS BIGINT) AS inertia FROM {final} GROUP BY block, code"
     )
 

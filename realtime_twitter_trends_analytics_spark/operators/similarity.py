@@ -438,6 +438,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> dict:
         ("lsh", sim_lsh_ann),
         ("ivf", sim_ivf_ann),
         ("ivf_kmeans", sim_ivf_kmeans_ann),
+        ("pq_adc", sim_pq_adc_ann),
     ):
         got = pairs(fn(spark, sf_dir))
         out[name] = round(len(got & truth) / len(truth), 4)
@@ -509,9 +510,88 @@ SELECT query_id, cell, cand_id, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS 
 """
 
 
+def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with asymmetric distance computation (ADC) — the
+    billion-vector shape: candidates are represented ONLY by their
+    PQ_BLOCKS codes (8 small ints, not 64 floats); each query builds a
+    (block, code) -> distance lookup table against the trained codebook,
+    and a candidate's distance is the sum of 8 table lookups.
+
+    Plan: LUT = query subvectors x codebook = |Q| * PQ_BLOCKS * PQ_K rows
+    (640 here) — broadcast; the candidate side joins its codes to the LUT
+    on (block, code) (equi, map-side) and one hash agg keyed
+    (query, cand) sums the per-block distances. The full-precision
+    candidate vectors are never touched after indexing, which is the
+    entire point of PQ. Exact BIGINT arithmetic end to end -> the ranking
+    is deterministic and the oracle hash-matches."""
+    from .ml import PQ_BLOCKS, _pq_assign, pq_trained
+
+    blocks, cent = pq_trained(spark, sf_dir)
+    codes = _pq_assign(blocks, cent).select("vec_id", "block", "code")
+    qlut = (
+        blocks.filter(F.col("vec_id") < N_QUERY_VECS)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cent), "block")
+        .select(
+            "query_id", "block", "code",
+            F.expr(
+                "aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("d2"),
+        )
+    )
+    pairs = (
+        codes.join(F.broadcast(qlut), ["block", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d2").alias("adc_d2"), F.count(F.lit(1)).alias("n_blocks"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("cand_id"))
+    return (
+        pairs.filter(F.col("n_blocks") == PQ_BLOCKS)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "adc_d2", "rnk")
+    )
+
+
+def _oracle_pq_adc() -> str:
+    from .ml import PQ_BLOCKS, pq_oracle_ctes
+
+    ctes, final, cbook = pq_oracle_ctes()
+    lut_d2 = (
+        "list_sum(list_transform(generate_series(1, len(qb.sub)), i -> "
+        "(list_extract(qb.sub, i) - list_extract(c.c, i)) * "
+        "(list_extract(qb.sub, i) - list_extract(c.c, i))))"
+    )
+    return f"""
+WITH {ctes},
+codes AS (SELECT vec_id, block, code FROM {final}),
+qlut AS (
+  SELECT qb.vec_id AS query_id, qb.block, c.code,
+    CAST({lut_d2} AS BIGINT) AS d2
+  FROM blocks qb JOIN {cbook} c ON c.block = qb.block
+  WHERE qb.vec_id < {N_QUERY_VECS}
+),
+pairs AS (
+  SELECT l.query_id, cd.vec_id AS cand_id,
+    CAST(sum(l.d2) AS BIGINT) AS adc_d2, count(*) AS n_blocks
+  FROM codes cd JOIN qlut l ON l.block = cd.block AND l.code = cd.code
+  WHERE l.query_id <> cd.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, cand_id, adc_d2, CAST(rnk AS INT) AS rnk FROM (
+  SELECT query_id, cand_id, adc_d2,
+    row_number() OVER (PARTITION BY query_id ORDER BY adc_d2 ASC, cand_id ASC) AS rnk
+  FROM pairs WHERE n_blocks = {PQ_BLOCKS}
+) WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ivf_kmeans_ann": sim_ivf_kmeans_ann,
+    "sim_pq_adc_ann": sim_pq_adc_ann,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_ann": sim_lsh_ann,
     "sim_ivf_ann": sim_ivf_ann,
@@ -522,6 +602,7 @@ QUERIES = {
 ORACLES = {
     "dedup_embedding_cosine": _oracle_embedding_cosine(),
     "sim_ivf_kmeans_ann": _oracle_ivf_kmeans(),
+    "sim_pq_adc_ann": _oracle_pq_adc(),
     "sim_topk_bruteforce": _oracle_bruteforce(),
     "sim_lsh_buckets": _oracle_lsh_buckets(),
     "sim_lsh_ann": _oracle_lsh_ann(),

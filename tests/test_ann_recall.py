@@ -36,7 +36,15 @@ def test_recall_snapshot_vs_bruteforce(spark, sf_dir):
     # ivf_kmeans: the learned codebook lifts recall 0.16 -> 0.72 even on
     # isotropic fixtures (cells follow the data, not an arbitrary label) —
     # the quality argument for k-means IVF at scale, pinned here.
-    assert ann_recall(spark, sf_dir) == {"lsh": 0.09, "ivf": 0.16, "ivf_kmeans": 0.72}
+    # pq_adc is depressed by BOTH 8x quantization loss AND the metric
+    # mismatch (ADC ranks by L2 over unnormalized vectors, truth by
+    # cosine) — pinned for regression detection, not comparison.
+    assert ann_recall(spark, sf_dir) == {
+        "lsh": 0.09,
+        "ivf": 0.16,
+        "ivf_kmeans": 0.72,
+        "pq_adc": 0.28,
+    }
 
 
 def test_ann_results_are_structurally_sound(spark, sf_dir):
