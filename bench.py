@@ -91,6 +91,7 @@ HEADLINE = [
     "ml_embedding_dim_variance",
     "ml_pq_codebook",
     "textstats_bpe_merges",
+    "textstats_winnowing",
     # warehouse maintenance / ordering
     "corpus_pipeline_flagship",
     "events_cdc_state",

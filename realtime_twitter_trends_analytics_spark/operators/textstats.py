@@ -668,6 +668,81 @@ FROM scored GROUP BY source
 """
 
 
+WINNOW_K = 3   # tokens per k-gram
+WINNOW_W = 4   # winnowing window (hashes per window)
+
+
+def _winnow_cols(d: str) -> dict[str, str]:
+    """Winnowing (Schleimer/Wilkerson/Aiken, the MOSS fingerprinter):
+    k-gram rolling hashes -> per-window minimum -> distinct selected set.
+    Shift-invariant: inserting a token changes O(1) windows, unlike the
+    bag fingerprint (any edit) or content hash (any byte)."""
+    el = lambda arr, i: dl.arr_element(d, arr, i)  # noqa: E731
+    toks = dl.split_ws(d, "text")
+    kgram = " || ' ' || ".join(el("toks", f"i + {j}") for j in range(WINNOW_K))
+    md5s = dl.transform(
+        d, dl.seq(d, "1", f"{dl.arr_size(d, 'toks')} - {WINNOW_K - 1}"), "i", f"md5({kgram})"
+    )
+    # two-level transform so each k-gram's md5 is computed ONCE and the
+    # 15-nibble fold runs over the bound variable, not a re-evaluated md5
+    hashes = dl.transform(d, md5s, "h", dl.hex_prefix_u60(d, "h"))
+    win_min = "array_min" if d == dl.SPARK else "list_min"
+    sel = dl.transform(
+        d,
+        dl.seq(d, "1", f"{dl.arr_size(d, 'hs')} - {WINNOW_W - 1}"),
+        "j",
+        f"{win_min}({dl.arr_slice(d, 'hs', 'j', str(WINNOW_W))})",
+    )
+    fps = dl.arr_sort(d, dl.arr_distinct(d, "sel"))  # over the staged column
+    return {"toks": toks, "hashes": hashes, "sel_from_hs": sel, "fps_from_sel": fps}
+
+
+def textstats_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints per document: count, density (guaranteed
+    ~2/(w+1) by the algorithm), extremes, and an md5 signature of the
+    selected set. Pure array projection — zero shuffle; at 100 TB this is
+    a map-only pass whose output feeds a fingerprint-equality join."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = _winnow_cols(dl.SPARK)
+    staged = docs.select(
+        "doc_id", F.expr(c["toks"]).alias("toks")
+    ).select(
+        "doc_id", F.expr(c["hashes"]).alias("hs")
+    ).select(
+        "doc_id",
+        F.size("hs").alias("n_kgrams"),
+        F.expr(c["sel_from_hs"]).alias("sel"),
+    ).select(
+        "doc_id", "n_kgrams", F.expr(c["fps_from_sel"]).alias("fps")
+    )
+    return staged.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("fps").alias("n_selected"),
+        F.expr("array_min(fps)").alias("fp_min"),
+        F.expr("array_max(fps)").alias("fp_max"),
+        F.md5(F.expr(dl.arr_join(dl.SPARK, "transform(fps, x -> CAST(x AS STRING))", ","))).alias(
+            "winnow_sig"
+        ),
+    )
+
+
+def _oracle_winnowing() -> str:
+    d = dl.DUCK
+    c = _winnow_cols(d)
+    return f"""
+WITH t AS (SELECT doc_id, {c['toks']} AS toks FROM documents),
+h AS (SELECT doc_id, {c['hashes']} AS hs FROM t),
+s AS (SELECT doc_id, {dl.arr_size(d, 'hs')} AS n_kgrams, {c['sel_from_hs']} AS sel FROM h),
+f AS (SELECT doc_id, n_kgrams, {c['fps_from_sel']} AS fps FROM s)
+SELECT doc_id, CAST(n_kgrams AS INT) AS n_kgrams,
+  CAST({dl.arr_size(d, 'fps')} AS INT) AS n_selected,
+  list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+  md5({dl.arr_join(d, "list_transform(fps, x -> CAST(x AS VARCHAR))", ",")}) AS winnow_sig
+FROM f
+"""
+
+
 BPE_TOP_MERGES = 50
 
 
@@ -722,6 +797,7 @@ LIMIT {BPE_TOP_MERGES}
 QUERIES = {
     "textstats_lm_score": textstats_lm_score,
     "textstats_bpe_merges": textstats_bpe_merges,
+    "textstats_winnowing": textstats_winnowing,
     "textstats_bigrams": textstats_bigrams,
     "textstats_tfidf": textstats_tfidf,
     "textstats_langid": textstats_langid,
@@ -739,6 +815,7 @@ QUERIES = {
 ORACLES = {
     "textstats_lm_score": _oracle_lm_score(),
     "textstats_bpe_merges": _oracle_bpe_merges(),
+    "textstats_winnowing": _oracle_winnowing(),
     "textstats_bigrams": _oracle_bigrams(),
     "textstats_tfidf": _oracle_tfidf(),
     "textstats_langid": _oracle_langid(),

@@ -84,3 +84,26 @@ def test_country_heuristic(spark):
     }
     for loc, want in cases.items():
         assert _one(spark, country_from_location, loc) == want, loc
+
+
+def test_winnowing_guarantees(spark, sf_dir):
+    """Winnowing invariants (Schleimer et al.): every window contributes a
+    fingerprint, so selected-set density over distinct hash positions is
+    at least 1/w and can't exceed the k-gram count; signatures are equal
+    iff the selected sets are equal (md5 over the canonical sorted list)."""
+    from realtime_twitter_trends_analytics_spark.operators.textstats import (
+        WINNOW_W,
+        textstats_winnowing,
+    )
+
+    rows = textstats_winnowing(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        n_windows = max(r.n_kgrams - WINNOW_W + 1, 0)
+        if n_windows == 0:
+            assert r.n_selected == 0
+            continue
+        assert 1 <= r.n_selected <= min(n_windows, r.n_kgrams)
+        assert r.fp_min <= r.fp_max
+        # sanity on the 60-bit hash range
+        assert 0 <= r.fp_min < 2**60
