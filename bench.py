@@ -45,6 +45,7 @@ HEADLINE = [
     "events_cooccurrence",
     "events_sequence_detect",
     "events_rolling_features",
+    "events_attribution",
     "agg_argmax",
     "variant_functions",
     # north-star

@@ -753,8 +753,78 @@ FROM ranked WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
 """
 
 
+ATTRIBUTION_WINDOW_SEC = 3600
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributes its value to the
+    most recent preceding click by the same user within the attribution
+    window. ONE window pass (last-ignore-nulls over a rows frame) — no
+    purchases x clicks self-join, so the cost is a single shuffle on
+    user_id regardless of event volume; the (ts, event_id) order key makes
+    the frame total and both engines deterministic."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    last_click_id = F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w)
+    last_click_ts = F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(last_click_ts)
+    return (
+        e.withColumn("last_click_id", last_click_id)
+        .withColumn("gap_sec", gap)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_cents"),
+            "last_click_id",
+            "gap_sec",
+            F.when(
+                F.col("last_click_id").isNotNull()
+                & (F.col("gap_sec") <= ATTRIBUTION_WINDOW_SEC),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("attributed"),
+        )
+    )
+
+
+def _oracle_attribution() -> str:
+    return f"""
+WITH tagged AS (
+  SELECT event_id, user_id, event_type, ts, value,
+    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM events
+)
+SELECT event_id, user_id,
+  CAST(round(value * 100) AS BIGINT) AS value_cents,
+  last_click_id,
+  CAST(floor(epoch(ts)) AS BIGINT)
+    - CAST(floor(epoch(last_click_ts)) AS BIGINT) AS gap_sec,
+  CASE WHEN last_click_id IS NOT NULL
+        AND CAST(floor(epoch(ts)) AS BIGINT)
+          - CAST(floor(epoch(last_click_ts)) AS BIGINT)
+          <= {ATTRIBUTION_WINDOW_SEC}
+       THEN 1 ELSE 0 END AS attributed
+FROM tagged WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "events_cdc_state": events_cdc_state,
+    "events_attribution": events_attribution,
     "agg_approx_distinct": agg_approx_distinct,
     "stats_aggregates": stats_aggregates,
     "percentiles": percentiles,
@@ -776,6 +846,7 @@ QUERIES = {
 
 ORACLES = {
     "events_cdc_state": _oracle_cdc_state(),
+    "events_attribution": _oracle_attribution(),
     "stats_aggregates": ORACLE_STATS,
     "percentiles": ORACLE_PERCENTILES,
     "pivot_status_priority": ORACLE_PIVOT,
