@@ -46,6 +46,7 @@ HEADLINE = [
     "events_sequence_detect",
     "events_rolling_features",
     "events_attribution",
+    "events_hll_rollup",
     "agg_argmax",
     "variant_functions",
     # north-star

@@ -822,9 +822,45 @@ FROM tagged WHERE event_type = 'purchase'
 """
 
 
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the pattern that makes incremental
+    distinct-count cubes affordable at 100 TB: build one HLL sketch per
+    (event_type, day) partition (`hll_sketch_agg`), persist those partials,
+    and answer the coarser grain by UNIONING sketches (`hll_union_agg`) —
+    never re-scanning raw events. Also emits the naive sum of daily
+    estimates, which double-counts cross-day repeat users — the error the
+    sketch union exists to avoid.
+
+    No SQL oracle (sketch bytes are engine-specific; DataSketches HLL):
+    driver records rows-only; the estimate-vs-exact bound is asserted in
+    tests/test_operators_oracle.py style by tests/test_ml.py's sibling —
+    see test_hll_rollup_accuracy."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.expr("CAST(round(hll_sketch_estimate(hll_sketch_agg(user_id))) AS BIGINT)").alias(
+            "est_daily"
+        ),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("CAST(round(hll_sketch_estimate(hll_union_agg(sk))) AS BIGINT)").alias(
+                "est_users_merged"
+            ),
+            F.sum("est_daily").alias("naive_daily_sum"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "events_cdc_state": events_cdc_state,
     "events_attribution": events_attribution,
+    "events_hll_rollup": events_hll_rollup,
     "agg_approx_distinct": agg_approx_distinct,
     "stats_aggregates": stats_aggregates,
     "percentiles": percentiles,

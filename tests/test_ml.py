@@ -99,3 +99,29 @@ def test_dim_variance_shape_and_bounds(spark, sf_dir):
         assert r.var_fp >= 0.0
         # quantized dims live in a few units of the scale
         assert abs(r.mean_fp) <= 8 * KMEANS_SCALE
+
+
+def test_hll_rollup_accuracy(spark, sf_dir):
+    """The merged-sketch estimate must track exact distinct users within
+    HLL's error envelope (lgK=12 default: ~1.6% rel. std error; assert 5%),
+    and the naive sum of daily estimates must be >= the merged estimate
+    (double-counting repeat users is the error the union avoids)."""
+    from pyspark.sql import functions as F
+
+    from realtime_twitter_trends_analytics_spark.operators.relational_ext import (
+        events_hll_rollup,
+    )
+    from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
+
+    rows = {r.event_type: r for r in events_hll_rollup(spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r.exact
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for et, r in rows.items():
+        assert abs(r.est_users_merged - exact[et]) <= max(0.05 * exact[et], 2), et
+        assert r.naive_daily_sum >= r.est_users_merged, et
