@@ -262,9 +262,20 @@ LATERAL (SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
 """
 
+# GROUP BY ALL (Spark 3.4+/DuckDB): group by every non-aggregate select
+# item — removes the copy-the-select-list failure mode in wide rollups.
+SQL_GROUP_BY_ALL = """
+SELECT o_orderstatus, o_orderpriority,
+  count(*) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY ALL
+"""
+
 _SQL = {
     "sql_recursive_date_spine": SQL_RECURSIVE_DATE_SPINE,
     "sql_lateral_topk_orders": SQL_LATERAL_TOPK_ORDERS,
+    "sql_group_by_all": SQL_GROUP_BY_ALL,
     "sql_q2_min_cost_supplier": SQL_Q2_MIN_COST_SUPPLIER,
     "sql_q4_late_shipments": SQL_Q4_LATE_SHIPMENTS,
     "sql_q7_volume_by_year": SQL_Q7_VOLUME_BY_YEAR,
