@@ -92,6 +92,8 @@ HEADLINE = [
     "ml_kmeans_embeddings",
     "ml_embedding_dim_variance",
     "ml_pq_codebook",
+    "ml_negative_samples",
+    "events_markov_transitions",
     "textstats_bpe_merges",
     "textstats_winnowing",
     # warehouse maintenance / ordering

@@ -382,14 +382,86 @@ def _oracle_pq() -> str:
     )
 
 
+NEG_POOL = 64   # hash-selected shared candidate pool (broadcast)
+NEG_K = 5       # negatives per anchor
+
+
+def ml_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every
+    anchor draws NEG_K cross-label negatives from a shared NEG_POOL-row
+    hash-selected pool, ranked by the pair hash md5(anchor|cand) — so the
+    draw is pseudo-random but retry/engine stable (no rand()), and
+    repeated runs build identical training sets.
+
+    Scale shape: the pool is a TakeOrderedAndProject over the corpus
+    (tiny, broadcast); per anchor the work is a map-side product with 64
+    rows + a per-anchor top-K — no anchor-x-corpus pair blowup. The
+    lexicographic order of the md5 hex IS the numeric order of the
+    128-bit value, so ranking needs no integer fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = (
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("|pool"))).alias("pk"),
+        )
+        .orderBy("pk", "cand_id")
+        .limit(NEG_POOL)
+        .drop("pk")
+    )
+    anchors = emb.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label"))
+    pairs = (
+        anchors.crossJoin(F.broadcast(pool))
+        .filter(F.col("cand_label") != F.col("anchor_label"))
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"), F.lit("|"), F.col("cand_id").cast("string")
+                )
+            ),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy("h", "cand_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NEG_K)
+        .select("anchor_id", "anchor_label", "cand_id", "cand_label", F.col("rnk").alias("neg_rank"))
+    )
+
+
+def _oracle_negative_samples() -> str:
+    return f"""
+WITH pool AS (
+  SELECT cand_id, cand_label FROM (
+    SELECT vec_id AS cand_id, label AS cand_label,
+      md5(CAST(vec_id AS VARCHAR) || '|pool') AS pk
+    FROM embeddings ORDER BY pk, cand_id LIMIT {NEG_POOL}
+  )
+), pairs AS (
+  SELECT e.vec_id AS anchor_id, e.label AS anchor_label,
+    p.cand_id, p.cand_label,
+    md5(CAST(e.vec_id AS VARCHAR) || '|' || CAST(p.cand_id AS VARCHAR)) AS h
+  FROM embeddings e, pool p
+  WHERE p.cand_label <> e.label
+)
+SELECT anchor_id, anchor_label, cand_id, cand_label, CAST(rnk AS INT) AS neg_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY h, cand_id) AS rnk
+  FROM pairs
+) WHERE rnk <= {NEG_K}
+"""
+
+
 QUERIES = {
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
+    "ml_negative_samples": ml_negative_samples,
     "ml_embedding_dim_variance": ml_embedding_dim_variance,
     "ml_pq_codebook": ml_pq_codebook,
 }
 
 ORACLES = {
     "ml_kmeans_embeddings": _oracle_kmeans(),
+    "ml_negative_samples": _oracle_negative_samples(),
     "ml_embedding_dim_variance": _oracle_dim_variance(),
     "ml_pq_codebook": _oracle_pq(),
 }

@@ -857,10 +857,63 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov): count
+    consecutive (prev -> next) pairs via one lag window, then row-normalize
+    to probabilities with integer-ratio rounding (tie-safe). One shuffle on
+    user_id for the lag, one hash agg on the (from, to) pair — the
+    product-analytics 'what happens after X' surface."""
+    from pyspark.sql.window import Window
+
+    from ..functions import dialect as dl
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr(
+            dl.round_ratio(
+                dl.SPARK,
+                "n",
+                "sum(n) OVER (PARTITION BY from_type)",
+            )
+        ).alias("p"),
+    )
+
+
+def _oracle_markov() -> str:
+    from ..functions import dialect as dl
+
+    p = dl.round_ratio(dl.DUCK, "n", "sum(n) OVER (PARTITION BY from_type)")
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n, {p} AS p FROM pairs
+"""
+
+
 QUERIES = {
     "events_cdc_state": events_cdc_state,
     "events_attribution": events_attribution,
     "events_hll_rollup": events_hll_rollup,
+    "events_markov_transitions": events_markov_transitions,
     "agg_approx_distinct": agg_approx_distinct,
     "stats_aggregates": stats_aggregates,
     "percentiles": percentiles,
@@ -883,6 +936,7 @@ QUERIES = {
 ORACLES = {
     "events_cdc_state": _oracle_cdc_state(),
     "events_attribution": _oracle_attribution(),
+    "events_markov_transitions": _oracle_markov(),
     "stats_aggregates": ORACLE_STATS,
     "percentiles": ORACLE_PERCENTILES,
     "pivot_status_priority": ORACLE_PIVOT,

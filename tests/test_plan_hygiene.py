@@ -42,6 +42,8 @@ CARTESIAN_OK = {
     "sim_ivf_kmeans_ann": "inherits the K-row centroid broadcast product "
     "from the k-means assignment it uses as its codebook (see "
     "ml_kmeans_embeddings); the ANN join itself is an equi-join on cell id",
+    "ml_negative_samples": "anchors x broadcast NEG_POOL-row hash-selected "
+    "pool is the sampling design — constant 64-row side, map-side product",
 }
 
 # query -> reason Python evaluation is required (Arrow-batched paths
