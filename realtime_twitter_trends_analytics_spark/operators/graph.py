@@ -88,9 +88,13 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1",
         str(COOC_DOC_TOKEN_CAP),
     )
+    # cache: the capped token relation feeds the stop-list agg AND both
+    # sides of the pair self-join (3 consumers) — without it the corpus
+    # explode re-runs per consumer (measured ~1.5x on triangle/pagerank;
+    # same multi-consumer pattern as dedup_ngram_jaccard's shingle cache)
     tok = docs.select(
         "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
-    ).select("doc_id", F.explode(F.expr(capped)).alias("t"))
+    ).select("doc_id", F.explode(F.expr(capped)).alias("t")).cache()
     stop = (
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
