@@ -93,6 +93,7 @@ HEADLINE = [
     "ml_embedding_dim_variance",
     "ml_pq_codebook",
     "ml_negative_samples",
+    "ml_normal_equations",
     "events_markov_transitions",
     "textstats_bpe_merges",
     "textstats_winnowing",

@@ -382,6 +382,81 @@ def _oracle_pq() -> str:
     )
 
 
+NORMAL_EQ_DIMS = 8  # leading embedding dims used as features
+
+
+def ml_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of closed-form linear regression: accumulate
+    the normal-equation sufficient statistics X'X and X'y over the corpus
+    in EXACT fixed-point arithmetic (features = first NORMAL_EQ_DIMS
+    quantized embedding dims + intercept, target = label). Emitted in long
+    form (i, j, xtx, xty-on-the-diagonal-row carrier): the d(d+1)/2 upper
+    triangle + the X'y vector is everything the driver needs for one tiny
+    d x d solve — the map-reduce shape every 'fit a linear probe on N
+    billion rows' job uses (the solve is O(d^3) driver work, the data pass
+    is one agg).
+
+    Products are per-row pair expansions of a d+1-wide array — fan-out is
+    C(d+1, 2) + (d+1) per row, constant in corpus size; the single shuffle
+    is the (i, j)-keyed hash agg with map-side partials."""
+    q = quantized_vectors(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = q.join(emb.select("vec_id", "label"), "vec_id").select(
+        # x0 = intercept at fixed-point 1 so every product stays integer
+        F.expr(
+            f"concat(array(CAST({KMEANS_SCALE} AS BIGINT)), "
+            f"slice(qe, 1, {NORMAL_EQ_DIMS}))"
+        ).alias("x"),
+        F.col("label").cast("long").alias("y"),
+    )
+    d1 = NORMAL_EQ_DIMS + 1
+    pairs = x.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {d1}), i -> "
+                f"transform(sequence(i, {d1}), j -> struct(i AS i, j AS j, "
+                f"element_at(x, i) * element_at(x, j) AS xx, "
+                f"CASE WHEN i = j THEN element_at(x, i) * y ELSE CAST(0 AS BIGINT) END AS xy))))"
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xx", "p.xy")
+    return (
+        pairs.groupBy("i", "j")
+        .agg(F.sum("xx").alias("xtx"), F.sum("xy").alias("xty_diag"))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            "xtx",
+            "xty_diag",
+        )
+    )
+
+
+def _oracle_normal_equations() -> str:
+    d = dl.DUCK
+    quant = _quant_sql(d, "embedding")
+    d1 = NORMAL_EQ_DIMS + 1
+    return f"""
+WITH x AS (
+  SELECT list_prepend(CAST({KMEANS_SCALE} AS BIGINT),
+           {dl.arr_slice(d, quant, '1', str(NORMAL_EQ_DIMS))}) AS x,
+         CAST(label AS BIGINT) AS y
+  FROM embeddings
+), pairs AS (
+  SELECT i, j,
+    list_extract(x, i) * list_extract(x, j) AS xx,
+    CASE WHEN i = j THEN list_extract(x, i) * y ELSE CAST(0 AS BIGINT) END AS xy
+  FROM x,
+    (SELECT unnest(generate_series(1, {d1})) AS i),
+    (SELECT unnest(generate_series(1, {d1})) AS j)
+  WHERE j >= i
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+  CAST(sum(xx) AS BIGINT) AS xtx, CAST(sum(xy) AS BIGINT) AS xty_diag
+FROM pairs GROUP BY i, j
+"""
+
+
 NEG_POOL = 64   # hash-selected shared candidate pool (broadcast)
 NEG_K = 5       # negatives per anchor
 
@@ -455,6 +530,7 @@ SELECT anchor_id, anchor_label, cand_id, cand_label, CAST(rnk AS INT) AS neg_ran
 QUERIES = {
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
     "ml_negative_samples": ml_negative_samples,
+    "ml_normal_equations": ml_normal_equations,
     "ml_embedding_dim_variance": ml_embedding_dim_variance,
     "ml_pq_codebook": ml_pq_codebook,
 }
@@ -462,6 +538,7 @@ QUERIES = {
 ORACLES = {
     "ml_kmeans_embeddings": _oracle_kmeans(),
     "ml_negative_samples": _oracle_negative_samples(),
+    "ml_normal_equations": _oracle_normal_equations(),
     "ml_embedding_dim_variance": _oracle_dim_variance(),
     "ml_pq_codebook": _oracle_pq(),
 }

@@ -125,3 +125,42 @@ def test_hll_rollup_accuracy(spark, sf_dir):
     for et, r in rows.items():
         assert abs(r.est_users_merged - exact[et]) <= max(0.05 * exact[et], 2), et
         assert r.naive_daily_sum >= r.est_users_merged, et
+
+
+def test_normal_equations_solve_matches_numpy(spark, sf_dir):
+    """Close the loop on the distributed Gram matrix: solving the
+    accumulated X'X b = X'y on the driver must reproduce numpy's
+    least-squares fit computed directly from the raw rows — i.e. the
+    one-pass sufficient statistics lose nothing."""
+    import numpy as np
+
+    from realtime_twitter_trends_analytics_spark.operators.ml import (
+        KMEANS_SCALE,
+        NORMAL_EQ_DIMS,
+        ml_normal_equations,
+        quantized_vectors,
+    )
+
+    d1 = NORMAL_EQ_DIMS + 1
+    rows = ml_normal_equations(spark, sf_dir).collect()
+    xtx = np.zeros((d1, d1))
+    xty = np.zeros(d1)
+    for r in rows:
+        xtx[r.i - 1, r.j - 1] = r.xtx
+        xtx[r.j - 1, r.i - 1] = r.xtx
+        if r.i == r.j:
+            xty[r.i - 1] = r.xty_diag
+    beta = np.linalg.solve(xtx, xty)
+
+    q = quantized_vectors(spark, sf_dir).collect()
+    emb = {r.vec_id: r.qe for r in q}
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    X = np.array(
+        [[KMEANS_SCALE] + list(emb[v][:NORMAL_EQ_DIMS]) for v in sorted(emb)], dtype=float
+    )
+    y = np.array([labels[v] for v in sorted(emb)], dtype=float)
+    beta_np, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert np.allclose(beta, beta_np, rtol=1e-6, atol=1e-9)
