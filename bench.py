@@ -97,6 +97,7 @@ HEADLINE = [
     "events_markov_transitions",
     "textstats_bpe_merges",
     "textstats_winnowing",
+    "docs_tokenize_to_ids",
     # warehouse maintenance / ordering
     "corpus_pipeline_flagship",
     "events_cdc_state",

@@ -743,6 +743,81 @@ FROM f
 """
 
 
+VOCAB_SIZE = 24  # rank-based vocabulary (top-V words by corpus count)
+
+
+def docs_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-for-training: build a rank-based vocabulary (top VOCAB_SIZE
+    words by corpus frequency, ties broken lexicographically; everything
+    else = OOV id 0) and re-encode every document as id sequences. Emits
+    per-doc token/OOV counts and an md5 fingerprint of the id sequence —
+    enough for the oracle to prove the whole encode bit-exact without
+    shipping arrays through the compare.
+
+    Scale shape: vocab = one hash agg + top-V (TakeOrderedAndProject),
+    broadcast; encoding is a map-side explode-join-reassemble keyed by
+    (doc_id, pos) — at 100 TB the vocab is a few MB broadcast and the
+    corpus never shuffles except the (doc_id)-keyed reassembly."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("pos", "w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .orderBy(F.desc("wc"), F.asc("w"))
+        .limit(VOCAB_SIZE)
+        .select(
+            "w",
+            (F.row_number().over(W.orderBy(F.desc("wc"), F.asc("w")))).alias("tok_id"),
+        )
+    )
+    encoded = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce("tok_id", F.lit(0)).alias("tok_id"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tok_id") == 0, 1).otherwise(0)).alias("n_oov"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(struct(pos, tok_id))),"
+                    " p -> CAST(p.tok_id AS STRING)), ',')"
+                )
+            ).alias("ids_fingerprint"),
+        )
+    )
+    return encoded
+
+
+def _oracle_tokenize_ids() -> str:
+    d = dl.DUCK
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+    unnest(generate_series(1, len(toks))) AS pos, unnest(toks) AS w
+  FROM (SELECT doc_id, {dl.split_ws(d, 'text')} AS toks FROM documents)
+), vocab AS (
+  SELECT w, CAST(row_number() OVER (ORDER BY wc DESC, w ASC) AS INT) AS tok_id
+  FROM (SELECT w, count(*) AS wc FROM words GROUP BY w
+        ORDER BY wc DESC, w ASC LIMIT {VOCAB_SIZE})
+), encoded AS (
+  SELECT words.doc_id, words.pos, coalesce(vocab.tok_id, 0) AS tok_id
+  FROM words LEFT JOIN vocab ON vocab.w = words.w
+)
+SELECT doc_id, count(*) AS n_tokens,
+  CAST(sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  md5(string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos)) AS ids_fingerprint
+FROM encoded GROUP BY doc_id
+"""
+
+
 BPE_TOP_MERGES = 50
 
 
@@ -798,6 +873,7 @@ QUERIES = {
     "textstats_lm_score": textstats_lm_score,
     "textstats_bpe_merges": textstats_bpe_merges,
     "textstats_winnowing": textstats_winnowing,
+    "docs_tokenize_to_ids": docs_tokenize_to_ids,
     "textstats_bigrams": textstats_bigrams,
     "textstats_tfidf": textstats_tfidf,
     "textstats_langid": textstats_langid,
@@ -816,6 +892,7 @@ ORACLES = {
     "textstats_lm_score": _oracle_lm_score(),
     "textstats_bpe_merges": _oracle_bpe_merges(),
     "textstats_winnowing": _oracle_winnowing(),
+    "docs_tokenize_to_ids": _oracle_tokenize_ids(),
     "textstats_bigrams": _oracle_bigrams(),
     "textstats_tfidf": _oracle_tfidf(),
     "textstats_langid": _oracle_langid(),
