@@ -112,13 +112,18 @@ STREAM_ROWS = 200_000
 STREAM_FILES = 8
 
 
-def streaming_throughput(spark) -> dict:
+def streaming_throughput(spark, sql_sentiment: bool = False) -> dict:
     """End-to-end streaming pipeline throughput over a bounded file
-    replay: parse -> clean -> sentiment (Arrow UDF) -> hashtag explode ->
+    replay: parse -> clean -> sentiment -> hashtag explode ->
     watermarked sliding-window counts, drained with availableNow into the
     noop sink. rows/sec here is the single-node analogue of the
     reference's live path — whose producer self-caps at ~10 msg/s
-    (prod:~sleep), the only throughput number BASELINE.md records."""
+    (prod:~sleep), the only throughput number BASELINE.md records.
+
+    sql_sentiment=False scores through the Arrow pandas_udf (the
+    model-per-worker path); True uses the pure-SQL lexicon expression —
+    reported side by side so the Python-boundary cost is measured, not
+    guessed."""
     import json as _json
     import shutil
     import tempfile
@@ -154,7 +159,9 @@ def streaming_throughput(spark) -> dict:
         # overhead stays amortized (1 batch: ~18k rows/s, 4: ~12k on this box)
         raw = read_raw_stream(spark, source_dir=src, max_files_per_trigger=4)
         scored = transform_tweets(
-            raw, ts_col=F.timestamp_seconds(F.col("key").cast("long"))
+            raw,
+            ts_col=F.timestamp_seconds(F.col("key").cast("long")),
+            sql_sentiment=sql_sentiment,
         )
         counts = trend_counts(scored)
         t0 = time.time()
@@ -228,6 +235,12 @@ def main() -> None:
     # (~3x slower, measured); a resident pipeline never does.
     streaming_throughput(spark)
     stream = streaming_throughput(spark)
+    # the SQL-sentiment plan is different codegen — warm it separately.
+    # (Measured result worth keeping honest: the pure-SQL lexicon fold is
+    # SLOWER than the Arrow UDF here, ~49k vs ~55k rows/s — the giant
+    # CASE expression out-costs the Arrow batch round-trip.)
+    streaming_throughput(spark, sql_sentiment=True)
+    stream_sql = streaming_throughput(spark, sql_sentiment=True)
 
     print(
         json.dumps(
@@ -239,6 +252,7 @@ def main() -> None:
                 "sf": float(sf),
                 "ann_recall_at_10": recall,
                 "streaming_pipeline": stream,
+                "streaming_pipeline_sql_sentiment": stream_sql,
             }
         )
     )

@@ -108,9 +108,19 @@ def read_raw_stream(
     )
 
 
-def transform_tweets(raw: DataFrame, ts_col: Column | None = None) -> DataFrame:
+def transform_tweets(
+    raw: DataFrame, ts_col: Column | None = None, sql_sentiment: bool = False
+) -> DataFrame:
     """The full per-tweet transform chain (P3-P12), one declarative plan.
-    Works identically on batch and streaming DataFrames (unified API)."""
+    Works identically on batch and streaming DataFrames (unified API).
+
+    sql_sentiment=False scores with the Arrow pandas_udf (the
+    model-per-worker pattern a real classifier needs); True swaps in the
+    pure-SQL lexicon expression — same scores (equivalence is pytest- and
+    oracle-proven via the batch path), zero Python in the stream. bench.py
+    reports both so the Arrow-boundary cost is a measured number."""
+    from ..functions.sentiment import sentiment_score
+
     parsed = raw.withColumn("parsed", parse_sentinel(F.col("value")))
     cleaned = (
         parsed.select(
@@ -123,7 +133,12 @@ def transform_tweets(raw: DataFrame, ts_col: Column | None = None) -> DataFrame:
         # explode AFTER the array filter — one row per qualifying hashtag
         # (P6); whole-tweet sentiment computed ONCE per tweet, not per tag
         # (the reference recomputed it k times, proc:231).
-        .withColumn("_score", sentiment_score_udf(F.col("clean_text")))
+        .withColumn(
+            "_score",
+            sentiment_score("clean_text")
+            if sql_sentiment
+            else sentiment_score_udf(F.col("clean_text")),
+        )
     )
     exploded = cleaned.withColumn(
         "hashtag", F.explode(extract_hashtags(F.col("text")))
