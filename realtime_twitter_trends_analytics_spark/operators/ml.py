@@ -398,7 +398,13 @@ def ml_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Products are per-row pair expansions of a d+1-wide array — fan-out is
     C(d+1, 2) + (d+1) per row, constant in corpus size; the single shuffle
-    is the (i, j)-keyed hash agg with map-side partials."""
+    is the (i, j)-keyed hash agg with map-side partials.
+
+    Overflow contract: per-row products are bounded by (8*KMEANS_SCALE)^2
+    ≈ 6.7e7, so BIGINT sums hold to ~1.4e11 rows. Beyond that, drop
+    KMEANS_SCALE (the fixed-point precision is a free parameter here —
+    X'X condition, not value, is what the solve needs) or move the two
+    sums to DECIMAL(38,0); the plan shape is unchanged either way."""
     q = quantized_vectors(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     x = q.join(emb.select("vec_id", "label"), "vec_id").select(
