@@ -203,3 +203,71 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_weighted_priority_sample_is_takeordered(spark, sf_dir):
+    """The global K-smallest must plan as per-partition heaps + driver
+    merge — a full sort would shuffle the corpus at 100 TB."""
+    from realtime_twitter_trends_analytics_spark.operators.sampling import (
+        sample_weighted_priority,
+    )
+
+    assert has_node(sample_weighted_priority(spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_bpe_merges_is_takeordered_over_vocab(spark, sf_dir):
+    from realtime_twitter_trends_analytics_spark.operators.textstats import (
+        textstats_bpe_merges,
+    )
+
+    assert has_node(textstats_bpe_merges(spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_winnowing_has_no_shuffle(spark, sf_dir):
+    """Winnowing is a pure per-row array pipeline — any exchange in the
+    plan means someone introduced a join/agg into the map-only pass."""
+    from realtime_twitter_trends_analytics_spark.operators.textstats import (
+        textstats_winnowing,
+    )
+
+    assert count_exchanges(textstats_winnowing(spark, sf_dir)) == 0
+
+
+def test_text_normalize_has_no_shuffle(spark, sf_dir):
+    from realtime_twitter_trends_analytics_spark.operators.cleaning import (
+        docs_text_normalize,
+    )
+
+    assert count_exchanges(docs_text_normalize(spark, sf_dir)) == 0
+
+
+def test_attribution_single_shuffle(spark, sf_dir):
+    """One user_id exchange for the window; a second exchange would mean a
+    purchases x clicks self-join crept back in."""
+    from realtime_twitter_trends_analytics_spark.operators.relational_ext import (
+        events_attribution,
+    )
+
+    assert count_exchanges(events_attribution(spark, sf_dir)) <= 1
+
+
+def test_pq_adc_lut_joins_are_broadcast(spark, sf_dir):
+    """ADC candidates must join the per-query LUT via broadcast hash —
+    a sort-merge here would shuffle the code table on a 640-row side."""
+    from realtime_twitter_trends_analytics_spark.operators.similarity import (
+        sim_pq_adc_ann,
+    )
+
+    plan = explain_str(sim_pq_adc_ann(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_normal_equations_single_agg_shuffle(spark, sf_dir):
+    """X'X accumulation is one (i, j)-keyed agg over a map-side pair
+    expansion: exactly one exchange (plus AQE reads)."""
+    from realtime_twitter_trends_analytics_spark.operators.ml import (
+        ml_normal_equations,
+    )
+
+    assert count_exchanges(ml_normal_equations(spark, sf_dir)) <= 2
