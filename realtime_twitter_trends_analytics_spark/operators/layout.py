@@ -177,6 +177,30 @@ FROM nxt
 """
 
 
+SCD_AS_OF = "1996-06-30"
+
+
+def orders_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read over the SCD2 ranges: the state of every
+    customer's order dimension AS OF SCD_AS_OF — the time-travel query an
+    effective-dated warehouse exists to answer. Composition of
+    orders_scd_ranges + one range predicate; at scale the predicate prunes
+    partitions when the dim is stored partitioned by effective_from
+    month (see SCALE.md scan layer)."""
+    d = F.to_date(F.lit(SCD_AS_OF))
+    return orders_scd_ranges(spark, sf_dir).filter(
+        (F.col("effective_from") <= d) & (F.col("effective_to") >= d)
+    )
+
+
+def _oracle_asof_snapshot() -> str:
+    return f"""
+WITH scd AS ({_oracle_scd_ranges()})
+SELECT * FROM scd
+WHERE effective_from <= DATE '{SCD_AS_OF}' AND effective_to >= DATE '{SCD_AS_OF}'
+"""
+
+
 INCR_SPLIT_DATE = "1997-01-01"
 
 
@@ -326,6 +350,7 @@ QUERIES = {
     "layout_zorder_key": layout_zorder_key,
     "events_value_histogram": events_value_histogram,
     "orders_scd_ranges": orders_scd_ranges,
+    "orders_asof_snapshot": orders_asof_snapshot,
     "orders_incremental_merge": orders_incremental_merge,
 }
 
@@ -334,5 +359,6 @@ ORACLES = {
     "layout_zorder_key": _oracle_zorder(),
     "events_value_histogram": _oracle_value_histogram(),
     "orders_scd_ranges": _oracle_scd_ranges(),
+    "orders_asof_snapshot": _oracle_asof_snapshot(),
     "orders_incremental_merge": _oracle_incremental_merge(),
 }

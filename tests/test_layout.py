@@ -119,3 +119,24 @@ def test_scd_ranges_chain_per_customer(spark, sf_dir):
             assert prev["effective_to"] == nxt["effective_from"] - datetime.timedelta(
                 days=1
             )
+
+
+def test_asof_snapshot_one_row_per_customer(spark, sf_dir):
+    """SCD2 invariant: non-overlapping effective ranges mean the as-of
+    read returns AT MOST one row per customer, and every returned range
+    actually covers the as-of date."""
+    from pyspark.sql import functions as F
+
+    from realtime_twitter_trends_analytics_spark.operators.layout import (
+        SCD_AS_OF,
+        orders_asof_snapshot,
+    )
+
+    snap = orders_asof_snapshot(spark, sf_dir)
+    dup = snap.groupBy("o_custkey").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+    bad = snap.filter(
+        (F.col("effective_from") > F.lit(SCD_AS_OF).cast("date"))
+        | (F.col("effective_to") < F.lit(SCD_AS_OF).cast("date"))
+    ).count()
+    assert bad == 0
