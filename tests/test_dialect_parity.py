@@ -127,3 +127,31 @@ def test_round_ratio_matches_exact_fraction_rounding(spark, duck):
         ) / 10**4
         assert got_spark[i] == want, (i, n, d, got_spark[i], want)
         assert got_duck[i] == want, (i, n, d, got_duck[i], want)
+
+
+def test_hex_prefix_u60_matches_python_int(spark, duck):
+    """The 60-bit hash fold must equal int(md5_hex[:15], 16) in BOTH
+    engines — the property every priority-sampling / winnowing rank rests
+    on. Random plaintexts, plus the all-'f' worst case for carry bugs."""
+    import hashlib
+
+    texts = _random_texts(25, seed=13) + ["x"]
+    hexes = [hashlib.md5(t.encode()).hexdigest() for t in texts] + ["f" * 32, "0" * 32]
+    expected = [int(h[:15], 16) for h in hexes]
+
+    sdf = spark.createDataFrame([Row(h=h) for h in hexes])
+    got_spark = [
+        r["u"]
+        for r in sdf.select(
+            F.expr(dl.hex_prefix_u60(dl.SPARK, "h")).alias("u")
+        ).collect()
+    ]
+    duck.register("t_u60", pd.DataFrame({"h": hexes}))
+    got_duck = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {dl.hex_prefix_u60(dl.DUCK, 'h')} FROM t_u60"
+        ).fetchall()
+    ]
+    duck.unregister("t_u60")
+    assert got_spark == got_duck == expected
