@@ -47,6 +47,7 @@ HEADLINE = [
     "events_rolling_features",
     "events_attribution",
     "events_hll_rollup",
+    "events_anomaly_mad",
     "agg_argmax",
     "variant_functions",
     # north-star
@@ -69,6 +70,7 @@ HEADLINE = [
     "sim_ivf_ann",
     "sim_ivf_kmeans_ann",
     "sim_pq_adc_ann",
+    "sim_knn_label_probe",
     "textstats_quality",
     "textstats_tfidf",
     "percentiles_approx",

@@ -909,11 +909,77 @@ SELECT from_type, to_type, n, {p} AS p FROM pairs
 """
 
 
+MAD_K_NUM = 3  # flag |x - median| > 3 * MAD (the standard robust cutoff)
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute deviation
+    (exact percentile both times), flag values beyond 3*MAD. Two grouped
+    percentile aggs + one broadcast-back join — mean/stddev would be
+    dragged by the very outliers being hunted, which is the point of MAD.
+
+    SCALE NOTE: exact medians buffer each group (documented trade in
+    `percentiles`); at 100 TB swap both for approx_percentile — same
+    plan shape, sketch memory. Returns per-type counts + bounds so the
+    output is audit-sized, not row-sized."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med"), F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("median_value"),
+            F.any_value("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("adev") > MAD_K_NUM * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round("median_value", 4).alias("median_value"),
+            F.round("mad", 4).alias("mad"),
+            "n_events",
+            "n_outliers",
+        )
+    )
+
+
+def _oracle_anomaly_mad() -> str:
+    return f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+  round(any_value(d.med), 4) AS median_value,
+  round(any_value(m.mad), 4) AS mad,
+  count(*) AS n_events,
+  CAST(sum(CASE WHEN d.adev > {MAD_K_NUM} * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 QUERIES = {
     "events_cdc_state": events_cdc_state,
     "events_attribution": events_attribution,
     "events_hll_rollup": events_hll_rollup,
     "events_markov_transitions": events_markov_transitions,
+    "events_anomaly_mad": events_anomaly_mad,
     "agg_approx_distinct": agg_approx_distinct,
     "stats_aggregates": stats_aggregates,
     "percentiles": percentiles,
@@ -937,6 +1003,7 @@ ORACLES = {
     "events_cdc_state": _oracle_cdc_state(),
     "events_attribution": _oracle_attribution(),
     "events_markov_transitions": _oracle_markov(),
+    "events_anomaly_mad": _oracle_anomaly_mad(),
     "stats_aggregates": ORACLE_STATS,
     "percentiles": ORACLE_PERCENTILES,
     "pivot_status_priority": ORACLE_PIVOT,

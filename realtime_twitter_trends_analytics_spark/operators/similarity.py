@@ -588,10 +588,96 @@ SELECT query_id, cand_id, adc_d2, CAST(rnk AS INT) AS rnk FROM (
 """
 
 
+KNN_EVAL_N = 50  # eval set: vec_id < KNN_EVAL_N
+KNN_K = 10
+
+
+def sim_knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label probe — the standard embedding-quality eval: classify
+    each eval vector by majority label of its K nearest neighbors (drawn
+    from the rest of the corpus) and report per-label accuracy. Says
+    whether the embedding space clusters by label at all (the isotropic
+    fixtures should score near chance — the probe proves the HARNESS, the
+    number characterizes the data).
+
+    Plan: broadcast eval set x candidate scan (the brute-force pattern),
+    per-query top-K window, majority vote via min(struct(-cnt, label))
+    (deterministic tie-break: smallest label wins), one final label agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_EVAL_N).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") >= KNN_EVAL_N).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("cv"),
+    )
+    sim = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn("cosine", F.expr(cosine_sql(dl.SPARK, "qv", "cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    knn = sim.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= KNN_K)
+    votes = knn.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pred = (
+        votes.groupBy("query_id", "true_label")
+        .agg(F.min(F.struct(-F.col("cnt"), F.col("cand_label"))).alias("m"))
+        .select(
+            "query_id", "true_label", F.col("m.cand_label").alias("predicted_label")
+        )
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                (F.col("predicted_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+    )
+
+
+def _oracle_knn_probe() -> str:
+    cos = cosine_sql(dl.DUCK, "q.embedding", "c.embedding")
+    return f"""
+WITH sim AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+    c.vec_id AS cand_id, c.label AS cand_label, {cos} AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {KNN_EVAL_N} AND c.vec_id >= {KNN_EVAL_N}
+), knn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+    FROM sim
+  ) WHERE rnk <= {KNN_K}
+), votes AS (
+  SELECT query_id, true_label, cand_label, count(*) AS cnt
+  FROM knn GROUP BY 1, 2, 3
+), pred AS (
+  SELECT query_id, true_label, cand_label AS predicted_label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cnt DESC, cand_label ASC) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT true_label, count(*) AS n_eval,
+  CAST(sum(CASE WHEN predicted_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct
+FROM pred GROUP BY true_label
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ivf_kmeans_ann": sim_ivf_kmeans_ann,
     "sim_pq_adc_ann": sim_pq_adc_ann,
+    "sim_knn_label_probe": sim_knn_label_probe,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_ann": sim_lsh_ann,
     "sim_ivf_ann": sim_ivf_ann,
@@ -603,6 +689,7 @@ ORACLES = {
     "dedup_embedding_cosine": _oracle_embedding_cosine(),
     "sim_ivf_kmeans_ann": _oracle_ivf_kmeans(),
     "sim_pq_adc_ann": _oracle_pq_adc(),
+    "sim_knn_label_probe": _oracle_knn_probe(),
     "sim_topk_bruteforce": _oracle_bruteforce(),
     "sim_lsh_buckets": _oracle_lsh_buckets(),
     "sim_lsh_ann": _oracle_lsh_ann(),

@@ -44,6 +44,8 @@ CARTESIAN_OK = {
     "ml_kmeans_embeddings); the ANN join itself is an equi-join on cell id",
     "ml_negative_samples": "anchors x broadcast NEG_POOL-row hash-selected "
     "pool is the sampling design — constant 64-row side, map-side product",
+    "sim_knn_label_probe": "broadcast eval-set x candidate scan is the "
+    "documented brute-force pattern (see sim_topk_bruteforce)",
 }
 
 # query -> reason Python evaluation is required (Arrow-batched paths
