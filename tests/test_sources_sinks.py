@@ -67,6 +67,23 @@ def test_csv_json_round_trip(spark, sf_dir, tmp_path):
     assert key(from_json.collect()) == key(n0.collect())
 
 
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC is the other built-in columnar format a warehouse migration
+    meets; round-trip the orders table and check a filter reaches the ORC
+    scan as a push-down (ORC carries min/max stripes like parquet)."""
+    o0 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    orc_dir = str(tmp_path / "o_orc")
+    o0.write.mode("overwrite").orc(orc_dir)
+    back = spark.read.orc(orc_dir)
+    assert back.count() == o0.count()
+    filtered = back.filter(back.o_orderstatus == "F")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+    assert filtered.count() == o0.filter(o0.o_orderstatus == "F").count()
+
+
 def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
     """partitionOverwriteMode=dynamic: rewriting ONE partition must leave
     sibling partitions untouched — the idempotent-backfill pattern (re-run
