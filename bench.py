@@ -48,6 +48,7 @@ HEADLINE = [
     "events_attribution",
     "events_hll_rollup",
     "events_anomaly_mad",
+    "events_rolling_dau",
     "agg_argmax",
     "variant_functions",
     # north-star

@@ -14,9 +14,9 @@ Scale shape (the 100 TB story):
   scan; no shuffle of the vectors themselves.
 - centroid update = ONE hash agg keyed (cluster, dim) — K*D groups (512 here)
   with full map-side partial aggregation; the only shuffle per iteration.
-- iterations are unrolled into a single plan (KMEANS_ITERS is small and
-  fixed); a production loop would localCheckpoint per round like
-  dedup_clusters does.
+- each round materializes the K-row centroid table to the DRIVER and
+  re-emits it as a literal local relation (the MLlib pattern) — lineage
+  stays one round deep with no checkpoint blocks left behind.
 
 Reference: the upstream repo (SURVEY §2) has no ML surface; this extends the
 LLM-data-pipeline operators (clustering for data curation / IVF codebooks —

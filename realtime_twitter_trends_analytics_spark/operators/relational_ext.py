@@ -974,12 +974,59 @@ GROUP BY d.event_type
 """
 
 
+ROLLING_DAU_DAYS = 7
+
+
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day active users per day — the DAU/WAU metric.
+    COUNT(DISTINCT) is not legal inside a window frame in either engine,
+    so the standard rewrite applies: reduce to the distinct (user, day)
+    relation (one hash agg — the big shrink), then a bounded range join
+    of days x user-days (each user-day lands in <= 7 windows) and one
+    count-distinct per window day.
+
+    At 100 TB the (user, day) reduction is what makes this affordable:
+    the range join runs over |active user-days|, not raw events — and the
+    7x fan-out is a constant. The sketch alternative (events_hll_rollup)
+    trades exactness for merging; this is the exact-path twin."""
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        F.col("user_id"), F.to_date("ts").alias("day")
+    ).distinct()
+    days = user_days.select("day").distinct().select(F.col("day").alias("win_day"))
+    joined = days.join(
+        user_days,
+        (F.col("day") <= F.col("win_day"))
+        & (F.col("day") >= F.date_sub(F.col("win_day"), ROLLING_DAU_DAYS - 1)),
+    )
+    return joined.groupBy("win_day").agg(
+        F.count_distinct("user_id").alias("active_users_7d"),
+        F.count(F.lit(1)).alias("user_day_rows"),
+    )
+
+
+def _oracle_rolling_dau() -> str:
+    return f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), days AS (
+  SELECT DISTINCT day AS win_day FROM user_days
+)
+SELECT win_day, count(DISTINCT user_id) AS active_users_7d,
+  count(*) AS user_day_rows
+FROM days JOIN user_days
+  ON day <= win_day AND day >= win_day - {ROLLING_DAU_DAYS - 1}
+GROUP BY win_day
+"""
+
+
 QUERIES = {
     "events_cdc_state": events_cdc_state,
     "events_attribution": events_attribution,
     "events_hll_rollup": events_hll_rollup,
     "events_markov_transitions": events_markov_transitions,
     "events_anomaly_mad": events_anomaly_mad,
+    "events_rolling_dau": events_rolling_dau,
     "agg_approx_distinct": agg_approx_distinct,
     "stats_aggregates": stats_aggregates,
     "percentiles": percentiles,
@@ -1004,6 +1051,7 @@ ORACLES = {
     "events_attribution": _oracle_attribution(),
     "events_markov_transitions": _oracle_markov(),
     "events_anomaly_mad": _oracle_anomaly_mad(),
+    "events_rolling_dau": _oracle_rolling_dau(),
     "stats_aggregates": ORACLE_STATS,
     "percentiles": ORACLE_PERCENTILES,
     "pivot_status_priority": ORACLE_PIVOT,

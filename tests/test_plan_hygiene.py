@@ -46,6 +46,9 @@ CARTESIAN_OK = {
     "pool is the sampling design — constant 64-row side, map-side product",
     "sim_knn_label_probe": "broadcast eval-set x candidate scan is the "
     "documented brute-force pattern (see sim_topk_bruteforce)",
+    "events_rolling_dau": "day-grid x user-days range join: the grid side "
+    "is |distinct days| rows (bounded by the calendar), broadcast NLJ is "
+    "the intended plan; at scale bucketize day into an equi-key (SCALE.md)",
 }
 
 # query -> reason Python evaluation is required (Arrow-batched paths
