@@ -236,14 +236,21 @@ def main() -> None:
     # warm-up run first, same steady-state policy as the batch queries:
     # the first streaming start pays checkpoint-dir setup + sink codegen
     # (~3x slower, measured); a resident pipeline never does.
-    streaming_throughput(spark)
-    stream = streaming_throughput(spark)
+    def _best_of_two(**kw) -> dict:
+        # same min-of-N policy as the batch loop: a single measurement can
+        # land on a transient host stall (observed: a 9.9k rows/s outlier
+        # against a 41k steady state) and become the recorded number.
+        a, b = streaming_throughput(spark, **kw), streaming_throughput(spark, **kw)
+        return a if (a["rows_per_sec"] or 0) >= (b["rows_per_sec"] or 0) else b
+
+    streaming_throughput(spark)  # warm-up (checkpoint setup + codegen)
+    stream = _best_of_two()
     # the SQL-sentiment plan is different codegen — warm it separately.
     # (Measured result worth keeping honest: the pure-SQL lexicon fold is
-    # SLOWER than the Arrow UDF here, ~49k vs ~55k rows/s — the giant
-    # CASE expression out-costs the Arrow batch round-trip.)
+    # no faster than the Arrow UDF here — the giant CASE expression costs
+    # about what the Arrow batch round-trip does.)
     streaming_throughput(spark, sql_sentiment=True)
-    stream_sql = streaming_throughput(spark, sql_sentiment=True)
+    stream_sql = _best_of_two(sql_sentiment=True)
 
     print(
         json.dumps(
