@@ -103,6 +103,7 @@ HEADLINE = [
     "docs_tokenize_to_ids",
     # warehouse maintenance / ordering
     "corpus_pipeline_flagship",
+    "corpus_pipeline_v2",
     "events_cdc_state",
     "orders_incremental_merge",
     "docs_shard_order",

@@ -320,8 +320,79 @@ FROM documents
 """
 
 
+def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 cleaning chain end-to-end in ONE plan: quality gate →
+    text normalization → dedup keyed on the NORMALIZED text → per-(lang,
+    source) accounting. The v2 differentiator over
+    corpus_pipeline_flagship: the dedup key is the normalization, so
+    case/punctuation-variant duplicates fold together — and the output
+    reports raw-distinct vs kept side by side, making the normalization's
+    extra catch a visible number.
+
+    Plan: codegen scan+filter (verdict + normalize are pure column work),
+    one window shuffle on md5(norm) for representative selection, one agg
+    shuffle on (lang, source), plus the parallel gated-stats agg joined
+    back — all keys uniform hashes."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.expr(_normalize_sql(dl.SPARK))
+    gated = docs.filter(F.expr(_verdict_sql(dl.SPARK)) == "kept").select(
+        "doc_id", "lang", "source", "text", norm.alias("norm_text")
+    )
+    stats = gated.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_gated"),
+        F.count_distinct(F.md5("text")).alias("n_raw_distinct"),
+    )
+    w = Window.partitionBy(F.md5("norm_text")).orderBy("doc_id")
+    reps = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    kept = reps.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.size(F.split("norm_text", " ")).cast("bigint")).alias("kept_tokens"),
+    )
+    return stats.join(kept, ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        "n_gated",
+        "n_raw_distinct",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )
+
+
+def _oracle_corpus_v2() -> str:
+    d = dl.DUCK
+    v = _verdict_sql(d)
+    norm = _normalize_sql(d)
+    return f"""
+WITH gated AS (
+  SELECT doc_id, lang, source, text, {norm} AS norm_text
+  FROM documents WHERE ({v}) = 'kept'
+), stats AS (
+  SELECT lang, source, count(*) AS n_gated,
+    count(DISTINCT md5(text)) AS n_raw_distinct
+  FROM gated GROUP BY lang, source
+), reps AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+), kept AS (
+  SELECT lang, source, count(*) AS n_kept,
+    CAST(sum(len(string_split(norm_text, ' '))) AS BIGINT) AS kept_tokens
+  FROM reps GROUP BY lang, source
+)
+SELECT s.lang, s.source, s.n_gated, s.n_raw_distinct,
+  coalesce(k.n_kept, 0) AS n_kept,
+  coalesce(k.kept_tokens, 0) AS kept_tokens
+FROM stats s LEFT JOIN kept k ON k.lang = s.lang AND k.source = s.source
+"""
+
+
 QUERIES = {
     "corpus_pipeline_flagship": corpus_pipeline_flagship,
+    "corpus_pipeline_v2": corpus_pipeline_v2,
     "docs_text_normalize": docs_text_normalize,
     "docs_pii_redact": docs_pii_redact,
     "docs_quality_filter": docs_quality_filter,
@@ -331,6 +402,7 @@ QUERIES = {
 ORACLES = {
     "corpus_pipeline_flagship": _oracle_corpus_flagship(),
     "docs_text_normalize": _oracle_text_normalize(),
+    "corpus_pipeline_v2": _oracle_corpus_v2(),
     "docs_pii_redact": _oracle_pii_redact(),
     "docs_quality_filter": _oracle_quality_filter(),
     "docs_mixture_weights": _oracle_mixture_weights(),
