@@ -104,6 +104,7 @@ HEADLINE = [
     # warehouse maintenance / ordering
     "corpus_pipeline_flagship",
     "corpus_pipeline_v2",
+    "docs_chi2_lang_source",
     "events_cdc_state",
     "orders_incremental_merge",
     "docs_shard_order",

@@ -390,9 +390,70 @@ FROM stats s LEFT JOIN kept k ON k.lang = s.lang AND k.source = s.source
 """
 
 
+def docs_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the corpus mixture: is `source`
+    independent of `lang`? Per-cell observed vs expected (row*col/total)
+    counts and the chi2 contribution — the dataset-balance check a
+    curation pipeline logs before training. All inputs to the double
+    arithmetic are exact integers (observed, row, col, total), so both
+    engines compute identical doubles; contributions are rounded for
+    display only.
+
+    Plan: one (lang, source) hash agg, then two broadcast joins of the
+    (tiny) marginal tables back onto the cells — the contingency table
+    itself is |langs| x |sources|, never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    row_m = cells.groupBy("lang").agg(F.sum("obs").alias("row_n"))
+    col_m = cells.groupBy("source").agg(F.sum("obs").alias("col_n"))
+    total = docs.count()
+    joined = cells.join(F.broadcast(row_m), "lang").join(F.broadcast(col_m), "source")
+    expected = (
+        F.col("row_n").cast("double") * F.col("col_n").cast("double") / F.lit(float(total))
+    )
+    # explicit diff*diff, not pow(diff, 2): pow goes through libm and can
+    # differ from the multiply in the last ulp between engines
+    diff = F.col("obs").cast("double") - expected
+    contrib = diff * diff / expected
+    return joined.select(
+        "lang",
+        "source",
+        "obs",
+        F.round(expected, 4).alias("expected"),
+        F.round(contrib, 6).alias("chi2_contrib"),
+    )
+
+
+def _oracle_chi2() -> str:
+    return """
+WITH cells AS (
+  SELECT lang, source, count(*) AS obs FROM documents GROUP BY lang, source
+), row_m AS (
+  SELECT lang, sum(obs) AS row_n FROM cells GROUP BY lang
+), col_m AS (
+  SELECT source, sum(obs) AS col_n FROM cells GROUP BY source
+), t AS (
+  SELECT count(*) AS total FROM documents
+)
+SELECT c.lang, c.source, c.obs,
+  round(CAST(r.row_n AS DOUBLE) * CAST(cm.col_n AS DOUBLE)
+        / CAST(t.total AS DOUBLE), 4) AS expected,
+  round((CAST(c.obs AS DOUBLE)
+         - CAST(r.row_n AS DOUBLE) * CAST(cm.col_n AS DOUBLE)
+           / CAST(t.total AS DOUBLE))
+        * (CAST(c.obs AS DOUBLE)
+         - CAST(r.row_n AS DOUBLE) * CAST(cm.col_n AS DOUBLE)
+           / CAST(t.total AS DOUBLE))
+        / (CAST(r.row_n AS DOUBLE) * CAST(cm.col_n AS DOUBLE)
+           / CAST(t.total AS DOUBLE)), 6) AS chi2_contrib
+FROM cells c JOIN row_m r USING (lang) JOIN col_m cm USING (source), t
+"""
+
+
 QUERIES = {
     "corpus_pipeline_flagship": corpus_pipeline_flagship,
     "corpus_pipeline_v2": corpus_pipeline_v2,
+    "docs_chi2_lang_source": docs_chi2_lang_source,
     "docs_text_normalize": docs_text_normalize,
     "docs_pii_redact": docs_pii_redact,
     "docs_quality_filter": docs_quality_filter,
@@ -403,6 +464,7 @@ ORACLES = {
     "corpus_pipeline_flagship": _oracle_corpus_flagship(),
     "docs_text_normalize": _oracle_text_normalize(),
     "corpus_pipeline_v2": _oracle_corpus_v2(),
+    "docs_chi2_lang_source": _oracle_chi2(),
     "docs_pii_redact": _oracle_pii_redact(),
     "docs_quality_filter": _oracle_quality_filter(),
     "docs_mixture_weights": _oracle_mixture_weights(),
