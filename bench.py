@@ -197,6 +197,19 @@ def streaming_throughput(spark, sql_sentiment: bool = False) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Diagnostic knobs (default: full bench). BENCH_ONLY narrows the query
+    # set (comma names or @file-of-names); BENCH_SKIP drops the recall /
+    # streaming blocks. Used by tools/bench_diff.py bisection runs.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    headline = HEADLINE
+    if only:
+        if only.startswith("@"):
+            with open(only[1:]) as fh:
+                names = [ln.strip() for ln in fh if ln.strip()]
+        else:
+            names = [n.strip() for n in only.split(",") if n.strip()]
+        headline = [n for n in HEADLINE if n in set(names)]
+    skip = set(os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(","))
     spark = get_spark("rtta-bench")
     queries = all_queries()
 
@@ -205,7 +218,7 @@ def main() -> None:
     # clearCache between queries: intra-query caches (shingle tables, LSH
     # buckets) are part of a query's own cost and must not accumulate into
     # memory pressure for later queries.
-    for name in HEADLINE:
+    for name in headline:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
 
@@ -215,24 +228,27 @@ def main() -> None:
     # eagerly-materialized rounds during construction and must be counted.
     timings: dict[str, float] = {}
     for _ in range(2):
-        for name in HEADLINE:
+        for name in headline:
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             spark.catalog.clearCache()
-            # collect the evicted cache + finished-job garbage NOW, not
-            # during the next query's timed window (measured: stabilizes
-            # the heavy iterative queries from 4.3-7.8s to ~5.3s +/- 0.3)
-            spark._jvm.System.gc()
+            # NO System.gc() here. Round 3 added one "to stabilize" and it
+            # was the round's self-inflicted bench regression: a forced
+            # full GC after every query made the NEXT timed query ~1.5x
+            # slower (measured r4: the same 6-query set runs 12.5s without
+            # the gc call vs 19.2s with it; dedup_clusters 4.7s vs 7.3s).
+            # The remaining r2->r3 'drift' was host-level: the unchanged
+            # r2 tree re-benched 1.41x slower on the r4 box (BENCH_DIFF_r04).
     total = round(sum(timings.values()), 3)
 
     # Quality metric alongside the timings: ANN recall@10 vs brute force
     # (guards candidate generation; see similarity.ann_recall docstring).
     from realtime_twitter_trends_analytics_spark.operators.similarity import ann_recall
 
-    recall = ann_recall(spark, sf_dir)
+    recall = None if "recall" in skip else ann_recall(spark, sf_dir)
     spark.catalog.clearCache()
 
     # warm-up run first, same steady-state policy as the batch queries:
@@ -245,29 +261,56 @@ def main() -> None:
         a, b = streaming_throughput(spark, **kw), streaming_throughput(spark, **kw)
         return a if (a["rows_per_sec"] or 0) >= (b["rows_per_sec"] or 0) else b
 
-    streaming_throughput(spark)  # warm-up (checkpoint setup + codegen)
-    stream = _best_of_two()
-    # the SQL-sentiment plan is different codegen — warm it separately.
-    # (Measured result worth keeping honest: the pure-SQL lexicon fold is
-    # no faster than the Arrow UDF here — the giant CASE expression costs
-    # about what the Arrow batch round-trip does.)
-    streaming_throughput(spark, sql_sentiment=True)
-    stream_sql = _best_of_two(sql_sentiment=True)
+    if "stream" in skip:
+        stream = stream_sql = None
+    else:
+        streaming_throughput(spark)  # warm-up (checkpoint setup + codegen)
+        stream = _best_of_two()
+        # the SQL-sentiment plan is different codegen — warm it separately.
+        # (Measured result worth keeping honest: the pure-SQL lexicon fold is
+        # no faster than the Arrow UDF here — the giant CASE expression costs
+        # about what the Arrow batch round-trip does.)
+        streaming_throughput(spark, sql_sentiment=True)
+        stream_sql = _best_of_two(sql_sentiment=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "ann_recall_at_10": recall,
-                "streaming_pipeline": stream,
-                "streaming_pipeline_sql_sentiment": stream_sql,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "ann_recall_at_10": recall,
+        "streaming_pipeline": stream,
+        "streaming_pipeline_sql_sentiment": stream_sql,
+    }
+    # The driver captures only a fixed-size TAIL of stdout and json-parses
+    # the last line. Round 3's single full-payload line outgrew that buffer
+    # (BENCH_r03.json: parsed=null -> no headline number recorded), so:
+    #   line 1: full payload (humans, tools/bench_diff.py)
+    #   file  : bench_full.json (committed per round as BENCH_DETAIL_r{N})
+    #   LAST  : compact headline WITHOUT the per-query map, guaranteed to
+    #           fit the tail buffer (verified < 1500 bytes by test below).
+    print(json.dumps(full))
+    if not only:  # diagnostic subset runs must not clobber the round artifact
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+            json.dump(full, fh)
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "ann_recall_at_10": recall,
+        "streaming_pipeline": stream,
+        "streaming_pipeline_sql_sentiment": stream_sql,
+        # slowest 10 only — the full 66-entry map is what overflowed the
+        # driver tail in r3; complete map: line 1 above / bench_full.json
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
+        "detail": "bench_full.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"compact bench line too long ({len(line)} bytes)"
+    print(line)
     spark.stop()
 
 

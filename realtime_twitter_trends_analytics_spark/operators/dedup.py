@@ -21,7 +21,7 @@ and hash-matches its oracle exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..functions import dialect as dl
 from ..sources.loaders import load_table
@@ -253,18 +253,22 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     ).localCheckpoint()
     prev_sum = None
     converged = False
-    for _ in range(max_iters):
+    for i in range(max_iters):
+        # convergence test without a join OR a second job: labels only
+        # ever decrease (least of old and neighbor min), so the scalar
+        # sum(label) is strictly monotone and stalls exactly at the fixed
+        # point. observe() piggybacks the sum on the SAME job that
+        # materializes the round's localCheckpoint — round 3 ran a
+        # separate agg job per round; at ~5 rounds the per-job scheduling
+        # overhead was a measurable slice of dedup_clusters' bench time.
+        obs = Observation(f"cc_round_{i}")
         new_labels = (
             und.join(labels, und["b"] == labels["node"])
             .groupBy(und["a"].alias("node"))
             .agg(F.min("label").alias("label"))
+            .observe(obs, F.sum("label").alias("s"))
         ).localCheckpoint()
-        # convergence test without a join: labels only ever decrease
-        # (least of old and neighbor min), so the scalar sum(label) is
-        # strictly monotone and stalls exactly at the fixed point. One
-        # cheap agg over the just-checkpointed round output replaces the
-        # old full self-join + count per round.
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = obs.get["s"]
         labels = new_labels
         if new_sum == prev_sum:
             converged = True

@@ -921,13 +921,22 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE NOTE: exact medians buffer each group (documented trade in
     `percentiles`); at 100 TB swap both for approx_percentile — same
     plan shape, sketch memory. Returns per-type counts + bounds so the
-    output is audit-sized, not row-sized."""
-    e = load_table(spark, sf_dir, "events")
+    output is audit-sized, not row-sized.
+
+    Values are quantized to cents (BIGINT) BEFORE the percentile/MAD
+    pipeline (ADVICE r3): integer inputs make every interpolated median a
+    half-integer, every deviation a half, every 3*MAD bound a multiple of
+    1/2 — all exact binary doubles, so the adev > 3*mad boundary cannot
+    flap on a cross-engine last-ulp difference the way raw-double
+    percentile() vs quantile_cont() could."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc")
+    )
     med = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        F.expr("percentile(vc, 0.5)").alias("med")
     )
     dev = e.join(F.broadcast(med), "event_type").select(
-        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+        "event_type", "vc", "med", F.abs(F.col("vc") - F.col("med")).alias("adev")
     )
     mad = dev.groupBy("event_type").agg(
         F.any_value("med").alias("med"), F.expr("percentile(adev, 0.5)").alias("mad")
@@ -936,8 +945,8 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flagged.groupBy("event_type")
         .agg(
-            F.any_value("med").alias("median_value"),
-            F.any_value("mad").alias("mad"),
+            F.any_value("med").alias("med_c"),
+            F.any_value("mad").alias("mad_c"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum(
                 (F.col("adev") > MAD_K_NUM * F.col("mad")).cast("long")
@@ -945,8 +954,8 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.round("median_value", 4).alias("median_value"),
-            F.round("mad", 4).alias("mad"),
+            F.round(F.col("med_c") / 100, 4).alias("median_value"),
+            F.round(F.col("mad_c") / 100, 4).alias("mad"),
             "n_events",
             "n_outliers",
         )
@@ -955,18 +964,20 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_anomaly_mad() -> str:
     return f"""
-WITH med AS (
-  SELECT event_type, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY event_type
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+), med AS (
+  SELECT event_type, quantile_cont(vc, 0.5) AS med
+  FROM e GROUP BY event_type
 ), dev AS (
-  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
-  FROM events e JOIN med m USING (event_type)
+  SELECT e.event_type, e.vc, m.med, abs(e.vc - m.med) AS adev
+  FROM e JOIN med m USING (event_type)
 ), mad AS (
   SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
 )
 SELECT d.event_type,
-  round(any_value(d.med), 4) AS median_value,
-  round(any_value(m.mad), 4) AS mad,
+  round(any_value(d.med) / 100, 4) AS median_value,
+  round(any_value(m.mad) / 100, 4) AS mad,
   count(*) AS n_events,
   CAST(sum(CASE WHEN d.adev > {MAD_K_NUM} * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM dev d JOIN mad m USING (event_type)

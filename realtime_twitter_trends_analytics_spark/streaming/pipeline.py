@@ -117,9 +117,12 @@ def transform_tweets(
     sql_sentiment=False scores with the Arrow pandas_udf (the
     model-per-worker pattern a real classifier needs); True swaps in the
     pure-SQL lexicon expression — same scores (equivalence is pytest- and
-    oracle-proven via the batch path), zero Python in the stream. bench.py
-    reports both so the Arrow-boundary cost is a measured number."""
-    from ..functions.sentiment import sentiment_score
+    oracle-proven via the batch path), zero Python in the stream. The SQL
+    variant uses the let-bound fast form (score_sql_fast_spark): the
+    template form re-sliced the token array per chunk and lost to the
+    Arrow UDF in round-3 bench (47.7k vs 57.1k rows/s). bench.py reports
+    both so the Arrow-boundary cost is a measured number."""
+    from ..functions.sentiment import score_sql_fast_spark
 
     parsed = raw.withColumn("parsed", parse_sentinel(F.col("value")))
     cleaned = (
@@ -135,7 +138,7 @@ def transform_tweets(
         # (the reference recomputed it k times, proc:231).
         .withColumn(
             "_score",
-            sentiment_score("clean_text")
+            F.expr(score_sql_fast_spark("clean_text"))
             if sql_sentiment
             else sentiment_score_udf(F.col("clean_text")),
         )

@@ -7,11 +7,12 @@ bucket a singleton would still hash-match its own oracle). These tests pin
 recall@10 against brute force exactly — everything is deterministic, so the
 snapshot is stable — and assert the structural bounds of each method.
 
-The absolute recall numbers are LOW BY DESIGN: the fixture embeddings are
-isotropic (no cluster structure), so any locality-sensitive method's
-candidate sets are near-random subsets. The value here is regression
-detection, not recall advertising. bench.py reports the same numbers per
-round under "ann_recall_at_10".
+Round-4 recall floors (VERDICT r3 item 3): every path must clear 0.5 —
+multi-probe IVF over the learned codebook, Hamming-1 multiprobe LSH, and
+PQ exact rerank raised lsh/ivf/pq_adc from 0.12/0.12/0.29 to ~0.7/0.9/0.8.
+The exact snapshot is also pinned (deterministic hashing + fixtures), so
+any candidate-generation change shows up as a number shift. bench.py
+reports the same numbers per round under "ann_recall_at_10".
 """
 
 from __future__ import annotations
@@ -19,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from realtime_twitter_trends_analytics_spark.operators.similarity import (
-    LSH_TABLES,
+    ANN_LSH_TABLES,
+    LSH_PROBE_MASKS,
     N_QUERY_VECS,
     TOP_K,
     ann_recall,
@@ -29,21 +31,20 @@ from realtime_twitter_trends_analytics_spark.operators.similarity import (
 )
 from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
 
+RECALL_FLOOR = 0.5
+
 
 def test_recall_snapshot_vs_bruteforce(spark, sf_dir):
-    # deterministic hashing + deterministic fixtures -> exact values;
-    # a candidate-generation change shows up here as a number shift
-    # ivf_kmeans: the learned codebook lifts recall 0.16 -> 0.72 even on
-    # isotropic fixtures (cells follow the data, not an arbitrary label) —
-    # the quality argument for k-means IVF at scale, pinned here.
-    # pq_adc is depressed by BOTH 8x quantization loss AND the metric
-    # mismatch (ADC ranks by L2 over unnormalized vectors, truth by
-    # cosine) — pinned for regression detection, not comparison.
-    assert ann_recall(spark, sf_dir) == {
-        "lsh": 0.09,
-        "ivf": 0.16,
+    got = ann_recall(spark, sf_dir)
+    # the hard gate: no ANN path may regress below the round-4 floor
+    assert all(v >= RECALL_FLOOR for v in got.values()), got
+    # the exact snapshot (sf0.001): a shift here = candidate generation
+    # changed — re-measure and re-pin deliberately, never silently
+    assert got == {
+        "lsh": 0.67,
+        "ivf": 0.88,
         "ivf_kmeans": 0.72,
-        "pq_adc": 0.28,
+        "pq_adc": 0.81,
     }
 
 
@@ -67,9 +68,11 @@ def test_ann_results_are_structurally_sound(spark, sf_dir):
 
 
 def test_lsh_candidates_bounded_by_bucket_sizes(spark, sf_dir):
-    """The LSH candidate count per query is exactly the union of its
-    buckets' occupancies (minus self) — the O(sum bucket^2) bound that makes
-    the method scale. Verified by recomputing bucket membership."""
+    """The LSH candidate set per query is exactly the union of its probed
+    buckets' occupancies (Hamming<=1 multiprobe) — the bounded-candidates
+    property that makes the method scale. Verified by recomputing bucket
+    membership: every returned pair must differ by at most one bucket bit
+    in at least one table."""
     from realtime_twitter_trends_analytics_spark.functions import dialect as dl
     from realtime_twitter_trends_analytics_spark.operators.similarity import (
         lsh_bucket_sql,
@@ -80,15 +83,16 @@ def test_lsh_candidates_bounded_by_bucket_sizes(spark, sf_dir):
         "vec_id",
         *[
             F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t)).alias(f"b{t}")
-            for t in range(LSH_TABLES)
+            for t in range(ANN_LSH_TABLES)
         ],
     ).collect()
-    by_id = {r["vec_id"]: [r[f"b{t}"] for t in range(LSH_TABLES)] for r in bucketed}
+    by_id = {r["vec_id"]: [r[f"b{t}"] for t in range(ANN_LSH_TABLES)] for r in bucketed}
     ann = sim_lsh_ann(spark, sf_dir).collect()
+    probe_set = set(LSH_PROBE_MASKS)
     for r in ann:
         qb, cb = by_id[r["query_id"]], by_id[r["cand_id"]]
-        # every returned pair shares at least one bucket in some table
-        assert any(qb[t] == cb[t] for t in range(LSH_TABLES)), r
+        # every returned pair lands in a probed bucket of some table
+        assert any((qb[t] ^ cb[t]) in probe_set for t in range(ANN_LSH_TABLES)), r
 
 
 def test_embedding_cosine_dedup_finds_planted(spark):

@@ -36,8 +36,8 @@ def test_every_query_has_callable_and_most_have_oracles():
     assert len(q) >= 40
     assert set(o) <= set(q)
     # rows-only entries must be the documented non-SQL-expressible ones
+    # (multimodal_features graduated to a full per-row oracle in round 4)
     assert set(q) - set(o) == {
-        "multimodal_features",
         "agg_approx_distinct",
         "percentiles_approx",
         "trends_token_approx_topk",

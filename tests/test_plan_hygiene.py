@@ -42,6 +42,9 @@ CARTESIAN_OK = {
     "sim_ivf_kmeans_ann": "inherits the K-row centroid broadcast product "
     "from the k-means assignment it uses as its codebook (see "
     "ml_kmeans_embeddings); the ANN join itself is an equi-join on cell id",
+    "sim_ivf_ann": "multi-probe variant of sim_ivf_kmeans_ann: same K-row "
+    "centroid broadcast product for cell ranking/assignment; candidate "
+    "retrieval is an equi-join on cell id",
     "ml_negative_samples": "anchors x broadcast NEG_POOL-row hash-selected "
     "pool is the sampling design — constant 64-row side, map-side product",
     "sim_knn_label_probe": "broadcast eval-set x candidate scan is the "

@@ -80,7 +80,11 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
     assert back.count() == o0.count()
     filtered = back.filter(back.o_orderstatus == "F")
     plan = filtered._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+    # match each pushed filter independently — filter ordering / list
+    # formatting inside PushedFilters varies across Spark minor versions
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_orderstatus)" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
     assert filtered.count() == o0.filter(o0.o_orderstatus == "F").count()
 
 

@@ -107,3 +107,39 @@ def test_winnowing_guarantees(spark, sf_dir):
         assert r.fp_min <= r.fp_max
         # sanity on the 60-bit hash range
         assert 0 <= r.fp_min < 2**60
+
+
+def test_score_sql_fast_spark_bit_identical(spark, sf_dir):
+    """score_sql_fast_spark (the streaming hot-path rewrite) must produce
+    BIT-identical doubles to the dual-dialect template on real fixtures and
+    on the edge shapes (empty, whitespace, single token, exact chunk
+    boundary, multi-chunk, out-of-lexicon) — same fold order is the claim,
+    exact equality is the check."""
+    from realtime_twitter_trends_analytics_spark.functions import dialect as dl
+    from realtime_twitter_trends_analytics_spark.functions.sentiment import (
+        score_sql,
+        score_sql_fast_spark,
+    )
+    from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
+
+    edge = spark.createDataFrame(
+        [
+            ("",),
+            ("   ",),
+            ("fast",),
+            ("a b c d e f g h",),                 # exactly one full chunk
+            ("a b c d e f g h i",),               # chunk boundary + 1
+            ("slow dup small filter fast spark big vector merge nonsense word",),
+            ("x  y",),                            # double space -> empty token
+        ],
+        "text string",
+    )
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    for df in (edge, docs):
+        rows = df.select(
+            F.expr(score_sql(dl.SPARK, "text")).alias("a"),
+            F.expr(score_sql_fast_spark("text")).alias("b"),
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["a"] == r["b"], (r["a"], r["b"])

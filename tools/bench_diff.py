@@ -1,0 +1,118 @@
+"""Bench regression gate (VERDICT r3 item 5): compare two bench result
+files on their common query set and fail loudly on per-query or total
+regressions. Round 3's 1.39x common-set drift shipped silently because
+nothing diffed the files — this tool is now part of the end-of-round
+checklist next to tools/verify_local.py.
+
+Usage:
+    python tools/bench_diff.py OLD NEW [--per-query-max 1.25] [--total-max 1.15]
+
+OLD/NEW accept any of:
+  - a driver artifact (BENCH_r{N}.json: {"parsed": {...}, "tail": "..."})
+  - a raw bench payload (bench_full.json / the first JSON line of bench.py)
+
+Exit code 1 if any query exceeds --per-query-max or the common-set total
+exceeds --total-max. Queries present on one side only are listed but never
+fail the gate (coverage growth is not a regression).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+
+
+def load_queries(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        doc = json.load(fh)
+    # driver artifact: prefer parsed payload, fall back to scraping the tail
+    if "parsed" in doc or "tail" in doc:
+        parsed = doc.get("parsed")
+        if parsed and parsed.get("queries"):
+            return dict(parsed["queries"])
+        # tail scrape: the per-query map may be truncated at its head —
+        # recover every complete "name": seconds pair that survived
+        tail = doc.get("tail", "")
+        pairs = re.findall(r'"([a-zA-Z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail)
+        known_scalars = {"value", "sf", "elapsed_sec", "rows_per_sec"}
+        got = {
+            k: float(v)
+            for k, v in pairs
+            if k not in known_scalars and not k.startswith("q_")
+        }
+        # recall/streaming sub-keys leak into the scrape; drop them
+        for noise in ("lsh", "ivf", "ivf_kmeans", "pq_adc", "input_rows"):
+            got.pop(noise, None)
+        if not got:
+            raise SystemExit(f"{path}: no usable per-query data (parsed null, tail empty)")
+        return got
+    # raw payload
+    if "queries" in doc:
+        return dict(doc["queries"])
+    raise SystemExit(f"{path}: unrecognized bench file format")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--per-query-max", type=float, default=1.25)
+    ap.add_argument("--total-max", type=float, default=1.15)
+    ap.add_argument(
+        "--min-sec",
+        type=float,
+        default=0.3,
+        help="ignore per-query ratios when BOTH sides are below this (noise floor)",
+    )
+    args = ap.parse_args()
+
+    old, new = load_queries(args.old), load_queries(args.new)
+    common = sorted(set(old) & set(new))
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+    if not common:
+        print("no common queries between the two files")
+        return 1
+
+    total_old = sum(old[k] for k in common)
+    total_new = sum(new[k] for k in common)
+    total_ratio = total_new / total_old if total_old else float("inf")
+
+    rows = []
+    failures = []
+    for k in common:
+        ratio = new[k] / old[k] if old[k] else float("inf")
+        flag = ""
+        if ratio > args.per_query_max and max(old[k], new[k]) >= args.min_sec:
+            flag = "REGRESSION"
+            failures.append(k)
+        elif ratio < 1 / args.per_query_max:
+            flag = "improved"
+        rows.append((ratio, k, old[k], new[k], flag))
+
+    print(f"common set: {len(common)} queries   old={total_old:.3f}s   "
+          f"new={total_new:.3f}s   ratio={total_ratio:.3f}x "
+          f"(gate {args.total_max}x)")
+    for ratio, k, o, n, flag in sorted(rows, reverse=True):
+        if flag or ratio > 1.1:
+            print(f"  {ratio:5.2f}x  {k:40s} {o:7.3f} -> {n:7.3f}  {flag}")
+    if only_old:
+        print(f"dropped from new ({len(only_old)}): {', '.join(only_old)}")
+    if only_new:
+        print(f"added in new ({len(only_new)}): {', '.join(only_new)}")
+
+    failed = bool(failures) or total_ratio > args.total_max
+    if failures:
+        print(f"FAIL: {len(failures)} per-query regressions > {args.per_query_max}x: "
+              f"{', '.join(failures)}")
+    if total_ratio > args.total_max:
+        print(f"FAIL: common-set total {total_ratio:.3f}x > {args.total_max}x")
+    if not failed:
+        print("PASS")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

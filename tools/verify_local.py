@@ -85,6 +85,10 @@ def main() -> int:
     names = args.only or sorted(queries)
     n_pass = n_fail = n_rows_only = 0
     for name in names:
+        # run contract (ADVICE r3): intra-query caches (shingle relations,
+        # LSH buckets) are owned by the query that built them; the harness
+        # drops them so 140+ queries don't accumulate executor storage
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = queries[name](spark, args.sf)
