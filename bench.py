@@ -110,6 +110,12 @@ HEADLINE = [
     "docs_shard_order",
     "sql_recursive_date_spine",
     "sql_lateral_topk_orders",
+    # round-4 analytics extensions
+    "events_gaps_islands",
+    "sample_reservoir_per_key",
+    "docs_boilerplate_chunks",
+    "part_skyline_per_brand",
+    "events_ab_test_lift",
 ]
 
 

@@ -1,0 +1,319 @@
+"""Second-tier analytics / pipeline operators added in round 4:
+
+- gaps-and-islands sessionization over calendar days (streak analysis),
+- deterministic per-key reservoir-style sampling (two-phase top-k, skew-proof),
+- boilerplate chunk detection over the documents corpus (the C4 "repeated
+  paragraph" removal step, done on fixed token shingles),
+- per-group pareto frontier (skyline) via a running-max window,
+- hash-assigned A/B experiment readout with exact-integer moment math.
+
+All five are pure DataFrame/window/agg compositions (no UDFs), each with a
+DuckDB oracle. Float determinism follows the repo convention: sums are taken
+over exact cents (BIGINT); doubles only appear in final divisions of exact
+integers, which IEEE-match across engines, and displayed ratios are rounded.
+
+Reference tie-in: the reference's only analytic shape is the windowed
+hashtag count (proc:131-140) — these queries extend the same
+"key -> window/agg -> readout" pattern to the shapes a training-data
+pipeline actually runs (streaks, samples, boilerplate, frontiers, A/B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import dialect as dl
+from ..sources.loaders import load_table
+
+
+# ---------------------------------------------------------------- gaps/islands
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-streak analysis (gaps-and-islands): distinct active
+    calendar days per user, islands found by the row_number anchor trick
+    (day - rank is constant within a run of consecutive days).
+
+    Scale: the distinct is a keyed hash agg on (user_id, day) — cardinality
+    is bounded by users x days, orders of magnitude below the event count;
+    the window partitions by user_id over that reduced set, so no single
+    task ever sees more than one user's days. Survives 100 TB of events
+    because everything after the first agg is per-user-days sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    isl = days.select("user_id", "d", F.date_sub(F.col("d"), rn).alias("anchor"))
+    per_island = isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return per_island.groupBy("user_id").agg(
+        F.sum("len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("max_streak"),
+    )
+
+
+def _oracle_gaps_islands() -> str:
+    return """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+num AS (SELECT user_id, d,
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn FROM days),
+per_island AS (
+  SELECT user_id, d - CAST(rn AS INT) AS anchor, count(*) AS len
+  FROM num GROUP BY user_id, d - CAST(rn AS INT)
+)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak
+FROM per_island GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------ reservoir sample
+RESERVOIR_K = 5
+
+
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-key sample: rank docs within each language by
+    md5(text) (uniform, content-keyed — retries and re-partitioning cannot
+    change membership, unlike rand()) and keep the first RESERVOIR_K.
+
+    Two-phase top-k so a skewed key cannot serialize: phase 1 ranks within
+    (lang, hash-bucket) — 16 parallel sub-streams per language — and keeps
+    k per bucket; phase 2 re-ranks the <= 16k survivors per language. The
+    global top-k by a total order is always contained in the union of
+    per-bucket top-k's, so the result equals the single-window form the
+    oracle uses, while the biggest window any task evaluates is one
+    bucket's share of one language.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    bucket = F.expr(dl.md5_prefix_nibble(dl.SPARK, "text"))
+    w1 = W.partitionBy("lang", "bucket").orderBy("h", "doc_id")
+    phase1 = (
+        docs.select("lang", "doc_id", h.alias("h"), bucket.alias("bucket"))
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= RESERVOIR_K)
+    )
+    w2 = W.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        phase1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+def _oracle_reservoir() -> str:
+    return f"""
+SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {RESERVOIR_K}
+"""
+
+
+# ------------------------------------------------------------ boilerplate det.
+BP_CHUNK = 8  # tokens per shingle (non-overlapping)
+BP_MIN_DOCS = 3  # a chunk in >= this many distinct docs is boilerplate
+
+
+def docs_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection — the "same paragraph in many pages" C4/RefinedWeb
+    cleanup signal: cut each doc into non-overlapping BP_CHUNK-token shingles
+    (full shingles only) and report chunks appearing in >= BP_MIN_DOCS
+    distinct docs, keyed by md5 so the 100 TB shuffle moves 32-char digests,
+    not chunk text.
+
+    Plan: tokenize-once projection -> map-side posexplode of slice starts
+    (no shuffle) -> one hash agg on the digest (partial count_distinct via
+    the (digest, doc_id) pre-agg Catalyst plans for count(DISTINCT)). The
+    digest key is uniform by construction, so no salting is needed even
+    when one boilerplate chunk is everywhere — the agg is two-level.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(
+        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n"))
+    starts = f"sequence(1, greatest(n, 1), {BP_CHUNK})"
+    chunks = tokd.select(
+        "doc_id",
+        F.explode(F.expr(starts)).alias("s"),
+        F.col("toks"),
+        F.col("n"),
+    ).select(
+        "doc_id",
+        F.array_join(F.slice("toks", F.col("s"), F.lit(BP_CHUNK)), " ").alias("ct"),
+        (F.least(F.col("s") + (BP_CHUNK - 1), F.col("n")) - F.col("s") + 1).alias(
+            "ctoks"
+        ),
+    )
+    return (
+        chunks.filter(F.col("ctoks") == BP_CHUNK)
+        .groupBy(F.md5("ct").alias("chunk_md5"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= BP_MIN_DOCS)
+    )
+
+
+def _oracle_boilerplate() -> str:
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM tokd
+), chunks AS (
+  SELECT doc_id,
+    array_to_string(toks[s:s + {BP_CHUNK - 1}], ' ') AS ct,
+    least(s + {BP_CHUNK - 1}, n) - s + 1 AS ctoks
+  FROM (SELECT doc_id, toks, n,
+          unnest(generate_series(1, greatest(n, 1), {BP_CHUNK})) AS s
+        FROM sized)
+)
+SELECT md5(ct) AS chunk_md5, count(DISTINCT doc_id) AS n_docs,
+  count(*) AS n_occurrences
+FROM chunks WHERE ctoks = {BP_CHUNK}
+GROUP BY md5(ct) HAVING count(DISTINCT doc_id) >= {BP_MIN_DOCS}
+"""
+
+
+# ------------------------------------------------------------------- skyline
+def part_skyline_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand pareto frontier (skyline): parts where no cheaper part of
+    the same brand has >= size — "best size you can get at each price
+    point". Single running-max window per brand (sort by price, keep rows
+    that raise the size high-water mark) — the O(n log n) skyline for two
+    criteria, vs the naive O(n^2) self-join. Ties are ordered
+    (price, partkey) so both engines agree row-for-row.
+
+    Scale: partitioned by brand, so the sort parallelizes across brands;
+    within one giant brand the window is a single ordered scan (no
+    quadratic anything).
+    """
+    part = load_table(spark, sf_dir, "part")
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy("p_retailprice", "p_partkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max = F.max("p_size").over(w)
+    return (
+        part.withColumn("prev_max", prev_max)
+        .filter(F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max")))
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+    )
+
+
+def _oracle_skyline() -> str:
+    return """
+SELECT p_brand, p_partkey, p_retailprice, p_size FROM (
+  SELECT p_brand, p_partkey, p_retailprice, p_size,
+    max(p_size) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM part
+) WHERE prev_max IS NULL OR p_size > prev_max
+"""
+
+
+# ------------------------------------------------------------------ A/B lift
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-assigned 50/50 (first md5 nibble
+    of user_id — sticky, engine-portable, no rand()), then per event_type:
+    group sizes, mean value, lift, and a Welch t statistic.
+
+    Float determinism: values are quantized to exact cents; every sum/
+    sum-of-squares is BIGINT (max |cents| ~ 5e4, squares ~ 2.4e9/row —
+    BIGINT-safe past 1e9 rows per (type, variant) group); means/variances
+    are single double divisions of exact integers, so both engines produce
+    bit-identical doubles, and displayed ratios are rounded to 4 places.
+    Scale: one hash agg keyed by (event_type, variant), then an in-group
+    pivot of exactly 2 rows per type — nothing downstream of the first agg
+    exceeds #event_types rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    nib = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(user_id AS STRING)"))
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    g = (
+        e.select(
+            "event_type",
+            F.when(nib < 8, "A").otherwise("B").alias("variant"),
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        )
+    )
+    both = (
+        g.groupBy("event_type")
+        .pivot("variant", ["A", "B"])
+        .agg(
+            F.first("n").alias("n"), F.first("s1").alias("s1"), F.first("s2").alias("s2")
+        )
+    )
+    mean = lambda s, n: F.col(s) / (F.col(n) * F.lit(100.0))  # noqa: E731
+    # sample variance of cents/100: (s2 - s1^2/n) / (n-1) / 100^2
+    var = lambda s1, s2, n: (  # noqa: E731
+        (F.col(s2) - F.col(s1) * F.col(s1) / F.col(n))
+        / (F.col(n) - 1)
+        / F.lit(10000.0)
+    )
+    ma, mb = mean("A_s1", "A_n"), mean("B_s1", "B_n")
+    va, vb = var("A_s1", "A_s2", "A_n"), var("B_s1", "B_s2", "B_n")
+    t = (mb - ma) / F.sqrt(va / F.col("A_n") + vb / F.col("B_n"))
+    return both.select(
+        "event_type",
+        F.col("A_n").alias("n_a"),
+        F.col("B_n").alias("n_b"),
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round((mb - ma) / ma * 100, 4).alias("lift_pct"),
+        F.round(t, 4).alias("t_stat"),
+    )
+
+
+def _oracle_ab_lift() -> str:
+    nib = dl.md5_prefix_nibble(dl.DUCK, "CAST(user_id AS VARCHAR)")
+    return f"""
+WITH g AS (
+  SELECT event_type,
+    CASE WHEN {nib} < 8 THEN 'A' ELSE 'B' END AS variant,
+    count(*) AS n,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+    CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY 1, 2
+), ab AS (
+  SELECT a.event_type,
+    a.n AS n_a, a.s1 AS s1_a, a.s2 AS s2_a,
+    b.n AS n_b, b.s1 AS s1_b, b.s2 AS s2_b
+  FROM (SELECT * FROM g WHERE variant = 'A') a
+  JOIN (SELECT * FROM g WHERE variant = 'B') b USING (event_type)
+)
+SELECT event_type, n_a, n_b,
+  round(s1_a / (n_a * 100.0), 4) AS mean_a,
+  round(s1_b / (n_b * 100.0), 4) AS mean_b,
+  round((s1_b / (n_b * 100.0) - s1_a / (n_a * 100.0)) / (s1_a / (n_a * 100.0)) * 100, 4) AS lift_pct,
+  round((s1_b / (n_b * 100.0) - s1_a / (n_a * 100.0))
+    / sqrt(((s2_a - CAST(s1_a AS DOUBLE) * s1_a / n_a) / (n_a - 1) / 10000.0) / n_a
+         + ((s2_b - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1) / 10000.0) / n_b), 4) AS t_stat
+FROM ab
+"""
+
+
+QUERIES = {
+    "events_gaps_islands": events_gaps_islands,
+    "sample_reservoir_per_key": sample_reservoir_per_key,
+    "docs_boilerplate_chunks": docs_boilerplate_chunks,
+    "part_skyline_per_brand": part_skyline_per_brand,
+    "events_ab_test_lift": events_ab_test_lift,
+}
+
+ORACLES = {
+    "events_gaps_islands": _oracle_gaps_islands(),
+    "sample_reservoir_per_key": _oracle_reservoir(),
+    "docs_boilerplate_chunks": _oracle_boilerplate(),
+    "part_skyline_per_brand": _oracle_skyline(),
+    "events_ab_test_lift": _oracle_ab_lift(),
+}

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
+    analytics_ext,
     cleaning,
     dedup,
     graph,
@@ -33,6 +34,7 @@ from .operators import (
 _MODULES = [
     relational,
     relational_ext,
+    analytics_ext,
     trends,
     dedup,
     similarity,
