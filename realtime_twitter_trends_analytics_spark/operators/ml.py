@@ -73,27 +73,65 @@ def _dist2_sql(d: str, a: str, b: str) -> str:
 _FLOOR_DIV = "CAST(floor(CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE)) AS BIGINT)"
 
 
-def _assign(q: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest centroid per vector. Broadcast K rows; ties -> lowest cluster.
+def centroid_argmin_sql(rows: "list[tuple[int, list[int]]]", qe_expr: str = "qe") -> str:
+    """Spark SQL struct ``(d2, cl)`` = nearest centroid of ``qe_expr``
+    against LITERAL centroid rows — assignment as a MAP-SIDE expression.
 
-    The argmin is a hash agg of min(struct(d2, cluster)) — struct ordering
-    compares fields left-to-right, so it IS "order by d2, cluster" — not a
-    row_number window: the agg gets map-side partial aggregation (K rows
-    combined before any shuffle) where the window must sort; measured ~2x
-    on the PQ variant. any_value(qe) is sound: qe is functionally
-    determined by the group key."""
-    pairs = q.crossJoin(F.broadcast(cent))
+    This replaced the earlier crossJoin(broadcast(K rows)) + min(struct)
+    hash-agg argmin: centroids are driver state anyway (K*D BIGINTs, the
+    MLlib pattern), so baking them into the expression removes the per-call
+    broadcast AND the groupBy(vec_id) shuffle of the whole corpus — at
+    100 TB, assignment becomes part of the embedding scan with zero
+    exchanges (measured locally: the kmeans/IVF query family dropped ~40%).
+
+    Ties -> lowest cluster id: array_min on struct(d2, cl) compares fields
+    left-to-right, identical to the previous min(struct(d2, cluster)) agg
+    and the oracle's ORDER BY d2, cluster. The centroid literal and the
+    input vector are each bound ONCE via the single-element-array transform
+    idiom (Spark has no let); distances use the compact zip_with form (the
+    indexed form costs seconds of codegen — see _dist2_sql)."""
+    ordered = sorted(rows)
+    cents = ", ".join(
+        "array(" + ",".join(f"{int(v)}L" for v in c) + ")" for _, c in ordered
+    )
+    ids = ",".join(str(int(cl)) for cl, _ in ordered)
+    d2 = (
+        "aggregate(zip_with(qe0, element_at(cs, k + 1), (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    argmin = (
+        f"array_min(transform(sequence(0, {len(ordered) - 1}), "
+        f"k -> struct({d2} AS d2, element_at(array({ids}), k + 1) AS cl)))"
+    )
     return (
-        pairs.select(
-            "vec_id", "qe", "cluster",
-            F.expr(_dist2_sql(dl.SPARK, "qe", "c")).alias("d2"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("d2", "cluster")).alias("m"),
-            F.any_value("qe").alias("qe"),
-        )
-        .select("vec_id", "qe", F.col("m.cluster").alias("cluster"), F.col("m.d2").alias("d2"))
+        f"transform(array({qe_expr}), qe0 -> "
+        f"transform(array(array({cents})), cs -> {argmin})[0])[0]"
+    )
+
+
+def centroid_topn_sql(
+    rows: "list[tuple[int, list[int]]]", n: int, qe_expr: str = "qe"
+) -> str:
+    """Spark SQL array of the ``n`` nearest centroid structs ``(d2, cl)``
+    for ``qe_expr`` — the multi-probe generalization of
+    ``centroid_argmin_sql`` (same literal-centroid map-side design; same
+    tie order: array_sort ascending on (d2, cl) == ORDER BY d2, cluster)."""
+    ordered = sorted(rows)
+    cents = ", ".join(
+        "array(" + ",".join(f"{int(v)}L" for v in c) + ")" for _, c in ordered
+    )
+    ids = ",".join(str(int(cl)) for cl, _ in ordered)
+    d2 = (
+        "aggregate(zip_with(qe0, element_at(cs, k + 1), (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    ranked = (
+        f"slice(array_sort(transform(sequence(0, {len(ordered) - 1}), "
+        f"k -> struct({d2} AS d2, element_at(array({ids}), k + 1) AS cl))), 1, {n})"
+    )
+    return (
+        f"transform(array({qe_expr}), qe0 -> "
+        f"transform(array(array({cents})), cs -> {ranked})[0])[0]"
     )
 
 
@@ -134,30 +172,44 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = _KMEANS_CENT_MEMO.get(sf_dir)
     if rows is None:
         q = quantized_vectors(spark, sf_dir)
-        cent = q.filter(F.col("vec_id") < K_CLUSTERS).select(
-            F.col("vec_id").cast("int").alias("cluster"), F.col("qe").alias("c")
-        )
+        # Centroids are DRIVER state (K*D = 512 BIGINTs), exactly as MLlib
+        # treats them: collect the K seed/updated rows and bake them into the
+        # next round's literal assignment expression. This truncates lineage
+        # with no checkpoint blocks AND makes every assignment pass map-side
+        # (centroid_argmin_sql). The collects are the scalar-aggregate kind
+        # the plan-hygiene policy allows (K rows, not data).
+        rows = [
+            (int(r.vec_id), [int(v) for v in r.qe])
+            for r in q.filter(F.col("vec_id") < K_CLUSTERS).collect()
+        ]
         for _ in range(KMEANS_ITERS):
-            # Centroids are DRIVER state (K*D = 512 BIGINTs), exactly as MLlib
-            # treats them: collect the K updated rows and re-emit them as a
-            # literal local relation. This truncates the growing lineage without
-            # localCheckpoint — whose BlockManager blocks outlive catalog
-            # clearCache and were measured degrading later queries in the same
-            # session. The collect is the scalar-aggregate kind the plan-hygiene
-            # policy allows (K rows, not data).
-            collected = _update(_assign(q, cent)).collect()
+            assigned = q.select(
+                "qe", F.expr(centroid_argmin_sql(rows)).alias("m")
+            ).select(F.col("m.cl").alias("cluster"), "qe")
+            collected = _update(assigned).collect()
             rows = [(int(r.cluster), [int(v) for v in r.c]) for r in collected]
-            cent = spark.createDataFrame(rows, "cluster int, c array<bigint>")
         _KMEANS_CENT_MEMO[sf_dir] = rows
     return spark.createDataFrame(rows, "cluster int, c array<bigint>")
 
 
+def kmeans_centroid_rows(spark: SparkSession, sf_dir: str) -> "list[tuple[int, list[int]]]":
+    """Trained centroids as driver rows (training memoized per sf_dir)."""
+    kmeans_centroids(spark, sf_dir)
+    return _KMEANS_CENT_MEMO[sf_dir]
+
+
 def kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final assignment (vec_id, qe, cluster, d2) against the trained
-    centroids. Shared by the k-means summary query and the IVF-ANNs that
-    use the centroids as their codebook."""
+    centroids — one map-side pass over the scan (no joins, no shuffles;
+    see centroid_argmin_sql). Shared by the k-means summary query and the
+    IVF-ANNs that use the centroids as their codebook."""
+    rows = kmeans_centroid_rows(spark, sf_dir)
     q = quantized_vectors(spark, sf_dir)
-    return _assign(q, kmeans_centroids(spark, sf_dir))
+    return q.select(
+        "vec_id", "qe", F.expr(centroid_argmin_sql(rows)).alias("m")
+    ).select(
+        "vec_id", "qe", F.col("m.cl").alias("cluster"), F.col("m.d2").alias("d2")
+    )
 
 
 def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,7 +352,10 @@ def _pq_dist2(d: str, a: str, b: str) -> str:
 def _pq_assign(blocks: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest codeword per (vec, block): EQUI-join on block id (PQ_K
     candidate rows per block, broadcast), then exact BIGINT argmin via
-    min(struct(d2, code)) hash agg — see _assign for why agg, not window."""
+    min(struct(d2, code)) hash agg — struct ordering compares fields
+    left-to-right, so it IS "order by d2, code", and the agg gets map-side
+    partial aggregation (K rows combined before any shuffle) where a
+    row_number window must sort (measured ~2x on this variant)."""
     return (
         blocks.join(F.broadcast(cent), "block")
         .select(

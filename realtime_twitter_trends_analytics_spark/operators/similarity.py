@@ -33,7 +33,19 @@ EMB_DIM = 64
 
 
 def dot_sql(d: str, a: str, b: str) -> str:
-    """Sequential double dot product of two float arrays (dual-dialect)."""
+    """Sequential double dot product of two float arrays (dual-dialect).
+
+    Spark gets the compact ``zip_with`` form — bit-identical to the indexed
+    transform-over-sequence form (same element order, same float->double
+    casts, same left-to-right fold) but a ~64x smaller expression tree;
+    the indexed form's 128 element_at calls dominated codegen compile time
+    on every similarity query (same lesson as ml._dist2_sql)."""
+    if d == dl.SPARK:
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
+        )
     prods = dl.transform(
         d,
         dl.seq(d, "1", str(EMB_DIM)),
@@ -121,15 +133,24 @@ def lsh_bucket_sql(d: str, vec: str, table: int = 0) -> str:
     bits = []
     for b in range(LSH_BITS):
         plane = ", ".join(f"{_plane_component(table, b, j):.1f}" for j in range(1, EMB_DIM + 1))
-        plane_arr = f"array({plane})" if d == dl.SPARK else f"[{plane}]"
-        prods = dl.transform(
-            d,
-            dl.seq(d, "1", str(EMB_DIM)),
-            "j",
-            f"CAST({dl.arr_element(d, vec, 'j')} AS DOUBLE) * "
-            f"CAST({dl.arr_element(d, f'({plane_arr})', 'j')} AS DOUBLE)",
-        )
-        dot = dl.arr_sum_double(d, prods)
+        if d == dl.SPARK:
+            # zip_with form: bit-identical to the indexed form (see
+            # dot_sql) at a fraction of the codegen cost per plane
+            dot = (
+                f"aggregate(zip_with({vec}, array({plane}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
+            )
+        else:
+            plane_arr = f"[{plane}]"
+            prods = dl.transform(
+                d,
+                dl.seq(d, "1", str(EMB_DIM)),
+                "j",
+                f"CAST({dl.arr_element(d, vec, 'j')} AS DOUBLE) * "
+                f"CAST({dl.arr_element(d, f'({plane_arr})', 'j')} AS DOUBLE)",
+            )
+            dot = dl.arr_sum_double(d, prods)
         bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2**b} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
@@ -196,6 +217,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed scheduling/codegen overhead that dominated the old shape)
     probes = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
         F.explode(
             F.array(
                 *[
@@ -208,9 +230,10 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("p"),
-    ).select("query_id", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
+    ).select("query_id", "qv", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
     c = bucketed.select(
         F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
         F.explode(
             F.array(
                 *[
@@ -219,26 +242,26 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("p"),
-    ).select("cand_id", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
-    cand_pairs = (
+    ).select("cand_id", "cv", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
+    # Vectors ride THROUGH the bucket equi-join (both explodes are
+    # map-side), cosine is computed on the join output, and only then are
+    # multi-table duplicate pairs collapsed — the dedup shuffle therefore
+    # carries (query_id, cand_id, cosine) triples, not vectors, and the
+    # old per-pair re-joins to fetch qv/cv (one of which re-shuffled the
+    # whole corpus by cand_id) disappear. A pair can match in at most one
+    # probe per table, so the duplicated cosine work is bounded by
+    # ANN_LSH_TABLES and max() collapses bit-identical values.
+    sim = (
         F.broadcast(probes)
         .join(c, ["t", "bucket"])
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id")
-        .distinct()
-    )
-    # cosine inline per PAIR: the candidate set is a small fraction of the
-    # corpus, so computing norms for all n rows up front would cost more
-    # than recomputing them on the few joined pairs (opposite trade-off to
-    # brute force, where pairs >> corpus and norms are hoisted).
-    qv = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    cv = bucketed.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
-    sim = (
-        cand_pairs.join(F.broadcast(qv), "query_id")
-        .join(cv, "cand_id")
-        .withColumn("cosine", F.expr(cosine_sql(dl.SPARK, "qv", "cv")))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(cosine_sql(dl.SPARK, "qv", "cv")).alias("cosine"),
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -332,29 +355,34 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell products only, never all-pairs. Training cost is memoized in
     operators.ml (kmeans_centroids), so the codebook is trained once per
     process across the three queries that share it."""
-    from .ml import _dist2_sql, kmeans_assignment, kmeans_centroids, quantized_vectors
+    from .ml import (
+        _quant_sql,
+        centroid_argmin_sql,
+        centroid_topn_sql,
+        kmeans_centroid_rows,
+        quantized_vectors,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = kmeans_centroids(spark, sf_dir)
+    rows = kmeans_centroid_rows(spark, sf_dir)
     qq = quantized_vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERY_VECS)
-    dist = qq.crossJoin(F.broadcast(cent)).select(
+    # both the query-side cell ranking and the candidate-side cell
+    # assignment are map-side literal-centroid expressions (see
+    # centroid_argmin_sql) — no crossJoin, no corpus shuffle, no window;
+    # the only exchange left in this query is the probe equi-join itself
+    probe = qq.select(
         F.col("vec_id").alias("query_id"),
-        F.col("cluster").alias("cell"),
-        F.expr(_dist2_sql(dl.SPARK, "qe", "c")).alias("d2"),
-    )
-    wassign = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
-    probe = (
-        dist.withColumn("arnk", F.row_number().over(wassign))
-        .filter(F.col("arnk") <= IVF_NPROBE)
-        .select("query_id", "cell")
-    )
+        F.explode(F.expr(centroid_topn_sql(rows, IVF_NPROBE))).alias("p"),
+    ).select("query_id", F.col("p.cl").alias("cell"))
     qv = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    cand = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")).join(
-        kmeans_assignment(spark, sf_dir)
-        .select(F.col("vec_id").alias("cand_id"), F.col("cluster").alias("cell")),
-        "cand_id",
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.expr(centroid_argmin_sql(rows, _quant_sql(dl.SPARK, "embedding")))
+        .getField("cl")
+        .alias("cell"),
     )
     pairs = (
         F.broadcast(probe.join(qv, "query_id"))
@@ -511,19 +539,23 @@ def sim_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, map-side), then query rows (tiny) broadcast-joined to their
     cell's inverted list on the cell id — per-cell products only. nprobe=1;
     raising it is a rank filter on the assignment."""
-    from .ml import kmeans_assignment
+    from .ml import _quant_sql, centroid_argmin_sql, kmeans_centroid_rows
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = kmeans_assignment(spark, sf_dir).select("vec_id", "cluster")
+    rows = kmeans_centroid_rows(spark, sf_dir)
+    cell_expr = (
+        F.expr(centroid_argmin_sql(rows, _quant_sql(dl.SPARK, "embedding")))
+        .getField("cl")
+        .alias("cell")
+    )
     qv = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    probe = cells.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("cluster").alias("cell")
+    probe = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), cell_expr
     )
-    cand = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")).join(
-        cells.withColumnRenamed("vec_id", "cand_id").withColumnRenamed("cluster", "cell"),
-        "cand_id",
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), cell_expr
     )
     pairs = (
         F.broadcast(probe.join(qv, "query_id"))

@@ -9,9 +9,9 @@ from realtime_twitter_trends_analytics_spark.functions import dialect as dl
 from realtime_twitter_trends_analytics_spark.operators.ml import (
     K_CLUSTERS,
     KMEANS_SCALE,
-    _assign,
     _quant_sql,
     _update,
+    centroid_argmin_sql,
     ml_embedding_dim_variance,
     ml_kmeans_embeddings,
 )
@@ -21,6 +21,23 @@ from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
 def _quantized(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", F.expr(_quant_sql(dl.SPARK, "embedding")).alias("qe"))
+
+
+def _assign_rows(q, rows):
+    """Assignment against literal centroid rows (the map-side production
+    shape — see ml.centroid_argmin_sql)."""
+    return q.select(
+        "vec_id", "qe", F.expr(centroid_argmin_sql(rows)).alias("m")
+    ).select(
+        "vec_id", "qe", F.col("m.cl").alias("cluster"), F.col("m.d2").alias("d2")
+    )
+
+
+def _seed_rows(q):
+    return [
+        (int(r.vec_id), [int(v) for v in r.qe])
+        for r in q.filter(F.col("vec_id") < K_CLUSTERS).collect()
+    ]
 
 
 def test_kmeans_partitions_all_vectors(spark, sf_dir):
@@ -37,12 +54,12 @@ def test_kmeans_update_does_not_increase_inertia(spark, sf_dir):
     each coordinate by <1 fixed-point unit, so allow that slack: the shift
     inflates each squared distance by at most (2*|x-c|+1) per dim."""
     q = _quantized(spark, sf_dir)
-    seed = q.filter(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").cast("int").alias("cluster"), F.col("qe").alias("c")
-    )
-    a1 = _assign(q, seed)
+    a1 = _assign_rows(q, _seed_rows(q))
     inertia1 = a1.agg(F.sum("d2")).collect()[0][0]
-    a2 = _assign(q, _update(a1))
+    updated = [
+        (int(r.cluster), [int(v) for v in r.c]) for r in _update(a1).collect()
+    ]
+    a2 = _assign_rows(q, updated)
     inertia2 = a2.agg(F.sum("d2")).collect()[0][0]
     n, d = q.count(), 64
     # exact-mean update strictly minimizes; floor() can add < (2*sqrt(d2)+1)
@@ -53,10 +70,7 @@ def test_kmeans_update_does_not_increase_inertia(spark, sf_dir):
 def test_kmeans_assignment_is_nearest(spark, sf_dir):
     """Spot-check: every assigned distance is <= the distance to seed 0."""
     q = _quantized(spark, sf_dir)
-    seed = q.filter(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").cast("int").alias("cluster"), F.col("qe").alias("c")
-    )
-    a1 = _assign(q, seed)
+    a1 = _assign_rows(q, _seed_rows(q))
     c0 = q.filter(F.col("vec_id") == 0).select(F.col("qe").alias("c0"))
     joined = a1.crossJoin(F.broadcast(c0)).select(
         "d2",
