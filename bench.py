@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_embedding_cosine",
+    "dedup_semantic_cells",
     "decontaminate_ngram_overlap",
     "textstats_repetition",
     "textstats_bm25",

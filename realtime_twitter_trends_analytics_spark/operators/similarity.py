@@ -428,6 +428,105 @@ SELECT query_id, cell, cand_id, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS 
 """
 
 
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: assign every vector to its learned
+    k-means cell (map-side literal-centroid expression — zero exchanges,
+    see ml.centroid_argmin_sql), find within-cell pairs above
+    SEMDEDUP_THRESHOLD cosine, and drop the higher vec_id of each pair.
+    Returns the per-cell audit a curation run logs: cell size, dup pairs,
+    vectors dropped.
+
+    vs dedup_embedding_cosine: same goal (embedding near-dup), different
+    blocking — LSH buckets are data-independent; SemDeDup blocks by
+    LEARNED cluster, which concentrates semantically-close vectors into
+    the same block (higher recall per candidate at production thresholds).
+    Cost bound is O(sum cell^2) per the SemDeDup paper's within-cluster
+    pairwise scan; cells are the same codebook the IVF queries share, so
+    at 100 TB one k-means training serves search AND dedup. The self-join
+    is a cell-id EQUI-join (per-cell products, never all-pairs); a skewed
+    giant cell is the known failure mode — production raises K so
+    cells stay bounded (documented in SCALE.md)."""
+    from .ml import _quant_sql, centroid_argmin_sql, kmeans_centroid_rows
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = kmeans_centroid_rows(spark, sf_dir)
+    cells = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("nrm"),
+        F.expr(centroid_argmin_sql(rows, _quant_sql(dl.SPARK, "embedding")))
+        .getField("cl")
+        .alias("cell"),
+    )
+    a = cells.select(
+        "cell",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("av"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = cells.select(
+        "cell",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("bv"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "cell",
+            "b_id",
+            (
+                F.expr(dot_sql(dl.SPARK, "av", "bv"))
+                / (F.col("a_nrm") * F.col("b_nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") > SEMDEDUP_THRESHOLD)
+    )
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    stats = pairs.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("b_id").alias("n_dropped"),
+    )
+    return (
+        sizes.join(stats, "cell", "left")
+        .select(
+            "cell",
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )
+
+
+def _oracle_semdedup() -> str:
+    from .ml import kmeans_oracle_ctes
+
+    ctes, final = kmeans_oracle_ctes()
+    cos = cosine_sql(dl.DUCK, "ea.embedding", "eb.embedding")
+    return f"""
+WITH {ctes},
+cells AS (SELECT vec_id, cluster AS cell FROM {final}),
+pairs AS (
+  SELECT a.cell, b.vec_id AS b_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {cos} > {SEMDEDUP_THRESHOLD}
+),
+sizes AS (SELECT cell, count(*) AS n_vectors FROM cells GROUP BY cell),
+stats AS (SELECT cell, count(*) AS n_dup_pairs, count(DISTINCT b_id) AS n_dropped
+          FROM pairs GROUP BY cell)
+SELECT s.cell, s.n_vectors,
+  coalesce(t.n_dup_pairs, 0) AS n_dup_pairs,
+  coalesce(t.n_dropped, 0) AS n_dropped
+FROM sizes s LEFT JOIN stats t ON s.cell = t.cell
+"""
+
+
 COSINE_DUP_THRESHOLD = 0.3
 
 
@@ -811,10 +910,12 @@ QUERIES = {
     "sim_ivf_ann": sim_ivf_ann,
     "sim_label_centroids": sim_label_centroids,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_semantic_cells": dedup_semantic_cells,
 }
 
 ORACLES = {
     "dedup_embedding_cosine": _oracle_embedding_cosine(),
+    "dedup_semantic_cells": _oracle_semdedup(),
     "sim_ivf_kmeans_ann": _oracle_ivf_kmeans(),
     "sim_pq_adc_ann": _oracle_pq_adc(),
     "sim_knn_label_probe": _oracle_knn_probe(),
