@@ -233,13 +233,22 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     check is control flow, not data flow — the per-round convergence
     probe is one aggregate scalar (sum of labels, monotone decreasing),
     not a collect of rows."""
-    # materialize the (small) undirected edge list ONCE — without this,
-    # every propagation round re-executes the upstream pair-generation
-    # pipeline that produced `edges`. Self-loops (node, node) fold the
-    # "least(own label, neighbor min)" step into the propagation join
-    # itself: min over {labels of b : (a,b) in und} with a~a present IS
-    # the new label, so each round is exactly one join + one hash agg.
-    sym = edges.select("a", "b").union(
+    # materialize the PAIR PIPELINE first, then the undirected edge list.
+    # Two distinct re-execution hazards: (1) without materializing `und`,
+    # every propagation round re-executes the upstream pipeline; (2) —
+    # the round-4 8.3 s bug — without materializing `edges` FIRST, the
+    # single job that builds `und` executes the un-materialized pair plan
+    # once per union branch (sym references edges twice, und references
+    # sym twice => up to 4 executions of MinHash banding + the band
+    # self-join inside one job; Spark unions do not dedup common
+    # subplans). Measured at sf0.1: und-build 6.1 s -> 0.5 s with the
+    # edge checkpoint; dedup_clusters 8.3 s -> ~4 s end-to-end.
+    edges = edges.select("a", "b").localCheckpoint()
+    # Self-loops (node, node) fold the "least(own label, neighbor min)"
+    # step into the propagation join itself: min over {labels of b :
+    # (a,b) in und} with a~a present IS the new label, so each round is
+    # exactly one join + one hash agg.
+    sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     und = sym.union(
