@@ -221,11 +221,17 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     of user_id — sticky, engine-portable, no rand()), then per event_type:
     group sizes, mean value, lift, and a Welch t statistic.
 
-    Float determinism: values are quantized to exact cents; every sum/
-    sum-of-squares is BIGINT (max |cents| ~ 5e4, squares ~ 2.4e9/row —
-    BIGINT-safe past 1e9 rows per (type, variant) group); means/variances
-    are single double divisions of exact integers, so both engines produce
-    bit-identical doubles, and displayed ratios are rounded to 4 places.
+    Float determinism: values are quantized to exact cents; the per-group
+    sums s1 (cents) and s2 (cents^2, ~2.4e9/row -> BIGINT-safe past 1e9
+    rows per (type, variant) group) are exact BIGINTs. The variance term
+    s1^2 is NOT BIGINT-safe (|s1| > ~3e9 cents wraps), so s1 is cast to
+    DOUBLE before squaring — op-for-op identical to the oracle's
+    CAST(s1 AS DOUBLE) * s1, so both engines run the same IEEE ops on the
+    same exact integer inputs and produce bit-identical doubles; displayed
+    ratios are rounded to 4 places. Event types present in only one
+    variant, or with a single-row variant (where (n-1)=0 division
+    semantics differ across engines), are excluded: the readout requires
+    n >= 2 on BOTH sides, mirrored in the oracle's inner join + filter.
     Scale: one hash agg keyed by (event_type, variant), then an in-group
     pivot of exactly 2 rows per type — nothing downstream of the first agg
     exceeds #event_types rows.
@@ -254,15 +260,22 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mean = lambda s, n: F.col(s) / (F.col(n) * F.lit(100.0))  # noqa: E731
-    # sample variance of cents/100: (s2 - s1^2/n) / (n-1) / 100^2
+    # sample variance of cents/100: (s2 - s1^2/n) / (n-1) / 100^2.
+    # s1 goes through DOUBLE before squaring (BIGINT*BIGINT wraps past
+    # |s1| ~ 3e9 cents) — the exact shape of the oracle's
+    # CAST(s1 AS DOUBLE) * s1 / n, so the doubles stay bit-identical.
     var = lambda s1, s2, n: (  # noqa: E731
-        (F.col(s2) - F.col(s1) * F.col(s1) / F.col(n))
+        (F.col(s2) - F.col(s1).cast("double") * F.col(s1) / F.col(n))
         / (F.col(n) - 1)
         / F.lit(10000.0)
     )
     ma, mb = mean("A_s1", "A_n"), mean("B_s1", "B_n")
     va, vb = var("A_s1", "A_s2", "A_n"), var("B_s1", "B_s2", "B_n")
     t = (mb - ma) / F.sqrt(va / F.col("A_n") + vb / F.col("B_n"))
+    # both variants present with n >= 2 each (NULL-side pivot rows and the
+    # (n-1)=0 division have engine-divergent semantics; the oracle's inner
+    # join + n filter is the same predicate)
+    both = both.filter((F.col("A_n") >= 2) & (F.col("B_n") >= 2))
     return both.select(
         "event_type",
         F.col("A_n").alias("n_a"),
@@ -290,6 +303,7 @@ WITH g AS (
     b.n AS n_b, b.s1 AS s1_b, b.s2 AS s2_b
   FROM (SELECT * FROM g WHERE variant = 'A') a
   JOIN (SELECT * FROM g WHERE variant = 'B') b USING (event_type)
+  WHERE a.n >= 2 AND b.n >= 2
 )
 SELECT event_type, n_a, n_b,
   round(s1_a / (n_a * 100.0), 4) AS mean_a,
