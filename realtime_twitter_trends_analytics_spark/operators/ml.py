@@ -317,7 +317,9 @@ FROM agg
 
 PQ_BLOCKS = 8        # subvectors per embedding (EMB_DIM / PQ_SUB_DIM)
 PQ_SUB_DIM = 8       # dims per subvector
-PQ_K = 8             # codebook entries per block (3-bit codes)
+PQ_K = 16            # codebook entries per block (4-bit codes; r5: 8->16
+                     # lifted ADC-pool recall 0.61->0.85 with PQ_RERANK=200
+                     # at ~same runtime — LUT stays |Q|*BLOCKS*K = 1280 rows)
 PQ_ITERS = 2
 
 

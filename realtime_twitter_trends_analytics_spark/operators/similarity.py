@@ -695,7 +695,10 @@ SELECT query_id, cell, cand_id, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS 
 """
 
 
-PQ_RERANK = 100  # exact-cosine rerank pool per query (FAISS "refine" stage)
+PQ_RERANK = 200  # exact-cosine rerank pool per query (FAISS "refine"
+# stage). r5: 100->200 — rerank cost is |Q| * pool = 2000 full-precision
+# rows (trivial); with PQ_K=16 this moved recall@10 0.61 -> 0.85 at sf0.1
+# (measured grid: 100/8=0.61, 200/8=0.75, 100/16=0.74, 200/16=0.85).
 
 
 def sim_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
