@@ -20,6 +20,19 @@ def spark():
     spark.stop()
 
 
+@pytest.fixture(autouse=True)
+def _drop_query_caches(request):
+    """Same run contract as bench.py / tools/verify_local.py: intra-query
+    caches (shingle relations, LSH buckets, co-occurrence edges) belong to
+    the query that built them — drop them between tests so a 279-test
+    session doesn't accumulate executor storage (VERDICT r4 item 6; the
+    storage creep was a plausible contributor to cross-query bench drift).
+    Only applies to tests that actually took the session SparkSession."""
+    yield
+    if "spark" in request.fixturenames:
+        request.getfixturevalue("spark").catalog.clearCache()
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMALL
