@@ -129,7 +129,7 @@ STREAM_ROWS = 200_000
 STREAM_FILES = 64
 
 
-def streaming_throughput(spark, sql_sentiment: bool = False) -> dict:
+def streaming_throughput(spark, sql_sentiment: bool = False, joined: bool = False) -> dict:
     """End-to-end streaming pipeline throughput over a bounded file
     replay: parse -> clean -> sentiment -> hashtag explode ->
     watermarked sliding-window counts, drained with availableNow into the
@@ -140,7 +140,14 @@ def streaming_throughput(spark, sql_sentiment: bool = False) -> dict:
     sql_sentiment=False scores through the Arrow pandas_udf (the
     model-per-worker path); True uses the pure-SQL lexicon expression —
     reported side by side so the Python-boundary cost is measured, not
-    guessed."""
+    guessed.
+
+    joined=True drives the PRODUCTION A5 topology instead (VERDICT r4
+    item 5): trend_sentiment_joined (two windowed aggs + stream-stream
+    join, three stateful operators) drained through
+    write_with_first_batch_setup's foreachBatch sink in append mode — the
+    entry a real deployment runs, so its throughput is a recorded number,
+    not an extrapolation from the transform-only paths."""
     import json as _json
     import shutil
     import tempfile
@@ -151,6 +158,8 @@ def streaming_throughput(spark, sql_sentiment: bool = False) -> dict:
         read_raw_stream,
         transform_tweets,
         trend_counts,
+        trend_sentiment_joined,
+        write_with_first_batch_setup,
     )
 
     work = tempfile.mkdtemp(prefix="bench_stream_")
@@ -181,7 +190,11 @@ def streaming_throughput(spark, sql_sentiment: bool = False) -> dict:
         # drain). 8 keeps all cores busy through the stateful stage while
         # paying 1/4 of the store commits; on a real cluster this is the
         # same sizing rule as session.cluster_conf, applied per-stream.
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # The joined A5 topology runs THREE stateful operators (two aggs +
+        # the join), i.e. 3x the state-store instances per partition — the
+        # same rule sizes it DOWN again (measured: 4 parts 54.8k rows/s,
+        # 8 parts 50.7k, 16 parts 38.5k on the warm drain).
+        spark.conf.set("spark.sql.shuffle.partitions", "4" if joined else "8")
         # 2 micro-batches: cross-batch window state is exercised, per-batch
         # overhead stays amortized (1 batch: ~18k rows/s, 4: ~12k on this box)
         raw = read_raw_stream(
@@ -192,15 +205,30 @@ def streaming_throughput(spark, sql_sentiment: bool = False) -> dict:
             ts_col=F.timestamp_seconds(F.col("key").cast("long")),
             sql_sentiment=sql_sentiment,
         )
-        counts = trend_counts(scored)
-        t0 = time.time()
-        q = (
-            counts.writeStream.format("noop")
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        if joined:
+            out = trend_sentiment_joined(scored)
+            t0 = time.time()
+            # the production entry: foreachBatch sink (first-batch setup
+            # hook included), append mode — each batch fully computed into
+            # the noop format so the engine does all the work the real
+            # store write would trigger, minus the store
+            q = write_with_first_batch_setup(
+                out,
+                checkpoint_dir=ckpt,
+                sink_writer=lambda bdf, _id: bdf.write.format("noop").mode("overwrite").save(),
+                first_batch_setup=lambda bdf: None,
+                output_mode="append",
+            )
+        else:
+            counts = trend_counts(scored)
+            t0 = time.time()
+            q = (
+                counts.writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
         finished = q.awaitTermination(600)
         dt = time.time() - t0
         if not finished:
@@ -287,7 +315,7 @@ def main() -> None:
         return a if (a["rows_per_sec"] or 0) >= (b["rows_per_sec"] or 0) else b
 
     if "stream" in skip:
-        stream = stream_sql = None
+        stream = stream_sql = stream_joined = None
     else:
         streaming_throughput(spark)  # warm-up (checkpoint setup + codegen)
         stream = _best_of_two()
@@ -298,6 +326,12 @@ def main() -> None:
         # cleaning chain, shared by both, is the dominant per-row cost).
         streaming_throughput(spark, sql_sentiment=True)
         stream_sql = _best_of_two(sql_sentiment=True)
+        # production A5 topology: two windowed aggs + stream-stream join
+        # through the foreachBatch production sink (three stateful
+        # operators paying state-store commits per partition per batch —
+        # the same shuffle-partition sizing rule, applied to more stores)
+        streaming_throughput(spark, sql_sentiment=True, joined=True)
+        stream_joined = _best_of_two(sql_sentiment=True, joined=True)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -308,6 +342,7 @@ def main() -> None:
         "ann_recall_at_10": recall,
         "streaming_pipeline": stream,
         "streaming_pipeline_sql_sentiment": stream_sql,
+        "streaming_pipeline_joined": stream_joined,
     }
     # The driver captures only a fixed-size TAIL of stdout and json-parses
     # the last line. Round 3's single full-payload line outgrew that buffer
@@ -329,6 +364,7 @@ def main() -> None:
         "ann_recall_at_10": recall,
         "streaming_pipeline": stream,
         "streaming_pipeline_sql_sentiment": stream_sql,
+        "streaming_pipeline_joined": stream_joined,
         # slowest 10 only — the full 66-entry map is what overflowed the
         # driver tail in r3; complete map: line 1 above / bench_full.json
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),

@@ -211,6 +211,36 @@ def trend_counts(
     )
 
 
+def trend_sentiment_joined(
+    scored: DataFrame,
+    window: str = "60 seconds",
+    slide: str = "15 seconds",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """A5's full streaming form (proc:92-93 — assembled but dormant in the
+    reference): the hashtag COUNT stream joined to the hashtag
+    mean-SENTIMENT stream on (window, hashtag). Two independent windowed
+    aggregations over the same watermarked source, then a stream-stream
+    equi-join — the chained-stateful-operators pattern (supported since
+    Spark 3.5): both join inputs are append-mode windowed aggregates whose
+    rows carry the window's event-time column, so the join state on each
+    side is evicted by the same watermark that finalizes the windows.
+
+    Keeping the aggregations separate (instead of one agg computing both,
+    as trend_counts does) is the point of this entry: it exercises the
+    reference's intended two-stream join topology and its state sizing —
+    three stateful operators, one watermark. Output mode must be append."""
+    wm = scored.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide).alias("w")
+    counts = wm.groupBy(win, "hashtag").agg(F.count(F.lit(1)).alias("cnt"))
+    sent = wm.groupBy(win, "hashtag").agg(
+        F.round(F.avg("sentiment_score"), 4).alias("mean_sentiment")
+    )
+    return counts.join(sent, ["w", "hashtag"]).select(
+        F.col("w.start").alias("window_start"), "hashtag", "cnt", "mean_sentiment"
+    )
+
+
 def write_with_first_batch_setup(
     df: DataFrame,
     checkpoint_dir: str,
