@@ -117,6 +117,8 @@ HEADLINE = [
     "docs_boilerplate_chunks",
     "part_skyline_per_brand",
     "events_ab_test_lift",
+    # round-5 extensions
+    "decontaminate_bloom",
 ]
 
 

@@ -624,6 +624,94 @@ GROUP BY t.doc_id
 """
 
 
+BLOOM_BITS_LOG2 = 20  # 2^20-bit filter = 16384 BIGINT words (128 KiB)
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: the SAME exact result as
+    ``decontaminate_ngram_overlap`` (same oracle), via the physical
+    strategy a 100 TB corpus needs — the eval set's shingles are folded
+    into a Bloom filter that rides along as a broadcast-tiny bitmap, and
+    the (huge) train side is membership-tested MAP-SIDE before anything
+    shuffles. Spark 4 doesn't SQL-register ``bloom_filter_agg``, so the
+    filter is built declaratively: two xxhash64 probes per shingle, bit
+    positions grouped into (word, BIGINT bits) rows with ``bit_or`` — a
+    <= 2^14-row relation REGARDLESS of corpus size, the defining Bloom
+    property.
+
+    Exactness despite the sketch: Bloom has no false negatives, so every
+    train shingle that truly appears in the test set survives the
+    prefilter; false positives are train-only shingles that then match no
+    test row in the confirming equi-join — they cost a little work, never
+    a wrong answer. At the test corpus scale the FP rate is ~(2n/M)^2 per
+    probe pair; at 100 TB you size BLOOM_BITS_LOG2 to the eval set (which
+    is small by definition — that asymmetry is why decontamination blooms
+    so well).
+
+    Plan: test-shingle DISTINCT (small), bitmap agg (16K groups), then the
+    train scan with two broadcast-hash-joins on word index + bit tests —
+    all before the only train-side shuffle (the DISTINCT over the tiny
+    surviving set). The confirming join + per-doc agg are identical to the
+    exact operator's."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(doc_id AS STRING)"))
+    sh = (
+        docs.select(
+            "doc_id",
+            (bucket == 0).alias("is_test"),
+            F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "is_test",
+            F.explode(
+                F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "toks")))
+            ).alias("sh"),
+        )
+    )
+    m = 1 << BLOOM_BITS_LOG2
+    p1 = f"pmod(xxhash64(sh), {m})"
+    p2 = f"pmod(xxhash64(sh, 'decontam2'), {m})"
+    test_sh = sh.filter(F.col("is_test")).select("doc_id", "sh")
+    bits = (
+        test_sh.select(F.explode(F.array(F.expr(p1), F.expr(p2))).alias("pos"))
+        .groupBy(F.expr("CAST(pos DIV 64 AS INT)").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").alias("bits"))
+    )
+    b1 = bits.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
+    b2 = bits.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
+    surviving_train = (
+        sh.filter(~F.col("is_test"))
+        .select("sh", F.expr(p1).alias("p1"), F.expr(p2).alias("p2"))
+        .withColumn("w1", F.expr("CAST(p1 DIV 64 AS INT)"))
+        .withColumn("w2", F.expr("CAST(p2 DIV 64 AS INT)"))
+        # inner joins: a word with no set bits has no bitmap row — the
+        # shingle is definitely not in the test set and drops map-side
+        .join(F.broadcast(b1), "w1")
+        .filter(F.expr("(bits1 >> CAST(p1 % 64 AS INT)) & 1 = 1"))
+        .join(F.broadcast(b2), "w2")
+        .filter(F.expr("(bits2 >> CAST(p2 % 64 AS INT)) & 1 = 1"))
+        .select("sh")
+        .distinct()
+    )
+    hits = test_sh.join(surviving_train.withColumn("hit", F.lit(1)), "sh", "left")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.expr(
+                dl.round_ratio(dl.SPARK, "n_overlap", "n_shingles")
+            ).alias("contamination"),
+        )
+    )
+
+
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION applied to the corpus: greedy keep-lowest-id over
     the MinHash near-dup pairs (a doc is dropped iff it has a qualifying
@@ -739,6 +827,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "decontaminate_bloom": decontaminate_bloom,
     "dedup_fuzzy_blocked": dedup_fuzzy_blocked,
     "dedup_survivors": dedup_survivors,
 }
@@ -752,6 +841,8 @@ ORACLES = {
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
     "dedup_containment": _oracle_containment(),
     "decontaminate_ngram_overlap": _oracle_decontaminate(),
+    # bloom prefilter is exact (no-FN sketch + exact confirm join): same oracle
+    "decontaminate_bloom": _oracle_decontaminate(),
     "dedup_fuzzy_blocked": _oracle_fuzzy_blocked(),
     "dedup_survivors": _oracle_survivors(),
 }
