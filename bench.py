@@ -119,6 +119,7 @@ HEADLINE = [
     "events_ab_test_lift",
     # round-5 extensions
     "decontaminate_bloom",
+    "sim_knn_label_probe_ivf",
 ]
 
 

@@ -903,11 +903,124 @@ FROM pred GROUP BY true_label
 """
 
 
+def sim_knn_label_probe_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label probe fed by IVF candidates — the SERVING-path twin of
+    ``sim_knn_label_probe`` (which stays broadcast brute force as the
+    oracle-of-record eval). Candidates are restricted to each eval
+    vector's IVF_NPROBE nearest learned cells (same memoized codebook as
+    every IVF query), so full-precision cosines are computed for
+    per-cell products only — at 100 TB this is the only shape that runs:
+    the brute probe's |eval| × corpus scan becomes |eval| × (nprobe/K)
+    × corpus, and the probe join stays a cell-id equi-join.
+
+    Same vote and accuracy semantics as the brute probe; differences in
+    n_correct between the two ARE the eval signal for how much ANN
+    candidate truncation costs on this embedding space."""
+    from .ml import (
+        _quant_sql,
+        centroid_argmin_sql,
+        centroid_topn_sql,
+        kmeans_centroid_rows,
+        quantized_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = kmeans_centroid_rows(spark, sf_dir)
+    qq = quantized_vectors(spark, sf_dir).filter(F.col("vec_id") < KNN_EVAL_N)
+    probe = qq.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.expr(centroid_topn_sql(rows, IVF_NPROBE))).alias("p"),
+    ).select("query_id", F.col("p.cl").alias("cell"))
+    q = emb.filter(F.col("vec_id") < KNN_EVAL_N).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") >= KNN_EVAL_N).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("cv"),
+        F.expr(centroid_argmin_sql(rows, _quant_sql(dl.SPARK, "embedding")))
+        .getField("cl")
+        .alias("cell"),
+    )
+    sim = (
+        F.broadcast(probe.join(q, "query_id"))
+        .join(c, "cell")
+        .withColumn("cosine", F.expr(cosine_sql(dl.SPARK, "qv", "cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    knn = sim.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= KNN_K)
+    votes = knn.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pred = (
+        votes.groupBy("query_id", "true_label")
+        .agg(F.min(F.struct(-F.col("cnt"), F.col("cand_label"))).alias("m"))
+        .select(
+            "query_id", "true_label", F.col("m.cand_label").alias("predicted_label")
+        )
+    )
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(
+            (F.col("predicted_label") == F.col("true_label")).cast("long")
+        ).alias("n_correct"),
+    )
+
+
+def _oracle_knn_probe_ivf() -> str:
+    from .ml import KMEANS_ITERS, _dist2_sql, kmeans_oracle_ctes
+
+    ctes, final = kmeans_oracle_ctes()
+    cent_final = f"c{KMEANS_ITERS}"
+    dist2 = _dist2_sql(dl.DUCK, "q.qe", "c.c")
+    cos = cosine_sql(dl.DUCK, "qe.embedding", "ce.embedding")
+    return f"""
+WITH {ctes},
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cluster AS cell,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist2}, c.cluster) AS arnk
+    FROM q, {cent_final} c WHERE q.vec_id < {KNN_EVAL_N}
+  ) WHERE arnk <= {IVF_NPROBE}
+),
+sim AS (
+  SELECT p.query_id, qe.label AS true_label,
+    cc.vec_id AS cand_id, ce.label AS cand_label, {cos} AS cosine
+  FROM probe p
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN {final} cc ON cc.cluster = p.cell AND cc.vec_id >= {KNN_EVAL_N}
+  JOIN embeddings ce ON ce.vec_id = cc.vec_id
+), knn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+    FROM sim
+  ) WHERE rnk <= {KNN_K}
+), votes AS (
+  SELECT query_id, true_label, cand_label, count(*) AS cnt
+  FROM knn GROUP BY 1, 2, 3
+), pred AS (
+  SELECT query_id, true_label, cand_label AS predicted_label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cnt DESC, cand_label ASC) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT true_label, count(*) AS n_eval,
+  CAST(sum(CASE WHEN predicted_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct
+FROM pred GROUP BY true_label
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ivf_kmeans_ann": sim_ivf_kmeans_ann,
     "sim_pq_adc_ann": sim_pq_adc_ann,
     "sim_knn_label_probe": sim_knn_label_probe,
+    "sim_knn_label_probe_ivf": sim_knn_label_probe_ivf,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_ann": sim_lsh_ann,
     "sim_ivf_ann": sim_ivf_ann,
@@ -922,6 +1035,7 @@ ORACLES = {
     "sim_ivf_kmeans_ann": _oracle_ivf_kmeans(),
     "sim_pq_adc_ann": _oracle_pq_adc(),
     "sim_knn_label_probe": _oracle_knn_probe(),
+    "sim_knn_label_probe_ivf": _oracle_knn_probe_ivf(),
     "sim_topk_bruteforce": _oracle_bruteforce(),
     "sim_lsh_buckets": _oracle_lsh_buckets(),
     "sim_lsh_ann": _oracle_lsh_ann(),
