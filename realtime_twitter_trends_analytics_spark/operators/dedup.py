@@ -138,8 +138,15 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The band self-join shuffles ONLY (doc_id, band_id, band_key) — the K
     signature columns are re-joined on doc_id for the (much smaller) set
     of distinct surviving pairs, so the wide rows never ride the banded
-    shuffle (~2x less shuffle volume than carrying them through)."""
-    sig = minhash_signatures(spark, sf_dir).cache()
+    shuffle (~2x less shuffle volume than carrying them through).
+
+    sig is EAGERLY materialized (localCheckpoint, not cache): three plan
+    branches read it (banded, sa, sb) inside the one job that executes
+    the final plan, and a lazily-populated cache lets those branches race
+    to compute signature partitions concurrently before any is cached —
+    the same union-fan-out hazard fixed in connected_components, in
+    in-job form. Measured at sf0.1: 2.44s -> 2.08s."""
+    sig = minhash_signatures(spark, sf_dir).localCheckpoint()
     hash_cols = [f"h{k}" for k in range(MINHASH_K)]
     band_keys = F.array(
         *[
