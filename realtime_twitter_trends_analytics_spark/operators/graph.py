@@ -88,13 +88,16 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1",
         str(COOC_DOC_TOKEN_CAP),
     )
-    # cache: the capped token relation feeds the stop-list agg AND both
-    # sides of the pair self-join (3 consumers) — without it the corpus
-    # explode re-runs per consumer (measured ~1.5x on triangle/pagerank;
-    # same multi-consumer pattern as dedup_ngram_jaccard's shingle cache)
+    # EAGER materialization (localCheckpoint, r5 — was cache): the capped
+    # token relation feeds the stop-list agg AND both sides of the pair
+    # self-join (3 consumers); a lazy cache lets the branches race to
+    # compute partitions before any is cached (the in-job union-fan-out
+    # hazard, see dedup_minhash_pairs). With the edge/oriented relations
+    # also checkpointed: triangle 2.39->1.87s, pagerank 3.12->2.51s at
+    # sf0.1.
     tok = docs.select(
         "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
-    ).select("doc_id", F.explode(F.expr(capped)).alias("t")).cache()
+    ).select("doc_id", F.explode(F.expr(capped)).alias("t")).localCheckpoint()
     stop = (
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -178,7 +181,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded ~sqrt(2m) on hubs. Wedge closure is a semi-join back to the
     oriented edge list. The clustering coefficient 3*triangles/wedges is an
     integer-ratio round (no float drift)."""
-    edges = _cooc_edges(spark, sf_dir).cache()
+    edges = _cooc_edges(spark, sf_dir).localCheckpoint()
     deg = (
         edges.select(F.col("tok_a").alias("token"))
         .unionAll(edges.select(F.col("tok_b").alias("token")))
@@ -195,7 +198,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_first, F.col("tok_a")).otherwise(F.col("tok_b")).alias("src"),
         F.when(a_first, F.col("tok_b")).otherwise(F.col("tok_a")).alias("dst"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
-    ).cache()
+    ).localCheckpoint()
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedge_ordered = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
@@ -297,7 +300,7 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
-    edges = edges.join(F.broadcast(out_w), "src").cache()
+    edges = edges.join(F.broadcast(out_w), "src").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("token"))
         .union(edges.select(F.col("dst").alias("token")))
