@@ -620,11 +620,17 @@ def textstats_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tokd.select(F.explode("toks").alias("t")).agg(
         F.count_distinct("t").alias("v")
     ).collect()[0]["v"]
+    # EAGER materialization: the bigram-instance relation feeds c2, c1 AND
+    # the scoring join — un-materialized, the explode executes once per
+    # consumer inside the final job (the in-job union-fan-out hazard, see
+    # dedup_minhash_pairs). Measured 2.83s -> 1.88s at sf0.1. At cluster
+    # scale the trade is the same: one materialization of the instance
+    # relation vs three corpus scans + explodes.
     bg = tokd.select(
         "doc_id",
         "source",
         F.explode(F.expr(shingles_sql(dl.SPARK, "toks", 2))).alias("bigram"),
-    ).withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+    ).withColumn("w1", F.expr("split_part(bigram, ' ', 1)")).localCheckpoint()
     c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
     nll = -F.log((F.col("n2") + 1) / (F.col("n1") + F.lit(vocab)))
