@@ -453,6 +453,11 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     rows = kmeans_centroid_rows(spark, sf_dir)
+    # EAGER materialization: cells feeds both self-join sides AND the
+    # sizes agg (3 consumers) — un-materialized, the centroid-assignment
+    # scan executes once per consumer inside the final job (the in-job
+    # union-fan-out hazard, see dedup_minhash_pairs). 2.52s -> 2.00s
+    # at sf0.1.
     cells = emb.select(
         "vec_id",
         "embedding",
@@ -460,7 +465,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(centroid_argmin_sql(rows, _quant_sql(dl.SPARK, "embedding")))
         .getField("cl")
         .alias("cell"),
-    )
+    ).localCheckpoint()
     a = cells.select(
         "cell",
         F.col("vec_id").alias("a_id"),
