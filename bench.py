@@ -120,6 +120,7 @@ HEADLINE = [
     # round-5 extensions
     "decontaminate_bloom",
     "sim_knn_label_probe_ivf",
+    "dedup_dup_spans",
 ]
 
 

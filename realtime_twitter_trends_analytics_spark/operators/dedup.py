@@ -22,6 +22,7 @@ and hash-matches its oracle exactly.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions import dialect as dl
 from ..sources.loaders import load_table
@@ -631,6 +632,134 @@ GROUP BY t.doc_id
 """
 
 
+SPAN_SHINGLE = 8        # tokens per positional shingle (overlapping, step 1)
+SPAN_HOT_DF_CAP = 10    # same df-cap rationale as HOT_SHINGLE_DF_CAP
+
+
+def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate SPANS between document pairs — the
+    granularity suffix-array dedup works at (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): doc-level near-dup
+    misses a long verbatim quote inside otherwise-distinct documents;
+    this reports, per document pair, the maximal common token spans of
+    length >= SPAN_SHINGLE, so a curation pass can cut the span, not the
+    document.
+
+    Spark-first formulation instead of a distributed suffix array:
+    (1) positional overlapping SPAN_SHINGLE-token shingles (doc_id, pos,
+        md5) — one projection + explode;
+    (2) df-capped shingle equi-join => matched position pairs (a, b,
+        a_pos, b_pos); the cap bounds the worst join bucket at CAP^2
+        exactly like dedup_ngram_jaccard, and drops corpus boilerplate
+        that dedup at pair granularity should not count anyway;
+    (3) maximal-run merge: matches of one contiguous common substring lie
+        on one DIAGONAL (a_pos - b_pos constant) at consecutive a_pos, so
+        a gaps-islands pass per (a, b, diag) — lag + running sum, the
+        events_gaps_islands shape — merges them into (start_a, start_b,
+        span_tokens = run_length + SPAN_SHINGLE - 1) spans with no
+        self-join.
+    Output: per pair, span count, longest span, total duplicated tokens
+    (sum over disjoint-diagonal spans). Everything shuffles on uniform
+    md5 / (a, b, diag) keys; nothing is ever all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                # guard: Spark's sequence(1, n) with n < 1 generates a
+                # DESCENDING sequence (DuckDB's generate_series is empty)
+                # — short docs must yield zero shingles in both engines
+                F.expr(
+                    f"CASE WHEN size(toks) >= {SPAN_SHINGLE} THEN "
+                    f"transform(sequence(1, size(toks) - {SPAN_SHINGLE - 1}), "
+                    f"i -> md5(array_join(slice(toks, i, {SPAN_SHINGLE}), ' '))) "
+                    f"ELSE array() END"
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SPAN_HOT_DF_CAP)
+        .select("h")
+    )
+    shc = sh.join(F.broadcast(hot), "h", "left_anti").localCheckpoint()
+    l = shc.select(F.col("doc_id").alias("a"), F.col("pos").alias("a_pos"), "h")
+    r = shc.select(F.col("doc_id").alias("b"), F.col("pos").alias("b_pos"), "h")
+    matches = (
+        l.join(r, "h")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "a_pos", (F.col("a_pos") - F.col("b_pos")).alias("diag"))
+        .distinct()
+    )
+    w = W.partitionBy("a", "b", "diag").orderBy("a_pos")
+    runs = (
+        matches.withColumn(
+            "new_run",
+            F.when(
+                F.col("a_pos") - F.lag("a_pos").over(w) <= 1, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("a", "b", "diag", "run_id")
+        .agg(
+            (F.max("a_pos") - F.min("a_pos") + F.lit(SPAN_SHINGLE)).alias(
+                "span_tokens"
+            )
+        )
+    )
+    return runs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_tokens").alias("longest_span_tokens"),
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+    )
+
+
+def _oracle_dup_spans() -> str:
+    d = dl.DUCK
+    toks = dl.split_ws(d, "text")
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, i AS pos,
+    md5(array_to_string(toks[i : i + {SPAN_SHINGLE - 1}], ' ')) AS h
+  FROM tokd, unnest(generate_series(1, len(toks) - {SPAN_SHINGLE - 1})) AS t(i)
+), hot AS (
+  SELECT h FROM sh GROUP BY h HAVING count(*) > {SPAN_HOT_DF_CAP}
+), shc AS (
+  SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)
+), matches AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.pos AS a_pos,
+    l.pos - r.pos AS diag
+  FROM shc l JOIN shc r ON l.h = r.h AND l.doc_id < r.doc_id
+), runs0 AS (
+  SELECT a, b, diag, a_pos,
+    CASE WHEN a_pos - lag(a_pos) OVER (PARTITION BY a, b, diag ORDER BY a_pos) <= 1
+         THEN 0 ELSE 1 END AS new_run
+  FROM matches
+), runs1 AS (
+  SELECT a, b, diag, a_pos,
+    sum(new_run) OVER (PARTITION BY a, b, diag ORDER BY a_pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM runs0
+), runs AS (
+  SELECT a, b, diag, run_id,
+    max(a_pos) - min(a_pos) + {SPAN_SHINGLE} AS span_tokens
+  FROM runs1 GROUP BY a, b, diag, run_id
+)
+SELECT a, b, count(*) AS n_spans,
+  CAST(max(span_tokens) AS BIGINT) AS longest_span_tokens,
+  CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+FROM runs GROUP BY a, b
+"""
+
+
 BLOOM_BITS_LOG2 = 20  # 2^20-bit filter = 16384 BIGINT words (128 KiB)
 
 
@@ -835,6 +964,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "decontaminate_bloom": decontaminate_bloom,
+    "dedup_dup_spans": dedup_dup_spans,
     "dedup_fuzzy_blocked": dedup_fuzzy_blocked,
     "dedup_survivors": dedup_survivors,
 }
@@ -850,6 +980,7 @@ ORACLES = {
     "decontaminate_ngram_overlap": _oracle_decontaminate(),
     # bloom prefilter is exact (no-FN sketch + exact confirm join): same oracle
     "decontaminate_bloom": _oracle_decontaminate(),
+    "dedup_dup_spans": _oracle_dup_spans(),
     "dedup_fuzzy_blocked": _oracle_fuzzy_blocked(),
     "dedup_survivors": _oracle_survivors(),
 }
