@@ -715,7 +715,7 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return runs.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("n_spans"),
-        F.max("span_tokens").alias("longest_span_tokens"),
+        F.max("span_tokens").cast("bigint").alias("longest_span_tokens"),
         F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
     )
 
