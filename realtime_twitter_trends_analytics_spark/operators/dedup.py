@@ -68,6 +68,42 @@ def shingle_rel(docs: DataFrame) -> DataFrame:
     )
 
 
+# Like _PAIRS_MEMO below: the df-capped distinct-shingle relation (the
+# "non-boilerplate shingle vocabulary") is the shared staging input of the
+# exact-overlap verifiers (dedup_ngram_jaccard, dedup_containment). At
+# 100 TB it is the tokenize-and-shingle-once materialization every dedup
+# stage reads; in-process: one localCheckpoint per (application, sf_dir),
+# distributed, never collected.
+_CAPPED_SH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def capped_shingle_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) distinct shingles with document-frequency >
+    HOT_SHINGLE_DF_CAP shingles removed, materialized once per
+    (application, sf_dir).
+
+    The df-per-shingle agg is map-side-partial on a uniform key; the hot
+    list (df > cap) is tiny by construction -> broadcast anti-join, so the
+    big shingle relation shuffles only for the one count agg. Capping df
+    bounds every downstream self-join bucket at CAP^2 regardless of corpus
+    size."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _CAPPED_SH_MEMO.get(key)
+    if memo is not None:
+        return memo
+    docs = load_table(spark, sf_dir, "documents")
+    sh_all = shingle_rel(docs).localCheckpoint()
+    hot = (
+        sh_all.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > HOT_SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    out = sh_all.join(F.broadcast(hot), "sh", "left_anti").localCheckpoint()
+    _CAPPED_SH_MEMO[key] = out
+    return out
+
+
 def _oracle_shingle_ctes() -> str:
     """The matching DuckDB CTE pair (tokd -> sh)."""
     return f"""tokd AS (
@@ -446,22 +482,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst bucket at CAP^2 regardless of corpus size. Sizes are computed
     from the SAME filtered set, so the reported metric is exact Jaccard
     over the non-boilerplate shingle vocabulary."""
-    docs = load_table(spark, sf_dir, "documents")
-    # cache the exploded shingle relation: it feeds the hot-shingle agg,
-    # the sizes agg, and both sides of the self-join (4 consumers)
-    sh_all = shingle_rel(docs).cache()
-    # df-per-shingle agg is map-side-partial on a uniform key; the hot list
-    # (df > cap) is tiny by construction -> broadcast anti-join, no shuffle
-    # of the big shingle relation beyond the one count agg.
-    hot = (
-        sh_all.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > HOT_SHINGLE_DF_CAP)
-        .select("sh")
-    )
-    # left_anti against a broadcast hot list is map-side: each consumer of
-    # `sh` re-applies the cheap filter over the cached parent, no new shuffle
-    sh = sh_all.join(F.broadcast(hot), "sh", "left_anti")
+    sh = capped_shingle_staging(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # shuffle_hash, not sort-merge: the join output feeds straight into a
     # hash agg, so the SMJ sorts buy nothing, and the hot-shingle cap bounds
@@ -525,15 +546,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard (df <= HOT_SHINGLE_DF_CAP bounds every hash
     bucket); the gate is INTEGER (n_inter * 100 >= PCT * min(size)) so the
     keep/drop boundary cannot flap on float rounding."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh_all = shingle_rel(docs).cache()
-    hot = (
-        sh_all.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > HOT_SHINGLE_DF_CAP)
-        .select("sh")
-    )
-    sh = sh_all.join(F.broadcast(hot), "sh", "left_anti")
+    sh = capped_shingle_staging(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("l")
