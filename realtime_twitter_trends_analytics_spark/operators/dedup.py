@@ -713,7 +713,7 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pos", "h"),
         )
-    )
+    ).localCheckpoint()  # hot-agg job + shc job both read it: build once
     hot = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -727,7 +727,10 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(r, "h")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "a_pos", (F.col("a_pos") - F.col("b_pos")).alias("diag"))
-        .distinct()
+        # no distinct: h is a function of (doc, pos) and b_pos = a_pos -
+        # diag, so (a, b, diag, a_pos) cannot repeat — and even a repeat
+        # would fold into the same run (diff 0 <= 1) without changing the
+        # min/max span arithmetic. Dropping it saves a full shuffle.
     )
     w = W.partitionBy("a", "b", "diag").orderBy("a_pos")
     runs = (
