@@ -70,6 +70,13 @@ PR_DAMP_NUM = 85       # damping 0.85 as an integer ratio
 PR_DAMP_DEN = 100
 
 
+# The co-occurrence edge relation is the staging input every graph query
+# fans out from (degree stats, triangles via orientation, and tests).
+# Materialize it once per (application, sf_dir) — same pattern as dedup's
+# _PAIRS_MEMO; the relation stays distributed.
+_COOC_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected token co-occurrence edges (tok_a < tok_b, co-doc count w).
 
@@ -77,8 +84,13 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     still array-shaped (bounds the explode itself), stop tokens above the
     COOC_STOP_DF cap removed by broadcast anti-join, then self-join on
     doc_id and one agg shuffle on the (a, b) pair key. Every graph query
-    fans out from this relation.
+    fans out from this relation, so the RESULT is materialized once per
+    (application, sf_dir).
     """
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _COOC_MEMO.get(memo_key)
+    if memo is not None:
+        return memo
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     min_support = (COOC_SUPPORT_NUM * n_docs) // COOC_SUPPORT_DEN
@@ -112,7 +124,9 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x.t").alias("tok_a"), F.col("y.t").alias("tok_b"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= min_support)
+        .localCheckpoint()
     )
+    _COOC_MEMO[memo_key] = pairs
     return pairs
 
 
@@ -181,7 +195,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded ~sqrt(2m) on hubs. Wedge closure is a semi-join back to the
     oriented edge list. The clustering coefficient 3*triangles/wedges is an
     integer-ratio round (no float drift)."""
-    edges = _cooc_edges(spark, sf_dir).localCheckpoint()
+    edges = _cooc_edges(spark, sf_dir)  # already checkpointed by the memo
     deg = (
         edges.select(F.col("tok_a").alias("token"))
         .unionAll(edges.select(F.col("tok_b").alias("token")))
@@ -284,15 +298,12 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg shuffle keyed by destination token. At web-scale vocab the rank
     side outgrows broadcast and becomes a co-partitioned shuffle join on
     the token key — same plan shape, no rewrite."""
-    from .dedup import shingles_sql
+    from .textstats import bigram_instance_staging
 
-    docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(
-        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
-    ).select(F.explode(F.expr(shingles_sql(dl.SPARK, "toks", 2))).alias("bigram"))
+    bg = bigram_instance_staging(spark, sf_dir)
     edges = (
         bg.select(
-            F.expr("split_part(bigram, ' ', 1)").alias("src"),
+            F.col("w1").alias("src"),
             F.expr("split_part(bigram, ' ', 2)").alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
@@ -300,12 +311,21 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
-    edges = edges.join(F.broadcast(out_w), "src").localCheckpoint()
+    # checkpoint AFTER hash-partitioning on src: LogicalRDD preserves the
+    # output partitioning, so every iteration's rank join on src reuses it
+    # instead of re-shuffling the edge list (PR_ITERS exchanges saved) —
+    # the pre-partitioned-iteration pattern a 1000-executor PageRank needs
+    # anyway to keep the big side stationary across rounds.
+    edges = (
+        edges.join(F.broadcast(out_w), "src")
+        .repartition(F.col("src"))
+        .localCheckpoint()
+    )
     nodes = (
         edges.select(F.col("src").alias("token"))
         .union(edges.select(F.col("dst").alias("token")))
-        .distinct()
-        .cache()
+        .distinct()  # distinct's hash partitioning on token is exactly what
+        .cache()     # the per-iteration left join needs — keep it
     )
     n = nodes.count()
     base = dl.int_div(

@@ -200,16 +200,47 @@ FROM documents
 """
 
 
+# The corpus bigram-instance relation (doc_id, source, bigram, w1) is the
+# shared staging input of three registered queries: textstats_bigrams,
+# textstats_lm_score, and graph_pagerank_topk's transition graph. Same
+# materialize-once pattern as dedup's _PAIRS_MEMO: one localCheckpoint per
+# (application, sf_dir), distributed, never collected — the 100 TB
+# equivalent is a parquet n-gram staging table every scorer reads.
+_BIGRAM_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def bigram_instance_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, bigram, w1) — one row per corpus bigram instance,
+    materialized once per (application, sf_dir). The explode is map-side;
+    consumers aggregate on uniform bigram/w1/source keys."""
+    from .dedup import shingles_sql  # shared dual-dialect template
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _BIGRAM_MEMO.get(key)
+    if memo is not None:
+        return memo
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        docs.select(
+            "doc_id", "source", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(shingles_sql(dl.SPARK, "toks", 2))).alias("bigram"),
+        )
+        .withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+        .localCheckpoint()
+    )
+    _BIGRAM_MEMO[key] = out
+    return out
+
+
 def textstats_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus bigrams with document frequency — the n-gram counting
     surface (reuses the dedup shingle template with n=2; explode is
     map-side, one agg shuffle on the bigram key)."""
-    from .dedup import shingles_sql  # shared dual-dialect template
-
-    docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(
-        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
-    ).select("doc_id", F.explode(F.expr(shingles_sql(dl.SPARK, "toks", 2))).alias("bigram"))
+    bg = bigram_instance_staging(spark, sf_dir)
     return (
         bg.groupBy("bigram")
         .agg(
@@ -611,8 +642,6 @@ def textstats_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the threshold (the local case) and falls back to a shuffle
     equi-join on the bigram key when it isn't — hot bigrams are
     uniform-ish and AQE skew-split covers the rest."""
-    from .dedup import shingles_sql
-
     docs = load_table(spark, sf_dir, "documents")
     tokd = docs.select(
         "doc_id", "source", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
@@ -620,17 +649,13 @@ def textstats_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tokd.select(F.explode("toks").alias("t")).agg(
         F.count_distinct("t").alias("v")
     ).collect()[0]["v"]
-    # EAGER materialization: the bigram-instance relation feeds c2, c1 AND
-    # the scoring join — un-materialized, the explode executes once per
-    # consumer inside the final job (the in-job union-fan-out hazard, see
-    # dedup_minhash_pairs). Measured 2.83s -> 1.88s at sf0.1. At cluster
-    # scale the trade is the same: one materialization of the instance
-    # relation vs three corpus scans + explodes.
-    bg = tokd.select(
-        "doc_id",
-        "source",
-        F.explode(F.expr(shingles_sql(dl.SPARK, "toks", 2))).alias("bigram"),
-    ).withColumn("w1", F.expr("split_part(bigram, ' ', 1)")).localCheckpoint()
+    # EAGER materialization via the shared staging table: the relation
+    # feeds c2, c1 AND the scoring join — un-materialized, the explode
+    # executes once per consumer inside the final job (the in-job
+    # union-fan-out hazard, see dedup_minhash_pairs). Measured 2.83s ->
+    # 1.88s at sf0.1 when first checkpointed; now also shared with
+    # textstats_bigrams / graph_pagerank_topk (bigram_instance_staging).
+    bg = bigram_instance_staging(spark, sf_dir)
     c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
     nll = -F.log((F.col("n2") + 1) / (F.col("n1") + F.lit(vocab)))
