@@ -837,22 +837,29 @@ def sim_knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: broadcast eval set x candidate scan (the brute-force pattern),
     per-query top-K window, majority vote via min(struct(-cnt, label))
-    (deterministic tie-break: smallest label wins), one final label agg."""
+    (deterministic tie-break: smallest label wins), one final label agg.
+    Norms are pre-computed per side (the sim_topk_bruteforce hoist), so
+    per-pair work is one dot product — same doubles, oracle unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < KNN_EVAL_N).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("qv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
     )
     c = emb.filter(F.col("vec_id") >= KNN_EVAL_N).select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cand_label"),
         F.col("embedding").alias("cv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("cnorm"),
     )
     sim = (
         F.broadcast(q)
         .crossJoin(c)
-        .withColumn("cosine", F.expr(cosine_sql(dl.SPARK, "qv", "cv")))
+        .withColumn(
+            "cosine",
+            F.expr(dot_sql(dl.SPARK, "qv", "cv")) / (F.col("qnorm") * F.col("cnorm")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     knn = sim.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= KNN_K)
@@ -940,11 +947,13 @@ def sim_knn_label_probe_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("qv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
     )
     c = emb.filter(F.col("vec_id") >= KNN_EVAL_N).select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cand_label"),
         F.col("embedding").alias("cv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("cnorm"),
         F.expr(centroid_argmin_sql(rows, _quant_sql(dl.SPARK, "embedding")))
         .getField("cl")
         .alias("cell"),
@@ -952,7 +961,10 @@ def sim_knn_label_probe_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = (
         F.broadcast(probe.join(q, "query_id"))
         .join(c, "cell")
-        .withColumn("cosine", F.expr(cosine_sql(dl.SPARK, "qv", "cv")))
+        .withColumn(
+            "cosine",
+            F.expr(dot_sql(dl.SPARK, "qv", "cv")) / (F.col("qnorm") * F.col("cnorm")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     knn = sim.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= KNN_K)
