@@ -121,6 +121,10 @@ HEADLINE = [
     "decontaminate_bloom",
     "sim_knn_label_probe_ivf",
     "dedup_dup_spans",
+    "stats_correlation_matrix",
+    "ml_quantile_binning",
+    "docs_token_budget_select",
+    "decontaminate_semantic",
 ]
 
 

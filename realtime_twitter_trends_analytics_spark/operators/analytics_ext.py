@@ -316,12 +316,157 @@ FROM ab
 """
 
 
+# ------------------------------------------------------------- corr matrix
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (CORR_COLS[i], CORR_COLS[j])
+    for i in range(len(CORR_COLS))
+    for j in range(i + 1, len(CORR_COLS))
+]
+
+
+def _corr_expr_sql(a: str, b: str) -> str:
+    """Pearson r from the five exact DECIMAL(38,0) cent moments, evaluated
+    in DOUBLE with one shared literal formula — both engines convert the
+    SAME exact integers and run the SAME IEEE expression, so the doubles
+    are bit-identical (no reliance on either engine's native corr())."""
+    n, sa, sb = "CAST(n AS DOUBLE)", f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+    ssa, ssb = f"CAST(ss_{a} AS DOUBLE)", f"CAST(ss_{b} AS DOUBLE)"
+    sp = f"CAST(sp_{a}__{b} AS DOUBLE)"
+    return (
+        f"round(({n} * {sp} - {sa} * {sb}) / "
+        f"sqrt(({n} * {ssa} - {sa} * {sa}) * ({n} * {ssb} - {sb} * {sb})), 6)"
+    )
+
+
+def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over lineitem's numeric measures — the
+    feature-redundancy profile a feature-engineering pass runs before
+    model training (drop near-collinear features, sanity-check generated
+    columns).
+
+    Exactness: values are converted to exact cents (BIGINT per row — the
+    squares/products max at ~1e14, far inside BIGINT), summed in
+    DECIMAL(38,0) (the ml_embedding_dim_variance convention), and only the
+    final r is computed in DOUBLE from the exact moments via one shared
+    formula (see _corr_expr_sql). One aggregation pass computes all 14
+    moments map-side-partial; the 6 output rows come from a single stack()
+    over that one row — the corpus is scanned ONCE, not per pair. At
+    100 TB the plan is the same one-pass moment sketch; only the final
+    6-row readout is driver-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        *[
+            F.expr(f"CAST(round({c} * 100) AS BIGINT)").alias(c)
+            for c in CORR_COLS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for c in CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("decimal(38,0)")).alias(f"ss_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(f"sp_{a}__{b}")
+        )
+    g = cents.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', {_corr_expr_sql(a, b)}" for a, b in _CORR_PAIRS
+    )
+    return g.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_a, col_b, corr)"
+        ),
+    ).select("col_a", "col_b", "n_rows", "corr")
+
+
+def _oracle_corr_matrix() -> str:
+    cent = {c: f"CAST(round({c} * 100) AS BIGINT)" for c in CORR_COLS}
+    moment_cols = ["CAST(count(*) AS DECIMAL(38,0)) AS n"]
+    for c in CORR_COLS:
+        moment_cols.append(f"CAST(sum(CAST({cent[c]} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_{c}")
+        moment_cols.append(
+            f"CAST(sum(CAST({cent[c]} * {cent[c]} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss_{c}"
+        )
+    for a, b in _CORR_PAIRS:
+        moment_cols.append(
+            f"CAST(sum(CAST({cent[a]} * {cent[b]} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sp_{a}__{b}"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n_rows, "
+        f"{_corr_expr_sql(a, b)} AS corr FROM g"
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+WITH g AS (
+  SELECT {', '.join(moment_cols)} FROM lineitem
+)
+{rows}
+"""
+
+
+# --------------------------------------------------------- quantile binning
+QUANTILE_BINS = 10
+
+
+def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (NTILE) discretization of the event value distribution —
+    the feature-bucketing step before hashing/embedding numeric features,
+    with per-bin support, bounds, and exact-cents mean.
+
+    The exact global NTILE is a profiling/eval shape: it forces a global
+    order (one-task window), fine for a readout. The production path at
+    100 TB uses approximate boundaries (see percentiles_approx) and a
+    map-side CASE to assign bins — same output schema, sketch-derived
+    cuts. Determinism: ties broken by event_id, means summed in exact
+    cents, so both engines bin and aggregate identically."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.orderBy("value", "event_id")
+    b = e.select(
+        "value",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.ntile(QUANTILE_BINS).over(w).cast("bigint").alias("value_bin"),
+    )
+    return (
+        b.groupBy("value_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.round(
+                F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+                / (F.count(F.lit(1)) * 100.0),
+                4,
+            ).alias("mean_value"),
+        )
+    )
+
+
+def _oracle_quantile_binning() -> str:
+    return f"""
+WITH b AS (
+  SELECT value, CAST(round(value * 100) AS BIGINT) AS cents,
+    ntile({QUANTILE_BINS}) OVER (ORDER BY value, event_id) AS value_bin
+  FROM events
+)
+SELECT value_bin, count(*) AS n, min(value) AS lo, max(value) AS hi,
+  round(CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) / (count(*) * 100.0), 4)
+    AS mean_value
+FROM b GROUP BY value_bin
+"""
+
+
 QUERIES = {
     "events_gaps_islands": events_gaps_islands,
     "sample_reservoir_per_key": sample_reservoir_per_key,
     "docs_boilerplate_chunks": docs_boilerplate_chunks,
     "part_skyline_per_brand": part_skyline_per_brand,
     "events_ab_test_lift": events_ab_test_lift,
+    "stats_correlation_matrix": stats_correlation_matrix,
+    "ml_quantile_binning": ml_quantile_binning,
 }
 
 ORACLES = {
@@ -330,4 +475,6 @@ ORACLES = {
     "docs_boilerplate_chunks": _oracle_boilerplate(),
     "part_skyline_per_brand": _oracle_skyline(),
     "events_ab_test_lift": _oracle_ab_lift(),
+    "stats_correlation_matrix": _oracle_corr_matrix(),
+    "ml_quantile_binning": _oracle_quantile_binning(),
 }

@@ -450,6 +450,106 @@ FROM cells c JOIN row_m r USING (lang) JOIN col_m cm USING (source), t
 """
 
 
+# ------------------------------------------------------- token-budget select
+TOKEN_BUDGET_NUM = 1  # budget = total_tokens * NUM // DEN
+TOKEN_BUDGET_DEN = 2
+ALPHA_TOKEN_RE = "^[A-Za-z]+$"
+
+
+def docs_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered corpus selection under a token budget — the "take
+    the best N tokens" step of assembling a training mixture: rank docs by
+    an integer quality key (alpha-token permille, doc_id tiebreak), keep
+    docs in rank order until the running token total reaches the budget
+    (half the corpus tokens), report per-source docs/tokens selected.
+
+    The selection rule is a GLOBAL prefix sum, but the implementation
+    never materializes a global one-task window: (1) docs aggregate into
+    <=1001 permille buckets (one bounded-key shuffle); (2) the
+    bucket-level running total — a 1001-row relation — decides which
+    buckets are wholly in, wholly out, or the single boundary bucket;
+    (3) only INSIDE the boundary bucket does a doc-level cumulative sum
+    run, partitioned BY that bucket, ordered by doc_id. Equivalent to the
+    doc-level global cumsum (the oracle states it that way — prefix sums
+    are monotone, so whole-bucket + boundary-split = doc-level cutoff),
+    but every window is bucket-bounded: the shape that survives a corpus
+    whose doc list does not fit one task.
+
+    Budget and totals are exact BIGINT token counts; no doubles anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        "source",
+        F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("size(toks)").cast("bigint").alias("n_tok"),
+        F.expr(
+            f"size(filter(toks, t -> t rlike '{ALPHA_TOKEN_RE}'))"
+        ).cast("bigint").alias("n_alpha"),
+    ).withColumn(
+        "permille",
+        F.expr(
+            f"CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE {dl.int_div(dl.SPARK, '(1000 * n_alpha)', 'n_tok')} END"
+        ),
+    )
+    total = stats.agg(F.sum("n_tok").alias("t")).collect()[0]["t"]  # scalar agg
+    budget = total * TOKEN_BUDGET_NUM // TOKEN_BUDGET_DEN
+    buckets = stats.groupBy("permille").agg(F.sum("n_tok").alias("bt"))
+    wb = Window.orderBy(F.desc("permille")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bcum = buckets.select(
+        "permille", "bt", F.sum("bt").over(wb).alias("cum_b")
+    ).select(
+        "permille",
+        (F.col("cum_b") <= budget).alias("full_in"),
+        # remaining budget inside the (single) boundary bucket
+        (F.lit(budget) - (F.col("cum_b") - F.col("bt"))).alias("rem"),
+    )
+    wd = Window.partitionBy("permille").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = (
+        stats.withColumn("doc_cum", F.sum("n_tok").over(wd))
+        .join(F.broadcast(bcum), "permille")
+        .filter(F.col("full_in") | (F.col("doc_cum") <= F.col("rem")))
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_selected"),
+        F.sum("n_tok").alias("tokens_selected"),
+    )
+
+
+def _oracle_token_budget() -> str:
+    d = dl.DUCK
+    alpha = f"len(list_filter(toks, t -> regexp_full_match(t, '[A-Za-z]+')))"
+    return f"""
+WITH s AS (
+  SELECT doc_id, source,
+    CAST(len(toks) AS BIGINT) AS n_tok,
+    CAST({alpha} AS BIGINT) AS n_alpha
+  FROM (SELECT doc_id, source, {dl.split_ws(d, 'text')} AS toks FROM documents)
+), keyed AS (
+  SELECT *, CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT)
+    ELSE {dl.int_div(d, '(1000 * n_alpha)', 'n_tok')} END AS permille
+  FROM s
+), cum AS (
+  SELECT *, sum(n_tok) OVER (
+    ORDER BY permille DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS c
+  FROM keyed
+)
+SELECT source, count(*) AS n_docs_selected,
+  CAST(sum(n_tok) AS BIGINT) AS tokens_selected
+FROM cum
+WHERE c <= (SELECT sum(n_tok) * {TOKEN_BUDGET_NUM} // {TOKEN_BUDGET_DEN} FROM s)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "corpus_pipeline_flagship": corpus_pipeline_flagship,
     "corpus_pipeline_v2": corpus_pipeline_v2,
@@ -458,6 +558,7 @@ QUERIES = {
     "docs_pii_redact": docs_pii_redact,
     "docs_quality_filter": docs_quality_filter,
     "docs_mixture_weights": docs_mixture_weights,
+    "docs_token_budget_select": docs_token_budget_select,
 }
 
 ORACLES = {
@@ -468,4 +569,5 @@ ORACLES = {
     "docs_pii_redact": _oracle_pii_redact(),
     "docs_quality_filter": _oracle_quality_filter(),
     "docs_mixture_weights": _oracle_mixture_weights(),
+    "docs_token_budget_select": _oracle_token_budget(),
 }

@@ -1032,7 +1032,69 @@ FROM pred GROUP BY true_label
 """
 
 
+SEM_DECON_THRESHOLD = 0.3
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement of
+    decontaminate_ngram_overlap (dedup.py): flag TRAIN vectors whose
+    cosine to ANY eval vector exceeds the threshold, i.e. paraphrased /
+    re-embedded eval leakage that token-overlap checks miss. Eval set =
+    vec_id < KNN_EVAL_N (same deterministic split as the kNN probes);
+    output is the per-train-vector contamination record (hit count, max
+    eval cosine) a curation run joins against before sampling.
+
+    Plan: the eval side is BROADCAST (eval benchmarks are tiny by
+    construction — this is the one cross join whose small side is small by
+    DESIGN, like sim_topk_bruteforce); the corpus streams map-side with
+    hoisted norms, so the only shuffle is the final aggregate over the
+    (rare) contaminated pairs. At 100 TB the same plan holds; if the eval
+    suite outgrows broadcast, block both sides by IVF cell exactly as
+    sim_knn_label_probe_ivf does."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < KNN_EVAL_N).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
+    )
+    tr = emb.filter(F.col("vec_id") >= KNN_EVAL_N).select(
+        F.col("vec_id").alias("train_id"),
+        "label",
+        F.col("embedding").alias("cv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("cnorm"),
+    )
+    hits = (
+        F.broadcast(ev)
+        .crossJoin(tr)
+        .withColumn(
+            "cosine",
+            F.expr(dot_sql(dl.SPARK, "qv", "cv")) / (F.col("qnorm") * F.col("cnorm")),
+        )
+        .filter(F.col("cosine") > SEM_DECON_THRESHOLD)
+    )
+    return hits.groupBy("train_id", "label").agg(
+        F.count(F.lit(1)).alias("n_eval_hits"),
+        F.round(F.max("cosine"), 4).alias("max_eval_cosine"),
+    )
+
+
+def _oracle_decon_semantic() -> str:
+    cos = cosine_sql(dl.DUCK, "q.embedding", "c.embedding")
+    return f"""
+WITH hits AS (
+  SELECT c.vec_id AS train_id, c.label, {cos} AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {KNN_EVAL_N} AND c.vec_id >= {KNN_EVAL_N}
+    AND {cos} > {SEM_DECON_THRESHOLD}
+)
+SELECT train_id, label, count(*) AS n_eval_hits,
+  round(max(cosine), 4) AS max_eval_cosine
+FROM hits GROUP BY train_id, label
+"""
+
+
 QUERIES = {
+    "decontaminate_semantic": decontaminate_semantic,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ivf_kmeans_ann": sim_ivf_kmeans_ann,
     "sim_pq_adc_ann": sim_pq_adc_ann,
@@ -1047,6 +1109,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "decontaminate_semantic": _oracle_decon_semantic(),
     "dedup_embedding_cosine": _oracle_embedding_cosine(),
     "dedup_semantic_cells": _oracle_semdedup(),
     "sim_ivf_kmeans_ann": _oracle_ivf_kmeans(),

@@ -49,6 +49,9 @@ CARTESIAN_OK = {
     "pool is the sampling design — constant 64-row side, map-side product",
     "sim_knn_label_probe": "broadcast eval-set x candidate scan is the "
     "documented brute-force pattern (see sim_topk_bruteforce)",
+    "decontaminate_semantic": "broadcast eval-set x corpus scan — the eval "
+    "suite is tiny by design; IVF-cell blocking is the documented fallback "
+    "if it outgrows broadcast (see sim_knn_label_probe_ivf)",
     "events_rolling_dau": "day-grid x user-days range join: the grid side "
     "is |distinct days| rows (bounded by the calendar), broadcast NLJ is "
     "the intended plan; at scale bucketize day into an equi-key (SCALE.md)",
