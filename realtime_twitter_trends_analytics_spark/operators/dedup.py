@@ -77,20 +77,13 @@ def shingle_rel(docs: DataFrame) -> DataFrame:
 _CAPPED_SH_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
-def capped_shingle_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) distinct shingles with document-frequency >
-    HOT_SHINGLE_DF_CAP shingles removed, materialized once per
-    (application, sf_dir).
-
-    The df-per-shingle agg is map-side-partial on a uniform key; the hot
-    list (df > cap) is tiny by construction -> broadcast anti-join, so the
-    big shingle relation shuffles only for the one count agg. Capping df
-    bounds every downstream self-join bucket at CAP^2 regardless of corpus
-    size."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    memo = _CAPPED_SH_MEMO.get(key)
-    if memo is not None:
-        return memo
+def capped_shingle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY df-capped shingle plan (pre-materialization; plan-shape
+    tests assert on this form): the df-per-shingle agg is map-side-partial
+    on a uniform key; the hot list (df > cap) is tiny by construction ->
+    broadcast anti-join, so the big shingle relation shuffles only for the
+    one count agg. Capping df bounds every downstream self-join bucket at
+    CAP^2 regardless of corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     sh_all = shingle_rel(docs).localCheckpoint()
     hot = (
@@ -99,7 +92,18 @@ def capped_shingle_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > HOT_SHINGLE_DF_CAP)
         .select("sh")
     )
-    out = sh_all.join(F.broadcast(hot), "sh", "left_anti").localCheckpoint()
+    return sh_all.join(F.broadcast(hot), "sh", "left_anti")
+
+
+def capped_shingle_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) distinct shingles with document-frequency >
+    HOT_SHINGLE_DF_CAP shingles removed, materialized once per
+    (application, sf_dir) — see capped_shingle_plan for the plan shape."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _CAPPED_SH_MEMO.get(key)
+    if memo is not None:
+        return memo
+    out = capped_shingle_plan(spark, sf_dir).localCheckpoint()
     _CAPPED_SH_MEMO[key] = out
     return out
 

@@ -431,6 +431,41 @@ SELECT query_id, cell, cand_id, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS 
 SEMDEDUP_THRESHOLD = 0.3
 
 
+# The k-means cell ASSIGNMENT relation (vec_id, label, embedding, norm,
+# cell) is the shared staging input of every learned-codebook query:
+# dedup_semantic_cells, sim_ivf_kmeans_ann, sim_knn_label_probe_ivf. Same
+# materialize-once pattern as dedup._PAIRS_MEMO (one localCheckpoint per
+# (application, sf_dir), distributed) — at 100 TB this IS the IVF index
+# build: assign once, write (cell -> inverted list) to storage, point
+# search AND SemDeDup at it.
+_CELL_ASSIGN_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def kmeans_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, embedding, nrm, cell): every vector with its
+    hoisted norm and learned-cell id (map-side literal-centroid argmin,
+    exact BIGINT distances), materialized once per (application, sf_dir)."""
+    from .ml import _quant_sql, centroid_argmin_sql, kmeans_centroid_rows
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _CELL_ASSIGN_MEMO.get(key)
+    if memo is not None:
+        return memo
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = kmeans_centroid_rows(spark, sf_dir)
+    out = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("nrm"),
+        F.expr(centroid_argmin_sql(rows, _quant_sql(dl.SPARK, "embedding")))
+        .getField("cl")
+        .alias("cell"),
+    ).localCheckpoint()
+    _CELL_ASSIGN_MEMO[key] = out
+    return out
+
+
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: assign every vector to its learned
     k-means cell (map-side literal-centroid expression — zero exchanges,
@@ -449,23 +484,15 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a cell-id EQUI-join (per-cell products, never all-pairs); a skewed
     giant cell is the known failure mode — production raises K so
     cells stay bounded (documented in SCALE.md)."""
-    from .ml import _quant_sql, centroid_argmin_sql, kmeans_centroid_rows
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    rows = kmeans_centroid_rows(spark, sf_dir)
-    # EAGER materialization: cells feeds both self-join sides AND the
-    # sizes agg (3 consumers) — un-materialized, the centroid-assignment
-    # scan executes once per consumer inside the final job (the in-job
-    # union-fan-out hazard, see dedup_minhash_pairs). 2.52s -> 2.00s
-    # at sf0.1.
-    cells = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(norm_sql(dl.SPARK, "embedding")).alias("nrm"),
-        F.expr(centroid_argmin_sql(rows, _quant_sql(dl.SPARK, "embedding")))
-        .getField("cl")
-        .alias("cell"),
-    ).localCheckpoint()
+    # EAGER materialization via the shared staging table: cells feeds both
+    # self-join sides AND the sizes agg (3 consumers) — un-materialized,
+    # the centroid-assignment scan executes once per consumer inside the
+    # final job (the in-job union-fan-out hazard, see dedup_minhash_pairs;
+    # 2.52s -> 2.00s at sf0.1 when first checkpointed). Now shared with
+    # the IVF search/probe queries (kmeans_cell_assignment).
+    cells = kmeans_cell_assignment(spark, sf_dir).select(
+        "vec_id", "embedding", "nrm", "cell"
+    )
     a = cells.select(
         "cell",
         F.col("vec_id").alias("a_id"),
@@ -639,33 +666,34 @@ def sim_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float argmin flapping); in-cell ranking is the same sequential
     double cosine as every other similarity op.
 
-    Plan shape: ONE assignment pass over all vectors (broadcast K
-    centroids, map-side), then query rows (tiny) broadcast-joined to their
-    cell's inverted list on the cell id — per-cell products only. nprobe=1;
-    raising it is a rank filter on the assignment."""
-    from .ml import _quant_sql, centroid_argmin_sql, kmeans_centroid_rows
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    rows = kmeans_centroid_rows(spark, sf_dir)
-    cell_expr = (
-        F.expr(centroid_argmin_sql(rows, _quant_sql(dl.SPARK, "embedding")))
-        .getField("cl")
-        .alias("cell")
+    Plan shape: ONE assignment pass over all vectors (the shared
+    kmeans_cell_assignment staging table), then query rows (tiny)
+    broadcast-joined to their cell's inverted list on the cell id —
+    per-cell products only, norms hoisted per side. nprobe=1; raising it
+    is a rank filter on the assignment."""
+    asg = kmeans_cell_assignment(spark, sf_dir)
+    qv = asg.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnorm"),
     )
-    qv = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    probe = asg.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "cell"
     )
-    probe = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), cell_expr
-    )
-    cand = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), cell_expr
+    cand = asg.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cnorm"),
+        "cell",
     )
     pairs = (
         F.broadcast(probe.join(qv, "query_id"))
         .join(cand, "cell")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.expr(cosine_sql(dl.SPARK, "qv", "cv")))
+        .withColumn(
+            "cosine",
+            F.expr(dot_sql(dl.SPARK, "qv", "cv")) / (F.col("qnorm") * F.col("cnorm")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -928,35 +956,27 @@ def sim_knn_label_probe_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same vote and accuracy semantics as the brute probe; differences in
     n_correct between the two ARE the eval signal for how much ANN
     candidate truncation costs on this embedding space."""
-    from .ml import (
-        _quant_sql,
-        centroid_argmin_sql,
-        centroid_topn_sql,
-        kmeans_centroid_rows,
-        quantized_vectors,
-    )
+    from .ml import centroid_topn_sql, kmeans_centroid_rows, quantized_vectors
 
-    emb = load_table(spark, sf_dir, "embeddings")
     rows = kmeans_centroid_rows(spark, sf_dir)
     qq = quantized_vectors(spark, sf_dir).filter(F.col("vec_id") < KNN_EVAL_N)
     probe = qq.select(
         F.col("vec_id").alias("query_id"),
         F.explode(F.expr(centroid_topn_sql(rows, IVF_NPROBE))).alias("p"),
     ).select("query_id", F.col("p.cl").alias("cell"))
-    q = emb.filter(F.col("vec_id") < KNN_EVAL_N).select(
+    asg = kmeans_cell_assignment(spark, sf_dir)
+    q = asg.filter(F.col("vec_id") < KNN_EVAL_N).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("qv"),
-        F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
+        F.col("nrm").alias("qnorm"),
     )
-    c = emb.filter(F.col("vec_id") >= KNN_EVAL_N).select(
+    c = asg.filter(F.col("vec_id") >= KNN_EVAL_N).select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cand_label"),
         F.col("embedding").alias("cv"),
-        F.expr(norm_sql(dl.SPARK, "embedding")).alias("cnorm"),
-        F.expr(centroid_argmin_sql(rows, _quant_sql(dl.SPARK, "embedding")))
-        .getField("cl")
-        .alias("cell"),
+        F.col("nrm").alias("cnorm"),
+        "cell",
     )
     sim = (
         F.broadcast(probe.join(q, "query_id"))

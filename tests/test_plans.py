@@ -87,13 +87,18 @@ def test_tfidf_broadcasts_df_table(spark, sf_dir):
 def test_ngram_jaccard_hot_list_broadcasts_and_join_is_hashed(spark, sf_dir):
     """The hot-shingle anti-join must be broadcast (map-side filter, no
     extra shuffle of the shingle relation) and the self-join must be
-    shuffle-hash, not sort-merge (output feeds a hash agg)."""
+    shuffle-hash, not sort-merge (output feeds a hash agg). The anti-join
+    lives in the shared staging relation's build plan (it is materialized
+    once per application — capped_shingle_staging), so assert it on the
+    lazy plan form; the pair self-join is in the query's own plan."""
     from realtime_twitter_trends_analytics_spark.operators.dedup import (
+        capped_shingle_plan,
         dedup_ngram_jaccard,
     )
 
+    staging_plan = explain_str(capped_shingle_plan(spark, sf_dir))
+    assert "BroadcastHashJoin" in staging_plan and "LeftAnti" in staging_plan
     plan = explain_str(dedup_ngram_jaccard(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "ShuffledHashJoin" in plan
     spark.catalog.clearCache()
 
