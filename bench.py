@@ -125,6 +125,8 @@ HEADLINE = [
     "ml_quantile_binning",
     "docs_token_budget_select",
     "decontaminate_semantic",
+    "docs_dsir_weights",
+    "docs_ccnet_buckets",
 ]
 
 

@@ -108,21 +108,29 @@ def md5_prefix_nibble(d: str, s: str) -> str:
     return hex_nibble(d, f"substr(md5({s}), 1, 1)")
 
 
-def hex_prefix_u60(d: str, hexcol: str) -> str:
-    """First 15 hex chars of an (already computed) lowercase hex column as a
-    BIGINT in [0, 2^60) — a portable 60-bit uniform hash. Takes the hex
-    COLUMN, not the plaintext, so md5 is evaluated once, not 15x."""
+def hex_prefix_uint(d: str, hexcol: str, nchars: int) -> str:
+    """First ``nchars`` hex chars of an (already computed) lowercase hex
+    column as a BIGINT in [0, 16^nchars) — a portable uniform hash. Takes
+    the hex COLUMN, not the plaintext, so md5 is evaluated once, not
+    nchars times. nchars <= 15 keeps the fold inside BIGINT."""
+    assert 1 <= nchars <= 15
     nib = hex_nibble(d, f"substr({hexcol}, i, 1)")
     if d == SPARK:
         return (
-            f"aggregate(sequence(1, 15), CAST(0 AS BIGINT), "
+            f"aggregate(sequence(1, {nchars}), CAST(0 AS BIGINT), "
             f"(acc, i) -> acc * 16 + CAST({nib} AS BIGINT))"
         )
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(generate_series(1, 15), i -> CAST({nib} AS BIGINT))), "
+        f"list_transform(generate_series(1, {nchars}), i -> CAST({nib} AS BIGINT))), "
         f"(acc, i2) -> acc * 16 + i2)"
     )
+
+
+def hex_prefix_u60(d: str, hexcol: str) -> str:
+    """First 15 hex chars of an (already computed) lowercase hex column as a
+    BIGINT in [0, 2^60) — a portable 60-bit uniform hash."""
+    return hex_prefix_uint(d, hexcol, 15)
 
 
 def int_div(d: str, a: str, b: str) -> str:

@@ -550,6 +550,150 @@ GROUP BY source
 """
 
 
+# ------------------------------------------------------------ DSIR weights
+DSIR_BUCKETS = 4096     # hashed n-gram feature space (DSIR uses 10^4; 2^12
+                        # keeps the log-ratio table broadcast-tiny here)
+DSIR_HEX_CHARS = 6      # 24-bit md5 prefix folded before the % BUCKETS
+DSIR_TARGET_LANG = "en"  # target-domain proxy: the English slice
+DSIR_SELECT_K = 1000     # resample budget: top-K docs by log-weight
+
+
+def _dsir_bucket_arr_sql(d: str) -> str:
+    """Array of hashed-feature bucket ids (unigrams + adjacent bigrams) for
+    the ``toks`` token-array column, identical in both engines."""
+    n = dl.arr_size(d, "toks")
+    bigram = (
+        f"concat({dl.arr_element(d, 'toks', 'i')}, ' ', "
+        f"{dl.arr_element(d, 'toks', '(i + 1)')})"
+    )
+    bigrams = dl.transform(d, dl.seq(d, "1", f"({n} - 1)"), "i", bigram)
+    feats = (
+        f"concat(toks, {bigrams})"
+        if d == dl.SPARK
+        else f"list_concat(toks, {bigrams})"
+    )
+    bucket = (
+        f"({dl.hex_prefix_uint(d, 'md5(t)', DSIR_HEX_CHARS)} % {DSIR_BUCKETS})"
+    )
+    return dl.transform(d, feats, "t", bucket)
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how target-domain-like its hashed n-gram distribution is, so a
+    selection pass can resample the raw corpus toward the target domain.
+
+    Generalizes the reference's source-side keyword gate (prod:33, 71 — a
+    binary track/drop on literal keywords) into the statistical selection
+    a 100 TB pipeline actually runs: target (the ``en`` slice standing in
+    for e.g. Wikipedia) and raw (everything) are modeled as bag-of-ngram
+    distributions over DSIR_BUCKETS hashed features, and a doc's weight is
+    its log-likelihood ratio sum_f [ln p_target(f) - ln p_raw(f)] over its
+    feature instances (unigrams + adjacent bigrams, Laplace-smoothed).
+
+    Plan shape (the DSIR paper's MapReduce sketch, Spark-first):
+    (1) one explode to (doc, bucket) feature instances — materialized once
+        (localCheckpoint) because THREE consumers read it (two count aggs
+        folded into one, plus the per-doc re-join): the in-job union-fan-out
+        lesson from dedup_minhash_pairs;
+    (2) ONE hash agg over bucket -> (raw count, target count): bounded at
+        DSIR_BUCKETS rows, window-totaled on that tiny relation, so the
+        log-ratio table is broadcast state, exactly like an IVF codebook;
+    (3) per-doc weight = map-side broadcast equi-join + one hash agg keyed
+        doc_id. Nothing global, nothing all-pairs; scales linearly.
+
+    Parity: every ln() argument is a ratio of exact integers ((cnt+1) /
+    (tot+B) in DOUBLE — no BIGINT product, so no overflow at corpus
+    scale); per-doc sums drift only by summation order (~1e-13 relative),
+    absorbed by round(4) — the textstats_lm_score convention. The
+    selected flag ranks on the ROUNDED weight with doc_id tiebreak, so
+    rank is deterministic whenever the rounded values match."""
+    docs = load_table(spark, sf_dir, "documents")
+    inst = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.expr(_dsir_bucket_arr_sql(dl.SPARK))).alias("b"),
+        )
+        .localCheckpoint()
+    )
+    counts = inst.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    wg = Window.partitionBy()  # global over <= DSIR_BUCKETS rows only
+    lr = counts.select(
+        "b",
+        (
+            F.log(
+                (F.col("ct") + 1)
+                / (F.sum("ct").over(wg) + F.lit(DSIR_BUCKETS))
+            )
+            - F.log(
+                (F.col("cr") + 1)
+                / (F.sum("cr").over(wg) + F.lit(DSIR_BUCKETS))
+            )
+        ).alias("lr"),
+    )
+    perdoc = (
+        inst.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.round(F.sum("lr"), 4).alias("dsir_logw"),
+        )
+    )
+    wr = Window.orderBy(F.desc("dsir_logw"), F.asc("doc_id"))
+    return perdoc.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_features",
+        "dsir_logw",
+        (F.row_number().over(wr) <= DSIR_SELECT_K).alias("selected"),
+    )
+
+
+def _oracle_dsir() -> str:
+    d = dl.DUCK
+    return f"""
+WITH inst AS (
+  SELECT doc_id, lang, source, unnest({_dsir_bucket_arr_sql(d)}) AS b
+  FROM (SELECT doc_id, lang, source, {dl.split_ws(d, 'text')} AS toks
+        FROM documents)
+), counts AS (
+  SELECT b, count(*) AS cr,
+    sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+  FROM inst GROUP BY b
+), lr AS (
+  SELECT b,
+    ln(CAST(ct + 1 AS DOUBLE) / (sum(ct) OVER () + {DSIR_BUCKETS}))
+    - ln(CAST(cr + 1 AS DOUBLE) / (sum(cr) OVER () + {DSIR_BUCKETS})) AS lr
+  FROM counts
+), perdoc AS (
+  SELECT doc_id, lang, source,
+    count(*) AS n_features,
+    round(sum(lr), 4) AS dsir_logw
+  FROM inst JOIN lr USING (b)
+  GROUP BY doc_id, lang, source
+)
+SELECT doc_id, lang, source, n_features, dsir_logw,
+  (row_number() OVER (ORDER BY dsir_logw DESC, doc_id ASC))
+    <= {DSIR_SELECT_K} AS selected
+FROM perdoc
+"""
+
+
 QUERIES = {
     "corpus_pipeline_flagship": corpus_pipeline_flagship,
     "corpus_pipeline_v2": corpus_pipeline_v2,
@@ -559,6 +703,7 @@ QUERIES = {
     "docs_quality_filter": docs_quality_filter,
     "docs_mixture_weights": docs_mixture_weights,
     "docs_token_budget_select": docs_token_budget_select,
+    "docs_dsir_weights": docs_dsir_weights,
 }
 
 ORACLES = {
@@ -570,4 +715,5 @@ ORACLES = {
     "docs_quality_filter": _oracle_quality_filter(),
     "docs_mixture_weights": _oracle_mixture_weights(),
     "docs_token_budget_select": _oracle_token_budget(),
+    "docs_dsir_weights": _oracle_dsir(),
 }

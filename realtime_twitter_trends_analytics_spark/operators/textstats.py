@@ -900,6 +900,101 @@ LIMIT {BPE_TOP_MERGES}
 """
 
 
+CCNET_BUCKETS = 3  # head / middle / tail
+
+
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data"): score every
+    document with the corpus bigram LM (the textstats_lm_score model),
+    then split each language into equal-population head / middle / tail
+    terciles by per-doc mean NLL — head = most-fluent third, the slice
+    CCNet keeps for LM training. Reports per (lang, bucket): docs, bigram
+    mass, and the NLL range, i.e. the table a curation run logs to choose
+    its perplexity cutoffs.
+
+    Plan: the shared bigram-instance staging relation (one explode,
+    materialized once per app x sf_dir) joins the two count tables exactly
+    as textstats_lm_score does; the per-doc agg keys on doc_id (uniform),
+    the lang attach is an n_docs-row equi-join, and ntile runs per-lang
+    over doc-level rows — at 100 TB that window is per-lang sorted state
+    over one row per DOCUMENT (not per token), the same per-key-window
+    shape as window_topk_orders_per_customer.
+
+    Parity: ntile orders by the ROUNDED per-doc NLL with doc_id tiebreak,
+    so bucket assignment is deterministic whenever the rounded scores
+    match (the textstats_lm_score ln-on-integer-ratio argument). Docs with
+    fewer than 2 tokens have no bigrams and are excluded identically by
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+        .collect()[0]["v"]
+    )  # scalar agg (same pattern as textstats_lm_score)
+    bg = bigram_instance_staging(spark, sf_dir)
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    perdoc = (
+        bg.join(c2, "bigram")
+        .join(c1, "w1")
+        .withColumn("nll", -F.log((F.col("n2") + 1) / (F.col("n1") + F.lit(vocab))))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("doc_nll"),
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    from pyspark.sql.window import Window
+
+    wl = Window.partitionBy("lang").orderBy(F.asc("doc_nll"), F.asc("doc_id"))
+    return (
+        perdoc.withColumn("bucket", F.ntile(CCNET_BUCKETS).over(wl))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.min("doc_nll").alias("min_nll"),
+            F.max("doc_nll").alias("max_nll"),
+        )
+    )
+
+
+def _oracle_ccnet() -> str:
+    from .dedup import shingles_sql
+
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, lang, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), vocab AS (
+  SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM tokd)
+), bg AS (
+  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1
+  FROM (SELECT doc_id, unnest({shingles_sql(dl.DUCK, 'toks', 2)}) AS bigram FROM tokd)
+), c2 AS (
+  SELECT bigram, count(*) AS n2 FROM bg GROUP BY bigram
+), c1 AS (
+  SELECT w1, count(*) AS n1 FROM bg GROUP BY w1
+), perdoc AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+    round(avg(-ln((c2.n2 + 1)
+        / (c1.n1 + CAST((SELECT v FROM vocab) AS DOUBLE)))), 4) AS doc_nll
+  FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1)
+  GROUP BY bg.doc_id
+), bucketed AS (
+  SELECT t.lang, p.n_bigrams, p.doc_nll,
+    ntile({CCNET_BUCKETS}) OVER (
+      PARTITION BY t.lang ORDER BY p.doc_nll ASC, p.doc_id ASC) AS bucket
+  FROM perdoc p JOIN (SELECT DISTINCT doc_id, lang FROM tokd) t USING (doc_id)
+)
+SELECT lang, bucket, count(*) AS n_docs,
+  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+  min(doc_nll) AS min_nll, max(doc_nll) AS max_nll
+FROM bucketed GROUP BY lang, bucket
+"""
+
+
 QUERIES = {
     "textstats_lm_score": textstats_lm_score,
     "textstats_bpe_merges": textstats_bpe_merges,
@@ -917,6 +1012,7 @@ QUERIES = {
     "textstats_inverted_index": textstats_inverted_index,
     "docs_chunking": docs_chunking,
     "docs_pack_bins": docs_pack_bins,
+    "docs_ccnet_buckets": docs_ccnet_buckets,
 }
 
 ORACLES = {
@@ -936,4 +1032,5 @@ ORACLES = {
     "textstats_inverted_index": _oracle_inverted_index(),
     "docs_chunking": _oracle_chunking(),
     "docs_pack_bins": _oracle_pack_bins(),
+    "docs_ccnet_buckets": _oracle_ccnet(),
 }
