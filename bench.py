@@ -127,6 +127,7 @@ HEADLINE = [
     "decontaminate_semantic",
     "docs_dsir_weights",
     "docs_ccnet_buckets",
+    "ml_pca_power_iteration",
 ]
 
 

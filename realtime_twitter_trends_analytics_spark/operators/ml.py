@@ -623,12 +623,146 @@ SELECT anchor_id, anchor_label, cand_id, cand_label, CAST(rnk AS INT) AS neg_ran
 """
 
 
+PCA_ITERS = 8  # unrolled power-iteration rounds (both engines unroll 8)
+
+
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power iteration
+    — the dimensionality-reduction primitive curation pipelines run before
+    clustering (SemDeDup reduces embeddings before its k-means). Exactly
+    MLlib's RowMatrix.computePrincipalComponents split: the CORPUS pass
+    (the Gramian / covariance sufficient statistics) is distributed; the
+    D x D eigensolve is driver work on K-row state.
+
+    Distributed pass: one upper-triangle pair explode per vector (the
+    ml_normal_equations shape — fan-out C(D+1,2), constant in corpus
+    size) into ONE (i, j)-keyed hash agg with map-side partials; the agg
+    also carries the per-dim sums on diagonal rows and n as the group
+    count, so a single shuffle produces every sufficient statistic.
+    Driver: build C_ij = (n*Sxy - Sx*Sy)/n^2 from the EXACT BIGINT sums
+    (2080 rows collected — the MLlib Gramian pattern, justified like the
+    k-means centroid collect), run PCA_ITERS normalize(C v) rounds from
+    v0 = 1/8, and emit (dim, loading, explained-variance ratio — the
+    ITERATE's Rayleigh quotient over the trace; on a flat spectrum, like
+    this near-isotropic synthetic corpus, 8 rounds are a partial step
+    toward the top eigenvector, and production raises PCA_ITERS or blocks
+    to a Lanczos basis — the distributed pass is identical either way).
+
+    Parity: the integer sufficient statistics are bit-equal across
+    engines, and both build C with the identical IEEE expression, so C is
+    bit-identical; the iteration differs only in summation order (numpy
+    dot vs SQL SUM), ~1e-13 relative after 8 rounds — absorbed by the
+    4-digit round, which uses floor(|x|*1e4 + 0.5) to mirror DuckDB's
+    half-away-from-zero (Python's round() is banker's).
+
+    Overflow contract: n*Sxy and Sx*Sy are exact while < 2^53 (holds to
+    ~1e7 vectors at this scale/dim); past that, promote the two sums to
+    DECIMAL(38,0) as ml_embedding_dim_variance does — plan unchanged."""
+    import math
+
+    import numpy as np
+
+    q = quantized_vectors(spark, sf_dir)
+    d1 = EMB_DIM
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {d1}), i -> "
+                f"transform(sequence(i, {d1}), j -> struct(i AS i, j AS j, "
+                f"element_at(qe, i) * element_at(qe, j) AS xx, "
+                f"CASE WHEN i = j THEN element_at(qe, i) "
+                f"ELSE CAST(0 AS BIGINT) END AS xi))))"
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xx", "p.xi")
+    stats = (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.sum("xx").alias("sxy"),
+            F.sum("xi").alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )  # 2080-row sufficient-statistic collect (driver eigensolve state)
+    nf = float(stats[0]["n"])
+    sx = {r["i"]: float(r["sx"]) for r in stats if r["i"] == r["j"]}
+    C = np.zeros((d1, d1))
+    for r in stats:
+        c = (float(r["sxy"]) * nf - sx[r["i"]] * sx[r["j"]]) / (nf * nf)
+        C[r["i"] - 1, r["j"] - 1] = c
+        C[r["j"] - 1, r["i"] - 1] = c
+    v = np.full(d1, 0.125)
+    for _ in range(PCA_ITERS):
+        w = C @ v
+        v = w / math.sqrt(float(np.dot(w, w)))
+    lam = float(v @ (C @ v))
+    evr = lam / float(np.trace(C))
+
+    def r4(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4
+
+    rows = [(i + 1, r4(float(v[i])), r4(evr)) for i in range(d1)]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, explained_var_ratio double"
+    )
+
+
+def _oracle_pca() -> str:
+    d = dl.DUCK
+    quant = _quant_sql(d, "embedding")
+    ctes = [
+        f"q AS MATERIALIZED (SELECT vec_id, {quant} AS x FROM embeddings)",
+        """cells AS MATERIALIZED (
+  SELECT ti.i AS i, tj.j AS j,
+    sum(list_extract(x, ti.i) * list_extract(x, tj.j)) AS sxy,
+    sum(CASE WHEN ti.i = tj.j THEN list_extract(x, ti.i) ELSE 0 END) AS sx_d,
+    count(*) AS n
+  FROM q, generate_series(1, 64) ti(i), generate_series(1, 64) tj(j)
+  GROUP BY 1, 2
+)""",
+        "sx AS MATERIALIZED (SELECT i, sx_d AS sx FROM cells WHERE i = j)",
+        """cov AS MATERIALIZED (
+  SELECT c.i, c.j,
+    (CAST(c.sxy AS DOUBLE) * c.n - CAST(a.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
+      / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS val
+  FROM cells c JOIN sx a ON a.i = c.i JOIN sx b ON b.i = c.j
+)""",
+        "v0 AS MATERIALIZED (SELECT i, CAST(0.125 AS DOUBLE) AS val FROM generate_series(1, 64) t(i))",
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT c.i, sum(c.val * v.val) AS val "
+            f"FROM cov c JOIN v{k - 1} v ON v.i = c.j GROUP BY c.i)"
+        )
+        ctes.append(
+            f"v{k} AS MATERIALIZED (SELECT i, val / (SELECT sqrt(sum(val * val)) FROM w{k}) "
+            f"AS val FROM w{k})"
+        )
+    last = f"v{PCA_ITERS}"
+    ctes.append(
+        f"wf AS MATERIALIZED (SELECT c.i, sum(c.val * v.val) AS val "
+        f"FROM cov c JOIN {last} v ON v.i = c.j GROUP BY c.i)"
+    )
+    ctes.append(
+        f"lam AS MATERIALIZED (SELECT sum(w.val * v.val) AS l FROM wf w JOIN {last} v USING (i))"
+    )
+    ctes.append("tr AS MATERIALIZED (SELECT sum(val) AS t FROM cov WHERE i = j)")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT v.i AS dim, round(v.val, 4) AS loading,
+  round((SELECT l FROM lam) / (SELECT t FROM tr), 4) AS explained_var_ratio
+FROM {last} v
+"""
+
+
 QUERIES = {
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
     "ml_negative_samples": ml_negative_samples,
     "ml_normal_equations": ml_normal_equations,
     "ml_embedding_dim_variance": ml_embedding_dim_variance,
     "ml_pq_codebook": ml_pq_codebook,
+    "ml_pca_power_iteration": ml_pca_power_iteration,
 }
 
 ORACLES = {
@@ -637,4 +771,5 @@ ORACLES = {
     "ml_normal_equations": _oracle_normal_equations(),
     "ml_embedding_dim_variance": _oracle_dim_variance(),
     "ml_pq_codebook": _oracle_pq(),
+    "ml_pca_power_iteration": _oracle_pca(),
 }

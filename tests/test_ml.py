@@ -3,6 +3,8 @@ oracle gate; these check the algorithm means what it claims)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from realtime_twitter_trends_analytics_spark.functions import dialect as dl
@@ -178,3 +180,42 @@ def test_normal_equations_solve_matches_numpy(spark, sf_dir):
     y = np.array([labels[v] for v in sorted(emb)], dtype=float)
     beta_np, *_ = np.linalg.lstsq(X, y, rcond=None)
     assert np.allclose(beta, beta_np, rtol=1e-6, atol=1e-9)
+
+
+def test_pca_iterate_matches_independent_numpy_replica(spark, sf_dir):
+    """ml_pca_power_iteration must equal an INDEPENDENT numpy replica of
+    the algorithm: covariance from the raw quantized vectors via np.cov
+    (not the operator's sufficient-statistic path), then the same 8
+    normalize(C v) rounds. Also pins the Rayleigh-quotient bounds: the
+    iterate's explained-variance ratio lies in (mean-eigenvalue/trace,
+    lambda_max/trace] — on this near-isotropic synthetic corpus the
+    spectrum is flat, so the iterate is NOT the converged eigenvector
+    (documented in the operator docstring); equality with the replica is
+    the correctness claim, eigh only bounds it."""
+    import numpy as np
+
+    from realtime_twitter_trends_analytics_spark.operators.ml import (
+        PCA_ITERS,
+        ml_pca_power_iteration,
+        quantized_vectors,
+    )
+
+    rows = ml_pca_power_iteration(spark, sf_dir).collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)])
+
+    q = quantized_vectors(spark, sf_dir).collect()
+    X = np.array([r.qe for r in q], dtype=float)
+    C = np.cov(X, rowvar=False, bias=True)
+    u = np.full(C.shape[0], 0.125)
+    for _ in range(PCA_ITERS):
+        w = C @ u
+        u = w / np.sqrt(w @ w)
+    assert np.allclose(v, u, atol=2e-4)
+    assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-2)
+
+    evals = np.linalg.eigvalsh(C)
+    trace = float(np.trace(C))
+    rayleigh = float(u @ (C @ u))
+    evr = rows[0].explained_var_ratio
+    assert evr == pytest.approx(rayleigh / trace, abs=5e-4)
+    assert evals.mean() / trace < evr <= evals[-1] / trace + 1e-9
