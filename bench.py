@@ -128,6 +128,7 @@ HEADLINE = [
     "docs_dsir_weights",
     "docs_ccnet_buckets",
     "ml_pca_power_iteration",
+    "dedup_soft_weights",
 ]
 
 

@@ -996,6 +996,76 @@ WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_DIST}
 """
 
 
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of dropping near-duplicates, down-weight every
+    member of a duplicate cluster by 1/cluster_size so the cluster
+    contributes one document's worth of sampling mass — the alternative
+    several curation stacks prefer to hard removal (duplicates carry
+    signal about importance; deleting them distorts the distribution,
+    see e.g. the soft-dedup discussion around DataComp-LM/FineWeb).
+
+    Composition, not new machinery: the MinHash pair staging relation and
+    the label-propagation components are the SAME shared pieces
+    dedup_clusters uses (memoized per app x sf_dir); this adds one
+    cluster-size agg, one node-keyed re-join, and one left join onto the
+    corpus on the uniform doc_id key. Singleton docs never enter the
+    component join at all — they fall through the left join at weight 1.
+    The weight is an exact integer-ratio round (dialect.round_ratio), so
+    the boundary cannot diverge between engines."""
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    member = cc.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"), "cluster_size"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.expr(dl.split_ws(dl.SPARK, "text"))).cast("bigint").alias("n_tok"),
+    )
+    return (
+        docs.join(member, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+        )
+        .withColumn(
+            "soft_weight",
+            F.expr(dl.round_ratio(dl.SPARK, "1", "cluster_size")),
+        )
+    )
+
+
+def _oracle_soft_weights() -> str:
+    d = dl.DUCK
+    n = f"len({dl.split_ws(d, 'text')})"
+    return f"""
+WITH RECURSIVE {_oracle_pairs_ctes()}, e AS (
+  SELECT a, b FROM dup_pairs UNION ALL SELECT b, a FROM dup_pairs
+), reach AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a
+), labeled AS (
+  SELECT src AS node, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+), sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+), member AS (
+  SELECT l.node AS doc_id, s.cluster_size
+  FROM labeled l JOIN sizes s USING (cluster_id)
+)
+SELECT d.doc_id, d.lang, {n} AS n_tok,
+  CAST(coalesce(m.cluster_size, 1) AS BIGINT) AS cluster_size,
+  {dl.round_ratio(d, '1', 'CAST(coalesce(m.cluster_size, 1) AS BIGINT)')} AS soft_weight
+FROM documents d LEFT JOIN member m ON d.doc_id = m.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": minhash_signatures,
@@ -1009,6 +1079,7 @@ QUERIES = {
     "dedup_dup_spans": dedup_dup_spans,
     "dedup_fuzzy_blocked": dedup_fuzzy_blocked,
     "dedup_survivors": dedup_survivors,
+    "dedup_soft_weights": dedup_soft_weights,
 }
 
 ORACLES = {
@@ -1025,4 +1096,5 @@ ORACLES = {
     "dedup_dup_spans": _oracle_dup_spans(),
     "dedup_fuzzy_blocked": _oracle_fuzzy_blocked(),
     "dedup_survivors": _oracle_survivors(),
+    "dedup_soft_weights": _oracle_soft_weights(),
 }

@@ -228,3 +228,35 @@ def test_connected_components_hand_graph(spark):
         r["node"]: r["cluster_id"] for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_soft_dedup_weights_conserve_cluster_mass(spark, sf_dir):
+    """Each duplicate cluster's weights must sum to exactly 1 document of
+    mass (size * 1/size), singletons carry weight 1.0, and the weights
+    agree with dedup_clusters' sizes."""
+    from realtime_twitter_trends_analytics_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_soft_weights,
+    )
+
+    rows = dedup_soft_weights(spark, sf_dir).collect()
+    sizes = {
+        r["keeper_doc_id"]: r["cluster_size"]
+        for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    in_cluster = [r for r in rows if r["cluster_size"] > 1]
+    assert in_cluster, "fixture corpus is expected to contain near-dups"
+    assert sum(1 for r in rows if r["cluster_size"] == 1) + len(
+        {r["cluster_size"] for r in in_cluster}
+    ) > 0
+    # cluster sizes seen on members match the cluster summary's sizes
+    assert {r["cluster_size"] for r in in_cluster} <= set(sizes.values())
+    for r in rows:
+        expected = round(1.0 / r["cluster_size"], 4)
+        assert abs(r["soft_weight"] - expected) <= 1e-9
+    # total corpus mass: n_singletons + sum over clusters of size*(1/size)
+    total = sum(r["soft_weight"] for r in rows)
+    n_clusters = len(sizes)
+    n_singletons = sum(1 for r in rows if r["cluster_size"] == 1)
+    # each cluster contributes ~1.0 up to 4-digit rounding per member
+    assert abs(total - (n_singletons + n_clusters)) < 0.01 * max(1, n_clusters)
