@@ -129,6 +129,7 @@ HEADLINE = [
     "docs_ccnet_buckets",
     "ml_pca_power_iteration",
     "dedup_soft_weights",
+    "corpus_pipeline_v3",
 ]
 
 

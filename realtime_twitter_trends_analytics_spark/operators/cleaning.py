@@ -694,6 +694,132 @@ FROM perdoc
 """
 
 
+# Exact fixed-point soft-weight numerator: round(1/size, 4) as the BIGINT
+# half-up quotient q = (2*10^4 + size) DIV (2*size); effective tokens then
+# accumulate as EXACT BIGINT n_tok*q and divide by 10^4 once at the end —
+# no double summation anywhere (doubles cannot represent 1e-4 exactly, so
+# summing rounded weights would drift by aggregation order).
+def _soft_q_e4(d: str, size: str) -> str:
+    return dl.int_div(d, f"(2 * 10000 + {size})", f"(2 * {size})")
+
+
+V3_SELECT_K = 200  # DSIR-ranked selection budget over the gated pool
+
+
+def corpus_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 curation chain end-to-end: quality gate → SOFT dedup
+    (1/cluster_size mass, dedup_soft_weights) → DSIR target-domain
+    selection (top V3_SELECT_K gated docs by log-likelihood ratio,
+    docs_dsir_weights) → per-(lang, source) accounting of docs, raw
+    tokens, and EFFECTIVE tokens under the soft weights.
+
+    This is the composition a real curation run executes; v3's
+    differentiator over v2: duplicates are down-weighted rather than
+    dropped, and selection is statistical (DSIR) rather than rule-only.
+    All three stages reuse the shared machinery (verdict SQL, MinHash
+    pair staging + components, DSIR bucket distributions), so the plan
+    adds exactly: one size agg, two doc_id equi-joins, one final agg.
+
+    Exactness: effective tokens accumulate as BIGINT n_tok * q (q = the
+    fixed-point half-up 10^4/size quotient) and divide by 10^4 once —
+    bit-deterministic across engines and partitionings, unlike a sum of
+    rounded doubles."""
+    from .dedup import connected_components, dedup_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(F.expr(_verdict_sql(dl.SPARK)) == "kept").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.expr(dl.split_ws(dl.SPARK, "text"))).cast("bigint").alias("n_tok"),
+    )
+    cc = connected_components(dedup_minhash_pairs(spark, sf_dir))
+    member = cc.join(
+        cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size")),
+        "cluster_id",
+    ).select(F.col("node").alias("doc_id"), "cluster_size")
+    dsir = docs_dsir_weights(spark, sf_dir).select("doc_id", "dsir_logw")
+    # Selection is RANK-based (top V3_SELECT_K of the gated pool by
+    # log-weight), not an absolute threshold: Laplace smoothing shifts the
+    # whole log-ratio distribution (on a shared-vocabulary corpus, slightly
+    # negative), so only relative order is meaningful — which is also how
+    # DSIR's resampling behaves. Deterministic tiebreak on doc_id; the
+    # global rank is doc-count-sized here, two-phase bucket split at scale
+    # (see docs_token_budget_select).
+    wr = Window.orderBy(F.desc("dsir_logw"), F.asc("doc_id"))
+    sel = (
+        gated.join(member, "doc_id", "left")
+        .withColumn("cs", F.coalesce("cluster_size", F.lit(1)))
+        .join(dsir, "doc_id")
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= V3_SELECT_K)
+        .withColumn("q_e4", F.expr(_soft_q_e4(dl.SPARK, "cs")))
+    )
+    return sel.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("raw_tokens"),
+        (F.sum(F.col("n_tok") * F.col("q_e4")) / F.lit(10000.0)).alias(
+            "effective_tokens"
+        ),
+    )
+
+
+def _oracle_corpus_v3() -> str:
+    d = dl.DUCK
+    from .dedup import _oracle_pairs_ctes
+
+    v = _verdict_sql(d)
+    n = f"len({dl.split_ws(d, 'text')})"
+    return f"""
+WITH RECURSIVE {_oracle_pairs_ctes()}, e AS (
+  SELECT a, b FROM dup_pairs UNION ALL SELECT b, a FROM dup_pairs
+), reach AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a
+), labeled AS (
+  SELECT src AS node, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+), sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+), member AS (
+  SELECT l.node AS doc_id, s.cluster_size
+  FROM labeled l JOIN sizes s USING (cluster_id)
+), inst AS (
+  SELECT doc_id, lang, unnest({_dsir_bucket_arr_sql(d)}) AS b
+  FROM (SELECT doc_id, lang, {dl.split_ws(d, 'text')} AS toks FROM documents)
+), counts AS (
+  SELECT b, count(*) AS cr,
+    sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+  FROM inst GROUP BY b
+), lr AS (
+  SELECT b,
+    ln(CAST(ct + 1 AS DOUBLE) / (sum(ct) OVER () + {DSIR_BUCKETS}))
+    - ln(CAST(cr + 1 AS DOUBLE) / (sum(cr) OVER () + {DSIR_BUCKETS})) AS lr
+  FROM counts
+), perdoc AS (
+  SELECT doc_id, round(sum(lr), 4) AS dsir_logw
+  FROM inst JOIN lr USING (b) GROUP BY doc_id
+), gated AS (
+  SELECT doc_id, lang, source, CAST({n} AS BIGINT) AS n_tok
+  FROM documents WHERE ({v}) = 'kept'
+), ranked AS (
+  SELECT g.lang, g.source, g.n_tok,
+    {_soft_q_e4(d, 'CAST(coalesce(m.cluster_size, 1) AS BIGINT)')} AS q_e4,
+    row_number() OVER (ORDER BY p.dsir_logw DESC, g.doc_id ASC) AS rnk
+  FROM gated g
+  LEFT JOIN member m USING (doc_id)
+  JOIN perdoc p USING (doc_id)
+), sel AS (
+  SELECT lang, source, n_tok, q_e4 FROM ranked WHERE rnk <= {V3_SELECT_K}
+)
+SELECT lang, source, count(*) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+  CAST(sum(n_tok * q_e4) AS DOUBLE) / 10000.0 AS effective_tokens
+FROM sel GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "corpus_pipeline_flagship": corpus_pipeline_flagship,
     "corpus_pipeline_v2": corpus_pipeline_v2,
@@ -704,6 +830,7 @@ QUERIES = {
     "docs_mixture_weights": docs_mixture_weights,
     "docs_token_budget_select": docs_token_budget_select,
     "docs_dsir_weights": docs_dsir_weights,
+    "corpus_pipeline_v3": corpus_pipeline_v3,
 }
 
 ORACLES = {
@@ -716,4 +843,5 @@ ORACLES = {
     "docs_mixture_weights": _oracle_mixture_weights(),
     "docs_token_budget_select": _oracle_token_budget(),
     "docs_dsir_weights": _oracle_dsir(),
+    "corpus_pipeline_v3": _oracle_corpus_v3(),
 }
