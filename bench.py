@@ -130,6 +130,7 @@ HEADLINE = [
     "ml_pca_power_iteration",
     "dedup_soft_weights",
     "corpus_pipeline_v3",
+    "textstats_zipf_fit",
 ]
 
 

@@ -995,6 +995,106 @@ FROM bucketed GROUP BY lang, bucket
 """
 
 
+ZIPF_TOP = 1000  # ranks entering the log-log OLS fit
+
+
+def textstats_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language — the corpus-health diagnostic: a
+    natural-language slice shows ln(freq) ~ intercept + slope*ln(rank)
+    with slope near -1; machine-generated or template-heavy text bends
+    the curve. Reports per lang: distinct types, the OLS slope/intercept
+    over the top ZIPF_TOP ranks, and r^2 as the fit quality.
+
+    Plan: ONE (lang, token) hash agg over the corpus (uniform keys, map-
+    side partials); ranking and the OLS moments run per-lang over at most
+    ZIPF_TOP rows — window state is vocabulary-sized, never corpus-sized,
+    and the cap makes it constant. Parity: rank and freq are exact
+    integers, every ln() input is an exact integer, the OLS moments are
+    ~1000-term double sums (order drift ~1e-13 relative — the
+    textstats_lm_score convention), and round(4) absorbs it."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(
+            "lang", F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("t")
+        )
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wl = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("t"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= ZIPF_TOP)
+        .select(
+            "lang",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    types = counts.groupBy("lang").agg(F.count(F.lit(1)).alias("n_types"))
+    m = top.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        m.join(types, "lang")
+        .select(
+            "lang",
+            "n_types",
+            F.round(slope, 4).alias("zipf_slope"),
+            F.round(
+                (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
+            ).alias("intercept"),
+            F.round((r_num / r_den) * (r_num / r_den), 4).alias("r2"),
+        )
+    )
+
+
+def _oracle_zipf() -> str:
+    d = dl.DUCK
+    return f"""
+WITH counts AS (
+  SELECT lang, t, count(*) AS freq
+  FROM (SELECT lang, unnest({dl.split_ws(d, 'text')}) AS t FROM documents)
+  GROUP BY lang, t
+), top AS (
+  SELECT lang, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+  FROM (
+    SELECT lang, freq, row_number() OVER (
+      PARTITION BY lang ORDER BY freq DESC, t ASC) AS rank
+    FROM counts
+  ) WHERE rank <= {ZIPF_TOP}
+), types AS (
+  SELECT lang, count(*) AS n_types FROM counts GROUP BY lang
+), m AS (
+  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM top GROUP BY lang
+)
+SELECT m.lang, t.n_types,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+    AS intercept,
+  round(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+      * ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))), 4)
+    AS r2
+FROM m JOIN types t USING (lang)
+"""
+
+
 QUERIES = {
     "textstats_lm_score": textstats_lm_score,
     "textstats_bpe_merges": textstats_bpe_merges,
@@ -1013,6 +1113,7 @@ QUERIES = {
     "docs_chunking": docs_chunking,
     "docs_pack_bins": docs_pack_bins,
     "docs_ccnet_buckets": docs_ccnet_buckets,
+    "textstats_zipf_fit": textstats_zipf_fit,
 }
 
 ORACLES = {
@@ -1033,4 +1134,5 @@ ORACLES = {
     "docs_chunking": _oracle_chunking(),
     "docs_pack_bins": _oracle_pack_bins(),
     "docs_ccnet_buckets": _oracle_ccnet(),
+    "textstats_zipf_fit": _oracle_zipf(),
 }

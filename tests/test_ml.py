@@ -219,3 +219,33 @@ def test_pca_iterate_matches_independent_numpy_replica(spark, sf_dir):
     evr = rows[0].explained_var_ratio
     assert evr == pytest.approx(rayleigh / trace, abs=5e-4)
     assert evals.mean() / trace < evr <= evals[-1] / trace + 1e-9
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark, sf_dir):
+    """textstats_zipf_fit's per-lang OLS must agree with numpy polyfit on
+    an independently recomputed rank/frequency table."""
+    import numpy as np
+
+    from collections import Counter
+
+    from realtime_twitter_trends_analytics_spark.operators.textstats import (
+        ZIPF_TOP,
+        textstats_zipf_fit,
+    )
+
+    got = {r.lang: r for r in textstats_zipf_fit(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    by_lang: dict[str, Counter] = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, Counter()).update(r.text.split(" "))
+    for lang, cnt in by_lang.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+        x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+        y = np.log(np.array([f for _, f in ranked], dtype=float))
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        assert got[lang].n_types == len(cnt)
+        assert got[lang].zipf_slope == pytest.approx(slope, abs=2e-4)
+        assert got[lang].intercept == pytest.approx(intercept, abs=2e-4)
+        assert got[lang].r2 == pytest.approx(r * r, abs=2e-4)
+        assert got[lang].zipf_slope < 0  # frequency decreases with rank
