@@ -750,7 +750,7 @@ def _oracle_pca() -> str:
     body = ",\n".join(ctes)
     return f"""
 WITH {body}
-SELECT v.i AS dim, round(v.val, 4) AS loading,
+SELECT CAST(v.i AS INT) AS dim, round(v.val, 4) AS loading,
   round((SELECT l FROM lam) / (SELECT t FROM tr), 4) AS explained_var_ratio
 FROM {last} v
 """

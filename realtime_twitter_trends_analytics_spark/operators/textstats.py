@@ -988,7 +988,7 @@ WITH tokd AS (
       PARTITION BY t.lang ORDER BY p.doc_nll ASC, p.doc_id ASC) AS bucket
   FROM perdoc p JOIN (SELECT DISTINCT doc_id, lang FROM tokd) t USING (doc_id)
 )
-SELECT lang, bucket, count(*) AS n_docs,
+SELECT lang, CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
   CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
   min(doc_nll) AS min_nll, max(doc_nll) AS max_nll
 FROM bucketed GROUP BY lang, bucket
