@@ -578,6 +578,39 @@ def _dsir_bucket_arr_sql(d: str) -> str:
     return dl.transform(d, feats, "t", bucket)
 
 
+_DSIR_INST_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def dsir_instance_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, b) — one row per hashed-feature instance,
+    materialized once per (application, sf_dir): docs_dsir_weights and
+    corpus_pipeline_v3 both consume it (and each reads it 2-3 times inside
+    its own job), so the explode + md5 fold runs once per process — the
+    same staging-table tier as bigram_instance_staging."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _DSIR_INST_MEMO.get(key)
+    if memo is not None:
+        return memo
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.expr(_dsir_bucket_arr_sql(dl.SPARK))).alias("b"),
+        )
+        .localCheckpoint()
+    )
+    _DSIR_INST_MEMO[key] = out
+    return out
+
+
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weighting (Xie et al., "Data Selection for
     Language Models via Importance Resampling"): score every document by
@@ -593,9 +626,11 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature instances (unigrams + adjacent bigrams, Laplace-smoothed).
 
     Plan shape (the DSIR paper's MapReduce sketch, Spark-first):
-    (1) one explode to (doc, bucket) feature instances — materialized once
-        (localCheckpoint) because THREE consumers read it (two count aggs
-        folded into one, plus the per-doc re-join): the in-job union-fan-out
+    (1) one explode to (doc, bucket) feature instances — the shared
+        dsir_instance_staging relation, materialized once per app x
+        sf_dir because THREE consumers read it inside this job (two count
+        aggs folded into one, plus the per-doc re-join) and
+        corpus_pipeline_v3 reads it again: the in-job union-fan-out
         lesson from dedup_minhash_pairs;
     (2) ONE hash agg over bucket -> (raw count, target count): bounded at
         DSIR_BUCKETS rows, window-totaled on that tiny relation, so the
@@ -609,22 +644,7 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbed by round(4) — the textstats_lm_score convention. The
     selected flag ranks on the ROUNDED weight with doc_id tiebreak, so
     rank is deterministic whenever the rounded values match."""
-    docs = load_table(spark, sf_dir, "documents")
-    inst = (
-        docs.select(
-            "doc_id",
-            "lang",
-            "source",
-            F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.explode(F.expr(_dsir_bucket_arr_sql(dl.SPARK))).alias("b"),
-        )
-        .localCheckpoint()
-    )
+    inst = dsir_instance_staging(spark, sf_dir)
     counts = inst.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(
