@@ -41,9 +41,10 @@ def test_recall_snapshot_vs_bruteforce(spark, sf_dir):
     # the exact snapshot (sf0.001): a shift here = candidate generation
     # changed — re-measure and re-pin deliberately, never silently
     # r5: pq_adc 0.81 -> 0.98 (PQ_RERANK 100->200, PQ_K 8->16; sf0.1 grid
-    # in similarity.PQ_RERANK's comment — 0.61 -> 0.85 at bench SF)
+    # in similarity.PQ_RERANK's comment — 0.61 -> 0.85 at bench SF);
+    # lsh 0.67 -> 0.98 (Hamming<=2 multiprobe, 0.74 -> 0.96 at sf0.1)
     assert got == {
-        "lsh": 0.67,
+        "lsh": 0.98,
         "ivf": 0.88,
         "ivf_kmeans": 0.72,
         "pq_adc": 0.98,
