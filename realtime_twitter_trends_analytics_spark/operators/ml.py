@@ -634,11 +634,12 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the Gramian / covariance sufficient statistics) is distributed; the
     D x D eigensolve is driver work on K-row state.
 
-    Distributed pass: one upper-triangle pair explode per vector (the
-    ml_normal_equations shape — fan-out C(D+1,2), constant in corpus
-    size) into ONE (i, j)-keyed hash agg with map-side partials; the agg
-    also carries the per-dim sums on diagonal rows and n as the group
-    count, so a single shuffle produces every sufficient statistic.
+    Distributed pass: per-partition Gramian partials over Arrow batches
+    (one exact int64 BLAS matmul per batch — the vectorized Pandas path;
+    a per-row C(D+1,2) struct explode was measured 4x slower) into ONE
+    (i, j)-keyed hash agg; each partial also carries the per-dim sums on
+    diagonal rows and its row count, so a single tiny shuffle
+    (#partitions x 2080 rows) produces every sufficient statistic.
     Driver: build C_ij = (n*Sxy - Sx*Sy)/n^2 from the EXACT BIGINT sums
     (2080 rows collected — the MLlib Gramian pattern, justified like the
     k-means centroid collect), run PCA_ITERS normalize(C v) rounds from
@@ -664,23 +665,45 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = quantized_vectors(spark, sf_dir)
     d1 = EMB_DIM
-    pairs = q.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(1, {d1}), i -> "
-                f"transform(sequence(i, {d1}), j -> struct(i AS i, j AS j, "
-                f"element_at(qe, i) * element_at(qe, j) AS xx, "
-                f"CASE WHEN i = j THEN element_at(qe, i) "
-                f"ELSE CAST(0 AS BIGINT) END AS xi))))"
+
+    # Per-partition Gramian partials via Arrow: each batch computes the
+    # EXACT int64 X'X with one BLAS matmul and emits its 2080-row upper
+    # triangle — replacing a per-row C(D+1,2) struct explode whose 4M-row
+    # generator dominated the query (measured 2.7 s -> ~0.6 s at sf0.1).
+    # Associativity is exact (integer partials), so partition layout
+    # cannot change the sums. int64 partials hold to ~5e11 rows per
+    # PARTITION at this scale/dim — far past real partition sizes.
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu = np.triu_indices(d1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qe"]])
+            G = X.T @ X
+            s = X.sum(axis=0)
+            xi = np.where(iu[0] == iu[1], s[iu[0]], 0)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0] + 1,
+                    "j": iu[1] + 1,
+                    "xx": G[iu],
+                    "xi": xi,
+                    "cnt": np.full(len(iu[0]), len(pdf), dtype=np.int64),
+                }
             )
-        ).alias("p")
-    ).select("p.i", "p.j", "p.xx", "p.xi")
+
+    partials = q.mapInPandas(
+        gram_partials, "i int, j int, xx bigint, xi bigint, cnt bigint"
+    )
     stats = (
-        pairs.groupBy("i", "j")
+        partials.groupBy("i", "j")
         .agg(
             F.sum("xx").alias("sxy"),
             F.sum("xi").alias("sx"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum("cnt").alias("n"),
         )
         .collect()
     )  # 2080-row sufficient-statistic collect (driver eigensolve state)
