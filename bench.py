@@ -131,6 +131,7 @@ HEADLINE = [
     "dedup_soft_weights",
     "corpus_pipeline_v3",
     "textstats_zipf_fit",
+    "dedup_minhash_eval",
 ]
 
 

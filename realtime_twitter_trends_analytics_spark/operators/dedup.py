@@ -996,6 +996,96 @@ WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_DIST}
 """
 
 
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured QUALITY of the MinHash/banded-LSH dedup path — the dedup
+    analogue of similarity.ann_recall: precision and recall of the
+    thresholded MinHash pairs against the exact n-gram-Jaccard verifier
+    on the same corpus, as one auditable row. A curation run publishes
+    exactly this next to its dedup output; a banding/threshold change
+    that silently craters recall shows up HERE, not in production.
+
+    Both sides are the already-registered operators (shared staging
+    relations — the eval adds one full-outer join on the (a, b) pair key
+    plus a single-row agg). Precision/recall are exact integer-ratio
+    rounds; zero denominators report 0.0 identically in both engines.
+    Note the measured asymmetry: MinHash estimates Jaccard over the FULL
+    shingle set while the verifier computes it over the df-capped set, so
+    neither containment of the other is guaranteed — which is precisely
+    why the number is worth publishing."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        "a", "b", F.lit(1).alias("in_e")
+    )
+    cand = dedup_minhash_pairs(spark, sf_dir).select(
+        "a", "b", F.lit(1).alias("in_m")
+    )
+    d = dl.SPARK
+    return (
+        exact.join(cand, ["a", "b"], "full")
+        .agg(
+            F.sum(F.coalesce("in_e", F.lit(0))).alias("n_exact"),
+            F.sum(F.coalesce("in_m", F.lit(0))).alias("n_candidates"),
+            F.sum(
+                F.when(
+                    F.col("in_e").isNotNull() & F.col("in_m").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_hit"),
+        )
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hit",
+            F.expr(
+                f"CASE WHEN n_candidates = 0 THEN 0.0 "
+                f"ELSE {dl.round_ratio(d, 'n_hit', 'n_candidates')} END"
+            ).alias("precision"),
+            F.expr(
+                f"CASE WHEN n_exact = 0 THEN 0.0 "
+                f"ELSE {dl.round_ratio(d, 'n_hit', 'n_exact')} END"
+            ).alias("recall"),
+        )
+    )
+
+
+def _oracle_minhash_eval() -> str:
+    d = dl.DUCK
+    return f"""
+WITH {_oracle_pairs_ctes()},
+jx_hot AS (
+  SELECT sh FROM sh GROUP BY sh HAVING count(*) > {HOT_SHINGLE_DF_CAP}
+), jx_sh AS (
+  SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM jx_hot)
+), jx_sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM jx_sh GROUP BY doc_id
+), jx_inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_inter
+  FROM jx_sh l JOIN jx_sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), exact_pairs AS (
+  SELECT a, b
+  FROM jx_inter
+  JOIN jx_sizes sa ON sa.doc_id = a
+  JOIN jx_sizes sb ON sb.doc_id = b
+  WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4)
+    >= {JACCARD_THRESHOLD}
+), j AS (
+  SELECT coalesce(e.in_e, 0) AS in_e, coalesce(m.in_m, 0) AS in_m
+  FROM (SELECT a, b, 1 AS in_e FROM exact_pairs) e
+  FULL JOIN (SELECT a, b, 1 AS in_m FROM dup_pairs) m USING (a, b)
+), agg AS (
+  SELECT CAST(sum(in_e) AS BIGINT) AS n_exact,
+    CAST(sum(in_m) AS BIGINT) AS n_candidates,
+    CAST(sum(in_e * in_m) AS BIGINT) AS n_hit
+  FROM j
+)
+SELECT n_exact, n_candidates, n_hit,
+  CASE WHEN n_candidates = 0 THEN 0.0
+    ELSE {dl.round_ratio(d, 'n_hit', 'n_candidates')} END AS precision,
+  CASE WHEN n_exact = 0 THEN 0.0
+    ELSE {dl.round_ratio(d, 'n_hit', 'n_exact')} END AS recall
+FROM agg
+"""
+
+
 def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SOFT dedup: instead of dropping near-duplicates, down-weight every
     member of a duplicate cluster by 1/cluster_size so the cluster
@@ -1080,6 +1170,7 @@ QUERIES = {
     "dedup_fuzzy_blocked": dedup_fuzzy_blocked,
     "dedup_survivors": dedup_survivors,
     "dedup_soft_weights": dedup_soft_weights,
+    "dedup_minhash_eval": dedup_minhash_eval,
 }
 
 ORACLES = {
@@ -1097,4 +1188,5 @@ ORACLES = {
     "dedup_fuzzy_blocked": _oracle_fuzzy_blocked(),
     "dedup_survivors": _oracle_survivors(),
     "dedup_soft_weights": _oracle_soft_weights(),
+    "dedup_minhash_eval": _oracle_minhash_eval(),
 }

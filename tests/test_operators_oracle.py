@@ -260,3 +260,19 @@ def test_soft_dedup_weights_conserve_cluster_mass(spark, sf_dir):
     n_singletons = sum(1 for r in rows if r["cluster_size"] == 1)
     # each cluster contributes ~1.0 up to 4-digit rounding per member
     assert abs(total - (n_singletons + n_clusters)) < 0.01 * max(1, n_clusters)
+
+
+def test_minhash_eval_floors_and_bounds(spark, sf_dir):
+    """The published dedup quality row: hits bounded by both sides, and the
+    banding/threshold configuration must keep recall >= 0.8 against the
+    exact verifier on the fixture corpus (the floor that catches a silent
+    banding regression)."""
+    from realtime_twitter_trends_analytics_spark.operators.dedup import (
+        dedup_minhash_eval,
+    )
+
+    r = dedup_minhash_eval(spark, sf_dir).collect()[0]
+    assert r["n_exact"] > 0 and r["n_candidates"] > 0
+    assert r["n_hit"] <= min(r["n_exact"], r["n_candidates"])
+    assert r["recall"] >= 0.8
+    assert 0.0 <= r["precision"] <= 1.0
