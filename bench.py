@@ -132,6 +132,7 @@ HEADLINE = [
     "corpus_pipeline_v3",
     "textstats_zipf_fit",
     "dedup_minhash_eval",
+    "graph_lpa_communities",
 ]
 
 

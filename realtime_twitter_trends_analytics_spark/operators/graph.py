@@ -415,14 +415,120 @@ LIMIT {PAGERANK_TOP}
 """
 
 
+LPA_ITERS = 3       # synchronous label-propagation rounds (both engines unroll 3)
+LPA_SAMPLE = 5      # members shown per community in the summary
+
+
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al.) over the shared co-occurrence graph: every token starts as its
+    own label; each round a node adopts the label with the greatest total
+    edge weight among its neighbors, ties to the lexicographically
+    smallest label. LPA_ITERS fixed rounds — deterministic (integer
+    weights + total tie order), unlike the randomized-order classic, so
+    both engines land on identical labels. Complements
+    connected-components (dedup_clusters): LPA splits a connected graph
+    into dense regions instead of whole components.
+
+    On THIS corpus the min-support co-occurrence graph is small and dense,
+    so LPA collapses it to one community — the documented dense-graph
+    behavior of the algorithm, and the honest answer here (both engines
+    agree bit-for-bit). Community RECOVERY is pinned separately by
+    tests/test_graph.py's planted two-clique corpus, where the weak
+    bridge must not merge the cliques.
+
+    Plan: the symmetric edge list materializes ONCE (localCheckpoint —
+    every round joins it; the per-round relations are vocab-sized label
+    tables). Each round = one join keyed nbr + one (node, label) hash agg
+    + one min(struct) argmax agg (map-side partials, no window sort) —
+    all uniform token keys. Rounds are a fixed constant, so the plan is
+    LPA_ITERS joins deep, never data-dependent."""
+    edges = _cooc_edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("tok_a").alias("node"), F.col("tok_b").alias("nbr"), "w")
+        .union(
+            edges.select(F.col("tok_b").alias("node"), F.col("tok_a").alias("nbr"), "w")
+        )
+        .localCheckpoint()
+    )
+    labels = und.select("node").distinct().select("node", F.col("node").alias("label"))
+    for _ in range(LPA_ITERS):
+        scores = (
+            und.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.sum("w").alias("s"))
+        )
+        labels = (
+            scores.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("s")).alias("ns"), F.col("label").alias("l"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("label"))
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(
+                f"array_join(slice(array_sort(collect_list(node)), 1, {LPA_SAMPLE}), ',')"
+            ).alias("sample_members"),
+        )
+        .select(F.col("label").alias("community"), "n_tokens", "sample_members")
+    )
+
+
+def _oracle_lpa() -> str:
+    d = dl.DUCK
+    ctes = [
+        """und AS MATERIALIZED (
+  SELECT tok_a AS node, tok_b AS nbr, w FROM edges
+  UNION ALL
+  SELECT tok_b AS node, tok_a AS nbr, w FROM edges
+)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM und)",
+    ]
+    for k in range(1, LPA_ITERS + 1):
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT u.node, l.label, CAST(sum(u.w) AS BIGINT) AS s
+  FROM und u JOIN l{k - 1} l ON l.node = u.nbr
+  GROUP BY u.node, l.label
+)"""
+        )
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node ORDER BY s DESC, label ASC) AS rn
+    FROM s{k}
+  ) WHERE rn = 1
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_ORACLE_EDGE_CTES},
+{body}
+SELECT label AS community, count(*) AS n_tokens,
+  array_to_string(list_slice(list_sort(list(node)), 1, {LPA_SAMPLE}), ',')
+    AS sample_members
+FROM l{LPA_ITERS} GROUP BY label
+"""
+
+
 QUERIES = {
     "graph_degree_stats": graph_degree_stats,
     "graph_triangle_stats": graph_triangle_stats,
     "graph_pagerank_topk": graph_pagerank_topk,
+    "graph_lpa_communities": graph_lpa_communities,
 }
 
 ORACLES = {
     "graph_degree_stats": _oracle_degree(),
     "graph_triangle_stats": _oracle_triangles(),
     "graph_pagerank_topk": _oracle_pagerank(),
+    "graph_lpa_communities": _oracle_lpa(),
 }

@@ -47,3 +47,36 @@ def test_pagerank_conserves_fixed_point_mass(spark, sf_dir):
     # every node's rank is at least the undamped base share
     n_ub = 64  # vocabulary upper bound for the driver corpus
     assert all(r.rank_fp >= (15 * (PR_SCALE // n_ub)) // 100 for r in rows)
+
+
+def test_lpa_recovers_planted_communities(spark, tmp_path_factory):
+    """LPA must separate two planted 4-token cliques whose cross pairs
+    fall below the 60% co-occurrence support (the corpus-level query
+    collapses to one community because the real graph is small and dense
+    — this pins that the ALGORITHM separates what the support rule keeps
+    apart). 20 docs: 7 pure-A, 7 pure-B, 6 mixed — intra-clique pairs
+    co-occur in 13 docs (>= 12 = 60%), cross pairs in only 6 (dropped)."""
+    from realtime_twitter_trends_analytics_spark.operators.graph import (
+        graph_lpa_communities,
+    )
+
+    out = tmp_path_factory.mktemp("lpa_sf")
+    rows = []
+    for i in range(7):
+        rows.append((i, "aaa aab aac aad", "en", "s0", 15))
+    for i in range(7, 14):
+        rows.append((i, "bba bbb bbc bbd", "en", "s0", 15))
+    for i in range(14, 20):
+        rows.append((i, "aaa aab aac aad bba bbb bbc bbd", "en", "s0", 31))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got = {
+        r["community"]: (r["n_tokens"], r["sample_members"])
+        for r in graph_lpa_communities(spark, str(out)).collect()
+    }
+    assert got == {
+        "aaa": (4, "aaa,aab,aac,aad"),
+        "bba": (4, "bba,bbb,bbc,bbd"),
+    }
