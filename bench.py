@@ -133,6 +133,7 @@ HEADLINE = [
     "textstats_zipf_fit",
     "dedup_minhash_eval",
     "graph_lpa_communities",
+    "trends_burst_detection",
 ]
 
 

@@ -448,6 +448,91 @@ UNION ALL SELECT '3_view_click_purchase', count(*) FROM p
 """
 
 
+BURST_BASELINE_WINDOWS = 3  # trailing windows forming the baseline
+BURST_NUM = 3               # burst when 2 * n > 3 * mean(baseline)
+BURST_DEN = 2
+
+
+def trends_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection — the operation 'trending' actually names: a
+    per-type tumbling-window count is a BURST when it exceeds 1.5x the
+    mean of its own trailing BURST_BASELINE_WINDOWS windows. The
+    reference's dashboard surfaces raw windowed counts (proc:138+71);
+    production trend detection compares each window against the series'
+    own recent baseline so a big-but-flat tag does not trend.
+
+    One agg shuffle (event_type, day) + one per-type ordered window whose
+    frame is 3 TRAILING ROWS over one row per (type, day) — window state
+    is series-length-sized, never event-sized. The burst gate is pure
+    integer cross-multiplication (2*n*k > 3*sum_prev with k = actual
+    trailing rows), so the boundary cannot flap on float rounding; the
+    reported ratio is a display-only exact integer-ratio round. Windows
+    with an incomplete baseline (first BASELINE windows of each series)
+    report is_burst = false, baseline_n < BURST_BASELINE_WINDOWS."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-BURST_BASELINE_WINDOWS, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "window_start",
+        "n",
+        F.coalesce(F.sum("n").over(wt), F.lit(0)).cast("bigint").alias("prev_sum"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("baseline_n"),
+    )
+    d = dl.SPARK
+    return scored.select(
+        "event_type",
+        "window_start",
+        "n",
+        "baseline_n",
+        F.expr(
+            f"CASE WHEN baseline_n = {BURST_BASELINE_WINDOWS} "
+            f"AND {BURST_DEN} * n * baseline_n > {BURST_NUM} * prev_sum "
+            f"THEN true ELSE false END"
+        ).alias("is_burst"),
+        F.expr(
+            f"CASE WHEN prev_sum = 0 THEN 0.0 "
+            f"ELSE {dl.round_ratio(d, '(n * baseline_n)', 'prev_sum')} END"
+        ).alias("burst_ratio"),
+    )
+
+
+def _oracle_burst() -> str:
+    d = dl.DUCK
+    return f"""
+WITH daily AS (
+  SELECT {EPOCH_TS} + INTERVAL 1 SECOND *
+      (CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) AS window_start,
+    event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, window_start, n,
+    CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS prev_sum,
+    CAST(count(*) OVER w AS BIGINT) AS baseline_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+    ROWS BETWEEN {BURST_BASELINE_WINDOWS} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, window_start, n, baseline_n,
+  CASE WHEN baseline_n = {BURST_BASELINE_WINDOWS}
+    AND {BURST_DEN} * n * baseline_n > {BURST_NUM} * prev_sum
+    THEN true ELSE false END AS is_burst,
+  CASE WHEN prev_sum = 0 THEN 0.0
+    ELSE {dl.round_ratio(d, '(n * baseline_n)', 'prev_sum')} END AS burst_ratio
+FROM scored
+"""
+
+
 QUERIES = {
     "sentiment_docs": sentiment_docs,
     "events_funnel": events_funnel,
@@ -460,6 +545,7 @@ QUERIES = {
     "window_sliding_counts": window_sliding_counts,
     "window_session_per_user": window_session_per_user,
     "tweet_pipeline_flagship": tweet_pipeline_flagship,
+    "trends_burst_detection": trends_burst_detection,
 }
 
 ORACLES = {
@@ -473,4 +559,5 @@ ORACLES = {
     "window_sliding_counts": ORACLE_WINDOW_SLIDING,
     "window_session_per_user": ORACLE_WINDOW_SESSION,
     "tweet_pipeline_flagship": _oracle_flagship(),
+    "trends_burst_detection": _oracle_burst(),
 }

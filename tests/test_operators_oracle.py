@@ -276,3 +276,42 @@ def test_minhash_eval_floors_and_bounds(spark, sf_dir):
     assert r["n_hit"] <= min(r["n_exact"], r["n_candidates"])
     assert r["recall"] >= 0.8
     assert 0.0 <= r["precision"] <= 1.0
+
+
+def test_burst_detection_flags_planted_spike(spark, tmp_path_factory):
+    """A flat 10/day series that jumps to 40 on day 5 must flag exactly
+    that window (2*40*3 > 3*30); flat windows and windows with an
+    incomplete baseline must not flag."""
+    import datetime as dt
+
+    from realtime_twitter_trends_analytics_spark.operators.trends import (
+        trends_burst_detection,
+    )
+
+    out = tmp_path_factory.mktemp("burst_sf")
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    for day in range(7):
+        n = 40 if day == 5 else 10
+        for i in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(days=day, seconds=i), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {
+        r["window_start"].day: r
+        for r in trends_burst_detection(spark, str(out)).collect()
+    }
+    assert [d for d, r in sorted(got.items()) if r["is_burst"]] == [6]
+    spike = got[6]
+    assert spike["n"] == 40 and spike["baseline_n"] == 3
+    assert spike["burst_ratio"] == 4.0  # 40*3 / 30
+    # incomplete-baseline windows (days 1-3) never flag
+    assert all(not got[d]["is_burst"] for d in (1, 2, 3))
