@@ -134,6 +134,7 @@ HEADLINE = [
     "dedup_minhash_eval",
     "graph_lpa_communities",
     "trends_burst_detection",
+    "sim_mmr_topk",
 ]
 
 

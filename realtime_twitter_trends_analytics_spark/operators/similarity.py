@@ -184,6 +184,191 @@ FROM allb GROUP BY 1, 2
 """
 
 
+MMR_POOL = 20        # relevance pool per query entering the greedy stage
+MMR_K = 5            # diversified results returned per query
+MMR_SCALE = 10**6    # fixed-point quantization of cosine scores
+# lambda = 0.7: score = 7*rel_q - 3*max_sim_q (x10 scale, pure BIGINT)
+MMR_L_REL = 7
+MMR_L_DIV = 3
+
+
+def _quant_cos(d: str, cos_expr: str) -> str:
+    """Quantize a cosine expression to BIGINT fixed-point: both engines
+    compute the identical double (shared dialect template), so the floor
+    is identical — and every downstream comparison is integer-exact."""
+    return f"CAST(floor(({cos_expr}) * {MMR_SCALE}) AS BIGINT)"
+
+
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval (Carbonell &
+    Goldstein): per query, greedily pick MMR_K results maximizing
+    lambda*relevance - (1-lambda)*max-similarity-to-already-picked — the
+    dedup-aware retrieval a RAG/few-shot training pipeline runs so its
+    context windows don't fill with near-identical passages. Plain top-k
+    returns clones; MMR penalizes each candidate by its closest already
+    selected neighbor.
+
+    Split like every iterative op here: the DISTRIBUTED pass is the
+    relevance scan (broadcast queries x corpus — at production scale the
+    candidate pool comes from the ANN paths instead, which the structure
+    permits) plus the pool's pairwise similarities; the greedy selection
+    runs on DRIVER state (|Q| x MMR_POOL = 200 rel rows + |Q| x POOL^2
+    pair rows — the k-means-centroid collect pattern). All scores are
+    floor-quantized to BIGINT before ANY comparison, so ranking, ties
+    (cand_id asc), and the greedy path are integer-deterministic across
+    engines; the oracle unrolls the same greedy as MATERIALIZED CTEs and
+    hash-matches exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("cnorm"),
+    )
+    rel_cos = f"{dot_sql(dl.SPARK, 'qv', 'cv')} / (qnorm * cnorm)"
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cv",
+            "cnorm",
+            F.expr(_quant_cos(dl.SPARK, rel_cos)).alias("rel_q"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("rel_q"), F.asc("cand_id"))
+    pool = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= MMR_POOL)
+        .localCheckpoint()  # both the pair self-join sides and the collect
+    )
+    pair_cos = f"{dot_sql(dl.SPARK, 'a_cv', 'b_cv')} / (a_cnorm * b_cnorm)"
+    pairs = (
+        pool.select(
+            "query_id",
+            F.col("cand_id").alias("a"),
+            F.col("cv").alias("a_cv"),
+            F.col("cnorm").alias("a_cnorm"),
+        )
+        .join(
+            pool.select(
+                "query_id",
+                F.col("cand_id").alias("b"),
+                F.col("cv").alias("b_cv"),
+                F.col("cnorm").alias("b_cnorm"),
+            ),
+            "query_id",
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "b", F.expr(_quant_cos(dl.SPARK, pair_cos)).alias("sim_q")
+        )
+    )
+    rel_rows = pool.select("query_id", "cand_id", "rel_q").collect()
+    sim_rows = pairs.collect()
+    sim = {}
+    for r in sim_rows:
+        sim[(r["query_id"], r["a"], r["b"])] = r["sim_q"]
+    by_q: dict = {}
+    for r in rel_rows:
+        by_q.setdefault(r["query_id"], []).append((r["cand_id"], r["rel_q"]))
+    out = []
+    for qid, cands in by_q.items():
+        rel = dict(cands)
+        first = min(cands, key=lambda t: (-t[1], t[0]))[0]
+        sel = [first]
+        out.append((qid, first, 1, rel[first]))
+        for step in range(2, MMR_K + 1):
+            best = None
+            for cid, rq in cands:
+                if cid in sel:
+                    continue
+                ms = max(sim[(qid, cid, s)] for s in sel)
+                score = MMR_L_REL * rq - MMR_L_DIV * ms
+                key = (-score, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid)
+            sel.append(best[1])
+            out.append((qid, best[1], step, rel[best[1]]))
+    return spark.createDataFrame(
+        out, "query_id bigint, cand_id bigint, step int, rel_q bigint"
+    )
+
+
+def _oracle_mmr() -> str:
+    d = dl.DUCK
+    rel_cos = cosine_sql(d, "q.embedding", "c.embedding")
+    pair_cos = cosine_sql(d, "ea.embedding", "eb.embedding")
+    ctes = [
+        f"""scored AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    {_quant_cos(d, rel_cos)} AS rel_q
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+)""",
+        f"""pool AS MATERIALIZED (
+  SELECT query_id, cand_id, rel_q FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel_q DESC, cand_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {MMR_POOL}
+)""",
+        f"""pr AS MATERIALIZED (
+  SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b,
+    {_quant_cos(d, pair_cos)} AS sim_q
+  FROM pool p1
+  JOIN pool p2 ON p1.query_id = p2.query_id AND p1.cand_id <> p2.cand_id
+  JOIN embeddings ea ON ea.vec_id = p1.cand_id
+  JOIN embeddings eb ON eb.vec_id = p2.cand_id
+)""",
+        """sel1 AS MATERIALIZED (
+  SELECT query_id, cand_id, 1 AS step FROM (
+    SELECT query_id, cand_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel_q DESC, cand_id ASC) AS rn
+    FROM pool
+  ) WHERE rn = 1
+)""",
+    ]
+    for t in range(2, MMR_K + 1):
+        prev = f"sel{t - 1}"
+        ctes.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT p.query_id, p.cand_id, p.rel_q, max(pr.sim_q) AS ms
+  FROM pool p
+  JOIN pr ON pr.query_id = p.query_id AND pr.a = p.cand_id
+  JOIN {prev} s ON s.query_id = pr.query_id AND s.cand_id = pr.b
+  LEFT JOIN {prev} x ON x.query_id = p.query_id AND x.cand_id = p.cand_id
+  WHERE x.cand_id IS NULL
+  GROUP BY p.query_id, p.cand_id, p.rel_q
+)""")
+        ctes.append(
+            f"""pick{t} AS MATERIALIZED (
+  SELECT query_id, cand_id, {t} AS step FROM (
+    SELECT query_id, cand_id, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY ({MMR_L_REL} * rel_q - {MMR_L_DIV} * ms) DESC, cand_id ASC) AS rn
+    FROM m{t}
+  ) WHERE rn = 1
+)""")
+        ctes.append(
+            f"""sel{t} AS MATERIALIZED (
+  SELECT query_id, cand_id, step FROM {prev}
+  UNION ALL SELECT query_id, cand_id, step FROM pick{t}
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT s.query_id, s.cand_id, s.step, p.rel_q
+FROM sel{MMR_K} s JOIN pool p USING (query_id, cand_id)
+"""
+
+
 ANN_LSH_TABLES = 4  # search path: more tables than the dedup path (LSH_TABLES=2)
 # Hamming<=2 multiprobe: probe the query's own bucket, every 1-bit flip,
 # and every 2-bit flip (1 + 6 + 15 = 22 probes/table). On 6-bit SRP codes
@@ -1124,6 +1309,7 @@ FROM hits GROUP BY train_id, label
 QUERIES = {
     "decontaminate_semantic": decontaminate_semantic,
     "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_mmr_topk": sim_mmr_topk,
     "sim_ivf_kmeans_ann": sim_ivf_kmeans_ann,
     "sim_pq_adc_ann": sim_pq_adc_ann,
     "sim_knn_label_probe": sim_knn_label_probe,
@@ -1145,6 +1331,7 @@ ORACLES = {
     "sim_knn_label_probe": _oracle_knn_probe(),
     "sim_knn_label_probe_ivf": _oracle_knn_probe_ivf(),
     "sim_topk_bruteforce": _oracle_bruteforce(),
+    "sim_mmr_topk": _oracle_mmr(),
     "sim_lsh_buckets": _oracle_lsh_buckets(),
     "sim_lsh_ann": _oracle_lsh_ann(),
     "sim_ivf_ann": _oracle_ivf_ann(),

@@ -72,10 +72,11 @@ def test_ann_results_are_structurally_sound(spark, sf_dir):
 
 def test_lsh_candidates_bounded_by_bucket_sizes(spark, sf_dir):
     """The LSH candidate set per query is exactly the union of its probed
-    buckets' occupancies (Hamming<=1 multiprobe) — the bounded-candidates
+    buckets' occupancies (Hamming<=2 multiprobe since round 5) — the bounded-candidates
     property that makes the method scale. Verified by recomputing bucket
     membership: every returned pair must differ by at most one bucket bit
-    in at least one table."""
+    in at least one table (mask-set membership, so the assert tracks
+    LSH_PROBE_MASKS whatever the probe radius)."""
     from realtime_twitter_trends_analytics_spark.functions import dialect as dl
     from realtime_twitter_trends_analytics_spark.operators.similarity import (
         lsh_bucket_sql,
@@ -126,3 +127,52 @@ def test_embedding_cosine_dedup_finds_planted(spark):
     got = {(r["a"], r["b"]): r["cosine"] for r in embedding_cosine_pairs(emb, 0.95).collect()}
     assert (0, 1) in got and got[(0, 1)] > 0.99
     assert all(p == (0, 1) for p in got), got
+
+
+def test_mmr_diversifies_relative_to_plain_topk(spark, sf_dir):
+    """MMR's picks must (a) start from the most-relevant candidate, (b)
+    never repeat a candidate, and (c) have a LOWER mean pairwise cosine
+    among the selected set than plain top-MMR_K relevance ranking for at
+    least one query — the diversification MMR exists to buy."""
+    import itertools
+
+    import numpy as np
+
+    from realtime_twitter_trends_analytics_spark.operators.similarity import (
+        MMR_K,
+        sim_mmr_topk,
+        sim_topk_bruteforce,
+    )
+    from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
+
+    rows = sim_mmr_topk(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def mean_pairwise(ids):
+        sims = [
+            float(emb[a] @ emb[b] / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b])))
+            for a, b in itertools.combinations(ids, 2)
+        ]
+        return sum(sims) / len(sims)
+
+    plain = {}
+    for r in sim_topk_bruteforce(spark, sf_dir).collect():
+        if r["rnk"] <= MMR_K:
+            plain.setdefault(r["query_id"], []).append((r["rnk"], r["cand_id"]))
+
+    diversified = 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        ids = [r["cand_id"] for r in sorted(rs, key=lambda r: r["step"])]
+        assert len(set(ids)) == MMR_K
+        # step 1 = the plain top-1 (pure relevance)
+        top1 = min(plain[qid])[1]
+        assert ids[0] == top1
+        if mean_pairwise(ids) < mean_pairwise([c for _, c in sorted(plain[qid])]) - 1e-9:
+            diversified += 1
+    assert diversified >= 1
