@@ -135,6 +135,7 @@ HEADLINE = [
     "graph_lpa_communities",
     "trends_burst_detection",
     "sim_mmr_topk",
+    "stats_ks_test",
 ]
 
 

@@ -459,6 +459,116 @@ FROM b GROUP BY value_bin
 """
 
 
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per event_type between the A/B
+    variants (same sticky md5-nibble assignment as events_ab_test_lift) —
+    completes the experiment-readout family: Welch t compares means,
+    chi-square compares categorical mixes, KS compares the whole value
+    DISTRIBUTION (a treatment that moves the tail but not the mean is
+    invisible to t and loud here).
+
+    Exact arithmetic end-to-end: values quantize to cents; the ECDF gap
+    at each distinct value is the integer |cumA*nB - cumB*nA| (cross-
+    multiplied, no division until display), maxed per type, and
+    D = max_gap / (nA*nB) is one exact integer-ratio round. The
+    asymptotic statistic lambda = D_exact * sqrt(nA*nB/(nA+nB)) is a
+    single IEEE expression over exact integers — identical in both
+    engines. cum*n stays BIGINT-exact to ~3e9 rows per (type, variant);
+    past that, promote to DECIMAL(38,0) (the repo convention).
+
+    Plan: one hash agg keyed (event_type, variant, cents), one per-type
+    ordered cumsum over DISTINCT VALUE rows (value-domain-sized, never
+    event-sized), one max agg. Types missing a variant are excluded (the
+    test is undefined), mirrored in the oracle's HAVING."""
+    e = load_table(spark, sf_dir, "events")
+    nib = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(user_id AS STRING)"))
+    vals = e.select(
+        "event_type",
+        F.when(nib < 8, "A").otherwise("B").alias("variant"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    per_val = vals.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("cb"),
+    )
+    wt = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wn = W.partitionBy("event_type")
+    cum = per_val.select(
+        "event_type",
+        F.sum("ca").over(wt).alias("cum_a"),
+        F.sum("cb").over(wt).alias("cum_b"),
+        F.sum("ca").over(wn).alias("n_a"),
+        F.sum("cb").over(wn).alias("n_b"),
+    )
+    agg = (
+        cum.groupBy("event_type", "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("max_gap")
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    d = dl.SPARK
+    lam = (
+        "(CAST(max_gap AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+        " * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+        " / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))"
+    )
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr(dl.round_ratio(d, "max_gap", "(n_a * n_b)")).alias("ks_d"),
+        F.expr(f"round({lam}, 4)").alias("ks_lambda"),
+    )
+
+
+def _oracle_ks() -> str:
+    d = dl.DUCK
+    nib = dl.md5_prefix_nibble(d, "CAST(user_id AS VARCHAR)")
+    lam = (
+        "(CAST(max_gap AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+        " * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+        " / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))"
+    )
+    return f"""
+WITH vals AS (
+  SELECT event_type,
+    CASE WHEN ({nib}) < 8 THEN 'A' ELSE 'B' END AS variant,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), per_val AS (
+  SELECT event_type, cents,
+    sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS ca,
+    sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS cb
+  FROM vals GROUP BY event_type, cents
+), cum AS (
+  SELECT event_type,
+    CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY cents
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+    CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b,
+    CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
+    CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS n_b
+  FROM per_val
+), agg AS (
+  SELECT event_type, n_a, n_b,
+    max(abs(cum_a * n_b - cum_b * n_a)) AS max_gap
+  FROM cum GROUP BY event_type, n_a, n_b
+  HAVING n_a > 0 AND n_b > 0
+)
+SELECT event_type, n_a, n_b,
+  {dl.round_ratio(d, 'max_gap', '(n_a * n_b)')} AS ks_d,
+  round({lam}, 4) AS ks_lambda
+FROM agg
+"""
+
+
 QUERIES = {
     "events_gaps_islands": events_gaps_islands,
     "sample_reservoir_per_key": sample_reservoir_per_key,
@@ -467,6 +577,7 @@ QUERIES = {
     "events_ab_test_lift": events_ab_test_lift,
     "stats_correlation_matrix": stats_correlation_matrix,
     "ml_quantile_binning": ml_quantile_binning,
+    "stats_ks_test": stats_ks_test,
 }
 
 ORACLES = {
@@ -477,4 +588,5 @@ ORACLES = {
     "events_ab_test_lift": _oracle_ab_lift(),
     "stats_correlation_matrix": _oracle_corr_matrix(),
     "ml_quantile_binning": _oracle_quantile_binning(),
+    "stats_ks_test": _oracle_ks(),
 }

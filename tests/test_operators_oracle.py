@@ -315,3 +315,45 @@ def test_burst_detection_flags_planted_spike(spark, tmp_path_factory):
     assert spike["burst_ratio"] == 4.0  # 40*3 / 30
     # incomplete-baseline windows (days 1-3) never flag
     assert all(not got[d]["is_burst"] for d in (1, 2, 3))
+
+
+def test_ks_test_matches_pure_python_ecdf(spark, sf_dir):
+    """stats_ks_test's D must equal a direct pure-Python two-sample ECDF
+    sup-gap on the same md5-nibble variant split, per event type."""
+    import hashlib
+
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        stats_ks_test,
+    )
+    from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
+
+    got = {r["event_type"]: r for r in stats_ks_test(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    ).collect()
+    samples: dict[str, dict[str, list[int]]] = {}
+    for r in rows:
+        nib = int(hashlib.md5(str(r["user_id"]).encode()).hexdigest()[0], 16)
+        v = "A" if nib < 8 else "B"
+        samples.setdefault(r["event_type"], {"A": [], "B": []})[v].append(
+            round(r["value"] * 100)
+        )
+    for et, s in samples.items():
+        a, b = sorted(s["A"]), sorted(s["B"])
+        if not a or not b:
+            assert et not in got
+            continue
+        values = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        max_gap = 0
+        ia = ib = 0
+        for v in values:
+            while ia < na and a[ia] <= v:
+                ia += 1
+            while ib < nb and b[ib] <= v:
+                ib += 1
+            max_gap = max(max_gap, abs(ia * nb - ib * na))
+        assert got[et]["n_a"] == na and got[et]["n_b"] == nb
+        assert got[et]["ks_d"] == round(max_gap / (na * nb) + 1e-12, 4) or abs(
+            got[et]["ks_d"] - max_gap / (na * nb)
+        ) < 1e-4
