@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from ..audit import audit_plan
 from ..functions import dialect as dl
 from ..sources.loaders import load_table
 
@@ -605,8 +606,8 @@ def dsir_instance_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(F.expr(_dsir_bucket_arr_sql(dl.SPARK))).alias("b"),
         )
-        .localCheckpoint()
     )
+    out = audit_plan("dsir_feature_instances", out).localCheckpoint()
     _DSIR_INST_MEMO[key] = out
     return out
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
+from ..audit import audit_plan
 from ..functions import dialect as dl
 from ..sources.loaders import load_table
 
@@ -85,7 +86,7 @@ def capped_shingle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     one count agg. Capping df bounds every downstream self-join bucket at
     CAP^2 regardless of corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    sh_all = shingle_rel(docs).localCheckpoint()
+    sh_all = audit_plan("dedup_shingle_rel", shingle_rel(docs)).localCheckpoint()
     hot = (
         sh_all.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -103,7 +104,9 @@ def capped_shingle_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = _CAPPED_SH_MEMO.get(key)
     if memo is not None:
         return memo
-    out = capped_shingle_plan(spark, sf_dir).localCheckpoint()
+    out = audit_plan(
+        "dedup_capped_shingles", capped_shingle_plan(spark, sf_dir)
+    ).localCheckpoint()
     _CAPPED_SH_MEMO[key] = out
     return out
 
@@ -206,7 +209,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = _PAIRS_MEMO.get(key)
     if memo is not None:
         return memo
-    sig = minhash_signatures(spark, sf_dir).localCheckpoint()
+    sig = audit_plan(
+        "minhash_signatures_staging", minhash_signatures(spark, sf_dir)
+    ).localCheckpoint()
     hash_cols = [f"h{k}" for k in range(MINHASH_K)]
     band_keys = F.array(
         *[
@@ -235,8 +240,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("est_jaccard", F.round(F.col("n_matches") / F.lit(MINHASH_K), 4))
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
         .select("a", "b", "est_jaccard")
-        .localCheckpoint()
     )
+    out = audit_plan("minhash_pairs_staging", out).localCheckpoint()
     _PAIRS_MEMO[key] = out
     return out
 
@@ -313,7 +318,7 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     # self-join inside one job; Spark unions do not dedup common
     # subplans). Measured at sf0.1: und-build 6.1 s -> 0.5 s with the
     # edge checkpoint; dedup_clusters 8.3 s -> ~4 s end-to-end.
-    edges = edges.select("a", "b").localCheckpoint()
+    edges = audit_plan("cc_edges", edges.select("a", "b")).localCheckpoint()
     # Self-loops (node, node) fold the "least(own label, neighbor min)"
     # step into the propagation join itself: min over {labels of b :
     # (a,b) in und} with a~a present IS the new label, so each round is
@@ -321,8 +326,9 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    und = sym.union(
-        sym.select("a", F.col("a").alias("b")).distinct()
+    und = audit_plan(
+        "cc_und",
+        sym.union(sym.select("a", F.col("a").alias("b")).distinct()),
     ).localCheckpoint()
     # per-round parallelism: AQE's partition coalescing already sizes the
     # tiny round shuffles down (measured: explicit repartition-by-edge-count
@@ -341,11 +347,12 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         # separate agg job per round; at ~5 rounds the per-job scheduling
         # overhead was a measurable slice of dedup_clusters' bench time.
         obs = Observation(f"cc_round_{i}")
-        new_labels = (
+        new_labels = audit_plan(
+            "cc_round",
             und.join(labels, und["b"] == labels["node"])
             .groupBy(und["a"].alias("node"))
             .agg(F.min("label").alias("label"))
-            .observe(obs, F.sum("label").alias("s"))
+            .observe(obs, F.sum("label").alias("s")),
         ).localCheckpoint()
         new_sum = obs.get["s"]
         labels = new_labels
@@ -717,14 +724,18 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pos", "h"),
         )
-    ).localCheckpoint()  # hot-agg job + shc job both read it: build once
+    )
+    sh = audit_plan("span_shingles", sh).localCheckpoint()
+    # hot-agg job + shc job both read it: build once
     hot = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > SPAN_HOT_DF_CAP)
         .select("h")
     )
-    shc = sh.join(F.broadcast(hot), "h", "left_anti").localCheckpoint()
+    shc = audit_plan(
+        "span_capped_shingles", sh.join(F.broadcast(hot), "h", "left_anti")
+    ).localCheckpoint()
     l = shc.select(F.col("doc_id").alias("a"), F.col("pos").alias("a_pos"), "h")
     r = shc.select(F.col("doc_id").alias("b"), F.col("pos").alias("b_pos"), "h")
     matches = (

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..audit import audit_plan
 from ..functions import dialect as dl
 from ..sources.loaders import load_table
 
@@ -107,9 +108,12 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hazard, see dedup_minhash_pairs). With the edge/oriented relations
     # also checkpointed: triangle 2.39->1.87s, pagerank 3.12->2.51s at
     # sf0.1.
-    tok = docs.select(
-        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
-    ).select("doc_id", F.explode(F.expr(capped)).alias("t")).localCheckpoint()
+    tok = audit_plan(
+        "graph_token_rel",
+        docs.select(
+            "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+        ).select("doc_id", F.explode(F.expr(capped)).alias("t")),
+    ).localCheckpoint()
     stop = (
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -124,8 +128,8 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x.t").alias("tok_a"), F.col("y.t").alias("tok_b"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= min_support)
-        .localCheckpoint()
     )
+    pairs = audit_plan("graph_cooc_edges", pairs).localCheckpoint()
     _COOC_MEMO[memo_key] = pairs
     return pairs
 
@@ -212,7 +216,8 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_first, F.col("tok_a")).otherwise(F.col("tok_b")).alias("src"),
         F.when(a_first, F.col("tok_b")).otherwise(F.col("tok_a")).alias("dst"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
-    ).localCheckpoint()
+    )
+    oriented = audit_plan("graph_oriented_edges", oriented).localCheckpoint()
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedge_ordered = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
@@ -316,11 +321,10 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-shuffling the edge list (PR_ITERS exchanges saved) —
     # the pre-partitioned-iteration pattern a 1000-executor PageRank needs
     # anyway to keep the big side stationary across rounds.
-    edges = (
-        edges.join(F.broadcast(out_w), "src")
-        .repartition(F.col("src"))
-        .localCheckpoint()
-    )
+    edges = audit_plan(
+        "graph_pr_edges",
+        edges.join(F.broadcast(out_w), "src").repartition(F.col("src")),
+    ).localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("token"))
         .union(edges.select(F.col("dst").alias("token")))
@@ -444,13 +448,14 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     all uniform token keys. Rounds are a fixed constant, so the plan is
     LPA_ITERS joins deep, never data-dependent."""
     edges = _cooc_edges(spark, sf_dir)
-    und = (
-        edges.select(F.col("tok_a").alias("node"), F.col("tok_b").alias("nbr"), "w")
-        .union(
+    und = audit_plan(
+        "graph_lpa_und",
+        edges.select(
+            F.col("tok_a").alias("node"), F.col("tok_b").alias("nbr"), "w"
+        ).union(
             edges.select(F.col("tok_b").alias("node"), F.col("tok_a").alias("nbr"), "w")
-        )
-        .localCheckpoint()
-    )
+        ),
+    ).localCheckpoint()
     labels = und.select("node").distinct().select("node", F.col("node").alias("label"))
     for _ in range(LPA_ITERS):
         scores = (

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
+from ..audit import audit_plan
 from ..functions import dialect as dl
 from ..sources.loaders import load_table
 
@@ -186,7 +187,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             assigned = q.select(
                 "qe", F.expr(centroid_argmin_sql(rows)).alias("m")
             ).select(F.col("m.cl").alias("cluster"), "qe")
-            collected = _update(assigned).collect()
+            collected = audit_plan("kmeans_update_round", _update(assigned)).collect()
             rows = [(int(r.cluster), [int(v) for v in r.c]) for r in collected]
         _KMEANS_CENT_MEMO[sf_dir] = rows
     return spark.createDataFrame(rows, "cluster int, c array<bigint>")
@@ -422,7 +423,9 @@ def pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             "block", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("c")
         )
         for _ in range(PQ_ITERS):
-            collected = _pq_update(_pq_assign(blocks, cent)).collect()
+            collected = audit_plan(
+                "pq_update_round", _pq_update(_pq_assign(blocks, cent))
+            ).collect()
             rows = [(int(r.block), int(r.code), [int(v) for v in r.c]) for r in collected]
             cent = spark.createDataFrame(rows, "block int, code int, c array<bigint>")
         _PQ_CENT_MEMO[sf_dir] = rows
@@ -698,15 +701,14 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = q.mapInPandas(
         gram_partials, "i int, j int, xx bigint, xi bigint, cnt bigint"
     )
-    stats = (
-        partials.groupBy("i", "j")
-        .agg(
+    stats = audit_plan(
+        "pca_gram_stats",
+        partials.groupBy("i", "j").agg(
             F.sum("xx").alias("sxy"),
             F.sum("xi").alias("sx"),
             F.sum("cnt").alias("n"),
-        )
-        .collect()
-    )  # 2080-row sufficient-statistic collect (driver eigensolve state)
+        ),
+    ).collect()  # 2080-row sufficient-statistic collect (driver eigensolve state)
     nf = float(stats[0]["n"])
     sx = {r["i"]: float(r["sx"]) for r in stats if r["i"] == r["j"]}
     C = np.zeros((d1, d1))

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
+from ..audit import audit_plan
 from ..functions import dialect as dl
 from ..sources.loaders import load_table
 
@@ -208,16 +209,23 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns clones; MMR penalizes each candidate by its closest already
     selected neighbor.
 
-    Split like every iterative op here: the DISTRIBUTED pass is the
-    relevance scan (broadcast queries x corpus — at production scale the
-    candidate pool comes from the ANN paths instead, which the structure
-    permits) plus the pool's pairwise similarities; the greedy selection
-    runs on DRIVER state (|Q| x MMR_POOL = 200 rel rows + |Q| x POOL^2
-    pair rows — the k-means-centroid collect pattern). All scores are
-    floor-quantized to BIGINT before ANY comparison, so ranking, ties
-    (cand_id asc), and the greedy path are integer-deterministic across
-    engines; the oracle unrolls the same greedy as MATERIALIZED CTEs and
-    hash-matches exactly."""
+    Fully distributed (round-6 rewrite of the r5 driver-side greedy):
+    the relevance scan (broadcast queries x corpus — at production scale
+    the candidate pool comes from the ANN paths instead, which the
+    structure permits) and the pool's pairwise similarities are DataFrame
+    stages; the greedy selection is per-query-INDEPENDENT, so it runs on
+    executors as a cogrouped Arrow ``applyInPandas`` keyed by query_id
+    (rel rows cogrouped with pair rows — |pool| + |pool|^2 rows per
+    group, constants). Zero driver state; the operator scales linearly
+    with |Q|. All scores are floor-quantized to BIGINT before ANY
+    comparison, so ranking, ties (cand_id asc), and the greedy path are
+    integer-deterministic across engines; the oracle unrolls the same
+    greedy as MATERIALIZED CTEs and hash-matches exactly.
+
+    The broadcast crossJoin relevance scan is registered with the
+    plan-hygiene dragnet (audit label ``mmr_pool`` — localCheckpoint
+    truncates it out of the final plan) and adjudicated in
+    AUDIT_CARTESIAN_OK like every other intended product."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
@@ -243,11 +251,12 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("rel_q"), F.asc("cand_id"))
-    pool = (
-        scored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= MMR_POOL)
-        .localCheckpoint()  # both the pair self-join sides and the collect
-    )
+    pool = audit_plan(
+        "mmr_pool",
+        scored.withColumn("rn", F.row_number().over(wq)).filter(
+            F.col("rn") <= MMR_POOL
+        ),
+    ).localCheckpoint()  # pair self-join sides + the rel cogroup side
     pair_cos = f"{dot_sql(dl.SPARK, 'a_cv', 'b_cv')} / (a_cnorm * b_cnorm)"
     pairs = (
         pool.select(
@@ -270,34 +279,61 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "a", "b", F.expr(_quant_cos(dl.SPARK, pair_cos)).alias("sim_q")
         )
     )
-    rel_rows = pool.select("query_id", "cand_id", "rel_q").collect()
-    sim_rows = pairs.collect()
-    sim = {}
-    for r in sim_rows:
-        sim[(r["query_id"], r["a"], r["b"])] = r["sim_q"]
-    by_q: dict = {}
-    for r in rel_rows:
-        by_q.setdefault(r["query_id"], []).append((r["cand_id"], r["rel_q"]))
-    out = []
-    for qid, cands in by_q.items():
-        rel = dict(cands)
-        first = min(cands, key=lambda t: (-t[1], t[0]))[0]
-        sel = [first]
-        out.append((qid, first, 1, rel[first]))
+    # distinct column names on the rel side (qid vs query_id) so the
+    # cogroup's analysis can't confuse the two pool-derived lineages
+    rel = pool.select(
+        F.col("query_id").alias("qid"), "cand_id", "rel_q"
+    )
+
+    def greedy(rel_pdf, pair_pdf):
+        # One query's pool (<= MMR_POOL rel rows) and its pairwise sims
+        # (<= POOL^2 rows): pure int64 arithmetic, identical to the
+        # oracle's unrolled CTE greedy. Per-group state is constant-sized.
+        import pandas as pd
+
+        if not len(rel_pdf):
+            return pd.DataFrame(
+                {"query_id": [], "cand_id": [], "step": [], "rel_q": []}
+            )
+        # left side uses qid (renamed to dodge cogroup lineage ambiguity)
+        qid = int(rel_pdf["qid"].iloc[0])
+        cands = sorted(
+            zip(
+                rel_pdf["cand_id"].astype("int64"),
+                rel_pdf["rel_q"].astype("int64"),
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        sim = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(pair_pdf["a"], pair_pdf["b"], pair_pdf["sim_q"])
+        }
+        rel_of = dict(cands)
+        sel = [cands[0][0]]
+        out = [(qid, cands[0][0], 1, rel_of[cands[0][0]])]
         for step in range(2, MMR_K + 1):
             best = None
             for cid, rq in cands:
                 if cid in sel:
                     continue
-                ms = max(sim[(qid, cid, s)] for s in sel)
-                score = MMR_L_REL * rq - MMR_L_DIV * ms
-                key = (-score, cid)
+                ms = max(sim[(cid, s)] for s in sel)
+                key = (-(MMR_L_REL * rq - MMR_L_DIV * ms), cid)
                 if best is None or key < best[0]:
                     best = (key, cid)
+            if best is None:
+                break  # pool smaller than MMR_K
             sel.append(best[1])
-            out.append((qid, best[1], step, rel[best[1]]))
-    return spark.createDataFrame(
-        out, "query_id bigint, cand_id bigint, step int, rel_q bigint"
+            out.append((qid, best[1], step, rel_of[best[1]]))
+        return pd.DataFrame(
+            out, columns=["query_id", "cand_id", "step", "rel_q"]
+        )
+
+    return (
+        rel.groupby("qid")
+        .cogroup(pairs.groupby("query_id"))
+        .applyInPandas(
+            greedy, "query_id bigint, cand_id bigint, step int, rel_q bigint"
+        )
     )
 
 
@@ -654,7 +690,8 @@ def kmeans_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(centroid_argmin_sql(rows, _quant_sql(dl.SPARK, "embedding")))
         .getField("cl")
         .alias("cell"),
-    ).localCheckpoint()
+    )
+    out = audit_plan("semantic_cell_assignments", out).localCheckpoint()
     _CELL_ASSIGN_MEMO[key] = out
     return out
 

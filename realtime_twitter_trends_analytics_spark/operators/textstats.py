@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..audit import audit_plan
 from ..functions import dialect as dl
 from ..sources.loaders import load_table
 
@@ -230,8 +231,8 @@ def bigram_instance_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr(shingles_sql(dl.SPARK, "toks", 2))).alias("bigram"),
         )
         .withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
-        .localCheckpoint()
     )
+    out = audit_plan("bigram_instances", out).localCheckpoint()
     _BIGRAM_MEMO[key] = out
     return out
 
