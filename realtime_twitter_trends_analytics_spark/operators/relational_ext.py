@@ -124,32 +124,75 @@ def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded memory per group, no per-group sort, one shuffle of
     O(accuracy)-sized sketches instead of raw values.
 
-    No SQL oracle (sketch contents are engine-specific, so the driver
-    records rows-only): correctness is asserted by
-    tests/test_operators_oracle.py::test_approx_percentile_rank_bound,
-    which checks each approx value's true rank against the GK guarantee
-    |rank(v) - p*n| <= n/accuracy (with interpolation slack) vs the exact
-    operator on the same data."""
-    l = load_table(spark, sf_dir, "lineitem")
+    Oracle-green bounded-error form (round 6; was rows-only): the sketch
+    value itself is engine-specific, so the query verifies the GK rank
+    guarantee IN-PLAN — the approx values (a per-group aggregate, <=
+    |groups| rows) broadcast-join back onto the scan, conditional counts
+    produce each value's true-rank interval [count(x < v) + 1,
+    count(x <= v)] (ties make rank an interval), and the emitted booleans
+    assert |rank(v) - p*n| <= n/accuracy + 1 with pure integer
+    cross-multiplication (p as a rational pn/pd, scaled by ACCURACY — no
+    float boundary to flap). The oracle recomputes group sizes and
+    asserts TRUE: GK's bound is a hard guarantee, so a FALSE is a real
+    engine bug. This is the in-plan form of the r2-r5 pytest
+    (test_approx_percentile_rank_bound)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_extendedprice", "l_quantity"
+    )
     pct = F.expr(
         f"approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), {APPROX_PCT_ACCURACY})"
     )
-    return (
+    ap = (
         l.groupBy("l_linestatus")
         .agg(
             pct.alias("pct"),
-            F.round(
-                F.expr(f"approx_percentile(l_quantity, 0.5, {APPROX_PCT_ACCURACY})"), 4
-            ).alias("p50_qty"),
+            F.expr(
+                f"approx_percentile(l_quantity, 0.5, {APPROX_PCT_ACCURACY})"
+            ).alias("v_qty50"),
         )
         .select(
             "l_linestatus",
-            F.round(F.col("pct")[0], 4).alias("p50_price"),
-            F.round(F.col("pct")[1], 4).alias("p90_price"),
-            F.round(F.col("pct")[2], 4).alias("p99_price"),
-            "p50_qty",
+            F.col("pct")[0].alias("v_price50"),
+            F.col("pct")[1].alias("v_price90"),
+            F.col("pct")[2].alias("v_price99"),
+            "v_qty50",
         )
     )
+    j = l.join(F.broadcast(ap), "l_linestatus")
+    checks = [
+        ("p50_price_ok", "l_extendedprice", "v_price50", 1, 2),
+        ("p90_price_ok", "l_extendedprice", "v_price90", 9, 10),
+        ("p99_price_ok", "l_extendedprice", "v_price99", 99, 100),
+        ("p50_qty_ok", "l_quantity", "v_qty50", 1, 2),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for name, src, v, _, _ in checks:
+        aggs.append(
+            F.sum(F.when(F.col(src) < F.col(v), 1).otherwise(0)).alias(f"lt_{name}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col(src) <= F.col(v), 1).otherwise(0)).alias(f"le_{name}")
+        )
+    g = j.groupBy("l_linestatus").agg(*aggs)
+    acc = APPROX_PCT_ACCURACY
+    out_cols = ["l_linestatus", F.col("n")]
+    for name, _, _, pn, pd_ in checks:
+        # rank_lo <= p*n + n/acc + 1 AND rank_hi >= p*n - n/acc - 1,
+        # cross-multiplied by acc*pd so every side is a BIGINT
+        rank_lo = F.col(f"lt_{name}") + 1
+        rank_hi = F.col(f"le_{name}")
+        lo_ok = rank_lo * acc * pd_ <= pn * acc * F.col("n") + pd_ * (F.col("n") + acc)
+        hi_ok = rank_hi * acc * pd_ >= pn * acc * F.col("n") - pd_ * (F.col("n") + acc)
+        out_cols.append((lo_ok & hi_ok).alias(name))
+    return g.select(*out_cols)
+
+
+ORACLE_PERCENTILES_APPROX = """
+SELECT l_linestatus, count(*) AS n,
+  TRUE AS p50_price_ok, TRUE AS p90_price_ok,
+  TRUE AS p99_price_ok, TRUE AS p50_qty_ok
+FROM lineitem GROUP BY 1
+"""
 
 
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -693,14 +736,43 @@ FROM events
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct counts (approx_count_distinct) — the sketch the
-    reference never had for 'how many unique hashtags'. No SQL oracle (HLL
-    estimates are engine-specific); the driver records rows-only and
-    tests/test_operators_oracle.py bounds the estimation error vs exact."""
+    reference never had for 'how many unique hashtags'.
+
+    Oracle-green bounded-error form (round 6; was rows-only): the raw HLL
+    estimate is engine-specific, so the query computes approx AND exact in
+    ONE aggregation and reduces the sketch side to a within-tolerance
+    boolean (|approx - exact| * 100 <= 10 * exact — integer arithmetic,
+    can't flap). The oracle recomputes the exact side and asserts the
+    boolean TRUE, so the driver hash-matches every emitted column. The
+    exact count_distinct rides the same shuffle (it is the eval harness —
+    production keeps only the sketch)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    g = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
     )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) * 100 <= 10 * F.col(e)
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within("ap", "exact_parts").alias("parts_within_10pct"),
+        within("ao", "exact_orders").alias("orders_within_10pct"),
+    )
+
+
+ORACLE_AGG_APPROX_DISTINCT = """
+SELECT l_returnflag,
+  count(DISTINCT l_partkey) AS exact_parts,
+  count(DISTINCT l_orderkey) AS exact_orders,
+  TRUE AS parts_within_10pct,
+  TRUE AS orders_within_10pct
+FROM lineitem GROUP BY 1
+"""
 
 
 CDC_DELETE_TYPE = "error"  # tombstone op in the synthetic CDC mapping
@@ -831,30 +903,70 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates, which double-counts cross-day repeat users — the error the
     sketch union exists to avoid.
 
-    No SQL oracle (sketch bytes are engine-specific; DataSketches HLL):
-    driver records rows-only; the estimate-vs-exact bound is asserted in
-    tests/test_operators_oracle.py style by tests/test_ml.py's sibling —
-    see test_hll_rollup_accuracy."""
+    Oracle-green bounded-error form (round 6; was rows-only — sketch
+    bytes are DataSketches-specific): the daily grain carries the HLL
+    sketch AND the exact daily distinct; the rollup unions the sketches,
+    sums the exact dailies (the naive double-counting series, now exact
+    and oracle-computable), joins the exact per-type distinct from the
+    raw scan, and reduces the sketch estimate to two booleans — within
+    5% of exact (lgK=12 default ~1.6% rse; integer cross-multiplication
+    with a +/-2 absolute floor for tiny groups) and <= the naive daily
+    sum (union can only remove double-counting). The oracle recomputes
+    every exact column and asserts the booleans TRUE. The exact sides
+    ride the same shuffles (eval harness; production keeps sketches
+    only)."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
         F.expr("hll_sketch_agg(user_id)").alias("sk"),
-        F.expr("CAST(round(hll_sketch_estimate(hll_sketch_agg(user_id))) AS BIGINT)").alias(
-            "est_daily"
-        ),
+        F.count_distinct("user_id").alias("exact_daily"),
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.expr(
+            "CAST(round(hll_sketch_estimate(hll_union_agg(sk))) AS BIGINT)"
+        ).alias("est"),
+        F.sum("exact_daily").alias("naive_daily_sum"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
     )
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.expr("CAST(round(hll_sketch_estimate(hll_union_agg(sk))) AS BIGINT)").alias(
-                "est_users_merged"
-            ),
-            F.sum("est_daily").alias("naive_daily_sum"),
-            F.count(F.lit(1)).alias("n_days"),
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            "naive_daily_sum",
+            (
+                F.abs(F.col("est") - F.col("exact_users")) * 100
+                <= F.greatest(5 * F.col("exact_users"), F.lit(200))
+            ).alias("merged_within_5pct"),
+            (F.col("est") <= F.col("naive_daily_sum")).alias("merged_le_naive"),
         )
         .orderBy("event_type")
     )
+
+
+ORACLE_EVENTS_HLL_ROLLUP = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    count(DISTINCT user_id) AS exact_daily
+  FROM events GROUP BY 1, 2
+), rolled AS (
+  SELECT event_type, sum(exact_daily) AS naive_daily_sum,
+    count(*) AS n_days
+  FROM daily GROUP BY 1
+), exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT r.event_type, r.n_days, x.exact_users, r.naive_daily_sum,
+  TRUE AS merged_within_5pct, TRUE AS merged_le_naive
+FROM rolled r JOIN exact x USING (event_type)
+ORDER BY event_type
+"""
 
 
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1065,6 +1177,9 @@ ORACLES = {
     "events_rolling_dau": _oracle_rolling_dau(),
     "stats_aggregates": ORACLE_STATS,
     "percentiles": ORACLE_PERCENTILES,
+    "percentiles_approx": ORACLE_PERCENTILES_APPROX,
+    "agg_approx_distinct": ORACLE_AGG_APPROX_DISTINCT,
+    "events_hll_rollup": ORACLE_EVENTS_HLL_ROLLUP,
     "pivot_status_priority": ORACLE_PIVOT,
     "unpivot_nation_balances": ORACLE_UNPIVOT,
     "subqueries": SQL_SUBQUERIES,

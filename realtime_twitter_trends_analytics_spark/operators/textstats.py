@@ -1042,14 +1042,20 @@ def textstats_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # Degenerate-slice guards (the repo's CASE WHEN den=0 THEN 0.0
+    # convention): a lang slice with one ranked token (or all-equal
+    # log-freqs) zeroes the OLS denominators — Spark would yield NULL
+    # where DuckDB's IEEE float ops yield inf/NaN, a latent oracle
+    # divergence. Both dialects now emit 0.0 on the degenerate branch.
+    sden = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(sden == 0, F.lit(0.0)).otherwise(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / sden
     )
     r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     r_den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        sden * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
+    r = F.when(r_den == 0, F.lit(0.0)).otherwise(r_num / r_den)
     return (
         m.join(types, "lang")
         .select(
@@ -1059,7 +1065,7 @@ def textstats_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
             ).alias("intercept"),
-            F.round((r_num / r_den) * (r_num / r_den), 4).alias("r2"),
+            F.round(r * r, 4).alias("r2"),
         )
     )
 
@@ -1085,14 +1091,20 @@ WITH counts AS (
     sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
   FROM top GROUP BY lang
 )
-SELECT m.lang, t.n_types,
-  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
-  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
-    AS intercept,
-  round(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
-      * ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))), 4)
-    AS r2
-FROM m JOIN types t USING (lang)
+, g AS (
+  SELECT lang, n, sx, sy, sxy,
+    CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0
+         ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+    CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) = 0 THEN 0.0
+         ELSE (n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r
+  FROM m
+)
+SELECT g.lang, t.n_types,
+  round(slope, 4) AS zipf_slope,
+  round((sy - slope * sx) / n, 4) AS intercept,
+  round(r * r, 4) AS r2
+FROM g JOIN types t USING (lang)
 """
 
 

@@ -110,25 +110,90 @@ def trends_token_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated counts — 'trending hashtags' without materializing the full
     exact count table. The sketch aggregates with map-side partials and a
     constant-size merge, so the shuffle is O(sketch), not O(vocabulary).
-    Rows-only for the driver (sketch estimates are engine-specific, like
-    HLL); exactness at small SF is pinned by a pytest against exact counts."""
+
+    Oracle-green bounded-error form (round 6; was rows-only): the sketch's
+    returned SET is not deterministic under count ties, so per-item rows
+    can't hash-match an oracle. Instead the query reduces the sketch to a
+    one-row verdict against exact counts computed in the same plan:
+    (kth exact count, #tokens strictly above it, #items the sketch
+    returned, #whose estimate equals the exact count, min-est >= kth,
+    every strictly-above-kth token present). With tracked slots >> vocab
+    the sketch is exact, so the oracle — which recomputes the exact
+    columns — asserts K, K, TRUE, TRUE. The exact count table is the eval
+    side (cheap at gate SF); production keeps only the sketch."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.expr(TOKENS)).alias("token")).filter(
         F.length("token") > 1
     )
-    sk = tok.select(
-        F.expr(
-            f"approx_top_k(token, {APPROX_TOPK_K}, {APPROX_TOPK_TRACKED})"
-        ).alias("topk")
-    )
-    return (
-        sk.select(F.posexplode("topk").alias("rnk0", "entry"))
+    sk_items = (
+        tok.select(
+            F.expr(
+                f"approx_top_k(token, {APPROX_TOPK_K}, {APPROX_TOPK_TRACKED})"
+            ).alias("topk")
+        )
+        .select(F.explode("topk").alias("entry"))
         .select(
-            (F.col("rnk0") + 1).cast("int").alias("rnk"),
             F.col("entry.item").alias("token"),
             F.col("entry.count").alias("est_count"),
         )
     )
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # kth exact count via TakeOrderedAndProject (distributed top-K, no
+    # global single-partition window), reduced to a 1-row scalar
+    kth = (
+        exact.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(APPROX_TOPK_K)
+        .agg(F.min("cnt").alias("kth_count"))
+    )
+    j = exact.join(F.broadcast(sk_items), "token", "left")
+    return (
+        j.join(F.broadcast(kth))  # 1-row scalar side
+        .agg(
+            F.first("kth_count").alias("kth_count"),
+            F.sum(F.when(F.col("cnt") > F.col("kth_count"), 1).otherwise(0)).alias(
+                "n_strictly_above_kth"
+            ),
+            F.sum(F.when(F.col("est_count").isNotNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("k_returned"),
+            F.sum(F.when(F.col("est_count") == F.col("cnt"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_est_eq_exact"),
+            (F.min(F.when(F.col("est_count").isNotNull(), F.col("est_count"))) >= F.first("kth_count")).alias(
+                "min_est_ge_kth"
+            ),
+            (
+                F.sum(
+                    F.when(
+                        (F.col("cnt") > F.col("kth_count"))
+                        & F.col("est_count").isNull(),
+                        1,
+                    ).otherwise(0)
+                )
+                == 0
+            ).alias("strictly_above_all_returned"),
+        )
+    )
+
+
+ORACLE_TRENDS_APPROX_TOPK = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), exact AS (
+  SELECT token, count(*) AS cnt FROM tok WHERE length(token) > 1 GROUP BY token
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk FROM exact
+), kth AS (
+  SELECT cnt AS kth_count FROM ranked WHERE rnk = {APPROX_TOPK_K}
+)
+SELECT k.kth_count,
+  (SELECT count(*) FROM exact WHERE cnt > k.kth_count) AS n_strictly_above_kth,
+  CAST({APPROX_TOPK_K} AS INT) AS k_returned,
+  CAST({APPROX_TOPK_K} AS INT) AS n_est_eq_exact,
+  TRUE AS min_est_ge_kth,
+  TRUE AS strictly_above_all_returned
+FROM kth k
+"""
 
 
 SEQ_WINDOW_SEC = 600  # view -> click conversion window
@@ -461,38 +526,61 @@ def trends_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     production trend detection compares each window against the series'
     own recent baseline so a big-but-flat tag does not trend.
 
-    One agg shuffle (event_type, day) + one per-type ordered window whose
-    frame is 3 TRAILING ROWS over one row per (type, day) — window state
-    is series-length-sized, never event-sized. The burst gate is pure
-    integer cross-multiplication (2*n*k > 3*sum_prev with k = actual
-    trailing rows), so the boundary cannot flap on float rounding; the
-    reported ratio is a display-only exact integer-ratio round. Windows
-    with an incomplete baseline (first BASELINE windows of each series)
-    report is_burst = false, baseline_n < BURST_BASELINE_WINDOWS."""
+    The baseline frame is 3 trailing CALENDAR days, not 3 trailing
+    event-days: each series is densified onto its own min..max day grid
+    (the events_rolling_dau day-grid rewrite) with zero-count rows for
+    quiet days, so after a gap the baseline counts the quiet day as 0
+    instead of silently reaching further back (the r5 ADVICE flag).
+    Grid rows exist only inside the window — the output still has one
+    row per (type, day WITH events).
+
+    One agg shuffle (event_type, day) + a per-type bounds agg feeding an
+    exploded day spine (|days| rows per type — bounded by the calendar,
+    never event-sized) + one per-type ordered window. The burst gate is
+    pure integer cross-multiplication (2*n*k > 3*sum_prev with k =
+    actual trailing rows), so the boundary cannot flap on float
+    rounding; the reported ratio is a display-only exact integer-ratio
+    round. Windows with an incomplete baseline (first BASELINE days of
+    each series) report is_burst = false, baseline_n <
+    BURST_BASELINE_WINDOWS."""
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events")
     daily = (
         e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(w.start) DIV 86400").alias("day_idx"),
+            "n",
+        )
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1"))
+        .select(
+            "event_type", F.explode(F.expr("sequence(d0, d1)")).alias("day_idx")
+        )
+    )
+    dense = spine.join(daily, ["event_type", "day_idx"], "left").select(
+        "event_type", "day_idx", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
     wt = (
         Window.partitionBy("event_type")
-        .orderBy("window_start")
+        .orderBy("day_idx")
         .rowsBetween(-BURST_BASELINE_WINDOWS, -1)
     )
-    scored = daily.select(
+    scored = dense.select(
         "event_type",
-        "window_start",
+        "day_idx",
         "n",
         F.coalesce(F.sum("n").over(wt), F.lit(0)).cast("bigint").alias("prev_sum"),
         F.count(F.lit(1)).over(wt).cast("bigint").alias("baseline_n"),
     )
     d = dl.SPARK
-    return scored.select(
+    return scored.filter(F.col("n") > 0).select(
         "event_type",
-        "window_start",
+        F.timestamp_seconds(F.col("day_idx") * 86400).alias("window_start"),
         "n",
         "baseline_n",
         F.expr(
@@ -511,25 +599,33 @@ def _oracle_burst() -> str:
     d = dl.DUCK
     return f"""
 WITH daily AS (
-  SELECT {EPOCH_TS} + INTERVAL 1 SECOND *
-      (CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400) AS window_start,
-    event_type, count(*) AS n
+  SELECT event_type,
+    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx, count(*) AS n
   FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, unnest(generate_series(min(day_idx), max(day_idx))) AS day_idx
+  FROM daily GROUP BY event_type
+), dense AS (
+  SELECT s.event_type, s.day_idx, coalesce(d.n, 0) AS n
+  FROM spine s LEFT JOIN daily d USING (event_type, day_idx)
 ), scored AS (
-  SELECT event_type, window_start, n,
+  SELECT event_type, day_idx, n,
     CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS prev_sum,
     CAST(count(*) OVER w AS BIGINT) AS baseline_n
-  FROM daily
-  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
     ROWS BETWEEN {BURST_BASELINE_WINDOWS} PRECEDING AND 1 PRECEDING)
 )
-SELECT event_type, window_start, n, baseline_n,
+SELECT event_type,
+  {EPOCH_TS} + INTERVAL 1 SECOND * (day_idx * 86400) AS window_start,
+  n, baseline_n,
   CASE WHEN baseline_n = {BURST_BASELINE_WINDOWS}
     AND {BURST_DEN} * n * baseline_n > {BURST_NUM} * prev_sum
     THEN true ELSE false END AS is_burst,
   CASE WHEN prev_sum = 0 THEN 0.0
     ELSE {dl.round_ratio(d, '(n * baseline_n)', 'prev_sum')} END AS burst_ratio
 FROM scored
+WHERE n > 0
 """
 
 
@@ -553,6 +649,7 @@ ORACLES = {
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_sequence_detect": ORACLE_SEQUENCE_DETECT,
     "trends_token_topk": ORACLE_TRENDS_TOPK,
+    "trends_token_approx_topk": ORACLE_TRENDS_APPROX_TOPK,
     "trends_with_sentiment": _oracle_trends_with_sentiment(),
     "dedup_grain": ORACLE_DEDUP_GRAIN,
     "window_tumbling_counts": ORACLE_WINDOW_TUMBLING,

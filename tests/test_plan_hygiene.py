@@ -36,7 +36,8 @@ CARTESIAN_OK = {
     "sql_q15_top_supplier": "scalar max-of-CTE subquery (1-row side)",
     "sql_q22_dormant_rich_customers": "scalar avg-balance subquery",
     "subqueries": "scalar subquery demo (1-row side)",
-    "percentiles_approx": "approx vs exact comparison joins 1-row aggs",
+    "trends_token_approx_topk": "scalar kth-exact-count subquery (1-row "
+    "broadcast side) feeding the sketch-vs-exact verdict aggregation",
     "ml_kmeans_embeddings": "Lloyd assignment broadcasts the K-row centroid "
     "relation against the vector scan — every-vector-vs-every-centroid is "
     "the algorithm; K is a small constant (8), so the product is K*N map-side",
