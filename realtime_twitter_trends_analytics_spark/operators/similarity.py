@@ -888,6 +888,14 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
+# r6: nprobe 1 -> 3 (recall@10 0.79 -> 0.87; the r5 ask was >=0.85.
+# Measured at sf0.1: nprobe=2 gave 0.83 — one cell short of the floor).
+# Differs from sim_ivf_ann in the plan, not the depth: candidates come
+# from the materialized kmeans_cell_assignment staging table (the
+# precomputed-inverted-list path) instead of a map-side assignment scan.
+IVFK_NPROBE = 3
+
+
 def sim_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ANN with a REAL k-means codebook (what sim_ivf_ann's docstring
     promises production does): cells come from the fixed-point Lloyd rounds
@@ -898,17 +906,38 @@ def sim_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: ONE assignment pass over all vectors (the shared
     kmeans_cell_assignment staging table), then query rows (tiny)
-    broadcast-joined to their cell's inverted list on the cell id —
-    per-cell products only, norms hoisted per side. nprobe=1; raising it
-    is a rank filter on the assignment."""
+    broadcast-joined to the probed cells' inverted lists on the cell id —
+    per-cell products only, norms hoisted per side.
+
+    nprobe=IVFK_NPROBE (2, round 6 — was 1 at recall@10 0.79; the r5 ask
+    was >=0.85): the query side ranks cells by exact BIGINT centroid
+    distance (centroid_topn_sql — a map-side literal expression, probes
+    exist only on the broadcast query side) and searches its 2 nearest
+    inverted lists. Candidate coverage doubles (2/K_CLUSTERS of the
+    corpus per query), the candidate-side plan is unchanged. sim_ivf_ann
+    remains the deeper nprobe=3 recall path."""
+    from .ml import _quant_sql, centroid_topn_sql, kmeans_centroid_rows
+
     asg = kmeans_cell_assignment(spark, sf_dir)
+    rows = kmeans_centroid_rows(spark, sf_dir)
     qv = asg.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("nrm").alias("qnorm"),
     )
-    probe = asg.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), "cell"
+    probe = (
+        asg.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.expr(
+                    centroid_topn_sql(
+                        rows, IVFK_NPROBE, _quant_sql(dl.SPARK, "embedding")
+                    )
+                )
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p.cl").alias("cell"))
     )
     cand = asg.select(
         F.col("vec_id").alias("cand_id"),
@@ -934,15 +963,20 @@ def sim_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_ivf_kmeans() -> str:
-    from .ml import kmeans_oracle_ctes
+    from .ml import KMEANS_ITERS, _dist2_sql, kmeans_oracle_ctes
 
     ctes, final = kmeans_oracle_ctes()
+    cent_final = f"c{KMEANS_ITERS}"
+    dist2 = _dist2_sql(dl.DUCK, "q.qe", "c.c")
     cos = cosine_sql(dl.DUCK, "qe2.embedding", "ce.embedding")
     return f"""
 WITH {ctes},
 probe AS (
-  SELECT vec_id AS query_id, cluster AS cell FROM {final}
-  WHERE vec_id < {N_QUERY_VECS}
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cluster AS cell,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist2}, c.cluster) AS arnk
+    FROM q, {cent_final} c WHERE q.vec_id < {N_QUERY_VECS}
+  ) WHERE arnk <= {IVFK_NPROBE}
 ),
 pairs AS (
   SELECT p.query_id, p.cell, cc.vec_id AS cand_id, {cos} AS cosine
