@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from realtime_twitter_trends_analytics_spark.registry import all_queries
+from realtime_twitter_trends_analytics_spark.registry import all_queries, all_staging
 from realtime_twitter_trends_analytics_spark.session import get_spark
 
 HEADLINE = [
@@ -285,6 +285,27 @@ def main() -> None:
     spark = get_spark("rtta-bench")
     queries = all_queries()
 
+    # Staging-relation builds FIRST, each as its own named line (VERDICT
+    # r5 item 3): these are memoized per application, so whichever query
+    # touched one first used to absorb its build cost invisibly (and every
+    # later consumer benched near-zero — a masking channel for the 1.25x
+    # per-query gate). Timing the builds here makes build and consumer
+    # lines each comparable across rounds; the headline total still sums
+    # QUERY times only (same basis as r5, where warm-up absorbed builds).
+    staging_timings: dict[str, float] = {}
+    if "staging" not in skip:
+        # absorb session cold-start (JIT, codegen, parquet footers) with a
+        # plain scan first, so the FIRST staging line doesn't carry it and
+        # staging lines stay comparable across rounds
+        from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
+
+        for t in ("documents", "embeddings"):
+            load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+        for sname, sfn in all_staging().items():
+            t0 = time.time()
+            sfn(spark, sf_dir)
+            staging_timings[f"staging:{sname}"] = round(time.time() - t0, 3)
+
     # Warm-up pass: JVM JIT + whole-stage codegen + parquet footer caches.
     # Steady-state is what a resident engine delivers; cold-start is ~4x.
     # clearCache between queries: intra-query caches (shingle tables, LSH
@@ -356,7 +377,11 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # staging:* build lines ride in the queries map so
+        # tools/bench_diff.py tracks them round-over-round like any query
+        # (they are EXCLUDED from "value" — same basis as r5)
+        "queries": {**timings, **staging_timings},
+        "staging_sec": round(sum(staging_timings.values()), 3),
         "sf": float(sf),
         "ann_recall_at_10": recall,
         "streaming_pipeline": stream,
@@ -380,6 +405,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(timings),
+        "staging_sec": round(sum(staging_timings.values()), 3),
         "ann_recall_at_10": recall,
         "streaming_pipeline": stream,
         "streaming_pipeline_sql_sentiment": stream_sql,

@@ -63,6 +63,29 @@ def all_queries() -> dict[str, QueryFn]:
     return out
 
 
+def all_staging() -> dict[str, QueryFn]:
+    """Named staging-relation builders (memoized per application/sf_dir —
+    the in-process analogue of a pipeline's parquet staging writes).
+
+    bench.py builds these FIRST and records each build as its own
+    ``staging:<name>`` line (VERDICT r5 item 3): consumers of a memoized
+    relation otherwise report near-zero times (dedup_minhash_pairs read
+    0.02 s in r5 because dedup_clusters had already built the pair
+    relation), which let a consumer's own regression hide behind its
+    newly-joined staging tier. With the build cost as a named line, both
+    the build and every consumer are comparable across rounds."""
+    return {
+        "capped_shingles": dedup.capped_shingle_staging,
+        "minhash_pairs": dedup.dedup_minhash_pairs,
+        "cooc_edges": graph._cooc_edges,
+        "kmeans_cells": similarity.kmeans_cell_assignment,
+        "bigram_instances": textstats.bigram_instance_staging,
+        "dsir_instances": cleaning.dsir_instance_staging,
+        "kmeans_codebook": ml.kmeans_centroids,
+        "pq_codebook": lambda s, d: ml.pq_trained(s, d)[1],
+    }
+
+
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
