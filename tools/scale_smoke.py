@@ -1,0 +1,222 @@
+"""Scale-validation smoke (VERDICT r5 item 7): measure, not argue, that the
+two headline pairwise operators scale ~linearly past the bench SF.
+
+SCALE.md claims the MinHash banded join, the connected-components chain and
+the LSH ANN path are linear in corpus size because candidate generation is
+bucket-blocked (no all-pairs product) and per-bucket sizes are bounded.
+Through round 5 that was argued from plan shapes and verified only to
+sf0.1. This tool builds 1x / 3x / 10x scale-ups of the sf0.1 documents and
+embeddings tables and records wall time + shuffle bytes for:
+
+  - dedup_minhash_pairs   (the pair staging build: shingle -> minhash ->
+                           banded self-join)
+  - dedup_clusters        (pairs -> symmetric closure -> label propagation)
+  - sim_lsh_ann           (multi-probe LSH candidate join + per-query top-k)
+
+Scale-up construction: K disjoint SHARDS. Copy k offsets every doc_id /
+vec_id and suffixes every token with "x{k}", so copies share NO shingle
+vocabulary: the within-shard duplicate structure of sf0.1 repeats K times
+and cross-shard pairs are impossible. True duplicate pairs therefore grow
+EXACTLY Kx — the right fixture for a linearity measurement (naive text
+replication would create K-cliques of exact dups and force quadratic pair
+growth that no dedup algorithm avoids). Embedding copies keep the vector
+(bucket populations grow Kx; the query set stays vec_id < 10, so the LSH
+candidate join grows Kx). Per-shard document frequencies are unchanged, so
+the HOT_SHINGLE_DF_CAP / band-bucket behavior is identical per shard —
+growth adds shards, not hot keys, which is exactly the regime SCALE.md's
+linearity claims are scoped to.
+
+Shuffle bytes come from the Spark UI REST API (delta of completed-stage
+shuffle write between t0 and t1 — one local app, sequential queries).
+
+Usage: python tools/scale_smoke.py [--scales 1 3 10] [--out SCALE_SMOKE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/scale_smoke"
+
+
+def build_scale(spark: SparkSession, k: int) -> str:
+    """K disjoint-vocabulary shard copies of sf0.1 documents+embeddings."""
+    out = f"{WORK}/x{k}"
+    if os.path.exists(f"{out}/_OK"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    n_vecs = emb.agg(F.max("vec_id")).first()[0] + 1
+    doc_parts = []
+    emb_parts = []
+    for i in range(k):
+        suffix = "" if i == 0 else f"x{i}"
+        d = docs.select(
+            (F.col("doc_id") + i * n_docs).alias("doc_id"),
+            # token-suffix every word -> shard vocabularies are disjoint
+            (
+                F.array_join(
+                    F.transform(F.split("text", " "), lambda t: F.concat(t, F.lit(suffix))),
+                    " ",
+                )
+                if i
+                else F.col("text")
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        doc_parts.append(d)
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + i * n_vecs).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    alld = doc_parts[0]
+    for p in doc_parts[1:]:
+        alld = alld.union(p)
+    alle = emb_parts[0]
+    for p in emb_parts[1:]:
+        alle = alle.union(p)
+    alld.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    alle.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    open(f"{out}/_OK", "w").write("ok")
+    return out
+
+
+def shuffle_write_bytes(spark: SparkSession) -> int:
+    """Total shuffle-write bytes over all completed stages of this app."""
+    port = spark.sparkContext.uiWebUrl.rsplit(":", 1)[-1]
+    app = spark.sparkContext.applicationId
+    url = f"http://localhost:{port}/api/v1/applications/{app}/stages?status=complete"
+    stages = json.loads(urllib.request.urlopen(url, timeout=10).read())
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", nargs="*", type=int, default=[1, 3, 10])
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from realtime_twitter_trends_analytics_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_minhash_pairs,
+    )
+    from realtime_twitter_trends_analytics_spark.operators.similarity import sim_lsh_ann
+    from realtime_twitter_trends_analytics_spark.session import apply_runtime_confs
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "true")
+        .appName("scale-smoke")
+        .getOrCreate()
+    )
+    apply_runtime_confs(spark)
+
+    # JIT/codegen warm-up on the x1 corpus (steady-state policy, same as
+    # bench.py), then forget the pair-staging memo so every measured scale
+    # pays its own build: pairs = the staging build, clusters = a staging
+    # consumer — the same split the bench records.
+    from realtime_twitter_trends_analytics_spark.operators import dedup as _dedup
+
+    warm_dir = build_scale(spark, args.scales[0])
+    for fn in (dedup_minhash_pairs, dedup_clusters, sim_lsh_ann):
+        fn(spark, warm_dir).count()
+        spark.catalog.clearCache()
+    _dedup._PAIRS_MEMO.clear()
+
+    results = []
+    for k in args.scales:
+        sf_dir = build_scale(spark, k)
+        row = {"scale": k}
+        for name, fn in [
+            ("dedup_minhash_pairs", dedup_minhash_pairs),
+            ("dedup_clusters", dedup_clusters),
+            ("sim_lsh_ann", sim_lsh_ann),
+        ]:
+            spark.catalog.clearCache()
+            sb0 = shuffle_write_bytes(spark)
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            sb = shuffle_write_bytes(spark) - sb0
+            row[name] = {
+                "sec": round(dt, 2),
+                "shuffle_mb": round(sb / 1e6, 2),
+                "rows": n,
+            }
+            print(f"x{k} {name}: {dt:.2f}s shuffle={sb/1e6:.1f}MB rows={n}", flush=True)
+        results.append(row)
+
+    print(json.dumps(results))
+    if args.out:
+        write_report(args.out, results)
+    spark.stop()
+    return 0
+
+
+def write_report(path: str, results: list[dict]) -> None:
+    ops = ["dedup_minhash_pairs", "dedup_clusters", "sim_lsh_ann"]
+    lines = [
+        "# SCALE_SMOKE — measured scaling of the headline pairwise operators",
+        "",
+        "Generated by `python tools/scale_smoke.py` (see its docstring for",
+        "the disjoint-shard scale-up construction and why it is the right",
+        "fixture for a linearity measurement). Scale x1 = the sf0.1 corpus",
+        "(6.2k docs / 2k vectors) regenerated through the same writer;",
+        "x10 ~ sf1. One local[32] app; shuffle bytes are completed-stage",
+        "shuffle-write deltas from the UI REST API; times are cold per",
+        "scale (staging memos are per-directory, nothing carries over).",
+        "",
+        "| scale | " + " | ".join(f"{o} sec / shuffle MB / rows" for o in ops) + " |",
+        "|---|" + "---|" * len(ops),
+    ]
+    for row in results:
+        cells = [
+            f"{row[o]['sec']} / {row[o]['shuffle_mb']} / {row[o]['rows']}" for o in ops
+        ]
+        lines.append(f"| x{row['scale']} | " + " | ".join(cells) + " |")
+    base = results[0]
+    lines += ["", "## Scaling ratios vs x1", ""]
+    for row in results[1:]:
+        k = row["scale"]
+        for o in ops:
+            ts = row[o]["sec"] / max(base[o]["sec"], 1e-9)
+            ss = row[o]["shuffle_mb"] / max(base[o]["shuffle_mb"], 1e-9)
+            rs = row[o]["rows"] / max(base[o]["rows"], 1)
+            lines.append(
+                f"- x{k} {o}: time {ts:.1f}x, shuffle {ss:.1f}x, "
+                f"output rows {rs:.1f}x (data {k}x)"
+            )
+    lines += [
+        "",
+        "Linear scaling means time/shuffle ratios track the data ratio",
+        "(with a fixed per-job scheduling overhead that makes small scales",
+        "sub-linear); super-linear shuffle growth would indicate a hot-key",
+        "or all-pairs blowup — the failure mode the banded/bucketed plans",
+        "are designed out of.",
+        "",
+    ]
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
