@@ -136,6 +136,14 @@ HEADLINE = [
     "trends_burst_detection",
     "sim_mmr_topk",
     "stats_ks_test",
+    # round-6 extensions
+    "graph_kcore",
+    "market_basket_rules",
+    "stats_mannwhitney",
+    "events_changepoint",
+    "docs_ngram_novelty",
+    "sim_ann_int8_eval",
+    "graph_link_prediction",
 ]
 
 

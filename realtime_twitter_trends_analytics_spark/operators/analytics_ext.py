@@ -569,7 +569,234 @@ FROM agg
 """
 
 
+def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) per event_type between
+    the A/B variants (same sticky md5-nibble assignment as
+    events_ab_test_lift / stats_ks_test) — the nonparametric location test
+    that closes the experiment-readout family: Welch t assumes normal-ish
+    means, KS reads the whole distribution, U asks the robust question
+    "do A's values tend to be larger?" without distribution assumptions.
+
+    Exact arithmetic: values quantize to cents; tie groups get their
+    AVERAGE rank, carried as the exact integer r2 = 2*avg_rank =
+    2*cum_before + cnt + 1 (never a fraction), so twice the rank-sum
+    (r2a) and twice U (u2_a = r2a - n_a*(n_a+1)) stay BIGINT-exact. The
+    tie-corrected normal z uses one shared IEEE formula over the exact
+    integers (u2_a, n_a, n_b, tie term T = sum(cnt^3 - cnt)) — identical
+    in both engines, the ks_lambda convention. r2a is bounded by
+    2*n_a*n, inside BIGINT to ~2e9 rows per (type, variant); past that,
+    promote to DECIMAL(38,0) (repo convention). Degenerate slices
+    (variance 0: every value identical) return z = 0.0 via the repo's
+    CASE-guard convention rather than an engine-specific inf/NaN.
+
+    Plan: one hash agg keyed (event_type, cents), one per-type cumsum
+    window over DISTINCT-VALUE rows (value-domain-sized, never
+    event-sized), one final agg — the stats_ks_test shape."""
+    e = load_table(spark, sf_dir, "events")
+    nib = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(user_id AS STRING)"))
+    vals = e.select(
+        "event_type",
+        F.when(nib < 8, "A").otherwise("B").alias("variant"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    per_val = vals.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("cb"),
+    )
+    wt = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = per_val.select(
+        "event_type",
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("cnt"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(wt), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    agg = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("ca") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+            ).alias("r2a"),
+            F.sum("ca").alias("n_a"),
+            F.sum("cb").alias("n_b"),
+            F.sum(
+                F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            ).alias("tsum"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .withColumn("u2_a", F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1))
+    )
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr("CAST(u2_a AS DOUBLE) / 2.0").alias("u_a"),
+        F.expr(_MW_Z_EXPR).alias("z_mw"),
+    )
+
+
+# Shared tie-corrected z expression over the exact integers
+# (u2_a, n_a, n_b, tsum) — one IEEE formula, both engines. With
+# na = CAST(n_a), nb = CAST(n_b), n = na + nb:
+#   var(U) = na*nb/12 * ((n + 1) - tsum / (n*(n-1)))
+#   z = (U - na*nb/2) / sqrt(var) = (u2_a - na*nb) / (2*sqrt(var))
+_MW_Z_EXPR = (
+    "CASE WHEN (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) < 2 THEN 0.0 "
+    "WHEN (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) * "
+    "((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) - "
+    " CAST(tsum AS DOUBLE) / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * "
+    " (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) <= 0.0 THEN 0.0 "
+    "ELSE round((CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / "
+    "(2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) * "
+    "((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) - "
+    " CAST(tsum AS DOUBLE) / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * "
+    " (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))), 4) END"
+)
+
+
+def _oracle_mannwhitney() -> str:
+    d = dl.DUCK
+    nib = dl.md5_prefix_nibble(d, "CAST(user_id AS VARCHAR)")
+    return f"""
+WITH vals AS (
+  SELECT event_type,
+    CASE WHEN ({nib}) < 8 THEN 'A' ELSE 'B' END AS variant,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), per_val AS (
+  SELECT event_type, cents,
+    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM vals GROUP BY event_type, cents
+), ranked AS (
+  SELECT event_type, ca, cb, ca + cb AS cnt,
+    CAST(coalesce(sum(ca + cb) OVER (PARTITION BY event_type ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM per_val
+), agg AS (
+  SELECT event_type,
+    CAST(sum(ca * (2 * cum_before + cnt + 1)) AS BIGINT) AS r2a,
+    CAST(sum(ca) AS BIGINT) AS n_a,
+    CAST(sum(cb) AS BIGINT) AS n_b,
+    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum
+  FROM ranked GROUP BY event_type
+  HAVING sum(ca) > 0 AND sum(cb) > 0
+), u AS (
+  SELECT *, r2a - n_a * (n_a + 1) AS u2_a FROM agg
+)
+SELECT event_type, n_a, n_b,
+  CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
+  {_MW_Z_EXPR} AS z_mw
+FROM u
+"""
+
+
+# --------------------------------------------------------- change point
+CP_SCALE = 10**6    # fixed-point scale for the split-score ranking
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per event_type over the daily count
+    series — one step of binary segmentation (the classic offline
+    change-detection scheme): the best split t maximizes the weighted
+    mean shift |mean(days <= t) - mean(days > t)|, reported with both
+    segment means. Complements trends_burst_detection (local, trailing
+    baseline) with a GLOBAL structural-break readout.
+
+    Determinism: the split score is ranked in fixed-point — score_fp =
+    floor(|S_t*(n-t) - (S_n-S_t)*t| * CP_SCALE / (t*(n-t))) is pure
+    BIGINT (cross-multiplied mean difference; the same integers in both
+    engines), ties broken by earliest day. Days with zero events produce
+    no row (the burst-detection convention, documented there); the split
+    index t counts OBSERVED days. |S_t*(n-t)|*CP_SCALE stays in BIGINT
+    up to ~9e12 events-per-type x days products; past that, drop
+    CP_SCALE to 1e3 or promote (repo convention).
+
+    Plan: one (type, day) hash agg (day-grain, event-count-sized scan),
+    two per-type windows over DAY-sized rows, one row_number pick —
+    everything after the first agg is days-per-type sized, so at 100 TB
+    the cost is the scan + one shuffle keyed by event_type."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias("t"),
+        F.sum("c").over(wcum).alias("s_t"),
+        F.sum("c").over(wall).alias("s_n"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).filter((F.col("t") >= 1) & (F.col("t") <= F.col("n") - 1))
+    d = dl.SPARK
+    diff = "abs(s_t * (n - t) - (s_n - s_t) * t)"
+    scored = cum.withColumn(
+        "score_fp",
+        F.expr(dl.int_div(d, f"({diff}) * {CP_SCALE}", "(t * (n - t))")),
+    )
+    pick = W.partitionBy("event_type").orderBy(F.desc("score_fp"), F.asc("day"))
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            F.col("t").alias("days_before"),
+            F.col("n").alias("n_days"),
+            F.expr(dl.round_ratio(d, "s_t", "t")).alias("mean_before"),
+            F.expr(dl.round_ratio(d, "(s_n - s_t)", "(n - t)")).alias("mean_after"),
+            F.expr(f"CAST(score_fp AS DOUBLE) / {CP_SCALE}.0").alias("shift_score"),
+        )
+    )
+
+
+def _oracle_changepoint() -> str:
+    d = dl.DUCK
+    diff = "abs(s_t * (n - t) - (s_n - s_t) * t)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, day,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_t,
+    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s_n,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+), scored AS (
+  SELECT *, {dl.int_div(d, f'({diff}) * {CP_SCALE}', '(t * (n - t))')} AS score_fp
+  FROM cum WHERE t >= 1 AND t <= n - 1
+), pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+    ORDER BY score_fp DESC, day ASC) AS rn
+  FROM scored
+)
+SELECT event_type, day AS split_day, t AS days_before, n AS n_days,
+  {dl.round_ratio(d, 's_t', 't')} AS mean_before,
+  {dl.round_ratio(d, '(s_n - s_t)', '(n - t)')} AS mean_after,
+  CAST(score_fp AS DOUBLE) / {CP_SCALE}.0 AS shift_score
+FROM pick WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "stats_mannwhitney": stats_mannwhitney,
+    "events_changepoint": events_changepoint,
     "events_gaps_islands": events_gaps_islands,
     "sample_reservoir_per_key": sample_reservoir_per_key,
     "docs_boilerplate_chunks": docs_boilerplate_chunks,
@@ -581,6 +808,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stats_mannwhitney": _oracle_mannwhitney(),
+    "events_changepoint": _oracle_changepoint(),
     "events_gaps_islands": _oracle_gaps_islands(),
     "sample_reservoir_per_key": _oracle_reservoir(),
     "docs_boilerplate_chunks": _oracle_boilerplate(),

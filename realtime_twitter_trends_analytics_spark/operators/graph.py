@@ -524,16 +524,259 @@ FROM l{LPA_ITERS} GROUP BY label
 """
 
 
+KCORE_ITERS = 3     # fixed peeling rounds, unrolled in both engines
+KCORE_NUM = 4       # per-side threshold = 1 + floor(4/5 * average degree)
+KCORE_DEN = 5
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core extraction by iterative degree peeling (the k-core
+    algorithm) over the customer-supplier bipartite interaction graph
+    (distinct (o_custkey, l_suppkey) pairs from lineitem x orders) — the
+    graph-density surface behind fraud rings, collusive-marketplace
+    detection, and dense-subgraph mining, complementing LPA (dense
+    regions by label flow) and connected components (reachability).
+
+    Semantics: each side's threshold k is fixed UP FRONT from the initial
+    graph (1 + floor(0.8 * initial average degree) per side, an integer
+    ratio so both engines compute the identical k). KCORE_ITERS rounds
+    then alternately drop nodes whose CURRENT degree is below their
+    side's k and the edges they carried; a fixed round count keeps the
+    plan data-independent (the classic run-to-fixpoint variant converges
+    here in <= 3 rounds at sf0.001; larger graphs simply report the
+    3-round peel, which is a valid upper bound on the true core).
+
+    Plan: the edge list materializes once (localCheckpoint — thresholds
+    and every round read it); each round is two node-sized hash aggs +
+    two semi-shaped equi-joins keyed by the node id, and re-materializes
+    (three consumers in the next round — the staging-tier lesson). The
+    scalar thresholds ride a 1-row broadcast side (the whitelisted
+    scalar-aggregate pattern, see sql_q11). At 100 TB: edges
+    shuffle-partition by node id; the per-round keep-sets are node-sized
+    (orders of magnitude below edge-sized); rounds are a constant."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e0 = audit_plan("kcore_edges", e0).localCheckpoint()
+    d = dl.SPARK
+    th = e0.agg(
+        F.expr(
+            "1 + "
+            + dl.int_div(d, f"(count(*) * {KCORE_NUM})", f"(count(DISTINCT c) * {KCORE_DEN})")
+        ).alias("k_c"),
+        F.expr(
+            "1 + "
+            + dl.int_div(d, f"(count(*) * {KCORE_NUM})", f"(count(DISTINCT s) * {KCORE_DEN})")
+        ).alias("k_s"),
+    ).withColumn("j", F.lit(1))
+    thb = F.broadcast(th)
+    cur = e0
+    for r in range(KCORE_ITERS):
+        keep_c = (
+            cur.groupBy("c")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .withColumn("j", F.lit(1))
+            .join(thb, "j")
+            .filter(F.col("dg") >= F.col("k_c"))
+            .select("c")
+        )
+        keep_s = (
+            cur.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .withColumn("j", F.lit(1))
+            .join(thb, "j")
+            .filter(F.col("dg") >= F.col("k_s"))
+            .select("s")
+        )
+        cur = cur.join(keep_c, "c").join(keep_s, "s")
+        if r == 0:
+            cur = audit_plan("kcore_round", cur)
+        cur = cur.localCheckpoint()
+
+    def _side(node_col: str, side: str, k_col: str) -> DataFrame:
+        return (
+            cur.groupBy(node_col)
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.coalesce(F.sum("dg"), F.lit(0)).alias("n_edges"),
+                F.min("dg").alias("min_deg"),
+                F.max("dg").alias("max_deg"),
+            )
+            .withColumn("j", F.lit(1))
+            .join(thb, "j")
+            .select(
+                F.lit(side).alias("side"),
+                F.col(k_col).cast("bigint").alias("threshold"),
+                "n_nodes",
+                "n_edges",
+                "min_deg",
+                "max_deg",
+            )
+        )
+
+    return _side("c", "customer", "k_c").unionByName(
+        _side("s", "supplier", "k_s")
+    )
+
+
+def _oracle_kcore() -> str:
+    d = dl.DUCK
+    kc = "1 + " + dl.int_div(d, f"(count(*) * {KCORE_NUM})", f"(count(DISTINCT c) * {KCORE_DEN})")
+    ks = "1 + " + dl.int_div(d, f"(count(*) * {KCORE_NUM})", f"(count(DISTINCT s) * {KCORE_DEN})")
+    ctes = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)""",
+        f"th AS (SELECT CAST({kc} AS BIGINT) AS k_c, CAST({ks} AS BIGINT) AS k_s FROM e0)",
+    ]
+    prev = "e0"
+    for r in range(1, KCORE_ITERS + 1):
+        ctes.append(
+            f"""c{r} AS (
+  SELECT c FROM {prev} GROUP BY c HAVING count(*) >= (SELECT k_c FROM th)
+), s{r} AS (
+  SELECT s FROM {prev} GROUP BY s HAVING count(*) >= (SELECT k_s FROM th)
+), e{r} AS MATERIALIZED (
+  SELECT {prev}.* FROM {prev} JOIN c{r} USING (c) JOIN s{r} USING (s)
+)"""
+        )
+        prev = f"e{r}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT 'customer' AS side, (SELECT k_c FROM th) AS threshold,
+  CAST(count(*) AS BIGINT) AS n_nodes,
+  CAST(coalesce(sum(dg), 0) AS BIGINT) AS n_edges,
+  CAST(min(dg) AS BIGINT) AS min_deg, CAST(max(dg) AS BIGINT) AS max_deg
+FROM (SELECT c, count(*) AS dg FROM {prev} GROUP BY c)
+UNION ALL
+SELECT 'supplier' AS side, (SELECT k_s FROM th) AS threshold,
+  CAST(count(*) AS BIGINT) AS n_nodes,
+  CAST(coalesce(sum(dg), 0) AS BIGINT) AS n_edges,
+  CAST(min(dg) AS BIGINT) AS min_deg, CAST(max(dg) AS BIGINT) AS max_deg
+FROM (SELECT s, count(*) AS dg FROM {prev} GROUP BY s)
+"""
+
+
+LINKPRED_TOP = 10
+LINKPRED_SCALE = 10**6   # fixed-point Jaccard for deterministic ranking
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set link prediction over the co-occurrence graph: for
+    every NON-edge pair, common-neighbor count and Jaccard similarity of
+    the two neighborhoods (cn / (deg_a + deg_b - cn)) — the classic
+    link-prediction baseline (Liben-Nowell & Kleinberg), top-LINKPRED_TOP
+    by fixed-point Jaccard. On this near-complete corpus graph the
+    candidate set is the handful of support-threshold misses — the
+    planted test pins the ranking math on a sparse construction.
+
+    Plan: the symmetric adjacency materializes once (three consumers:
+    degrees + both wedge sides); common neighbors come from the WEDGE
+    equi-join on the shared-neighbor key (the triangle-counting shape —
+    Sum(deg²) work, NOT an all-pairs product); existing edges leave via
+    one anti-join on the pair key; degrees ride vocab-sized broadcast
+    joins. At web scale the wedge join takes the same two guards as
+    triangles: degree-ordered orientation and a hub cap on the
+    shared-neighbor key."""
+    edges = _cooc_edges(spark, sf_dir)
+    und = audit_plan(
+        "linkpred_und",
+        edges.select(F.col("tok_a").alias("node"), F.col("tok_b").alias("nbr")).union(
+            edges.select(F.col("tok_b").alias("node"), F.col("tok_a").alias("nbr"))
+        ),
+    ).localCheckpoint()
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    cand = (
+        und.alias("x")
+        .join(und.alias("y"), "nbr")
+        .filter(F.col("x.node") < F.col("y.node"))
+        .groupBy(F.col("x.node").alias("tok_a"), F.col("y.node").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(edges.select("tok_a", "tok_b"), ["tok_a", "tok_b"], "left_anti")
+    )
+    d = dl.SPARK
+    return (
+        cand.join(
+            F.broadcast(deg.select(F.col("node").alias("tok_a"), F.col("deg").alias("deg_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("tok_b"), F.col("deg").alias("deg_b"))),
+            "tok_b",
+        )
+        .withColumn(
+            "jac_fp",
+            F.expr(
+                dl.int_div(d, f"cn * {LINKPRED_SCALE}", "(deg_a + deg_b - cn)")
+            ),
+        )
+        .orderBy(F.desc("jac_fp"), "tok_a", "tok_b")
+        .limit(LINKPRED_TOP)
+        .select(
+            "tok_a",
+            "tok_b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.expr(dl.round_ratio(d, "cn", "(deg_a + deg_b - cn)")).alias("jaccard"),
+        )
+    )
+
+
+def _oracle_link_prediction() -> str:
+    d = dl.DUCK
+    return f"""
+WITH {_ORACLE_EDGE_CTES},
+und AS MATERIALIZED (
+  SELECT tok_a AS node, tok_b AS nbr FROM edges
+  UNION ALL
+  SELECT tok_b AS node, tok_a AS nbr FROM edges
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY node
+), cand AS (
+  SELECT x.node AS tok_a, y.node AS tok_b, CAST(count(*) AS BIGINT) AS cn
+  FROM und x JOIN und y ON x.nbr = y.nbr AND x.node < y.node
+  GROUP BY 1, 2
+), nonedge AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN edges e ON e.tok_a = c.tok_a AND e.tok_b = c.tok_b
+  WHERE e.tok_a IS NULL
+), scored AS (
+  SELECT n.tok_a, n.tok_b, n.cn, da.deg AS deg_a, db.deg AS deg_b,
+    {dl.int_div(d, f'n.cn * {LINKPRED_SCALE}', '(da.deg + db.deg - n.cn)')} AS jac_fp
+  FROM nonedge n
+  JOIN deg da ON da.node = n.tok_a
+  JOIN deg db ON db.node = n.tok_b
+)
+SELECT tok_a, tok_b, cn, deg_a, deg_b,
+  {dl.round_ratio(d, 'cn', '(deg_a + deg_b - cn)')} AS jaccard
+FROM scored
+ORDER BY jac_fp DESC, tok_a, tok_b
+LIMIT {LINKPRED_TOP}
+"""
+
+
 QUERIES = {
+    "graph_link_prediction": graph_link_prediction,
     "graph_degree_stats": graph_degree_stats,
     "graph_triangle_stats": graph_triangle_stats,
     "graph_pagerank_topk": graph_pagerank_topk,
     "graph_lpa_communities": graph_lpa_communities,
+    "graph_kcore": graph_kcore,
 }
 
 ORACLES = {
+    "graph_link_prediction": _oracle_link_prediction(),
     "graph_degree_stats": _oracle_degree(),
     "graph_triangle_stats": _oracle_triangles(),
     "graph_pagerank_topk": _oracle_pagerank(),
     "graph_lpa_communities": _oracle_lpa(),
+    "graph_kcore": _oracle_kcore(),
 }

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..audit import audit_plan
+from ..functions import dialect as dl
 from ..functions.text import (
     clean_tweet_text,
     country_from_location,
@@ -955,8 +957,8 @@ WITH daily AS (
     count(DISTINCT user_id) AS exact_daily
   FROM events GROUP BY 1, 2
 ), rolled AS (
-  SELECT event_type, sum(exact_daily) AS naive_daily_sum,
-    count(*) AS n_days
+  SELECT event_type, CAST(sum(exact_daily) AS BIGINT) AS naive_daily_sum,
+    CAST(count(*) AS BIGINT) AS n_days
   FROM daily GROUP BY 1
 ), exact AS (
   SELECT event_type, count(DISTINCT user_id) AS exact_users
@@ -1143,7 +1145,120 @@ GROUP BY win_day
 """
 
 
+# --------------------------------------------------------- market basket
+# Pair rule minimum support: pair must appear in >= 1% of baskets
+# (relative — an absolute count flips between all-pass and none-pass as
+# the corpus scales; integer cross-multiplication keeps it engine-exact).
+MB_SUP_NUM = 1
+MB_SUP_DEN = 100
+MB_TOP = 20
+
+
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules (support / confidence / lift) over order
+    baskets, items = part brand — the frequent-itemset surface (the
+    2-itemset level of Apriori/FP-growth, which is where most production
+    affinity analyses stop: pair rules are what recommenders and
+    cross-sell reports consume).
+
+    Plan shape for 100 TB: the basket relation (distinct (order, brand))
+    materializes once and is keyed by order key; the pair generation is a
+    SELF-JOIN ON THE BASKET KEY, so its fan-out is C(brands_per_order, 2)
+    per order — bounded by the ~7-lineitem order grain, never by the item
+    dimension. The item-frequency and basket-count sides are
+    dimension-sized (|brands| rows, 1 row) and ride broadcast hash joins;
+    nothing shuffles after the one (item_a, item_b) agg. All metrics are
+    integer-exact ratios (dialect.round_ratio); at >2^63/1e4 basket
+    counts, promote the lift numerator to DECIMAL(38,0) (repo
+    convention).
+
+    Rule ordering is (lift DESC, item_a, item_b) — lift doubles come from
+    identical BIGINTs in both engines, so the top-MB_TOP cut is stable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    # three consumers (basket count, item counts, both pair-join sides):
+    # materialize once — the staging-tier lesson.
+    baskets = audit_plan("basket_rel", baskets).localCheckpoint()
+    nb = baskets.agg(
+        F.count_distinct("okey").alias("n_baskets")
+    ).withColumn("j", F.lit(1))
+    items = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = (
+        baskets.alias("a")
+        .join(baskets.alias("b"), "okey")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+    )
+    d = dl.SPARK
+    return (
+        pairs.join(
+            F.broadcast(items.select(F.col("item").alias("item_a"), F.col("cnt").alias("a_n"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(items.select(F.col("item").alias("item_b"), F.col("cnt").alias("b_n"))),
+            "item_b",
+        )
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(nb), "j")
+        .filter(F.col("pair_n") * MB_SUP_DEN >= F.lit(MB_SUP_NUM) * F.col("n_baskets"))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            "a_n",
+            "b_n",
+            "n_baskets",
+            F.expr(dl.round_ratio(d, "pair_n", "n_baskets")).alias("support"),
+            F.expr(dl.round_ratio(d, "pair_n", "a_n")).alias("confidence"),
+            F.expr(
+                dl.round_ratio(d, "(pair_n * n_baskets)", "(a_n * b_n)")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(MB_TOP)
+    )
+
+
+def _oracle_market_basket() -> str:
+    d = dl.DUCK
+    return f"""
+WITH baskets AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS okey, p_brand AS item
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), nb AS (
+  SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_baskets FROM baskets
+), it AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM baskets GROUP BY 1
+), pr AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS pair_n
+  FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, pair_n, ia.cnt AS a_n, ib.cnt AS b_n, n_baskets,
+  {dl.round_ratio(d, 'pair_n', 'n_baskets')} AS support,
+  {dl.round_ratio(d, 'pair_n', 'ia.cnt')} AS confidence,
+  {dl.round_ratio(d, '(pair_n * n_baskets)', '(ia.cnt * ib.cnt)')} AS lift
+FROM pr
+JOIN it ia ON ia.item = pr.item_a
+JOIN it ib ON ib.item = pr.item_b
+CROSS JOIN nb
+WHERE pair_n * {MB_SUP_DEN} >= {MB_SUP_NUM} * n_baskets
+ORDER BY lift DESC, item_a, item_b
+LIMIT {MB_TOP}
+"""
+
+
 QUERIES = {
+    "market_basket_rules": market_basket_rules,
     "events_cdc_state": events_cdc_state,
     "events_attribution": events_attribution,
     "events_hll_rollup": events_hll_rollup,
@@ -1170,6 +1285,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "market_basket_rules": _oracle_market_basket(),
     "events_cdc_state": _oracle_cdc_state(),
     "events_attribution": _oracle_attribution(),
     "events_markov_transitions": _oracle_markov(),

@@ -1377,7 +1377,163 @@ FROM hits GROUP BY train_id, label
 """
 
 
+def _int8_quant_sql(d: str, vec: str) -> str:
+    """Symmetric per-vector int8 quantization (the embedding_quantize_int8
+    convention: scale = max|x|/127, q_i = round(x_i/scale)) as an INT
+    array expression — shared template, identical doubles, identical
+    rounding, so the int8 vectors are bit-equal across engines."""
+    if d == dl.SPARK:
+        amax = (
+            f"aggregate({vec}, CAST(0.0 AS DOUBLE), "
+            f"(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+        )
+        return (
+            f"transform({vec}, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) / (({amax}) / 127.0)) AS INT))"
+        )
+    amax = f"coalesce(list_max(list_transform({vec}, x -> abs(CAST(x AS DOUBLE)))), 0.0)"
+    return (
+        f"list_transform({vec}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) / (({amax}) / 127.0)) AS INT))"
+    )
+
+
+def _int8_dot_sql(d: str, a: str, b: str) -> str:
+    """Exact BIGINT dot product of two int8 arrays (max |sum| =
+    64 * 127^2 ~ 1e6 — nowhere near overflow)."""
+    if d == dl.SPARK:
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            f"(x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+    prods = dl.transform(
+        d,
+        dl.seq(d, "1", str(EMB_DIM)),
+        "i",
+        f"CAST({dl.arr_element(d, a, 'i')} AS BIGINT) * "
+        f"CAST({dl.arr_element(d, b, 'i')} AS BIGINT)",
+    )
+    return dl.arr_sum_bigint(d, prods)
+
+
+def sim_ann_int8_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit of int8-quantized similarity search: per
+    query, the overlap between the float-cosine top-K and the top-K
+    ranked by INT8-only cosine (integer dot products of the quantized
+    vectors, normalized by the quantized self-norms — exactly what a
+    production int8 index computes; the float vectors never enter the
+    quantized ranking). This is the recall study every 4x-compression
+    decision runs: embedding_quantize_int8 reports the per-element
+    error, this reports what that error DOES to top-K retrieval.
+
+    Determinism: both rankings quantize their score to 1e-6 fixed-point
+    (the _quant_cos convention) with cand_id tie-breaks; the int8
+    vectors themselves are bit-equal across engines (shared quantization
+    template over identical doubles), so both engines rank identically
+    and the recall integers hash-match exactly.
+
+    Plan: ONE broadcast Q x N scan computes both scores per pair (the
+    sim_topk_bruteforce shape — the float ranking is the eval side and
+    needs exact top-K anyway); two query-partitioned row_number windows;
+    one per-query agg. At scale the int8 side would come from the IVF/PQ
+    candidate paths — the eval contract (join the two top-K sets, count
+    hits) is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = dl.SPARK
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_int8_quant_sql(d, "embedding")).alias("v8"),
+        F.expr(norm_sql(d, "embedding")).alias("nf"),
+    ).withColumn("n8", F.expr(_int8_dot_sql(d, "v8", "v8")))
+    q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("v8").alias("q8"),
+        F.col("nf").alias("qnf"),
+        F.col("n8").alias("qn8"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col("v8").alias("c8"),
+        F.col("nf").alias("cnf"),
+        F.col("n8").alias("cn8"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(
+                _quant_cos(d, f"({dot_sql(d, 'qv', 'cv')}) / (qnf * cnf)")
+            ).alias("cosf_fp"),
+            F.expr(
+                _quant_cos(
+                    d,
+                    f"CAST({_int8_dot_sql(d, 'q8', 'c8')} AS DOUBLE) / "
+                    f"(sqrt(CAST(qn8 AS DOUBLE)) * sqrt(CAST(cn8 AS DOUBLE)))",
+                )
+            ).alias("cos8_fp"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("cosf_fp"), F.asc("cand_id"))
+    w8 = W.partitionBy("query_id").orderBy(F.desc("cos8_fp"), F.asc("cand_id"))
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(wf).alias("rnk_f"),
+        F.row_number().over(w8).alias("rnk_8"),
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when((F.col("rnk_f") <= TOP_K) & (F.col("rnk_8") <= TOP_K), 1)
+                .otherwise(0)
+            ).alias("n_hits")
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(dl.round_ratio(d, "n_hits", str(TOP_K))).alias("recall_int8"),
+        )
+    )
+
+
+def _oracle_int8_eval() -> str:
+    d = dl.DUCK
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding,
+    {_int8_quant_sql(d, 'embedding')} AS v8,
+    {norm_sql(d, 'embedding')} AS nf
+  FROM embeddings
+), base8 AS MATERIALIZED (
+  SELECT *, {_int8_dot_sql(d, 'v8', 'v8')} AS n8 FROM base
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    {_quant_cos(d, f"({dot_sql(d, 'q.embedding', 'c.embedding')}) / (q.nf * c.nf)")} AS cosf_fp,
+    {_quant_cos(d, f"CAST({_int8_dot_sql(d, 'q.v8', 'c.v8')} AS DOUBLE) / (sqrt(CAST(q.n8 AS DOUBLE)) * sqrt(CAST(c.n8 AS DOUBLE)))")} AS cos8_fp
+  FROM base8 q JOIN base8 c
+    ON q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosf_fp DESC, cand_id ASC) AS rnk_f,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos8_fp DESC, cand_id ASC) AS rnk_8
+  FROM pairs
+)
+SELECT query_id,
+  CAST(sum(CASE WHEN rnk_f <= {TOP_K} AND rnk_8 <= {TOP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+  {dl.round_ratio(d, 'sum(CASE WHEN rnk_f <= ' + str(TOP_K) + ' AND rnk_8 <= ' + str(TOP_K) + ' THEN 1 ELSE 0 END)', str(TOP_K))} AS recall_int8
+FROM ranked GROUP BY query_id
+"""
+
+
 QUERIES = {
+    "sim_ann_int8_eval": sim_ann_int8_eval,
     "decontaminate_semantic": decontaminate_semantic,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_mmr_topk": sim_mmr_topk,
@@ -1394,6 +1550,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sim_ann_int8_eval": _oracle_int8_eval(),
     "decontaminate_semantic": _oracle_decon_semantic(),
     "dedup_embedding_cosine": _oracle_embedding_cosine(),
     "dedup_semantic_cells": _oracle_semdedup(),

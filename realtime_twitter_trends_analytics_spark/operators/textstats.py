@@ -1108,7 +1108,87 @@ FROM g JOIN types t USING (lang)
 """
 
 
+NOVELTY_N = 3   # shingle width for the novelty fingerprint
+
+
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's DISTINCT
+    3-token shingles that appear in NO other document (corpus df = 1) —
+    the cheap diversity/creativity score a data-mixing pass uses to
+    up-weight documents that add n-gram mass the corpus doesn't already
+    have (the inverse of the boilerplate signal: docs_boilerplate_chunks
+    finds what repeats, this credits what doesn't).
+
+    Plan: explode distinct per-doc shingles once, one df hash agg keyed
+    by shingle, one join back on the shingle key, one per-doc agg —
+    the tf-idf shape, all uniform keys. df counts DOCUMENTS (the
+    relation is already (doc, shingle)-distinct). At 100 TB the shingle
+    key would be md5-hashed to fixed width before the shuffle (the
+    dedup module's convention); here the raw shingle keeps the oracle
+    readable. Documents shorter than NOVELTY_N tokens have no shingles
+    and are excluded (no novelty is defined for them), mirrored in the
+    oracle by the inner join."""
+    from .dedup import shingles_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(
+        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+    )
+    sh = (
+        tokd.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    dl.arr_distinct(
+                        dl.SPARK, shingles_sql(dl.SPARK, "toks", NOVELTY_N)
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    sh = audit_plan("novelty_shingles", sh).localCheckpoint()
+    df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    d = dl.SPARK
+    return (
+        sh.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.expr(dl.round_ratio(d, "n_unique", "n_shingles")).alias("novelty"),
+        )
+    )
+
+
+def _oracle_ngram_novelty() -> str:
+    from .dedup import shingles_sql
+
+    d = dl.DUCK
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {dl.split_ws(d, 'text')} AS toks FROM documents
+), sh AS MATERIALIZED (
+  SELECT doc_id, unnest({dl.arr_distinct(d, shingles_sql(d, 'toks', NOVELTY_N))}) AS sh
+  FROM tokd
+), dfr AS (
+  SELECT sh, count(*) AS df FROM sh GROUP BY sh
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+  {dl.round_ratio(d, 'sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)', 'count(*)')} AS novelty
+FROM sh JOIN dfr USING (sh)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "docs_ngram_novelty": docs_ngram_novelty,
     "textstats_lm_score": textstats_lm_score,
     "textstats_bpe_merges": textstats_bpe_merges,
     "textstats_winnowing": textstats_winnowing,
@@ -1130,6 +1210,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_ngram_novelty": _oracle_ngram_novelty(),
     "textstats_lm_score": _oracle_lm_score(),
     "textstats_bpe_merges": _oracle_bpe_merges(),
     "textstats_winnowing": _oracle_winnowing(),

@@ -57,6 +57,16 @@ CARTESIAN_OK = {
     "events_rolling_dau": "day-grid x user-days range join: the grid side "
     "is |distinct days| rows (bounded by the calendar), broadcast NLJ is "
     "the intended plan; at scale bucketize day into an equi-key (SCALE.md)",
+    "graph_kcore": "per-side peel thresholds ride a 1-row broadcast side "
+    "(scalar-aggregate pattern, see sql_q11_important_supply); the peeling "
+    "joins themselves are node-keyed equi-joins",
+    "market_basket_rules": "the basket-count denominator rides a 1-row "
+    "broadcast side (scalar-aggregate pattern); pair generation is an "
+    "equi-join on the order key",
+    "sim_ann_int8_eval": "broadcast N_QUERY_VECS-row query set x candidates "
+    "— the float side IS the exact-recall oracle (sim_topk_bruteforce "
+    "pattern); at scale the int8 side comes from the IVF/PQ candidate "
+    "paths and the eval contract is unchanged (see docstring)",
 }
 
 # query -> reason Python evaluation is required (Arrow-batched paths
@@ -74,6 +84,10 @@ ROW_PYTHON_OK: dict[str, str] = {}
 # (stable regardless of which query triggers a memoized build first).
 # ---------------------------------------------------------------------------
 AUDIT_CARTESIAN_OK = {
+    # k-core round-1 plan: the per-side degree thresholds ride a 1-row
+    # broadcast side inside the keep-set filters (scalar-aggregate
+    # pattern); the peel joins are node-keyed equi-joins
+    "kcore_round": "1-row scalar threshold broadcast inside the peel round",
     # MMR relevance scan: broadcast Q-row query set x corpus — the same
     # documented brute-force pattern as sim_topk_bruteforce; at production
     # scale the pool comes from the ANN paths instead (see docstring)

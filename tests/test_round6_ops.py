@@ -1,0 +1,235 @@
+"""Invariant + planted-fixture tests for the round-6 operators
+(engine parity is covered by the oracle gate; these pin that the math
+means what it claims on constructions where the right answer is known).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+
+from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+    events_changepoint,
+    stats_mannwhitney,
+)
+from realtime_twitter_trends_analytics_spark.operators.graph import (
+    KCORE_DEN,
+    KCORE_NUM,
+    graph_kcore,
+)
+from realtime_twitter_trends_analytics_spark.operators.relational_ext import (
+    market_basket_rules,
+)
+from realtime_twitter_trends_analytics_spark.operators.similarity import (
+    TOP_K,
+    sim_ann_int8_eval,
+)
+from realtime_twitter_trends_analytics_spark.operators.textstats import (
+    docs_ngram_novelty,
+)
+
+
+def _round_ratio_py(num: int, den: int, digits: int = 4) -> float:
+    """The repo's half-up integer-ratio rounding (dialect.round_ratio)."""
+    scale = 10**digits
+    return ((2 * num * scale + den) // (2 * den)) / scale
+
+
+# --------------------------------------------------------------- k-core
+def test_kcore_peels_planted_pendants(spark, tmp_path_factory):
+    """Planted bipartite graph: a complete 4x4 core plus 2 pendant
+    customers (degree 1). With 18 edges the fixed thresholds come out
+    k_c = 3, k_s = 4; round 1 peels exactly the pendants, and the core
+    (every degree 4) is stable — the peel must remove the pendants and
+    NOTHING else."""
+    out = tmp_path_factory.mktemp("kcore_sf")
+    edges = [(c, s) for c in range(4) for s in range(4)]  # complete core
+    edges += [(100, 0), (101, 1)]  # pendants
+    orders = [(i, c) for i, (c, _) in enumerate(edges)]
+    lines = [(i, s) for i, (_, s) in enumerate(edges)]
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey bigint, l_suppkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+
+    # threshold sanity against the documented formula
+    assert 1 + (18 * KCORE_NUM) // (6 * KCORE_DEN) == 3   # customer side
+    assert 1 + (18 * KCORE_NUM) // (4 * KCORE_DEN) == 4   # supplier side
+
+    got = {r["side"]: r.asDict() for r in graph_kcore(spark, str(out)).collect()}
+    assert got["customer"]["threshold"] == 3
+    assert got["supplier"]["threshold"] == 4
+    for side in ("customer", "supplier"):
+        assert got[side]["n_nodes"] == 4
+        assert got[side]["n_edges"] == 16
+        assert got[side]["min_deg"] == 4
+        assert got[side]["max_deg"] == 4
+
+
+# --------------------------------------------------------- market basket
+def test_market_basket_metric_identities(spark, sf_dir):
+    """Every emitted rule must satisfy the frequent-itemset identities on
+    its own integer columns (recomputed with the exact half-up rounding —
+    no tolerance): pair_n <= min(a_n, b_n) <= n_baskets, and
+    support/confidence/lift are the documented integer ratios. Rules
+    arrive sorted by (lift DESC, item_a, item_b)."""
+    rows = [r.asDict() for r in market_basket_rules(spark, sf_dir).collect()]
+    assert rows, "no rules emitted"
+    for r in rows:
+        assert 0 < r["pair_n"] <= min(r["a_n"], r["b_n"]) <= r["n_baskets"]
+        assert r["support"] == _round_ratio_py(r["pair_n"], r["n_baskets"])
+        assert r["confidence"] == _round_ratio_py(r["pair_n"], r["a_n"])
+        assert r["lift"] == _round_ratio_py(
+            r["pair_n"] * r["n_baskets"], r["a_n"] * r["b_n"]
+        )
+    key = [(-r["lift"], r["item_a"], r["item_b"]) for r in rows]
+    assert key == sorted(key)
+
+
+# ---------------------------------------------------------- Mann-Whitney
+def test_mannwhitney_matches_pure_python(spark, sf_dir):
+    """Recompute U and the tie-corrected z from scratch in Python (own
+    variant assignment via hashlib md5, own average-rank tie handling)
+    and require the integer columns to match EXACTLY; z may differ only
+    by the display rounding grid (< 1e-4/2 half-ulp)."""
+    ev = duckdb.sql(
+        f"SELECT event_type, user_id, CAST(round(value * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    groups: dict[str, dict[str, list[int]]] = {}
+    for etype, uid, cents in ev:
+        nib = int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16)
+        variant = "A" if nib < 8 else "B"
+        groups.setdefault(etype, {"A": [], "B": []})[variant].append(cents)
+
+    got = {r["event_type"]: r.asDict() for r in stats_mannwhitney(spark, sf_dir).collect()}
+    for etype, g in groups.items():
+        a, b = g["A"], g["B"]
+        if not a or not b:
+            assert etype not in got
+            continue
+        both = sorted([(v, "A") for v in a] + [(v, "B") for v in b])
+        # average ranks with ties
+        r_a = 0.0
+        i = 0
+        while i < len(both):
+            j = i
+            while j < len(both) and both[j][0] == both[i][0]:
+                j += 1
+            avg_rank = (i + 1 + j) / 2.0
+            r_a += avg_rank * sum(1 for k in range(i, j) if both[k][1] == "A")
+            i = j
+        na, nb, n = len(a), len(b), len(a) + len(b)
+        u_a = r_a - na * (na + 1) / 2.0
+        # tie term
+        from collections import Counter
+
+        t = sum(c**3 - c for c in Counter(v for v, _ in both).values())
+        var = (na * nb / 12.0) * ((n + 1) - t / (n * (n - 1)))
+        z = (u_a - na * nb / 2.0) / math.sqrt(var) if var > 0 else 0.0
+        row = got[etype]
+        assert row["n_a"] == na and row["n_b"] == nb
+        assert row["u_a"] == u_a  # exact: u2_a is BIGINT, /2.0 is exact
+        assert abs(row["z_mw"] - z) < 5e-5  # display rounding half-ulp
+
+
+# ----------------------------------------------------------- change point
+def test_changepoint_finds_planted_shift(spark, tmp_path_factory):
+    """10 observed days: 1 event/day for days 1-5, then 3/day for days
+    6-10. The best mean-shift split must land after day 5 with segment
+    means exactly 1.0 and 3.0."""
+    import datetime as dt
+
+    out = tmp_path_factory.mktemp("cp_sf")
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        n = 1 if day <= 5 else 3
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2025, 3, day, 12, k),
+                    eid % 7,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {r["event_type"]: r.asDict() for r in events_changepoint(spark, str(out)).collect()}
+    row = got["click"]
+    assert row["split_day"] == dt.date(2025, 3, 5)
+    assert row["days_before"] == 5 and row["n_days"] == 10
+    assert row["mean_before"] == 1.0 and row["mean_after"] == 3.0
+
+
+# --------------------------------------------------------------- novelty
+def test_novelty_planted_unique_and_duplicated(spark, tmp_path_factory):
+    """Two byte-identical docs share every shingle (novelty 0.0); a third
+    doc with a disjoint vocabulary is fully unique (novelty 1.0)."""
+    out = tmp_path_factory.mktemp("nov_sf")
+    dup = "alpha beta gamma delta epsilon"
+    uniq = "zeta eta theta iota kappa"
+    rows = [(0, dup, "en", "s0", 30), (1, dup, "en", "s0", 30), (2, uniq, "en", "s0", 25)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got = {r["doc_id"]: r.asDict() for r in docs_ngram_novelty(spark, str(out)).collect()}
+    assert got[0]["novelty"] == 0.0 and got[1]["novelty"] == 0.0
+    assert got[2]["novelty"] == 1.0
+    assert got[2]["n_shingles"] == 3  # 5 tokens -> 3 tri-shingles
+
+
+# --------------------------------------------------------------- int8 eval
+def test_int8_eval_perfect_on_corpus_detects_planted_collapse(
+    spark, sf_dir, tmp_path_factory
+):
+    """On the driver corpus int8 quantization is benign: recall_int8 must
+    be 1.0 for every query (the honest measured result the operator
+    reports). The eval must also DETECT degradation: a planted corpus
+    where 25 candidates differ only in a second component SMALLER than
+    half the int8 quantization step (all collapse to the same quantized
+    vector, ties broken by cand_id, while the float ranking prefers the
+    HIGHEST cand_ids) must read recall 0.0 for that query."""
+    for r in sim_ann_int8_eval(spark, sf_dir).collect():
+        assert r["recall_int8"] == 1.0 and r["n_hits"] == TOP_K
+
+    out = tmp_path_factory.mktemp("int8_sf")
+    dim = 64
+
+    def vec(components: dict[int, float]) -> list[float]:
+        v = [0.0] * dim
+        for i, x in components.items():
+            v[i] = x
+        return v
+
+    rows = [(0, vec({0: 1.0}), 0)]
+    # queries 1..9: far-away directions (never in q0's top-K)
+    for i in range(1, 10):
+        rows.append((i, vec({i: 1.0}), 0))
+    # candidates 10..34: [1, a, 0...] with a below the int8 dead zone
+    # (scale = 1/127, so |a| < scale/2 ~ 0.00394 rounds to 0); larger a =
+    # smaller float cosine, and a DECREASES with cand_id, so the float
+    # top-10 is the LAST ten ids while the int8 tie-break picks the FIRST
+    # ten -> zero overlap.
+    for j, cid in enumerate(range(10, 35)):
+        a = 0.0035 * (25 - j) / 25.0
+        rows.append((cid, vec({0: 1.0, 1: a}), 1))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+
+    got = {r["query_id"]: r.asDict() for r in sim_ann_int8_eval(spark, str(out)).collect()}
+    assert got[0]["recall_int8"] == 0.0 and got[0]["n_hits"] == 0
