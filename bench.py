@@ -144,6 +144,9 @@ HEADLINE = [
     "docs_ngram_novelty",
     "sim_ann_int8_eval",
     "graph_link_prediction",
+    "stats_bootstrap_ci",
+    "events_seasonal_decompose",
+    "events_survival_km",
 ]
 
 

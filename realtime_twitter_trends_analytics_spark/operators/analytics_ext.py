@@ -794,7 +794,353 @@ FROM pick WHERE rn = 1
 """
 
 
+BOOT_B = 32     # bootstrap replicates (explode factor — map-side only)
+
+
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsampling-bootstrap confidence interval for the mean event value
+    per event_type: BOOT_B deterministic half-subsamples (each event
+    joins replicate b iff the first md5 nibble of (event_id, b) < 8 —
+    the sticky-hash convention), one mean per replicate, CI = the 2nd
+    smallest / 2nd largest replicate mean (an empirical ~94% interval at
+    B=32 with pure integer ranks — no float percentile interpolation to
+    drift between engines). This is the one-pass, shuffle-light way to
+    put error bars on any streaming/pipeline metric at scale (the
+    Poisson-bootstrap family: Kleiner et al.'s bag of little bootstraps
+    is the same shape with per-bag reweighting).
+
+    Plan: ONE event scan exploded x BOOT_B map-side (no shuffle
+    amplification: the (type, b) hash agg combines partials before the
+    exchange, so the shuffle carries |types| x B rows), plus the
+    full-sample agg riding the same scan pattern. Replicate means are
+    round_ratio doubles of exact integers; ranking ties break by
+    replicate id, so the picked bounds are engine-identical."""
+    e = load_table(spark, sf_dir, "events")
+    d = dl.SPARK
+    rep = (
+        e.select(
+            "event_type",
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .withColumn("b", F.explode(F.expr(f"sequence(1, {BOOT_B})")))
+        .filter(
+            F.expr(
+                dl.md5_prefix_nibble(
+                    d, "CONCAT(CAST(event_id AS STRING), '|', CAST(b AS STRING))"
+                )
+            )
+            < 8
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("n_b"), F.sum("cents").alias("s_b"))
+        .withColumn("mean_b", F.expr(dl.round_ratio(d, "s_b", "n_b")))
+    )
+    w_lo = W.partitionBy("event_type").orderBy(F.asc("mean_b"), F.asc("b"))
+    w_hi = W.partitionBy("event_type").orderBy(F.desc("mean_b"), F.asc("b"))
+    picked = (
+        rep.select(
+            "event_type",
+            "mean_b",
+            F.row_number().over(w_lo).alias("r_lo"),
+            F.row_number().over(w_hi).alias("r_hi"),
+        )
+        .filter((F.col("r_lo") == 2) | (F.col("r_hi") == 2))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("r_lo") == 2, F.col("mean_b"))).alias("ci_lo"),
+            F.max(F.when(F.col("r_hi") == 2, F.col("mean_b"))).alias("ci_hi"),
+        )
+    )
+    full = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            dl.round_ratio(d, "sum(CAST(round(value * 100) AS BIGINT))", "count(*)")
+        ).alias("mean_value"),
+    )
+    return full.join(picked, "event_type").select(
+        "event_type", "n_events", "mean_value", "ci_lo", "ci_hi"
+    )
+
+
+def _oracle_bootstrap() -> str:
+    d = dl.DUCK
+    nib = dl.md5_prefix_nibble(
+        d, "CAST(event_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)"
+    )
+    return f"""
+WITH rep AS (
+  SELECT event_type, b,
+    CAST(count(*) AS BIGINT) AS n_b,
+    CAST(sum(cents) AS BIGINT) AS s_b
+  FROM (
+    SELECT event_type, event_id,
+      CAST(round(value * 100) AS BIGINT) AS cents,
+      unnest(generate_series(1, {BOOT_B})) AS b
+    FROM events
+  )
+  WHERE ({nib}) < 8
+  GROUP BY event_type, b
+), means AS (
+  SELECT event_type, b, {dl.round_ratio(d, 's_b', 'n_b')} AS mean_b FROM rep
+), ranked AS (
+  SELECT event_type, mean_b,
+    row_number() OVER (PARTITION BY event_type ORDER BY mean_b ASC, b ASC) AS r_lo,
+    row_number() OVER (PARTITION BY event_type ORDER BY mean_b DESC, b ASC) AS r_hi
+  FROM means
+), picked AS (
+  SELECT event_type,
+    min(CASE WHEN r_lo = 2 THEN mean_b END) AS ci_lo,
+    max(CASE WHEN r_hi = 2 THEN mean_b END) AS ci_hi
+  FROM ranked WHERE r_lo = 2 OR r_hi = 2 GROUP BY event_type
+), full_agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+    {dl.round_ratio(d, 'sum(CAST(round(value * 100) AS BIGINT))', 'count(*)')}
+      AS mean_value
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_events, mean_value, ci_lo, ci_hi
+FROM full_agg JOIN picked USING (event_type)
+"""
+
+
+SEAS_TOP = 3        # anomalous days reported per event_type
+SEAS_SCALE = 10**4  # fixed-point deviation score
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal baseline + top deviating days per event_type
+    — one step of an STL-style decomposition, the shape behind
+    'weekends look different' dashboards and seasonality-aware anomaly
+    detection (complements events_anomaly_mad, which is season-blind,
+    and events_changepoint, which finds one global break).
+
+    Day-of-week is computed portably as days-since-1970-01-05 (a Monday)
+    mod 7 — Spark's dayofweek() is 1=Sunday while DuckDB's is 0=Sunday,
+    so neither builtin crosses engines. The deviation score is the
+    cross-multiplied residual |observed*n_dow - sum_dow| scaled by
+    SEAS_SCALE and floor-divided by n_dow — pure BIGINT ranking, ties to
+    the earliest day.
+
+    Plan: one (type, day) hash agg (event-scan sized), one (type, dow)
+    agg over day-sized rows, a broadcast-sized join back (|types| x 7
+    rows), one per-type row_number pick. Everything after the first agg
+    is day-domain sized at any corpus scale."""
+    e = load_table(spark, sf_dir, "events")
+    d = dl.SPARK
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    daily = daily.withColumn(
+        "dow", F.expr("CAST(datediff(day, DATE '1970-01-05') % 7 AS INT)")
+    )
+    dow_base = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_dow"), F.sum("c").alias("sum_dow")
+    )
+    scored = (
+        daily.join(F.broadcast(dow_base), ["event_type", "dow"])
+        .withColumn(
+            "score_fp",
+            F.expr(
+                dl.int_div(
+                    d, f"abs(c * n_dow - sum_dow) * {SEAS_SCALE}", "n_dow"
+                )
+            ),
+        )
+    )
+    pick = W.partitionBy("event_type").orderBy(F.desc("score_fp"), F.asc("day"))
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") <= SEAS_TOP)
+        .select(
+            "event_type",
+            "day",
+            "dow",
+            F.col("c").alias("observed"),
+            F.expr(dl.round_ratio(d, "sum_dow", "n_dow")).alias("expected"),
+            F.expr(f"CAST(score_fp AS DOUBLE) / {SEAS_SCALE}.0").alias("deviation"),
+            F.col("rn").cast("int").alias("rnk"),
+        )
+    )
+
+
+def _oracle_seasonal() -> str:
+    d = dl.DUCK
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), dowd AS (
+  SELECT *, CAST((day - DATE '1970-01-05') % 7 AS INT) AS dow FROM daily
+), dow_base AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_dow,
+    CAST(sum(c) AS BIGINT) AS sum_dow
+  FROM dowd GROUP BY 1, 2
+), scored AS (
+  SELECT dd.event_type, dd.day, dd.dow, dd.c, b.n_dow, b.sum_dow,
+    {dl.int_div(d, f'abs(dd.c * b.n_dow - b.sum_dow) * {SEAS_SCALE}', 'b.n_dow')}
+      AS score_fp
+  FROM dowd dd JOIN dow_base b USING (event_type, dow)
+), pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+    ORDER BY score_fp DESC, day ASC) AS rn
+  FROM scored
+)
+SELECT event_type, day, dow, c AS observed,
+  {dl.round_ratio(d, 'sum_dow', 'n_dow')} AS expected,
+  CAST(score_fp AS DOUBLE) / {SEAS_SCALE}.0 AS deviation,
+  CAST(rn AS INT) AS rnk
+FROM pick WHERE rn <= {SEAS_TOP}
+"""
+
+
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate for view -> purchase conversion:
+    per user, duration = days from first 'view' to first subsequent
+    'purchase' (observed) or to the corpus horizon (right-censored); the
+    KM curve S(t) = prod_{s<=t}(1 - d_s/n_s) over event times — the
+    time-to-event surface (retention curves, conversion-lag SLAs,
+    churn) that mean/percentile lag stats get WRONG under censoring
+    (dropping censored users biases conversion fast).
+
+    Determinism: risk sets and event counts are exact integers from one
+    cumulative window; the hazard is a round_ratio rational. S(t) is
+    exp(cumsum(ln(1 - d/n))) — ln/exp over identical doubles (the
+    textstats_zipf_fit precedent for transcendental parity), with the
+    d = n terminal step CASE-guarded to exactly 0.0 in both engines
+    (ln(0) is an engine-specific -inf/error). At 100 TB everything
+    after the two per-user aggs is duration-domain sized.
+
+    Plan: two user-keyed conditional aggs (first view; first purchase
+    at-or-after it via one equi-join + post-filter), a 1-row broadcast
+    horizon (whitelisted scalar pattern), one duration-grain agg, one
+    ordered window over duration rows."""
+    e = load_table(spark, sf_dir, "events")
+    d = dl.SPARK
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d_view"))
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d_p"))
+        .join(views, "user_id")
+        .filter(F.col("d_p") >= F.col("d_view"))
+        .groupBy("user_id")
+        .agg(F.min("d_p").alias("d_purchase"))
+    )
+    horizon = e.agg(F.max(F.to_date("ts")).alias("d_max")).withColumn(
+        "j", F.lit(1)
+    )
+    per_user = (
+        views.join(purch, "user_id", "left")
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(horizon), "j")
+        .select(
+            F.when(
+                F.col("d_purchase").isNotNull(),
+                F.datediff("d_purchase", "d_view"),
+            )
+            .otherwise(F.datediff("d_max", "d_view"))
+            .cast("bigint")
+            .alias("duration"),
+            F.col("d_purchase").isNotNull().alias("observed"),
+        )
+    )
+    grain = per_user.groupBy("duration").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d_events"),
+        F.sum(F.when(F.col("observed"), 0).otherwise(1)).alias("n_censored"),
+    )
+    # risk set at t = everyone whose duration is >= t: a reverse
+    # cumulative sum over the duration-grain rows (single-partition
+    # window is fine — the relation is duration-domain sized)
+    risked = grain.withColumn(
+        "n_risk",
+        F.expr(
+            "SUM(d_events + n_censored) OVER (ORDER BY duration "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        ),
+    )
+    lnterm = (
+        "CASE WHEN d_events = n_risk THEN NULL "
+        "ELSE ln(1.0 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)) END"
+    )
+    survived = risked.withColumn("lnv", F.expr(lnterm)).withColumn(
+        "surv",
+        F.expr(
+            "CASE WHEN SUM(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END) "
+            "OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0 "
+            "ELSE round(exp(SUM(coalesce(lnv, 0.0)) "
+            "OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)), 4) END"
+        ),
+    )
+    return (
+        survived.filter(F.col("d_events") > 0)
+        .select(
+            "duration",
+            "n_risk",
+            "d_events",
+            "n_censored",
+            F.expr(dl.round_ratio(d, "d_events", "n_risk")).alias("hazard"),
+            F.col("surv").alias("survival"),
+        )
+    )
+
+
+def _oracle_survival_km() -> str:
+    d = dl.DUCK
+    lnterm = (
+        "CASE WHEN d_events = n_risk THEN NULL "
+        "ELSE ln(1.0 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)) END"
+    )
+    return f"""
+WITH views AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), purch AS (
+  SELECT e.user_id, min(CAST(e.ts AS DATE)) AS d_purchase
+  FROM events e JOIN views v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= v.d_view
+  GROUP BY e.user_id
+), horizon AS (
+  SELECT max(CAST(ts AS DATE)) AS d_max FROM events
+), per_user AS (
+  SELECT
+    CAST(CASE WHEN p.d_purchase IS NOT NULL
+      THEN p.d_purchase - v.d_view
+      ELSE (SELECT d_max FROM horizon) - v.d_view END AS BIGINT) AS duration,
+    p.d_purchase IS NOT NULL AS observed
+  FROM views v LEFT JOIN purch p USING (user_id)
+), grain AS (
+  SELECT duration,
+    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d_events,
+    CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+  FROM per_user GROUP BY duration
+), risked AS (
+  SELECT duration, d_events, n_censored,
+    CAST(sum(d_events + n_censored) OVER (ORDER BY duration
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+  FROM grain
+), survived AS (
+  SELECT *,
+    CASE WHEN sum(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END)
+      OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0
+    ELSE round(exp(sum(coalesce({lnterm}, 0.0))
+      OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)), 4) END AS surv
+  FROM risked
+)
+SELECT duration, n_risk, d_events, n_censored,
+  {dl.round_ratio(d, 'd_events', 'n_risk')} AS hazard,
+  surv AS survival
+FROM survived WHERE d_events > 0
+"""
+
+
 QUERIES = {
+    "events_survival_km": events_survival_km,
+    "stats_bootstrap_ci": stats_bootstrap_ci,
+    "events_seasonal_decompose": events_seasonal_decompose,
     "stats_mannwhitney": stats_mannwhitney,
     "events_changepoint": events_changepoint,
     "events_gaps_islands": events_gaps_islands,
@@ -808,6 +1154,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_survival_km": _oracle_survival_km(),
+    "stats_bootstrap_ci": _oracle_bootstrap(),
+    "events_seasonal_decompose": _oracle_seasonal(),
     "stats_mannwhitney": _oracle_mannwhitney(),
     "events_changepoint": _oracle_changepoint(),
     "events_gaps_islands": _oracle_gaps_islands(),

@@ -57,6 +57,9 @@ CARTESIAN_OK = {
     "events_rolling_dau": "day-grid x user-days range join: the grid side "
     "is |distinct days| rows (bounded by the calendar), broadcast NLJ is "
     "the intended plan; at scale bucketize day into an equi-key (SCALE.md)",
+    "events_survival_km": "the censoring horizon (max corpus date) rides "
+    "a 1-row broadcast side (scalar-aggregate pattern); the per-user "
+    "first-view/first-purchase joins are user-keyed equi-joins",
     "graph_kcore": "per-side peel thresholds ride a 1-row broadcast side "
     "(scalar-aggregate pattern, see sql_q11_important_supply); the peeling "
     "joins themselves are node-keyed equi-joins",

@@ -233,3 +233,165 @@ def test_int8_eval_perfect_on_corpus_detects_planted_collapse(
 
     got = {r["query_id"]: r.asDict() for r in sim_ann_int8_eval(spark, str(out)).collect()}
     assert got[0]["recall_int8"] == 0.0 and got[0]["n_hits"] == 0
+
+
+# ------------------------------------------------------- link prediction
+def test_link_prediction_planted_path(spark, tmp_path_factory):
+    """Planted co-occurrence structure: tokens a,b always co-occur and
+    b,c always co-occur, but a,c co-occur below the 60% edge support —
+    the path graph a-b-c. The only wedge is (a, c) through b, so link
+    prediction must propose exactly (a, c) with cn=1, deg 1 and 1,
+    Jaccard 1.0 (union = {b})."""
+    from realtime_twitter_trends_analytics_spark.operators.graph import (
+        graph_link_prediction,
+    )
+
+    out = tmp_path_factory.mktemp("lp_sf")
+    # 20 docs; edge support threshold = 60% of 20 = 12 co-docs, and the
+    # stop cap drops tokens in > 90% of docs (> 18). Mix: 8 docs {a,b,c},
+    # 4 docs {a,b}, 4 docs {b,c}, 4 filler {d,e} ->
+    #   ab co-docs 12 (edge), bc 12 (edge), ac 8 (NO edge),
+    #   bbb df 16 <= 18 (survives the stop cap).
+    rows = []
+    i = 0
+    for _ in range(8):
+        rows.append((i, "aaa bbb ccc", "en", "s0", 11)); i += 1
+    for _ in range(4):
+        rows.append((i, "aaa bbb", "en", "s0", 7)); i += 1
+    for _ in range(4):
+        rows.append((i, "bbb ccc", "en", "s0", 7)); i += 1
+    for _ in range(4):
+        rows.append((i, "ddd eee", "en", "s0", 7)); i += 1
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    got = [r.asDict() for r in graph_link_prediction(spark, str(out)).collect()]
+    assert got == [
+        {
+            "tok_a": "aaa",
+            "tok_b": "ccc",
+            "cn": 1,
+            "deg_a": 1,
+            "deg_b": 1,
+            "jaccard": 1.0,
+        }
+    ]
+
+
+# ------------------------------------------------------------ bootstrap
+def test_bootstrap_ci_brackets_and_matches_python(spark, sf_dir):
+    """The replicate machinery re-done in pure Python (own md5 half-
+    sampling, own exact-integer means) must reproduce ci_lo/ci_hi
+    exactly; the interval must be ordered and n_events exact."""
+    import duckdb as _duck
+
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        BOOT_B,
+        stats_bootstrap_ci,
+    )
+
+    ev = _duck.sql(
+        f"SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    reps: dict[str, dict[int, list[int]]] = {}
+    for etype, eid, cents in ev:
+        for b in range(1, BOOT_B + 1):
+            nib = int(hashlib.md5(f"{eid}|{b}".encode()).hexdigest()[0], 16)
+            if nib < 8:
+                reps.setdefault(etype, {}).setdefault(b, []).append(cents)
+
+    got = {r["event_type"]: r.asDict() for r in stats_bootstrap_ci(spark, sf_dir).collect()}
+    for etype, by_b in reps.items():
+        means = sorted(
+            (_round_ratio_py(sum(v), len(v)), b) for b, v in by_b.items()
+        )
+        row = got[etype]
+        assert row["ci_lo"] == means[1][0]      # 2nd smallest
+        assert row["ci_hi"] == means[-2][0]     # 2nd largest
+        assert row["ci_lo"] <= row["ci_hi"]
+
+
+# ------------------------------------------------------------- seasonal
+def test_seasonal_decompose_planted_spike(spark, tmp_path_factory):
+    """Three full weeks of 2 events/day with one 9-event spike day: the
+    dow baseline for the spike's weekday is (2+2+9)/3, every other dow
+    expects 2.0, and the top deviating day must be the spike with
+    observed 9."""
+    import datetime as dt
+
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        events_seasonal_decompose,
+    )
+
+    out = tmp_path_factory.mktemp("seas_sf")
+    rows = []
+    eid = 0
+    spike = dt.date(2025, 3, 12)  # a Wednesday inside week 2
+    for day in range(3, 24):  # 2025-03-03 (Mon) .. 2025-03-23 (Sun): 3 weeks
+        date = dt.date(2025, 3, day)
+        n = 9 if date == spike else 2
+        for k in range(n):
+            rows.append(
+                (eid, dt.datetime(2025, 3, day, 10, k), eid % 5, "click", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = [r.asDict() for r in events_seasonal_decompose(spark, str(out)).collect()]
+    top = [r for r in got if r["rnk"] == 1][0]
+    assert top["day"] == spike and top["observed"] == 9
+    # spike dow baseline: (2 + 9 + 2) / 3
+    assert top["expected"] == _round_ratio_py(13, 3)
+
+
+# ------------------------------------------------------------- survival
+def test_survival_km_planted_curve(spark, tmp_path_factory):
+    """4 users: durations 1 (observed), 1 (observed), 2 (censored),
+    3 (observed). KM: S(1) = 1 - 2/4 = 0.5; at t=3 risk set is 1 with 1
+    event -> S(3) = 0.0 (the d = n guard). Hazards are exact ratios."""
+    import datetime as dt
+
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        events_survival_km,
+    )
+
+    out = tmp_path_factory.mktemp("km_sf")
+    rows = []
+    eid = 0
+
+    def ev(uid, etype, day):
+        nonlocal eid
+        rows.append(
+            (eid, dt.datetime(2025, 4, day, 9, 0), uid, etype, 1.0, "{}")
+        )
+        eid += 1
+
+    # all users first view on day 1; horizon set by user 9's view on day 3
+    for uid in (1, 2, 3, 4):
+        ev(uid, "view", 1)
+    ev(1, "purchase", 2)   # duration 1
+    ev(2, "purchase", 2)   # duration 1
+    ev(4, "purchase", 4)   # duration 3
+    ev(9, "view", 3)       # censored at horizon day 4 - day 3 = duration 1? no:
+    # horizon = max event date = day 4; user 3 censored with duration 3,
+    # user 9 censored with duration 1.
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {r["duration"]: r.asDict() for r in events_survival_km(spark, str(out)).collect()}
+    # t=1: risk 5 (all users), 2 events, 1 censored (user 9)
+    assert got[1]["n_risk"] == 5 and got[1]["d_events"] == 2
+    assert got[1]["hazard"] == _round_ratio_py(2, 5)
+    assert got[1]["survival"] == round(1 - 2 / 5, 4)
+    # t=3: risk 2 (users 3 and 4), 1 event -> S *= 1/2
+    assert got[3]["n_risk"] == 2 and got[3]["d_events"] == 1
+    assert got[3]["survival"] == round((1 - 2 / 5) * (1 - 1 / 2), 4)
