@@ -799,15 +799,18 @@ BOOT_B = 32     # bootstrap replicates (explode factor — map-side only)
 
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subsampling-bootstrap confidence interval for the mean event value
-    per event_type: BOOT_B deterministic half-subsamples (each event
-    joins replicate b iff the first md5 nibble of (event_id, b) < 8 —
-    the sticky-hash convention), one mean per replicate, CI = the 2nd
-    smallest / 2nd largest replicate mean (an empirical ~94% interval at
-    B=32 with pure integer ranks — no float percentile interpolation to
-    drift between engines). This is the one-pass, shuffle-light way to
-    put error bars on any streaming/pipeline metric at scale (the
-    Poisson-bootstrap family: Kleiner et al.'s bag of little bootstraps
-    is the same shape with per-bag reweighting).
+    per event_type: BOOT_B deterministic half-subsamples (event row joins
+    replicate b iff BIT b-1 of md5(event_id) is set — md5 bits are
+    independent uniform coin flips, so ONE hash per row serves all 32
+    replicates; hashing (event_id, b) per replicate would cost B md5
+    evaluations per row for the same statistics), one mean per
+    replicate, CI = the 2nd smallest / 2nd largest replicate mean (an
+    empirical ~94% interval at B=32 with pure integer ranks — no float
+    percentile interpolation to drift between engines). This is the
+    one-pass, shuffle-light way to put error bars on any
+    streaming/pipeline metric at scale (the Poisson-bootstrap family:
+    Kleiner et al.'s bag of little bootstraps is the same shape with
+    per-bag reweighting).
 
     Plan: ONE event scan exploded x BOOT_B map-side (no shuffle
     amplification: the (type, b) hash agg combines partials before the
@@ -817,21 +820,21 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate id, so the picked bounds are engine-identical."""
     e = load_table(spark, sf_dir, "events")
     d = dl.SPARK
+    # bit (b-1) of the 128-bit md5, addressed nibble-wise: hex char
+    # ((b-1) DIV 4) + 1, bit (b-1) % 4 inside it
+    nib = dl.hex_nibble(d, "substr(h, CAST(((b - 1) DIV 4) + 1 AS INT), 1)")
+    bitmask = (
+        "(CASE (b - 1) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 "
+        "ELSE 8 END)"
+    )
     rep = (
         e.select(
             "event_type",
-            "event_id",
+            F.expr("md5(CAST(event_id AS STRING))").alias("h"),
             F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
         )
         .withColumn("b", F.explode(F.expr(f"sequence(1, {BOOT_B})")))
-        .filter(
-            F.expr(
-                dl.md5_prefix_nibble(
-                    d, "CONCAT(CAST(event_id AS STRING), '|', CAST(b AS STRING))"
-                )
-            )
-            < 8
-        )
+        .filter(F.expr(f"(({nib}) DIV {bitmask}) % 2 = 1"))
         .groupBy("event_type", "b")
         .agg(F.count(F.lit(1)).alias("n_b"), F.sum("cents").alias("s_b"))
         .withColumn("mean_b", F.expr(dl.round_ratio(d, "s_b", "n_b")))
@@ -865,8 +868,10 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_bootstrap() -> str:
     d = dl.DUCK
-    nib = dl.md5_prefix_nibble(
-        d, "CAST(event_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)"
+    nib = dl.hex_nibble(d, "substr(h, CAST(((b - 1) // 4) + 1 AS INT), 1)")
+    bitmask = (
+        "(CASE (b - 1) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 "
+        "ELSE 8 END)"
     )
     return f"""
 WITH rep AS (
@@ -874,12 +879,12 @@ WITH rep AS (
     CAST(count(*) AS BIGINT) AS n_b,
     CAST(sum(cents) AS BIGINT) AS s_b
   FROM (
-    SELECT event_type, event_id,
+    SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS h,
       CAST(round(value * 100) AS BIGINT) AS cents,
       unnest(generate_series(1, {BOOT_B})) AS b
     FROM events
   )
-  WHERE ({nib}) < 8
+  WHERE (({nib}) // {bitmask}) % 2 = 1
   GROUP BY event_type, b
 ), means AS (
   SELECT event_type, b, {dl.round_ratio(d, 's_b', 'n_b')} AS mean_b FROM rep

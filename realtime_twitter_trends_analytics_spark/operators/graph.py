@@ -548,9 +548,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the edge list materializes once (localCheckpoint — thresholds
     and every round read it); each round is two node-sized hash aggs +
-    two semi-shaped equi-joins keyed by the node id, and re-materializes
-    (three consumers in the next round — the staging-tier lesson). The
-    scalar thresholds ride a 1-row broadcast side (the whitelisted
+    two semi-shaped equi-joins keyed by the node id, then
+    RE-MATERIALIZES (the next round has three consumers — the
+    staging-tier lesson). The alternative of checkpointing only the
+    node-sized keep-sets and leaving the edge chain lazy was measured
+    SLOWER (4.5 s vs 3.0-3.2 s warm at sf0.1): each later round re-runs
+    the full join chain once per consumer, and at 3 rounds x 3 consumers
+    that re-derivation overtakes the edge-relation serialization it
+    saves. Cost is dominated by the one-time edge build (lineitem x
+    orders join + distinct, ~3 s of the ~3.2 s total). The scalar
+    thresholds ride a 1-row broadcast side (the whitelisted
     scalar-aggregate pattern, see sql_q11). At 100 TB: edges
     shuffle-partition by node id; the per-round keep-sets are node-sized
     (orders of magnitude below edge-sized); rounds are a constant."""

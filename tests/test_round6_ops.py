@@ -297,9 +297,10 @@ def test_bootstrap_ci_brackets_and_matches_python(spark, sf_dir):
     ).fetchall()
     reps: dict[str, dict[int, list[int]]] = {}
     for etype, eid, cents in ev:
+        h = hashlib.md5(str(eid).encode()).hexdigest()
         for b in range(1, BOOT_B + 1):
-            nib = int(hashlib.md5(f"{eid}|{b}".encode()).hexdigest()[0], 16)
-            if nib < 8:
+            nib = int(h[(b - 1) // 4], 16)
+            if (nib >> ((b - 1) % 4)) & 1:
                 reps.setdefault(etype, {}).setdefault(b, []).append(cents)
 
     got = {r["event_type"]: r.asDict() for r in stats_bootstrap_ci(spark, sf_dir).collect()}
