@@ -147,6 +147,8 @@ HEADLINE = [
     "stats_bootstrap_ci",
     "events_seasonal_decompose",
     "events_survival_km",
+    "events_audience_overlap",
+    "events_trigram_paths",
 ]
 
 

@@ -971,6 +971,194 @@ ORDER BY event_type
 """
 
 
+# Fixed alphabetical bit assignment for the audience-overlap bitmask.
+AUD_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types (n_a, n_b, n_both,
+    Jaccard) — the segment-overlap matrix behind 'how much do purchasers
+    overlap with error-hitters'. The 100 TB trick: reduce each user to a
+    5-bit TYPE BITMASK (one user-keyed agg), then aggregate the <= 31-row
+    mask HISTOGRAM; every pairwise intersection/union is pure arithmetic
+    over that histogram — the FULL exact overlap matrix costs one scan +
+    one user-keyed agg + one 31-row readout, not C(types,2) distinct
+    self-joins. (This is the exact-counting analogue of the theta-sketch
+    intersection pattern; with |types| beyond ~20 the histogram widens
+    and HLL sketch intersections take over.)
+
+    The readout is the stats_correlation_matrix stack shape: ONE
+    aggregation row carrying every per-type and per-pair count, stacked
+    to pair rows. All integers; Jaccard is a round_ratio rational."""
+    e = load_table(spark, sf_dir, "events")
+    bit = "CASE " + " ".join(
+        f"WHEN event_type = '{t}' THEN {1 << i}" for i, t in enumerate(AUD_TYPES)
+    ) + " ELSE 0 END"
+    masks = (
+        e.select("user_id", F.expr(bit).alias("b"))
+        .groupBy("user_id")
+        .agg(F.expr("sum(DISTINCT b)").alias("mask"))
+    )
+    hist = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
+    aggs = []
+    for i, t in enumerate(AUD_TYPES):
+        aggs.append(
+            F.sum(
+                F.when(F.expr(f"(mask DIV {1 << i}) % 2 = 1"), F.col("cnt")).otherwise(0)
+            ).alias(f"n_{t}")
+        )
+    pairs = [
+        (AUD_TYPES[i], AUD_TYPES[j], i, j)
+        for i in range(len(AUD_TYPES))
+        for j in range(i + 1, len(AUD_TYPES))
+    ]
+    for ta, tb, i, j in pairs:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.expr(
+                        f"(mask DIV {1 << i}) % 2 = 1 AND (mask DIV {1 << j}) % 2 = 1"
+                    ),
+                    F.col("cnt"),
+                ).otherwise(0)
+            ).alias(f"nb_{ta}__{tb}")
+        )
+    one = hist.agg(*aggs)
+    d = dl.SPARK
+
+    # empty-union guard (repo CASE-den=0 convention): a type pair with no
+    # members in either audience has Jaccard 0.0, not a division error
+    def jac(ta: str, tb: str) -> str:
+        den = f"(n_{ta} + n_{tb} - nb_{ta}__{tb})"
+        return (
+            f"CASE WHEN {den} = 0 THEN 0.0 "
+            f"ELSE {dl.round_ratio(d, f'nb_{ta}__{tb}', den)} END"
+        )
+    stack_args = ", ".join(
+        f"'{ta}', '{tb}', n_{ta}, n_{tb}, nb_{ta}__{tb}, {jac(ta, tb)}"
+        for ta, tb, _, _ in pairs
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) "
+            "AS (type_a, type_b, n_a, n_b, n_both, jaccard)"
+        )
+    )
+
+
+def _oracle_audience_overlap() -> str:
+    d = dl.DUCK
+    bit = "CASE " + " ".join(
+        f"WHEN event_type = '{t}' THEN {1 << i}" for i, t in enumerate(AUD_TYPES)
+    ) + " ELSE 0 END"
+    pairs = [
+        (AUD_TYPES[i], AUD_TYPES[j], i, j)
+        for i in range(len(AUD_TYPES))
+        for j in range(i + 1, len(AUD_TYPES))
+    ]
+    cols = []
+    for i, t in enumerate(AUD_TYPES):
+        cols.append(
+            f"CAST(sum(CASE WHEN (mask // {1 << i}) % 2 = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_{t}"
+        )
+    for ta, tb, i, j in pairs:
+        cols.append(
+            f"CAST(sum(CASE WHEN (mask // {1 << i}) % 2 = 1 AND (mask // {1 << j}) % 2 = 1 "
+            f"THEN cnt ELSE 0 END) AS BIGINT) AS nb_{ta}__{tb}"
+        )
+    def jac(ta: str, tb: str) -> str:
+        den = f"(n_{ta} + n_{tb} - nb_{ta}__{tb})"
+        return (
+            f"CASE WHEN {den} = 0 THEN 0.0 "
+            f"ELSE {dl.round_ratio(d, f'nb_{ta}__{tb}', den)} END"
+        )
+
+    rows = " UNION ALL ".join(
+        f"SELECT '{ta}' AS type_a, '{tb}' AS type_b, n_{ta} AS n_a, n_{tb} AS n_b, "
+        f"nb_{ta}__{tb} AS n_both, "
+        f"{jac(ta, tb)} AS jaccard "
+        "FROM one"
+        for ta, tb, _, _ in pairs
+    )
+    return f"""
+WITH masks AS (
+  SELECT user_id, CAST(sum(DISTINCT {bit}) AS BIGINT) AS mask
+  FROM events GROUP BY user_id
+), hist AS (
+  SELECT mask, CAST(count(*) AS BIGINT) AS cnt FROM masks GROUP BY mask
+), one AS (
+  SELECT {', '.join(cols)} FROM hist
+)
+{rows}
+"""
+
+
+TRIGRAM_TOP = 10
+
+
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user paths of three consecutive event types (the 'what journey
+    leads to X' Sankey surface) — extends the first-order Markov matrix
+    (events_markov_transitions) to order-2 context with the SAME plan
+    shape: one user-keyed shuffle for the two lag windows, one hash agg
+    on the path string. Share is an exact integer ratio of path count to
+    total trigram count; the total rides a single-partition window over
+    the path-domain rows (<= |types|^3, constant-sized at any corpus
+    scale). Ordering ties break alphabetically on the path."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lag("event_type", 2).over(w).alias("t0"),
+            F.lag("event_type", 1).over(w).alias("t1"),
+            F.col("event_type").alias("t2"),
+        )
+        .filter(F.col("t0").isNotNull() & F.col("t1").isNotNull())
+        .select(
+            F.concat_ws(">", "t0", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d = dl.SPARK
+    return (
+        tri.withColumn("total", F.expr("sum(n) OVER ()"))
+        .select(
+            "path",
+            "n",
+            F.expr(dl.round_ratio(d, "n", "total")).alias("share"),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(TRIGRAM_TOP)
+    )
+
+
+def _oracle_trigram_paths() -> str:
+    d = dl.DUCK
+    return f"""
+WITH tri AS (
+  SELECT
+    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t0,
+    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+    event_type AS t2
+  FROM events
+), paths AS (
+  SELECT t0 || '>' || t1 || '>' || t2 AS path, CAST(count(*) AS BIGINT) AS n
+  FROM tri WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n, {dl.round_ratio(d, 'n', 'total')} AS share
+FROM (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS total FROM paths)
+ORDER BY n DESC, path
+LIMIT {TRIGRAM_TOP}
+"""
+
+
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition matrix (first-order Markov): count
     consecutive (prev -> next) pairs via one lag window, then row-normalize
@@ -1270,6 +1458,8 @@ LIMIT {MB_TOP}
 
 QUERIES = {
     "market_basket_rules": market_basket_rules,
+    "events_audience_overlap": events_audience_overlap,
+    "events_trigram_paths": events_trigram_paths,
     "events_cdc_state": events_cdc_state,
     "events_attribution": events_attribution,
     "events_hll_rollup": events_hll_rollup,
@@ -1297,6 +1487,8 @@ QUERIES = {
 
 ORACLES = {
     "market_basket_rules": _oracle_market_basket(),
+    "events_audience_overlap": _oracle_audience_overlap(),
+    "events_trigram_paths": _oracle_trigram_paths(),
     "events_cdc_state": _oracle_cdc_state(),
     "events_attribution": _oracle_attribution(),
     "events_markov_transitions": _oracle_markov(),

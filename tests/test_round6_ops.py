@@ -396,3 +396,69 @@ def test_survival_km_planted_curve(spark, tmp_path_factory):
     # t=3: risk 2 (users 3 and 4), 1 event -> S *= 1/2
     assert got[3]["n_risk"] == 2 and got[3]["d_events"] == 1
     assert got[3]["survival"] == round((1 - 2 / 5) * (1 - 1 / 2), 4)
+
+
+# ------------------------------------------------------ audience overlap
+def test_audience_overlap_planted_masks(spark, tmp_path_factory):
+    """4 users with known type sets: view={1,2,4}, purchase={1,3,4},
+    click={4}. The (purchase, view) overlap must read n_both=2,
+    jaccard=2/4; (click, view) reads 1/3."""
+    import datetime as dt
+
+    from realtime_twitter_trends_analytics_spark.operators.relational_ext import (
+        events_audience_overlap,
+    )
+
+    out = tmp_path_factory.mktemp("aud_sf")
+    rows, eid = [], 0
+    plan = {1: ["view", "purchase"], 2: ["view"], 3: ["purchase"],
+            4: ["view", "purchase", "click"]}
+    for uid, types in plan.items():
+        for t in types:
+            rows.append((eid, dt.datetime(2025, 5, 1, 8, eid % 60), uid, t, 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {(r["type_a"], r["type_b"]): r.asDict()
+           for r in events_audience_overlap(spark, str(out)).collect()}
+    pv = got[("purchase", "view")]
+    assert (pv["n_a"], pv["n_b"], pv["n_both"]) == (3, 3, 2)
+    assert pv["jaccard"] == _round_ratio_py(2, 4)
+    cv = got[("click", "view")]
+    assert (cv["n_a"], cv["n_b"], cv["n_both"]) == (1, 3, 1)
+    assert cv["jaccard"] == _round_ratio_py(1, 3)
+
+
+# -------------------------------------------------------- trigram paths
+def test_trigram_paths_planted_sequences(spark, tmp_path_factory):
+    """u1 emits view,click,purchase,view (paths v>c>p and c>p>v); u2
+    emits view,click,purchase (path v>c>p). Counts: v>c>p = 2,
+    c>p>v = 1; shares 2/3 and 1/3."""
+    import datetime as dt
+
+    from realtime_twitter_trends_analytics_spark.operators.relational_ext import (
+        events_trigram_paths,
+    )
+
+    out = tmp_path_factory.mktemp("tri_sf")
+    rows, eid = [], 0
+    for uid, seq in ((1, ["view", "click", "purchase", "view"]),
+                     (2, ["view", "click", "purchase"])):
+        for k, t in enumerate(seq):
+            rows.append((eid, dt.datetime(2025, 5, 2, 9, k), uid, t, 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    got = {r["path"]: r.asDict() for r in events_trigram_paths(spark, str(out)).collect()}
+    assert got["view>click>purchase"]["n"] == 2
+    assert got["view>click>purchase"]["share"] == _round_ratio_py(2, 3)
+    assert got["click>purchase>view"]["n"] == 1
+    assert got["click>purchase>view"]["share"] == _round_ratio_py(1, 3)
