@@ -149,6 +149,7 @@ HEADLINE = [
     "events_survival_km",
     "events_audience_overlap",
     "events_trigram_paths",
+    "ml_logreg_irls",
 ]
 
 

@@ -781,7 +781,123 @@ FROM {last} v
 """
 
 
+# ------------------------------------------------------ logistic regression
+LOGREG_ITERS = 3          # unrolled Newton (IRLS) steps from beta = 0
+LOGREG_SCALE = 10**9      # fixed-point quantization of per-row contributions
+LOGREG_EPS = "1e-12"      # probability clamp for the log-loss readout
+
+
+def _logreg_sql() -> str:
+    """ONE portable SQL string both engines run VERBATIM (the sql_battery
+    parity pattern — no dialect split at all): logistic regression of
+    'event is a purchase' on (intercept, value, hour-of-day), trained by
+    LOGREG_ITERS unrolled Newton/IRLS steps entirely inside the engine.
+
+    Determinism (the ml.py fixed-point discipline): each row's gradient
+    and Hessian contributions are computed in double from EXACT inputs
+    (cents BIGINT / 1e4, hour / 24, beta carried exactly from the
+    previous step), then floor-quantized to BIGINT at LOGREG_SCALE
+    BEFORE the sum — so the aggregation is order-independent and
+    bit-equal across engines and partitionings (a raw double sum would
+    drift in the last ulp per partitioning). exp/ln on identical doubles
+    are engine-identical here (the textstats_zipf_fit / events_survival_km
+    transcendental-parity precedent). The Newton step solves the 3x3
+    system by Cramer's rule — closed-form doubles from the exact sums.
+    Quantized sums stay inside BIGINT to ~9e9 rows x |contribution|<=1;
+    past that, promote to DECIMAL(38,0) (repo convention).
+
+    Scale: each iteration is ONE corpus scan aggregated map-side to 10
+    integers (n, 3 gradient, 6 Hessian entries) against a 1-row beta
+    broadcast — the sufficient-statistic pattern shared with
+    ml_normal_equations/PCA; iterations are a fixed constant."""
+    s = LOGREG_SCALE
+    q = lambda expr: f"CAST(floor(({expr}) * {s}) AS BIGINT)"  # noqa: E731
+    xs = {"0": "1.0", "1": "x1", "2": "x2"}
+    ctes = [
+        """feat AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 10000.0 AS x1,
+    CAST(hour(ts) AS DOUBLE) / 24.0 AS x2
+  FROM events
+)""",
+        "it0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1, CAST(0.0 AS DOUBLE) AS b2)",
+    ]
+    for k in range(1, LOGREG_ITERS + 1):
+        gsums = ", ".join(
+            f"sum({q(f'(y - p) * {xs[j]}')}) AS qg{j}" for j in xs
+        )
+        hsums = ", ".join(
+            f"sum({q(f'p * (1.0 - p) * {xs[j]} * {xs[jj]}')}) AS qh{j}{jj}"
+            for j in xs
+            for jj in xs
+            if j <= jj
+        )
+        ctes.append(
+            f"""p{k} AS (
+  SELECT f.y AS y, f.x1 AS x1, f.x2 AS x2,
+    1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) AS p,
+    b.b0 AS b0, b.b1 AS b1, b.b2 AS b2
+  FROM feat f CROSS JOIN it{k - 1} b
+), a{k} AS (
+  SELECT count(*) AS n, min(b0) AS b0, min(b1) AS b1, min(b2) AS b2,
+    {gsums},
+    {hsums}
+  FROM p{k}
+), it{k} AS (
+  SELECT b0 + CASE WHEN det = 0.0 THEN 0.0 ELSE
+      (g0*(h11*h22 - h12*h12) - h01*(g1*h22 - h12*g2) + h02*(g1*h12 - h11*g2)) / det END AS b0,
+    b1 + CASE WHEN det = 0.0 THEN 0.0 ELSE
+      (h00*(g1*h22 - h12*g2) - g0*(h01*h22 - h12*h02) + h02*(h01*g2 - g1*h02)) / det END AS b1,
+    b2 + CASE WHEN det = 0.0 THEN 0.0 ELSE
+      (h00*(h11*g2 - g1*h12) - h01*(h01*g2 - g1*h02) + g0*(h01*h12 - h11*h02)) / det END AS b2
+  FROM (
+    SELECT b0, b1, b2, g0, g1, g2, h00, h01, h02, h11, h12, h22,
+      h00*(h11*h22 - h12*h12) - h01*(h01*h22 - h12*h02) + h02*(h01*h12 - h11*h02) AS det
+    FROM (
+      SELECT b0, b1, b2,
+        CAST(qg0 AS DOUBLE) / {s} AS g0, CAST(qg1 AS DOUBLE) / {s} AS g1,
+        CAST(qg2 AS DOUBLE) / {s} AS g2,
+        CAST(qh00 AS DOUBLE) / {s} AS h00, CAST(qh01 AS DOUBLE) / {s} AS h01,
+        CAST(qh02 AS DOUBLE) / {s} AS h02, CAST(qh11 AS DOUBLE) / {s} AS h11,
+        CAST(qh12 AS DOUBLE) / {s} AS h12, CAST(qh22 AS DOUBLE) / {s} AS h22
+      FROM a{k}
+    )
+  )
+)"""
+        )
+    kf = LOGREG_ITERS
+    eps = LOGREG_EPS
+    return f"""
+WITH {', '.join(ctes)},
+final_p AS (
+  SELECT f.y AS y,
+    greatest({eps}, least(1.0 - {eps},
+      1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))))) AS p
+  FROM feat f CROSS JOIN it{kf} b
+), loss AS (
+  SELECT count(*) AS n_rows,
+    sum(CAST(floor((-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) * {s}) AS BIGINT)) AS ql
+  FROM final_p
+)
+SELECT CAST(l.n_rows AS BIGINT) AS n_rows,
+  round(b.b0, 6) AS b_intercept,
+  round(b.b1, 6) AS b_value,
+  round(b.b2, 6) AS b_hour,
+  round(CAST(l.ql AS DOUBLE) / {s} / l.n_rows, 6) AS mean_log_loss
+FROM it{kf} b CROSS JOIN loss l
+"""
+
+
+def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_logreg_sql())
+
+
+ml_logreg_irls.__doc__ = _logreg_sql.__doc__
+
+
 QUERIES = {
+    "ml_logreg_irls": ml_logreg_irls,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
     "ml_negative_samples": ml_negative_samples,
     "ml_normal_equations": ml_normal_equations,
@@ -791,6 +907,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ml_logreg_irls": _logreg_sql(),
     "ml_kmeans_embeddings": _oracle_kmeans(),
     "ml_negative_samples": _oracle_negative_samples(),
     "ml_normal_equations": _oracle_normal_equations(),

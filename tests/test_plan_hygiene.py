@@ -57,6 +57,9 @@ CARTESIAN_OK = {
     "events_rolling_dau": "day-grid x user-days range join: the grid side "
     "is |distinct days| rows (bounded by the calendar), broadcast NLJ is "
     "the intended plan; at scale bucketize day into an equi-key (SCALE.md)",
+    "ml_logreg_irls": "each Newton step crosses the scan with the 1-row "
+    "beta relation (scalar-aggregate pattern) — the sufficient-statistic "
+    "broadcast every iteration reads",
     "events_survival_km": "the censoring horizon (max corpus date) rides "
     "a 1-row broadcast side (scalar-aggregate pattern); the per-user "
     "first-view/first-purchase joins are user-keyed equi-joins",

@@ -462,3 +462,65 @@ def test_trigram_paths_planted_sequences(spark, tmp_path_factory):
     assert got["view>click>purchase"]["share"] == _round_ratio_py(2, 3)
     assert got["click>purchase>view"]["n"] == 1
     assert got["click>purchase>view"]["share"] == _round_ratio_py(1, 3)
+
+
+# ------------------------------------------------------------- logreg
+def test_logreg_irls_matches_unquantized_python(spark, sf_dir):
+    """Pure-Python UNQUANTIZED Newton/IRLS with the same Cramer solve must
+    land within 1e-5 of the engine's fixed-point betas (per-row floor
+    quantization at 1e-9 bounds the gradient/Hessian error by n/1e9, so
+    the solves stay this close) — pinning that the quantization buys
+    determinism without distorting the model. Plus the semantic floor:
+    the fit must beat chance (mean log-loss < ln 2) and the minority-
+    class intercept must be negative."""
+    import duckdb as _duck
+
+    from realtime_twitter_trends_analytics_spark.operators.ml import (
+        LOGREG_ITERS,
+        ml_logreg_irls,
+    )
+
+    rows = _duck.sql(
+        f"SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END, "
+        f"CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 10000.0, "
+        f"CAST(hour(ts) AS DOUBLE) / 24.0 "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    b = [0.0, 0.0, 0.0]
+    for _ in range(LOGREG_ITERS):
+        g = [0.0] * 3
+        h = {}
+        for y, x1, x2 in rows:
+            xs = (1.0, x1, x2)
+            p = 1.0 / (1.0 + math.exp(-(b[0] + b[1] * x1 + b[2] * x2)))
+            w = p * (1.0 - p)
+            for j in range(3):
+                g[j] += (y - p) * xs[j]
+                for k in range(j, 3):
+                    h[(j, k)] = h.get((j, k), 0.0) + w * xs[j] * xs[k]
+        h00, h01, h02 = h[(0, 0)], h[(0, 1)], h[(0, 2)]
+        h11, h12, h22 = h[(1, 1)], h[(1, 2)], h[(2, 2)]
+        det = (
+            h00 * (h11 * h22 - h12 * h12)
+            - h01 * (h01 * h22 - h12 * h02)
+            + h02 * (h01 * h12 - h11 * h02)
+        )
+        b = [
+            b[0]
+            + (g[0] * (h11 * h22 - h12 * h12) - h01 * (g[1] * h22 - h12 * g[2])
+               + h02 * (g[1] * h12 - h11 * g[2])) / det,
+            b[1]
+            + (h00 * (g[1] * h22 - h12 * g[2]) - g[0] * (h01 * h22 - h12 * h02)
+               + h02 * (h01 * g[2] - g[1] * h02)) / det,
+            b[2]
+            + (h00 * (h11 * g[2] - g[1] * h12) - h01 * (h01 * g[2] - g[1] * h02)
+               + g[0] * (h01 * h12 - h11 * h02)) / det,
+        ]
+
+    got = ml_logreg_irls(spark, sf_dir).collect()[0].asDict()
+    assert got["n_rows"] == len(rows)
+    assert abs(got["b_intercept"] - b[0]) < 1e-5
+    assert abs(got["b_value"] - b[1]) < 1e-5
+    assert abs(got["b_hour"] - b[2]) < 1e-5
+    assert got["mean_log_loss"] < math.log(2.0)   # beats chance
+    assert got["b_intercept"] < 0                 # purchase is the minority

@@ -12,6 +12,10 @@ embeddings tables and records wall time + shuffle bytes for:
                            banded self-join)
   - dedup_clusters        (pairs -> symmetric closure -> label propagation)
   - sim_lsh_ann           (multi-probe LSH candidate join + per-query top-k)
+  - graph_kcore           (round 6: iterative bipartite degree peeling —
+                           the edge build + 3 checkpointed rounds)
+  - market_basket_rules   (round 6: basket arrays + map-side pair fan-out)
+  - docs_ngram_novelty    (round 6: shingle df join-back, the tf-idf shape)
 
 Scale-up construction: K disjoint SHARDS. Copy k offsets every doc_id /
 vec_id and suffixes every token with "x{k}", so copies share NO shingle
@@ -51,9 +55,16 @@ WORK = "/tmp/scale_smoke"
 
 
 def build_scale(spark: SparkSession, k: int) -> str:
-    """K disjoint-vocabulary shard copies of sf0.1 documents+embeddings."""
+    """K disjoint-shard copies of sf0.1: documents+embeddings (disjoint
+    token vocabularies / offset ids) plus the lineitem/orders/part slice
+    the round-6 graph/basket operators read (all keys offset per shard,
+    so shard k is an isomorphic copy sharing no customers, suppliers,
+    orders, or parts; p_brand is NOT offset — rule semantics need the
+    shared brand dimension, and identical disjoint shards leave every
+    rule's support/confidence/lift invariant while pair counts grow Kx).
+    """
     out = f"{WORK}/x{k}"
-    if os.path.exists(f"{out}/_OK"):
+    if os.path.exists(f"{out}/_OK2"):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -95,7 +106,55 @@ def build_scale(spark: SparkSession, k: int) -> str:
         alle = alle.union(p)
     alld.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
     alle.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
-    open(f"{out}/_OK", "w").write("ok")
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{BASE}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    part = spark.read.parquet(f"{BASE}/part.parquet").select("p_partkey", "p_brand")
+    n_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    n_cust = orders.agg(F.max("o_custkey")).first()[0] + 1
+    n_supp = li.agg(F.max("l_suppkey")).first()[0] + 1
+    n_part = part.agg(F.max("p_partkey")).first()[0] + 1
+    li_parts, ord_parts, part_parts = [], [], []
+    for i in range(k):
+        li_parts.append(
+            li.select(
+                (F.col("l_orderkey") + i * n_ord).alias("l_orderkey"),
+                (F.col("l_partkey") + i * n_part).alias("l_partkey"),
+                (F.col("l_suppkey") + i * n_supp).alias("l_suppkey"),
+            )
+        )
+        ord_parts.append(
+            orders.select(
+                (F.col("o_orderkey") + i * n_ord).alias("o_orderkey"),
+                (F.col("o_custkey") + i * n_cust).alias("o_custkey"),
+            )
+        )
+        part_parts.append(
+            part.select(
+                (F.col("p_partkey") + i * n_part).alias("p_partkey"), "p_brand"
+            )
+        )
+
+    def _union(parts):
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.union(p)
+        return acc
+
+    _union(li_parts).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet"
+    )
+    _union(ord_parts).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/orders.parquet"
+    )
+    _union(part_parts).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/part.parquet"
+    )
+    open(f"{out}/_OK2", "w").write("ok")
     return out
 
 
@@ -118,13 +177,25 @@ def main() -> int:
         dedup_clusters,
         dedup_minhash_pairs,
     )
+    from realtime_twitter_trends_analytics_spark.operators.graph import graph_kcore
+    from realtime_twitter_trends_analytics_spark.operators.relational_ext import (
+        market_basket_rules,
+    )
     from realtime_twitter_trends_analytics_spark.operators.similarity import sim_lsh_ann
+    from realtime_twitter_trends_analytics_spark.operators.textstats import (
+        docs_ngram_novelty,
+    )
     from realtime_twitter_trends_analytics_spark.session import apply_runtime_confs
 
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "true")
+        # x10 runs 10x the bench working set through 32 local threads in
+        # one JVM; the package's 8g default (sized for sf0.1) OOMed in
+        # graph_kcore's edge checkpoint at x10. A real cluster spreads
+        # this over executors; locally, give the single JVM headroom.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .appName("scale-smoke")
         .getOrCreate()
     )
@@ -137,7 +208,8 @@ def main() -> int:
     from realtime_twitter_trends_analytics_spark.operators import dedup as _dedup
 
     warm_dir = build_scale(spark, args.scales[0])
-    for fn in (dedup_minhash_pairs, dedup_clusters, sim_lsh_ann):
+    for fn in (dedup_minhash_pairs, dedup_clusters, sim_lsh_ann,
+               graph_kcore, market_basket_rules, docs_ngram_novelty):
         fn(spark, warm_dir).count()
         spark.catalog.clearCache()
     _dedup._PAIRS_MEMO.clear()
@@ -150,13 +222,32 @@ def main() -> int:
             ("dedup_minhash_pairs", dedup_minhash_pairs),
             ("dedup_clusters", dedup_clusters),
             ("sim_lsh_ann", sim_lsh_ann),
+            ("graph_kcore", graph_kcore),
+            ("market_basket_rules", market_basket_rules),
+            ("docs_ngram_novelty", docs_ngram_novelty),
         ]:
-            spark.catalog.clearCache()
-            sb0 = shuffle_write_bytes(spark)
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            sb = shuffle_write_bytes(spark) - sb0
+            # min-of-3 (stronger than bench's min-of-2 — this report is
+            # about RATIOS, and one GC pause fakes a super-linearity);
+            # between attempts: drop python refs and force a JVM GC so
+            # ContextCleaner unpersists dead localCheckpoint blocks —
+            # accumulated checkpoint blocks from earlier ops otherwise
+            # build heap pressure that surfaced as 6x one-off readings.
+            import gc as _gc
+
+            dt, sb, n = None, None, None
+            for attempt in range(3):
+                if name == "dedup_minhash_pairs":
+                    _dedup._PAIRS_MEMO.clear()  # re-pay the staging build
+                spark.catalog.clearCache()
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                sb0 = shuffle_write_bytes(spark)
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                dt1 = time.time() - t0
+                sb1 = shuffle_write_bytes(spark) - sb0
+                if dt is None or dt1 < dt:
+                    dt, sb = dt1, sb1
             row[name] = {
                 "sec": round(dt, 2),
                 "shuffle_mb": round(sb / 1e6, 2),
@@ -173,7 +264,10 @@ def main() -> int:
 
 
 def write_report(path: str, results: list[dict]) -> None:
-    ops = ["dedup_minhash_pairs", "dedup_clusters", "sim_lsh_ann"]
+    ops = [
+        "dedup_minhash_pairs", "dedup_clusters", "sim_lsh_ann",
+        "graph_kcore", "market_basket_rules", "docs_ngram_novelty",
+    ]
     lines = [
         "# SCALE_SMOKE — measured scaling of the headline pairwise operators",
         "",
