@@ -754,7 +754,7 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("day").alias("split_day"),
-            F.col("t").alias("days_before"),
+            F.col("t").cast("bigint").alias("days_before"),
             F.col("n").alias("n_days"),
             F.expr(dl.round_ratio(d, "s_t", "t")).alias("mean_before"),
             F.expr(dl.round_ratio(d, "(s_n - s_t)", "(n - t)")).alias("mean_after"),

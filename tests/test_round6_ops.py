@@ -481,7 +481,7 @@ def test_logreg_irls_matches_unquantized_python(spark, sf_dir):
     )
 
     rows = _duck.sql(
-        f"SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END, "
+        f"SELECT CAST(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS DOUBLE), "
         f"CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) / 10000.0, "
         f"CAST(hour(ts) AS DOUBLE) / 24.0 "
         f"FROM '{sf_dir}/events.parquet'"
