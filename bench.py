@@ -16,7 +16,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from realtime_twitter_trends_analytics_spark.registry import all_queries, all_staging
+from realtime_twitter_trends_analytics_spark.registry import (
+    all_bench_only,
+    all_queries,
+    all_staging,
+)
 from realtime_twitter_trends_analytics_spark.session import get_spark
 
 HEADLINE = [
@@ -150,6 +154,13 @@ HEADLINE = [
     "events_audience_overlap",
     "events_trigram_paths",
     "ml_logreg_irls",
+    # round-7: production sketch-only twins of the oracle-gated eval
+    # forms (registry.all_bench_only — benched, not correctness-gated):
+    # the eval forms carry in-plan bound checks (second scan + verify
+    # join) that roughly double/triple their cost; these lines price
+    # what ships.
+    "percentiles_approx_prod",
+    "events_hll_rollup_prod",
 ]
 
 
@@ -297,7 +308,7 @@ def main() -> None:
         headline = [n for n in HEADLINE if n in set(names)]
     skip = set(os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(","))
     spark = get_spark("rtta-bench")
-    queries = all_queries()
+    queries = {**all_queries(), **all_bench_only()}
 
     # Staging-relation builds FIRST, each as its own named line (VERDICT
     # r5 item 3): these are memoized per application, so whichever query

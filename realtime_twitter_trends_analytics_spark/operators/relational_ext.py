@@ -197,6 +197,40 @@ FROM lineitem GROUP BY 1
 """
 
 
+def percentiles_approx_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of `percentiles_approx`: ONE scan, ONE hash agg of
+    Greenwald-Khanna partial sketches, emit the approx values — what a
+    deployment actually runs. The eval form above adds a second scan +
+    broadcast join to verify the GK rank bound in-plan (that's what made
+    it oracle-checkable in round 6, and what its bench line prices);
+    this form is the sketch-only plan whose cost is the 100 TB story.
+    Bench-only (registry.all_bench_only): the approx values are
+    engine-specific, so there is no value oracle — correctness of the
+    sketch path is gated by the eval form's rank-bound booleans."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_extendedprice", "l_quantity"
+    )
+    pct = F.expr(
+        f"approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), {APPROX_PCT_ACCURACY})"
+    )
+    return (
+        l.groupBy("l_linestatus")
+        .agg(
+            pct.alias("pct"),
+            F.expr(
+                f"approx_percentile(l_quantity, 0.5, {APPROX_PCT_ACCURACY})"
+            ).alias("v_qty50"),
+        )
+        .select(
+            "l_linestatus",
+            F.col("pct")[0].alias("v_price50"),
+            F.col("pct")[1].alias("v_price90"),
+            F.col("pct")[2].alias("v_price99"),
+            "v_qty50",
+        )
+    )
+
+
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
@@ -969,6 +1003,34 @@ SELECT r.event_type, r.n_days, x.exact_users, r.naive_daily_sum,
 FROM rolled r JOIN exact x USING (event_type)
 ORDER BY event_type
 """
+
+
+def events_hll_rollup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of `events_hll_rollup`: daily HLL partials union
+    up to the per-type estimate — sketches only, no exact
+    count_distinct columns riding the shuffles (those are the round-6
+    eval harness that made the rollup oracle-checkable, and they tripled
+    its bench cost: exact distinct shuffles raw user_ids, the sketch
+    shuffles lgK=12 partials). This is the plan an incremental 100 TB
+    cube maintains: persist the daily sketch partials, answer coarser
+    grains by union, never re-scan raw events. Bench-only
+    (registry.all_bench_only): sketch estimates are
+    DataSketches-specific, so value correctness is gated by the eval
+    form's within-5% booleans."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(round(hll_sketch_estimate(hll_union_agg(sk))) AS BIGINT)"
+            ).alias("est_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
 
 
 # Fixed alphabetical bit assignment for the audience-overlap bitmask.

@@ -78,11 +78,30 @@ def all_staging() -> dict[str, QueryFn]:
         "capped_shingles": dedup.capped_shingle_staging,
         "minhash_pairs": dedup.dedup_minhash_pairs,
         "cooc_edges": graph._cooc_edges,
+        # quantized_vectors FIRST among the vector builds: it is their
+        # shared scan (round-7 memoization — VERDICT r6 item 7), so its
+        # one-time materialization cost gets its own line instead of
+        # riding whichever consumer builds first.
+        "quantized_vectors": ml.quantized_vectors,
         "kmeans_cells": similarity.kmeans_cell_assignment,
         "bigram_instances": textstats.bigram_instance_staging,
         "dsir_instances": cleaning.dsir_instance_staging,
         "kmeans_codebook": ml.kmeans_centroids,
         "pq_codebook": lambda s, d: ml.pq_trained(s, d)[1],
+    }
+
+
+def all_bench_only() -> dict[str, QueryFn]:
+    """Production-plan variants benched but NOT in the driver correctness
+    gate: each is the sketch-only / verification-free form of an
+    oracle-gated eval query (the eval twin carries the in-plan bound
+    checks that make the sketch path oracle-checkable; these price the
+    plan a deployment actually runs). Kept out of all_queries() so the
+    gate stays 100% value-oracled — a rows-only registry entry would be
+    a weaker check pretending to be coverage."""
+    return {
+        "percentiles_approx_prod": relational_ext.percentiles_approx_prod,
+        "events_hll_rollup_prod": relational_ext.events_hll_rollup_prod,
     }
 
 
