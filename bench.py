@@ -154,6 +154,13 @@ HEADLINE = [
     "events_audience_overlap",
     "events_trigram_paths",
     "ml_logreg_irls",
+    # round-7 additions: governance / retrieval / sketch operators
+    "profile_documents",
+    "quality_constraint_checks",
+    "customers_rfm_segments",
+    "docs_readability",
+    "docs_heavy_hitters",
+    "retrieval_rrf_fusion",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -1532,7 +1532,158 @@ FROM ranked GROUP BY query_id
 """
 
 
+# ---------------------------------------------------------------- RRF fusion
+RRF_K = 60        # standard reciprocal-rank-fusion constant
+RRF_POOL = 50     # per-ranker pool depth fed into the fusion
+RRF_TOP = 20
+
+
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a LEXICAL ranking
+    (BM25 over the fixed textstats.BM25_QUERY term set, the corpus
+    statistics pipeline textstats_bm25 ships) and a DENSE ranking
+    (cosine of every vector against query vector 0 — doc_id and vec_id
+    are 1:1 in this corpus) are each cut to a RRF_POOL-deep list, then
+    fused: rrf = sum over lists of 1/(K + rank). The standard hybrid
+    search join (Cormack et al.'s RRF), done as TWO bounded rankings +
+    one POOL-sized full-outer join — fusion never touches corpus-sized
+    relations.
+
+    Scale: the lexical side is posting-list-bounded (terms are filtered
+    BEFORE any agg, same plan as textstats_bm25); the dense side is the
+    brute-force baseline whose production form is any of the ANN
+    variants (sim_lsh_ann / sim_ivf_* — same (id, rank) contract, so
+    the fusion composes with them unchanged); both rank windows
+    partition by nothing over <=POOL rows only after per-ranker
+    TakeOrdered cuts. Ranks are exact integers; the rrf double is the
+    same two-term IEEE expression in both engines."""
+    from .textstats import BM25_B, BM25_K1, BM25_QUERY
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl_"), F.explode("toks").alias("token"))
+    qtok = toks.filter(F.col("token").isin(*BM25_QUERY))
+    tf = qtok.groupBy("doc_id", "dl_", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        docs.select(F.size(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("dl_"))
+        .agg(F.sum("dl_").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()[0]
+    )
+    n_docs, avgdl_val = stats["c"], stats["s"] / stats["c"]
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl_") / F.lit(avgdl_val))
+    )
+    lex = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .withColumn("term_score", idf * tf_part)
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("bm25"))
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        )
+        .filter(F.col("lex_rank") <= RRF_POOL)
+        .select("doc_id", "lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
+    )
+    dense = (
+        F.broadcast(q)
+        .crossJoin(
+            emb.filter(F.col("vec_id") != 0).select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding").alias("cv"),
+                F.expr(norm_sql(dl.SPARK, "embedding")).alias("cnorm"),
+            )
+        )
+        .withColumn(
+            "cosine",
+            F.expr(dot_sql(dl.SPARK, "qv", "cv")) / (F.col("qnorm") * F.col("cnorm")),
+        )
+        .withColumn(
+            "rank_dense_",
+            F.row_number().over(W.orderBy(F.desc("cosine"), F.asc("doc_id"))),
+        )
+        .filter(F.col("rank_dense_") <= RRF_POOL)
+        .select("doc_id", F.col("rank_dense_").alias("rank_dense"))
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "rank_dense",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_dense")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("rrf"), F.asc("doc_id")))
+        )
+        .filter(F.col("rnk") <= RRF_TOP)
+        .select("doc_id", "lex_rank", "rank_dense", F.round("rrf", 6).alias("rrf"), "rnk")
+    )
+
+
+def _oracle_rrf() -> str:
+    from .textstats import BM25_B, BM25_K1, BM25_QUERY
+
+    d = dl.DUCK
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    cos = cosine_sql(d, "q.embedding", "c.embedding")
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {dl.split_ws(d, 'text')} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, len(toks) AS dl_, unnest(toks) AS token FROM tokd
+), stats AS (
+  SELECT sum(len(toks)) AS s, count(*) AS c FROM tokd
+), tf AS (
+  SELECT doc_id, dl_, token, count(*) AS tf FROM tok
+  WHERE token IN ({terms}) GROUP BY 1, 2, 3
+), dfr AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+    sum(ln((CAST((SELECT c FROM stats) AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+      * (tf * ({BM25_K1} + 1)) / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl_
+        / (CAST((SELECT s FROM stats) AS DOUBLE) / (SELECT c FROM stats))))) AS bm25
+  FROM tf JOIN dfr USING (token) GROUP BY 1
+), lex AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+    FROM scored
+  ) WHERE lex_rank <= {RRF_POOL}
+), dense AS (
+  SELECT doc_id, rank_dense FROM (
+    SELECT c.vec_id AS doc_id,
+      row_number() OVER (ORDER BY {cos} DESC, c.vec_id ASC) AS rank_dense
+    FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id <> 0
+  ) WHERE rank_dense <= {RRF_POOL}
+), fused AS (
+  SELECT coalesce(l.doc_id, de.doc_id) AS doc_id,
+    CAST(l.lex_rank AS INT) AS lex_rank, CAST(de.rank_dense AS INT) AS rank_dense,
+    coalesce(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+      + coalesce(1.0 / ({RRF_K} + de.rank_dense), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id
+)
+SELECT doc_id, lex_rank, rank_dense, round(rrf, 6) AS rrf, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rnk FROM fused
+) WHERE rnk <= {RRF_TOP}
+"""
+
+
 QUERIES = {
+    "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "sim_ann_int8_eval": sim_ann_int8_eval,
     "decontaminate_semantic": decontaminate_semantic,
     "sim_topk_bruteforce": sim_topk_bruteforce,
@@ -1550,6 +1701,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "retrieval_rrf_fusion": _oracle_rrf(),
     "sim_ann_int8_eval": _oracle_int8_eval(),
     "decontaminate_semantic": _oracle_decon_semantic(),
     "dedup_embedding_cosine": _oracle_embedding_cosine(),

@@ -1187,7 +1187,121 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------- heavy hitters
+MG_SHARDS = 32   # explicit shard key (portable stand-in for partition id)
+MG_CAPACITY = 128  # counters per shard summary -> err <= shard_tokens/129
+
+
+def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries / Space-Saving heavy hitters over the token
+    stream — the mergeable-summary answer to "top terms over 100 TB"
+    when the vocabulary doesn't fit anywhere.
+
+    Formulation: the ORDER-INDEPENDENT (offline) Misra-Gries reduction.
+    Per shard p (explicit key ``doc_id % MG_SHARDS`` — the portable
+    stand-in for the physical-partition id a mapPartitions build would
+    use), compute exact per-token counts n_pt, find the (C+1)-th largest
+    count d_p (0 when the shard holds <= C distinct tokens), and keep
+    counters c_pt = max(n_pt - d_p, 0) — at most C of them are positive.
+    This satisfies the classic MG guarantees (undercount only, per-shard
+    error <= d_p <= shard_tokens/(C+1)) while being a pure function of
+    shard CONTENTS, not arrival order — which is what makes the sketch
+    value-oracle-checkable instead of bounds-only. Merge = sum of c_pt
+    (summaries are mergeable, the property that makes the sketch work as
+    a combiner); global error budget = sum d_p.
+
+    Emitted: the est/exact/error audit for the exact top-10 tokens —
+    est <= exact <= est + total_err is a THEOREM, so the booleans are a
+    live engine check (same eval pattern as events_hll_rollup). The
+    per-shard window ranks |shard vocabulary| rows within each of 32
+    shards — bounded by vocabulary, never by the token stream; at 100 TB
+    the same reduction runs inside mapPartitions with a real bounded-
+    memory MG loop and this query IS its correctness oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % MG_SHARDS).alias("pid"),
+        F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("token"),
+    )
+    counts = toks.groupBy("pid", "token").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window as _W
+
+    rnk = F.row_number().over(
+        _W.partitionBy("pid").orderBy(F.desc("n"), F.asc("token"))
+    )
+    ranked = counts.withColumn("rnk", rnk)
+    dp = (
+        ranked.filter(F.col("rnk") == MG_CAPACITY + 1)
+        .select("pid", F.col("n").alias("d"))
+    )
+    # shards with <= C distinct tokens contribute d = 0
+    summ = (
+        counts.join(dp, "pid", "left")
+        .select(
+            "token",
+            F.greatest(
+                F.col("n") - F.coalesce(F.col("d"), F.lit(0)), F.lit(0)
+            ).alias("c"),
+        )
+        .groupBy("token")
+        .agg(F.sum("c").alias("est"))
+        .filter(F.col("est") > 0)
+    )
+    total_err = dp.agg(F.coalesce(F.sum("d"), F.lit(0)).alias("e"))
+    exact = counts.groupBy("token").agg(F.sum("n").alias("exact"))
+    top = (
+        exact.orderBy(F.desc("exact"), F.asc("token"))
+        .limit(10)
+        .join(summ, "token", "left")
+        .crossJoin(F.broadcast(total_err))
+    )
+    return top.select(
+        "token",
+        "exact",
+        F.coalesce("est", F.lit(0)).alias("est"),
+        F.col("e").alias("total_err"),
+        (F.coalesce("est", F.lit(0)) <= F.col("exact")).alias("no_overcount"),
+        (F.col("exact") <= F.coalesce("est", F.lit(0)) + F.col("e")).alias(
+            "within_err"
+        ),
+    ).orderBy(F.desc("exact"), F.asc("token"))
+
+
+def _oracle_heavy_hitters() -> str:
+    d = dl.DUCK
+    return f"""
+WITH toks AS (
+  SELECT doc_id % {MG_SHARDS} AS pid, unnest({dl.split_ws(d, 'text')}) AS token
+  FROM documents
+), counts AS (
+  SELECT pid, token, count(*) AS n FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pid ORDER BY n DESC, token ASC) AS rnk
+  FROM counts
+), dp AS (
+  SELECT pid, n AS d FROM ranked WHERE rnk = {MG_CAPACITY + 1}
+), summ AS (
+  SELECT token, sum(greatest(c.n - coalesce(dp.d, 0), 0)) AS est
+  FROM counts c LEFT JOIN dp USING (pid)
+  GROUP BY 1 HAVING sum(greatest(c.n - coalesce(dp.d, 0), 0)) > 0
+), total_err AS (
+  SELECT coalesce(sum(d), 0) AS e FROM dp
+), exact AS (
+  SELECT token, sum(n) AS exact FROM counts GROUP BY 1
+), top AS (
+  SELECT token, exact FROM exact ORDER BY exact DESC, token ASC LIMIT 10
+)
+SELECT t.token, CAST(t.exact AS BIGINT) AS exact,
+  CAST(coalesce(s.est, 0) AS BIGINT) AS est,
+  CAST(te.e AS BIGINT) AS total_err,
+  coalesce(s.est, 0) <= t.exact AS no_overcount,
+  t.exact <= coalesce(s.est, 0) + te.e AS within_err
+FROM top t LEFT JOIN summ s USING (token) CROSS JOIN total_err te
+ORDER BY exact DESC, token ASC
+"""
+
+
 QUERIES = {
+    "docs_heavy_hitters": docs_heavy_hitters,
     "docs_ngram_novelty": docs_ngram_novelty,
     "textstats_lm_score": textstats_lm_score,
     "textstats_bpe_merges": textstats_bpe_merges,
@@ -1210,6 +1324,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_heavy_hitters": _oracle_heavy_hitters(),
     "docs_ngram_novelty": _oracle_ngram_novelty(),
     "textstats_lm_score": _oracle_lm_score(),
     "textstats_bpe_merges": _oracle_bpe_merges(),

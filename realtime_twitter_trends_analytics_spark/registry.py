@@ -21,6 +21,7 @@ from .operators import (
     grouped_pandas,
     ml,
     multimodal,
+    quality,
     relational,
     relational_ext,
     sampling,
@@ -42,6 +43,7 @@ _MODULES = [
     sql_battery,
     textstats,
     multimodal,
+    quality,
     grouped_pandas,
     sampling,
     cleaning,

@@ -21,6 +21,13 @@ from realtime_twitter_trends_analytics_spark.registry import all_queries
 CARTESIAN_OK = {
     # documented brute-force recall baseline: broadcast Q x N by design
     "sim_topk_bruteforce": "broadcast query-set x candidates is the baseline",
+    "docs_heavy_hitters": "the total-error budget (sum of per-shard MG "
+    "decrements) rides a 1-row broadcast side next to the 10-row top-k "
+    "(scalar-aggregate pattern)",
+    "retrieval_rrf_fusion": "broadcast 1-row query vector x candidates — "
+    "the documented brute-force dense baseline (sim_topk_bruteforce "
+    "pattern); the production dense side is any ANN variant with the "
+    "same (id, rank) contract (see docstring)",
     # scalar-subquery brute-force pairs are the oracle for LSH candidates
     "dedup_embedding_cosine": "planted-dup exact verifier joins on LSH "
     "buckets; the tiny residual product is the bucket-pair check",
