@@ -161,6 +161,10 @@ HEADLINE = [
     "docs_readability",
     "docs_heavy_hitters",
     "retrieval_rrf_fusion",
+    "events_funnel_conversion",
+    "events_ewma_forecast",
+    "customers_clv_cohorts",
+    "sim_matryoshka_eval",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -1142,7 +1142,231 @@ FROM survived WHERE d_events > 0
 """
 
 
+# ---------------------------------------------------------------- funnel
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel (view -> click -> purchase): a user advances a
+    step only with an event STRICTLY AFTER their previous step's first
+    qualifying event — the product-analytics conversion readout
+    (sequence_detect counts ordered triples; this measures the classic
+    per-step drop-off + time-to-convert).
+
+    Plan: three user-keyed hash aggs chained by user-keyed equi-joins
+    (step k's relation is "users who reached k", shrinking every step) —
+    no windows over raw events, no per-user arrays, so the state per
+    task is user-grain at every stage. Time-to-convert is EXACT integer
+    seconds summed as BIGINT, divided once (round_ratio) — no float
+    accumulation. 100 TB: same plan, every join keyed on user_id
+    (AQE-coalesced); the funnel relations are user-sized, orders of
+    magnitude under the event count."""
+    e = load_table(spark, sf_dir, "events")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    d = dl.SPARK
+    n1 = t1.agg(F.count(F.lit(1)).alias("n_view"))
+    n2 = t2.agg(
+        F.count(F.lit(1)).alias("n_click"),
+        F.sum(
+            F.unix_timestamp("t2") - F.unix_timestamp("t1")
+        ).alias("secs_to_click"),
+    )
+    n3 = t3.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.expr(dl.round_ratio(d, "n_click", "n_view")).alias("conv_view_click"),
+            F.expr(dl.round_ratio(d, "n_purchase", "n_click")).alias(
+                "conv_click_purchase"
+            ),
+            F.expr(
+                dl.round_ratio(d, "secs_to_click", "(n_click * 3600)")
+            ).alias("avg_hours_to_click"),
+        )
+    )
+
+
+def _oracle_funnel() -> str:
+    d = dl.DUCK
+    return f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, t1.t1, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1, 2
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+), a1 AS (SELECT count(*) AS n_view FROM t1),
+a2 AS (
+  SELECT count(*) AS n_click,
+    -- epoch_us // 1e6 = Spark unix_timestamp's floor-to-second, exactly
+    -- (epoch() returns a DOUBLE; integer microseconds cannot drift)
+    sum(epoch_us(t2) // 1000000 - epoch_us(t1) // 1000000) AS secs_to_click
+  FROM t2
+), a3 AS (SELECT count(*) AS n_purchase FROM t3)
+SELECT n_view, n_click, n_purchase,
+  {dl.round_ratio(d, 'n_click', 'n_view')} AS conv_view_click,
+  {dl.round_ratio(d, 'n_purchase', 'n_click')} AS conv_click_purchase,
+  {dl.round_ratio(d, 'secs_to_click', '(n_click * 3600)')} AS avg_hours_to_click
+FROM a1, a2, a3
+"""
+
+
+# ---------------------------------------------------------------- EWMA
+EWMA_NUM = 3      # alpha = 3/10 as an exact rational
+EWMA_DEN = 10
+EWMA_SCALE = 10_000  # fixed-point scale for the smoothed level
+
+
+def events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (EWMA level) over the per-type daily count
+    series, FIXED-POINT: level_t = (3*10^4*x_t + 7*level_{t-1}) DIV 10,
+    seeded with the first day — every step is BIGINT, so the fold is
+    bit-identical across engines and partitionings (the same argument as
+    the IRLS/k-means fixed-point ops), and the one-step-ahead forecast
+    is an exact rational displayed via one final division.
+
+    Plan: one (type, day) hash agg reduces events to day grain, one
+    type-keyed agg collects each type's day-ordered count ARRAY (bounded
+    by the calendar, ~90 here — the same bounded-state argument as
+    seasonal decompose), and the fold is a map-side ``aggregate`` over
+    that array. 100 TB: cost = the day-grain agg; series length grows
+    with the calendar, not the data."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, c))), p -> p.c)"
+        ).alias("cs")
+    )
+    level = (
+        f"aggregate(slice(cs, 2, size(cs) - 1), "
+        f"CAST(element_at(cs, 1) * {EWMA_SCALE} AS BIGINT), "
+        f"(acc, x) -> ({EWMA_NUM} * x * {EWMA_SCALE} + {EWMA_DEN - EWMA_NUM} * acc) DIV {EWMA_DEN})"
+    )
+    return arr.select(
+        "event_type",
+        F.expr("CAST(size(cs) AS BIGINT)").alias("n_days"),
+        F.expr("element_at(cs, size(cs))").alias("last_count"),
+        F.expr(f"CAST({level} AS DOUBLE) / {EWMA_SCALE}.0").alias("forecast_next"),
+    ).orderBy("event_type")
+
+
+def _oracle_ewma() -> str:
+    # DuckDB list_reduce seeds from the FIRST list element, so the scaled
+    # seed is prepended and the fold runs over the raw tail — the same
+    # recurrence as Spark's explicit-init aggregate.
+    fold = (
+        f"list_reduce(list_prepend(cs[1] * {EWMA_SCALE}, cs[2:]), "
+        f"(acc, x) -> ({EWMA_NUM} * x * {EWMA_SCALE} + {EWMA_DEN - EWMA_NUM} * acc) // {EWMA_DEN})"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), arr AS (
+  SELECT event_type, array_agg(c ORDER BY day) AS cs FROM daily GROUP BY 1
+)
+SELECT event_type, CAST(len(cs) AS BIGINT) AS n_days,
+  cs[len(cs)] AS last_count,
+  CAST({fold} AS DOUBLE) / {EWMA_SCALE}.0 AS forecast_next
+FROM arr ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------- CLV cohorts
+def customers_clv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: cohort = month of the customer's
+    first order; for every (cohort, age-in-months) cell emit active
+    customers, exact-cents revenue, and the running cumulative revenue —
+    the LTV curve marketing reads next to events_retention_cohorts'
+    activity matrix.
+
+    Plan: one customer-keyed agg finds cohorts, one broadcast-free
+    customer-keyed equi-join tags every order, one (cohort, age) hash agg
+    reduces to the matrix grain, and the cumulative window runs over
+    MATRIX-sized rows (cohorts x ages, hundreds) — nothing after the
+    first agg is order-scale. Revenue is BIGINT cents end-to-end."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("om"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("om").alias("cohort"))
+    tagged = o.join(cohort, "o_custkey").select(
+        "o_custkey",
+        "cohort",
+        F.expr("CAST(months_between(om, cohort) AS BIGINT)").alias("age"),
+        "cents",
+    )
+    cell = tagged.groupBy("cohort", "age").agg(
+        F.count_distinct("o_custkey").alias("n_active"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    wcum = (
+        W.partitionBy("cohort").orderBy("age").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return cell.select(
+        "cohort",
+        "age",
+        "n_active",
+        "rev_cents",
+        F.sum("rev_cents").over(wcum).alias("cum_rev_cents"),
+    ).orderBy("cohort", "age")
+
+
+def _oracle_clv() -> str:
+    return """
+WITH o AS (
+  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), cohort AS (
+  SELECT o_custkey, min(om) AS cohort FROM o GROUP BY 1
+), tagged AS (
+  SELECT o.o_custkey, c.cohort,
+    CAST(datediff('month', c.cohort, o.om) AS BIGINT) AS age, o.cents
+  FROM o JOIN cohort c USING (o_custkey)
+), cell AS (
+  SELECT cohort, age, count(DISTINCT o_custkey) AS n_active,
+    sum(cents) AS rev_cents
+  FROM tagged GROUP BY 1, 2
+)
+SELECT cohort, age, n_active, rev_cents,
+  sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+    ROWS UNBOUNDED PRECEDING) AS cum_rev_cents
+FROM cell ORDER BY cohort, age
+"""
+
+
 QUERIES = {
+    "events_funnel_conversion": events_funnel_conversion,
+    "events_ewma_forecast": events_ewma_forecast,
+    "customers_clv_cohorts": customers_clv_cohorts,
     "events_survival_km": events_survival_km,
     "stats_bootstrap_ci": stats_bootstrap_ci,
     "events_seasonal_decompose": events_seasonal_decompose,
@@ -1159,6 +1383,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel_conversion": _oracle_funnel(),
+    "events_ewma_forecast": _oracle_ewma(),
+    "customers_clv_cohorts": _oracle_clv(),
     "events_survival_km": _oracle_survival_km(),
     "stats_bootstrap_ci": _oracle_bootstrap(),
     "events_seasonal_decompose": _oracle_seasonal(),

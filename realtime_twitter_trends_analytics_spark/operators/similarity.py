@@ -1532,6 +1532,132 @@ FROM ranked GROUP BY query_id
 """
 
 
+# ---------------------------------------------------------------- matryoshka
+MAT_DIMS = 16  # truncation prefix (full vectors are 64-d)
+
+
+def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / dimension-truncation retrieval eval: per query, the
+    top-K overlap between full-dimension cosine and cosine over only the
+    FIRST MAT_DIMS components — the recall study behind every
+    "store a 4x-shorter prefix, rerank with the tail" deployment
+    (MRL-style truncation; same eval contract as sim_ann_int8_eval,
+    which audits the quantization axis while this audits the dimension
+    axis).
+
+    Plan: the sim_topk_bruteforce shape — ONE broadcast Q x N scan
+    computes both scores per pair (prefix norms hoisted per side, so
+    per-pair work is two dots), two query-partitioned windows, one
+    per-query agg. Both scores quantize to 1e-6 fixed-point with cand_id
+    tie-breaks (the _quant_cos convention), so rankings and recall
+    integers hash-match across engines. At scale the truncated side is
+    the ANN index key (shorter vectors = denser buckets); the eval joins
+    two top-K sets regardless of how candidates were produced."""
+    d = dl.SPARK
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"slice(embedding, 1, {MAT_DIMS})").alias("vm"),
+        F.expr(norm_sql(d, "embedding")).alias("nf"),
+        F.expr(norm_sql(d, f"slice(embedding, 1, {MAT_DIMS})")).alias("nm"),
+    )
+    q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("vm").alias("qm"),
+        F.col("nf").alias("qnf"),
+        F.col("nm").alias("qnm"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col("vm").alias("cm"),
+        F.col("nf").alias("cnf"),
+        F.col("nm").alias("cnm"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(
+                _quant_cos(d, f"({dot_sql(d, 'qv', 'cv')}) / (qnf * cnf)")
+            ).alias("cosf_fp"),
+            F.expr(
+                _quant_cos(d, f"({dot_sql(d, 'qm', 'cm')}) / (qnm * cnm)")
+            ).alias("cosm_fp"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("cosf_fp"), F.asc("cand_id"))
+    wm = W.partitionBy("query_id").orderBy(F.desc("cosm_fp"), F.asc("cand_id"))
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(wf).alias("rnk_f"),
+        F.row_number().over(wm).alias("rnk_m"),
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when((F.col("rnk_f") <= TOP_K) & (F.col("rnk_m") <= TOP_K), 1)
+                .otherwise(0)
+            ).alias("n_hits")
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(dl.round_ratio(d, "n_hits", str(TOP_K))).alias("recall_truncated"),
+        )
+    )
+
+
+def _dot_dim_sql(d: str, a: str, b: str, n: int) -> str:
+    """dot_sql with an explicit dimension (the module-level form bakes in
+    EMB_DIM; the matryoshka prefix needs n = MAT_DIMS)."""
+    if d == dl.SPARK:
+        return dot_sql(d, a, b)  # zip_with is length-agnostic
+    prods = dl.transform(
+        d,
+        dl.seq(d, "1", str(n)),
+        "i",
+        f"CAST({dl.arr_element(d, a, 'i')} AS DOUBLE) * CAST({dl.arr_element(d, b, 'i')} AS DOUBLE)",
+    )
+    return dl.arr_sum_double(d, prods)
+
+
+def _oracle_matryoshka() -> str:
+    d = dl.DUCK
+    sl = dl.arr_slice(d, "embedding", "1", str(MAT_DIMS))
+    nm = f"sqrt({_dot_dim_sql(d, sl, sl, MAT_DIMS)})"
+    dot_m = _dot_dim_sql(d, "q.vm", "c.vm", MAT_DIMS)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding, {sl} AS vm,
+    {norm_sql(d, 'embedding')} AS nf,
+    {nm} AS nm
+  FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    {_quant_cos(d, f"({dot_sql(d, 'q.embedding', 'c.embedding')}) / (q.nf * c.nf)")} AS cosf_fp,
+    {_quant_cos(d, f"({dot_m}) / (q.nm * c.nm)")} AS cosm_fp
+  FROM base q JOIN base c
+    ON q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosf_fp DESC, cand_id ASC) AS rnk_f,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosm_fp DESC, cand_id ASC) AS rnk_m
+  FROM pairs
+)
+SELECT query_id,
+  CAST(sum(CASE WHEN rnk_f <= {TOP_K} AND rnk_m <= {TOP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+  {dl.round_ratio(d, 'sum(CASE WHEN rnk_f <= ' + str(TOP_K) + ' AND rnk_m <= ' + str(TOP_K) + ' THEN 1 ELSE 0 END)', str(TOP_K))} AS recall_truncated
+FROM ranked GROUP BY query_id
+"""
+
+
 # ---------------------------------------------------------------- RRF fusion
 RRF_K = 60        # standard reciprocal-rank-fusion constant
 RRF_POOL = 50     # per-ranker pool depth fed into the fusion
@@ -1684,6 +1810,7 @@ FROM (
 
 QUERIES = {
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
+    "sim_matryoshka_eval": sim_matryoshka_eval,
     "sim_ann_int8_eval": sim_ann_int8_eval,
     "decontaminate_semantic": decontaminate_semantic,
     "sim_topk_bruteforce": sim_topk_bruteforce,
@@ -1702,6 +1829,7 @@ QUERIES = {
 
 ORACLES = {
     "retrieval_rrf_fusion": _oracle_rrf(),
+    "sim_matryoshka_eval": _oracle_matryoshka(),
     "sim_ann_int8_eval": _oracle_int8_eval(),
     "decontaminate_semantic": _oracle_decon_semantic(),
     "dedup_embedding_cosine": _oracle_embedding_cosine(),

@@ -28,6 +28,13 @@ CARTESIAN_OK = {
     "the documented brute-force dense baseline (sim_topk_bruteforce "
     "pattern); the production dense side is any ANN variant with the "
     "same (id, rank) contract (see docstring)",
+    "sim_matryoshka_eval": "broadcast N_QUERY_VECS-row query set x "
+    "candidates — the float side IS the exact-recall oracle "
+    "(sim_ann_int8_eval pattern, dimension axis instead of quantization)",
+    "events_funnel_conversion": "the three funnel-step counts are 1-row "
+    "aggregates cross-joined into the single readout row "
+    "(scalar-aggregate pattern); all data-sized joins are user-keyed "
+    "equi-joins",
     # scalar-subquery brute-force pairs are the oracle for LSH candidates
     "dedup_embedding_cosine": "planted-dup exact verifier joins on LSH "
     "buckets; the tiny residual product is the bucket-pair check",
