@@ -165,6 +165,8 @@ HEADLINE = [
     "events_ewma_forecast",
     "customers_clv_cohorts",
     "sim_matryoshka_eval",
+    "events_cms_topk",
+    "ml_naive_bayes_lang",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -97,6 +97,11 @@ def arr_element(d: str, arr: str, idx_1based: str) -> str:
     return f"list_extract({arr}, {idx_1based})"
 
 
+def unnest(d: str, arr: str) -> str:
+    """Array-to-rows in a SELECT list (Spark explode / DuckDB unnest)."""
+    return f"explode({arr})" if d == SPARK else f"unnest({arr})"
+
+
 def hex_nibble(d: str, hexchar: str) -> str:
     """Value 0..15 of one lowercase hex character (portable strpos trick)."""
     fn = "instr" if d == SPARK else "strpos"

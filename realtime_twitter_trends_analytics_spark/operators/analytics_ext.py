@@ -1353,12 +1353,12 @@ WITH o AS (
   FROM o JOIN cohort c USING (o_custkey)
 ), cell AS (
   SELECT cohort, age, count(DISTINCT o_custkey) AS n_active,
-    sum(cents) AS rev_cents
+    CAST(sum(cents) AS BIGINT) AS rev_cents
   FROM tagged GROUP BY 1, 2
 )
 SELECT cohort, age, n_active, rev_cents,
-  sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
-    ROWS UNBOUNDED PRECEDING) AS cum_rev_cents
+  CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
 FROM cell ORDER BY cohort, age
 """
 

@@ -916,6 +916,100 @@ FROM it{kf} b CROSS JOIN loss l
 """
 
 
+# ---------------------------------------------------------------- naive bayes
+NB_SCALE = 1_000_000  # fixed-point scale for log-probabilities
+NB_FOLD = 5           # doc_id % NB_FOLD == 0 is the held-out test fold
+
+
+def _nb_sql(d: str) -> str:
+    """Multinomial Naive Bayes language classifier, trained and evaluated
+    IN-ENGINE as one SQL plan (the ml_logreg_irls pattern: a single
+    dual-dialect string both engines run):
+
+    - hash split: doc_id % 5 != 0 trains, == 0 tests (the sampling.py
+      retry-stable split convention);
+    - training is pure aggregation: per-(lang, token) counts, per-lang
+      token totals, vocabulary size, doc-count priors;
+    - the model is the SMOOTHED (lang x vocabulary) grid — Laplace +1 —
+      held as a dimension-sized relation (the cross join is |vocab| x
+      |langs|, broadcast scale, whitelisted);
+    - log-probabilities are FLOOR-QUANTIZED to 1e-6 fixed point
+      (CAST(round(ln(...) * 1e6) AS BIGINT)), so per-doc score sums are
+      INTEGER — summation order cannot change the argmax, the same
+      determinism trick as the IRLS gradient;
+    - scoring joins test tokens to the grid (test-only OOV tokens drop
+      out — the standard multinomial-NB convention; docs with zero
+      in-vocabulary tokens are excluded, deterministically, both
+      engines); argmax has a lang tie-break;
+    - readout = the confusion matrix (actual x predicted counts), the
+      eval artifact a language-ID training run logs.
+
+    100 TB: one token explode scan feeds the training aggs (all keyed,
+    map-side combinable); the model grid broadcasts; scoring is
+    token-join + doc-keyed agg. Generalizes textstats_langid's
+    hand-written marker heuristic to a LEARNED classifier with the same
+    oracle-exact contract."""
+    toks = f"""
+  SELECT doc_id, lang, {dl.unnest(d, dl.split_ws(d, "text"))} AS token
+  FROM documents
+"""
+    return f"""
+WITH toks AS ({toks}),
+train AS (SELECT * FROM toks WHERE doc_id % {NB_FOLD} <> 0),
+vocab AS (SELECT DISTINCT token FROM train),
+vstats AS (SELECT count(*) AS v FROM vocab),
+langs AS (SELECT DISTINCT lang FROM train),
+ltot AS (SELECT lang, count(*) AS nl FROM train GROUP BY lang),
+cnts AS (SELECT lang, token, count(*) AS c FROM train GROUP BY lang, token),
+grid AS (
+  SELECT l.lang, v.token, coalesce(c.c, 0) AS c
+  FROM langs l CROSS JOIN vocab v
+  LEFT JOIN cnts c ON c.lang = l.lang AND c.token = v.token
+),
+lp AS (
+  SELECT g.lang, g.token,
+    CAST(round(ln((g.c + 1.0) / CAST(t.nl + s.v AS DOUBLE)) * {NB_SCALE}) AS BIGINT) AS lq
+  FROM grid g JOIN ltot t ON t.lang = g.lang CROSS JOIN vstats s
+),
+dcounts AS (
+  SELECT lang, count(DISTINCT doc_id) AS dn FROM train GROUP BY lang
+),
+dtotal AS (SELECT count(DISTINCT doc_id) AS total FROM train),
+priors AS (
+  SELECT dc.lang,
+    CAST(round(ln(CAST(dc.dn AS DOUBLE) / CAST(dt.total AS DOUBLE)) * {NB_SCALE}) AS BIGINT) AS lprior
+  FROM dcounts dc CROSS JOIN dtotal dt
+),
+test AS (SELECT * FROM toks WHERE doc_id % {NB_FOLD} = 0),
+scored AS (
+  SELECT te.doc_id, te.lang AS actual, lp.lang AS cand, sum(lp.lq) AS s
+  FROM test te JOIN lp ON lp.token = te.token
+  GROUP BY te.doc_id, te.lang, lp.lang
+),
+tot AS (
+  SELECT sc.doc_id, sc.actual, sc.cand, sc.s + p.lprior AS score
+  FROM scored sc JOIN priors p ON p.lang = sc.cand
+),
+pred AS (
+  SELECT doc_id, actual, cand AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY score DESC, cand ASC) AS rn
+    FROM tot
+  ) ranked WHERE rn = 1
+)
+SELECT actual AS actual_lang, pred AS pred_lang, count(*) AS n
+FROM pred GROUP BY actual, pred ORDER BY actual, pred
+"""
+
+
+def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_nb_sql(dl.SPARK))
+
+
+ml_naive_bayes_lang.__doc__ = _nb_sql.__doc__
+
+
 def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_logreg_sql())
@@ -925,6 +1019,7 @@ ml_logreg_irls.__doc__ = _logreg_sql.__doc__
 
 
 QUERIES = {
+    "ml_naive_bayes_lang": ml_naive_bayes_lang,
     "ml_logreg_irls": ml_logreg_irls,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
     "ml_negative_samples": ml_negative_samples,
@@ -935,6 +1030,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ml_naive_bayes_lang": _nb_sql(dl.DUCK),
     "ml_logreg_irls": _logreg_sql(),
     "ml_kmeans_embeddings": _oracle_kmeans(),
     "ml_negative_samples": _oracle_negative_samples(),

@@ -1005,6 +1005,121 @@ ORDER BY event_type
 """
 
 
+# Count-min sketch: D salted hash rows x W buckets. With the MG heavy
+# hitters, HLL rollup, and GK percentiles this completes the sketch
+# family a 100 TB aggregation layer runs (frequency / distinct / rank).
+CMS_D = 4
+CMS_W = 256
+
+
+def events_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, point-queried at the exact
+    top-10 users. The sketch is built as DATA: the event stream reduces
+    to user grain (one hash agg — CMS over a stream equals CMS over
+    (key, count) pairs, so the cells aggregate the REDUCED relation),
+    each user fans out to its CMS_D salted md5 buckets map-side, and the
+    cell table is D*W = 1024 rows. Point query = min over the key's D
+    cells — a broadcast join against the tiny cell table.
+
+    Unlike a JVM-internal sketch (Spark's count_min_sketch agg emits an
+    opaque binary with no SQL point-query), this formulation is a pure
+    function of the data and portable hashes, so est values are
+    ORACLE-CHECKED exactly, and `no_undercount` (est >= exact, the CMS
+    theorem) is a live engine check. At 100 TB: the user-grain agg is
+    the only data-sized shuffle; cells are map-side partial-agg friendly
+    (1024 distinct keys), and the sketch merges across partitions/days
+    by cell-wise addition — the same mergeability contract as the HLL
+    rollup."""
+    e = load_table(spark, sf_dir, "events")
+    ex = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    d = dl.SPARK
+    hashed = ex.select(
+        "user_id",
+        "cnt",
+        *[
+            F.expr(f"md5(concat('cms{r}|', CAST(user_id AS STRING)))").alias(f"h{r}")
+            for r in range(CMS_D)
+        ],
+    ).select(
+        "user_id",
+        "cnt",
+        *[
+            F.expr(f"({dl.hex_prefix_uint(d, f'h{r}', 8)}) % {CMS_W}").alias(f"b{r}")
+            for r in range(CMS_D)
+        ],
+    )
+    melted = hashed.select(
+        "cnt",
+        F.posexplode(F.array(*[F.col(f"b{r}") for r in range(CMS_D)])).alias(
+            "r", "bucket"
+        ),
+    )
+    cells = melted.groupBy("r", "bucket").agg(F.sum("cnt").alias("cell"))
+    top = (
+        hashed.orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+        .select(
+            "user_id",
+            F.col("cnt").alias("exact"),
+            F.posexplode(F.array(*[F.col(f"b{r}") for r in range(CMS_D)])).alias(
+                "r", "bucket"
+            ),
+        )
+    )
+    est = (
+        top.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("cell").alias("est"))
+    )
+    return est.select(
+        "user_id",
+        "exact",
+        "est",
+        (F.col("est") >= F.col("exact")).alias("no_undercount"),
+        (F.col("est") - F.col("exact")).alias("overcount"),
+    ).orderBy(F.desc("exact"), F.asc("user_id"))
+
+
+def _oracle_cms() -> str:
+    d = dl.DUCK
+    bexprs = ", ".join(
+        f"({dl.hex_prefix_uint(d, f'h{r}', 8)}) % {CMS_W} AS b{r}" for r in range(CMS_D)
+    )
+    hexprs = ", ".join(
+        f"md5(concat('cms{r}|', CAST(user_id AS VARCHAR))) AS h{r}"
+        for r in range(CMS_D)
+    )
+    melt = " UNION ALL ".join(
+        f"SELECT {r} AS r, b{r} AS bucket, cnt FROM hashed" for r in range(CMS_D)
+    )
+    qmelt = " UNION ALL ".join(
+        f"SELECT user_id, exact, {r} AS r, b{r} AS bucket FROM top" for r in range(CMS_D)
+    )
+    return f"""
+WITH ex AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+), hexed AS (
+  SELECT user_id, cnt, {hexprs} FROM ex
+), hashed AS (
+  SELECT user_id, cnt, {bexprs} FROM hexed
+), melted AS ({melt}),
+cells AS (
+  SELECT r, bucket, sum(cnt) AS cell FROM melted GROUP BY 1, 2
+), top AS (
+  SELECT user_id, cnt AS exact, b0, b1, b2, b3 FROM hashed
+  ORDER BY cnt DESC, user_id ASC LIMIT 10
+), qm AS ({qmelt}),
+est AS (
+  SELECT q.user_id, q.exact, CAST(min(c.cell) AS BIGINT) AS est
+  FROM qm q JOIN cells c ON c.r = q.r AND c.bucket = q.bucket
+  GROUP BY 1, 2
+)
+SELECT user_id, exact, est, est >= exact AS no_undercount,
+  est - exact AS overcount
+FROM est ORDER BY exact DESC, user_id ASC
+"""
+
+
 def events_hll_rollup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION form of `events_hll_rollup`: daily HLL partials union
     up to the per-type estimate — sketches only, no exact
@@ -1519,6 +1634,7 @@ LIMIT {MB_TOP}
 
 
 QUERIES = {
+    "events_cms_topk": events_cms_topk,
     "market_basket_rules": market_basket_rules,
     "events_audience_overlap": events_audience_overlap,
     "events_trigram_paths": events_trigram_paths,
@@ -1548,6 +1664,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cms_topk": _oracle_cms(),
     "market_basket_rules": _oracle_market_basket(),
     "events_audience_overlap": _oracle_audience_overlap(),
     "events_trigram_paths": _oracle_trigram_paths(),

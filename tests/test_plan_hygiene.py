@@ -31,6 +31,11 @@ CARTESIAN_OK = {
     "sim_matryoshka_eval": "broadcast N_QUERY_VECS-row query set x "
     "candidates — the float side IS the exact-recall oracle "
     "(sim_ann_int8_eval pattern, dimension axis instead of quantization)",
+    "ml_naive_bayes_lang": "the smoothed model grid is |langs| x |vocab| "
+    "— a 5-row language list cross-joining the vocabulary relation "
+    "(dimension-sized, broadcast scale), plus the 1-row vocabulary-size "
+    "and doc-total scalars riding broadcast sides (scalar-aggregate "
+    "pattern); every data-sized join is token- or doc-keyed equi",
     "events_funnel_conversion": "the three funnel-step counts are 1-row "
     "aggregates cross-joined into the single readout row "
     "(scalar-aggregate pattern); all data-sized joins are user-keyed "
