@@ -167,6 +167,7 @@ HEADLINE = [
     "sim_matryoshka_eval",
     "events_cms_topk",
     "ml_naive_bayes_lang",
+    "dedup_incremental_probe",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -160,6 +160,24 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+# Signature relation is consumed by TWO independent builds (the banded
+# pair self-join and the round-7 incremental probe): materialize once per
+# (application, sf_dir) — the persisted signature table of a production
+# corpus (computed at ingest, joined forever after).
+_SIG_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def minhash_signatures_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _SIG_MEMO.get(key)
+    if memo is None:
+        memo = audit_plan(
+            "minhash_signatures_staging", minhash_signatures(spark, sf_dir)
+        ).localCheckpoint()
+        _SIG_MEMO[key] = memo
+    return memo
+
+
 def _oracle_signatures() -> str:
     d = dl.DUCK
     aggs = ",\n  ".join(f"{_minhash_agg_sql(d, k)} AS h{k}" for k in range(MINHASH_K))
@@ -209,9 +227,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = _PAIRS_MEMO.get(key)
     if memo is not None:
         return memo
-    sig = audit_plan(
-        "minhash_signatures_staging", minhash_signatures(spark, sf_dir)
-    ).localCheckpoint()
+    sig = minhash_signatures_staging(spark, sf_dir)
     hash_cols = [f"h{k}" for k in range(MINHASH_K)]
     band_keys = F.array(
         *[
@@ -1167,7 +1183,130 @@ FROM documents d LEFT JOIN member m ON d.doc_id = m.doc_id
 """
 
 
+# ---------------------------------------------------------------- incremental
+INC_FOLD = 10  # doc_id % INC_FOLD == 0 is the "new batch"; rest = corpus
+
+
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the DAILY path of a 100 TB corpus: a new
+    batch of documents (doc_id % 10 == 0 here) PROBES the existing
+    corpus's banded MinHash index instead of re-running the full
+    self-join. Per new doc: candidate count, the best corpus match by
+    estimated Jaccard, and the keep/drop verdict.
+
+    At scale the corpus side is a PERSISTED index table
+    (doc_id, band_id, band_key) written once when each shard was
+    ingested (write-once / join-many — the IVF-index argument applied
+    to dedup); the increment computes only ITS OWN signatures and the
+    equi-join shuffles increment-sized band keys against it, so daily
+    cost is O(increment + matched buckets), never O(corpus). Candidate
+    verification re-joins the K signature columns for the (much
+    smaller) candidate set only — the dedup_minhash_pairs shape with an
+    asymmetric probe. New docs with NO candidate bucket hit ride a left
+    join (emitted as is_dup = false, n_candidates = 0)."""
+    sig = minhash_signatures_staging(spark, sf_dir)
+    hash_cols = [f"h{k}" for k in range(MINHASH_K)]
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *hash_cols[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]))
+            for b in range(BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
+    corpus_idx = banded.filter(F.col("doc_id") % INC_FOLD != 0).select(
+        F.col("doc_id").alias("c"), "band_id", "band_key"
+    )
+    probe = banded.filter(F.col("doc_id") % INC_FOLD == 0).select(
+        F.col("doc_id").alias("n"), "band_id", "band_key"
+    )
+    cand = probe.join(corpus_idx, ["band_id", "band_key"]).select("n", "c").distinct()
+    sa = sig.select(F.col("doc_id").alias("n"), *[F.col(h).alias(f"a_{h}") for h in hash_cols])
+    sb = sig.select(F.col("doc_id").alias("c"), *[F.col(h).alias(f"b_{h}") for h in hash_cols])
+    matches = sum(
+        F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0) for h in hash_cols
+    )
+    scored = (
+        cand.join(sa, "n")
+        .join(sb, "c")
+        .select("n", "c", matches.alias("m"))
+        .withColumn("est_jaccard", F.round(F.col("m") / F.lit(MINHASH_K), 4))
+    )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("n").orderBy(F.desc("est_jaccard"), F.asc("c"))
+        ),
+    )
+    per_new = scored.groupBy("n").agg(F.count(F.lit(1)).alias("n_candidates"))
+    new_docs = sig.filter(F.col("doc_id") % INC_FOLD == 0).select(
+        F.col("doc_id").alias("n")
+    )
+    return (
+        new_docs.join(per_new, "n", "left")
+        .join(
+            best.filter(F.col("rn") == 1).select("n", "c", "est_jaccard"), "n", "left"
+        )
+        .select(
+            F.col("n").alias("new_doc_id"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.col("c").alias("best_match"),
+            F.col("est_jaccard").alias("best_est_jaccard"),
+            F.coalesce(
+                F.col("est_jaccard") >= JACCARD_THRESHOLD, F.lit(False)
+            ).alias("is_dup"),
+        )
+        .orderBy("new_doc_id")
+    )
+
+
+def _oracle_incremental() -> str:
+    hash_cols = [f"h{k}" for k in range(MINHASH_K)]
+    band_selects = []
+    for b in range(BANDS):
+        cols = hash_cols[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        band_key = f"md5(concat_ws('|', {', '.join(cols)}))"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {band_key} AS band_key FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    match_expr = " + ".join(
+        f"(CASE WHEN sa.{h} = sb.{h} THEN 1 ELSE 0 END)" for h in hash_cols
+    )
+    return f"""WITH {_oracle_shingle_ctes()}, sig AS (
+  SELECT doc_id, {', '.join(f'{_minhash_agg_sql(dl.DUCK, k)} AS h{k}' for k in range(MINHASH_K))}
+  FROM sh GROUP BY doc_id
+), banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT p.doc_id AS n, i.doc_id AS c
+  FROM banded p JOIN banded i
+    ON p.band_id = i.band_id AND p.band_key = i.band_key
+   AND p.doc_id % {INC_FOLD} = 0 AND i.doc_id % {INC_FOLD} <> 0
+), scored AS (
+  SELECT n, c, round(({match_expr}) / {MINHASH_K}.0, 4) AS est_jaccard
+  FROM cand JOIN sig sa ON sa.doc_id = n JOIN sig sb ON sb.doc_id = c
+), best AS (
+  SELECT n, c, est_jaccard FROM (
+    SELECT *, row_number() OVER (PARTITION BY n
+      ORDER BY est_jaccard DESC, c ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), per_new AS (
+  SELECT n, count(*) AS n_candidates FROM scored GROUP BY 1
+)
+SELECT s.doc_id AS new_doc_id,
+  CAST(coalesce(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+  b.c AS best_match, b.est_jaccard AS best_est_jaccard,
+  coalesce(b.est_jaccard >= {JACCARD_THRESHOLD}, FALSE) AS is_dup
+FROM sig s
+LEFT JOIN per_new p ON p.n = s.doc_id
+LEFT JOIN best b ON b.n = s.doc_id
+WHERE s.doc_id % {INC_FOLD} = 0
+ORDER BY new_doc_id
+"""
+
+
 QUERIES = {
+    "dedup_incremental_probe": dedup_incremental_probe,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -1185,6 +1324,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_incremental_probe": _oracle_incremental(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_signatures": _oracle_signatures(),
     "dedup_minhash_pairs": _oracle_minhash_pairs(),

@@ -78,6 +78,9 @@ def all_staging() -> dict[str, QueryFn]:
     the build and every consumer are comparable across rounds."""
     return {
         "capped_shingles": dedup.capped_shingle_staging,
+        # signatures BEFORE the pair build that consumes them (round 7:
+        # shared by the banded self-join and the incremental probe)
+        "minhash_signatures": dedup.minhash_signatures_staging,
         "minhash_pairs": dedup.dedup_minhash_pairs,
         "cooc_edges": graph._cooc_edges,
         # quantized_vectors FIRST among the vector builds: it is their

@@ -246,6 +246,7 @@ def main() -> int:
         fn(spark, warm_dir).count()
         spark.catalog.clearCache()
     _dedup._PAIRS_MEMO.clear()
+    _dedup._SIG_MEMO.clear()
 
     results = []
     for k in args.scales:
@@ -273,6 +274,7 @@ def main() -> int:
             for attempt in range(3):
                 if name == "dedup_minhash_pairs":
                     _dedup._PAIRS_MEMO.clear()  # re-pay the staging build
+                    _dedup._SIG_MEMO.clear()
                 spark.catalog.clearCache()
                 _gc.collect()
                 spark.sparkContext._jvm.System.gc()
