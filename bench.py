@@ -168,6 +168,8 @@ HEADLINE = [
     "events_cms_topk",
     "ml_naive_bayes_lang",
     "dedup_incremental_probe",
+    "part_abc_classification",
+    "events_power_users_gini",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -1363,7 +1363,151 @@ FROM cell ORDER BY cohort, age
 """
 
 
+# ---------------------------------------------------------------- ABC / Gini
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by exact-cents
+    revenue; class A = the prefix covering 80% of revenue, B = next 15%,
+    C = tail — the classic warehouse segmentation. The 80/95 thresholds
+    compare INTEGERS (100 * running_cents vs threshold * total_cents) so
+    the class boundary cannot flap on float rounding.
+
+    Plan: lineitem reduces to PART grain first (the only data-sized
+    shuffle); the running-total window sorts the part-grain relation
+    globally — exact-Pareto semantics as the oracle target (the same
+    honest global-sort note as customers_rfm_segments; at 100 TB the
+    production form cuts classes at approx_percentile boundaries). Emits
+    the class-level readout: part count, revenue, revenue share."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias("cents")
+    )
+    wrun = W.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy()
+    classed = per_part.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(wrun).alias("run"),
+        F.sum("cents").over(wall).alias("total"),
+    ).select(
+        "l_partkey",
+        "cents",
+        F.when(F.col("run") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("run") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    total = per_part.agg(F.sum("cents").alias("t"))
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("rev_cents"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "abc_class",
+            "n_parts",
+            "rev_cents",
+            F.expr(dl.round_ratio(dl.SPARK, "rev_cents", "t")).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+def _oracle_abc() -> str:
+    d = dl.DUCK
+    return f"""
+WITH per_part AS (
+  SELECT l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1
+), classed AS (
+  SELECT l_partkey, cents,
+    CASE
+      WHEN sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+             ROWS UNBOUNDED PRECEDING) * 100 <= sum(cents) OVER () * 80 THEN 'A'
+      WHEN sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+             ROWS UNBOUNDED PRECEDING) * 100 <= sum(cents) OVER () * 95 THEN 'B'
+      ELSE 'C'
+    END AS abc_class
+  FROM per_part
+), tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM per_part)
+SELECT abc_class, count(*) AS n_parts, CAST(sum(cents) AS BIGINT) AS rev_cents,
+  {dl.round_ratio(d, 'sum(cents)', 't')} AS rev_share
+FROM classed CROSS JOIN tot
+GROUP BY abc_class, t ORDER BY abc_class
+"""
+
+
+GINI_SCALE = 10**4
+
+
+def events_power_users_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration of activity across users — the exact Gini
+    coefficient of per-user event counts, plus the top-1% activity
+    share. Gini via the rank formula G = (2 * sum(i * x_i) / (n * sum x))
+    - (n + 1) / n over counts sorted ASCENDING with user_id tie-break —
+    every term is BIGINT (the quotient is formed from exact integer
+    numerator/denominator and divided ONCE, rounded to 4), so both
+    engines agree bit-for-bit.
+
+    Plan: events reduce to user grain (the only data-sized shuffle);
+    the rank window runs over user-grain rows. At 100 TB: user grain is
+    orders of magnitude under event count; for a truly unsortable key
+    space the production form estimates G from a GK quantile sketch of
+    the count distribution."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    ranked = per_user.select(
+        "c",
+        F.row_number().over(W.orderBy(F.asc("c"), F.asc("user_id"))).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nn"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("i").cast("bigint") * F.col("c")).alias("ix"),
+        F.sum("c").alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("i") * 100 > F.lit(99) * F.col("nn"), F.col("c")).otherwise(0)
+        ).alias("top1_events"),
+    )
+    d = dl.SPARK
+    # G = (2*ix - (n+1)*sx) / (n*sx), rounded via integer round_ratio on
+    # the non-negative numerator (2*ix >= (n+1)*sx for ascending ranks)
+    return agg.select(
+        "n",
+        F.col("sx").alias("total_events"),
+        F.expr(dl.round_ratio(d, "(2 * ix - (n + 1) * sx)", "(n * sx)")).alias("gini"),
+        F.expr(dl.round_ratio(d, "top1_events", "sx")).alias("top1pct_share"),
+    )
+
+
+def _oracle_gini() -> str:
+    d = dl.DUCK
+    return f"""
+WITH per_user AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY 1
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c ASC, user_id ASC) AS i,
+    count(*) OVER () AS nn
+  FROM per_user
+), agg AS (
+  SELECT CAST(sum(i * c) AS BIGINT) AS ix, CAST(sum(c) AS BIGINT) AS sx,
+    count(*) AS n,
+    CAST(sum(CASE WHEN i * 100 > 99 * nn THEN c ELSE 0 END) AS BIGINT) AS top1_events
+  FROM ranked
+)
+SELECT n, sx AS total_events,
+  {dl.round_ratio(d, '(2 * ix - (n + 1) * sx)', '(n * sx)')} AS gini,
+  {dl.round_ratio(d, 'top1_events', 'sx')} AS top1pct_share
+FROM agg
+"""
+
+
 QUERIES = {
+    "part_abc_classification": part_abc_classification,
+    "events_power_users_gini": events_power_users_gini,
     "events_funnel_conversion": events_funnel_conversion,
     "events_ewma_forecast": events_ewma_forecast,
     "customers_clv_cohorts": customers_clv_cohorts,
@@ -1383,6 +1527,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "part_abc_classification": _oracle_abc(),
+    "events_power_users_gini": _oracle_gini(),
     "events_funnel_conversion": _oracle_funnel(),
     "events_ewma_forecast": _oracle_ewma(),
     "customers_clv_cohorts": _oracle_clv(),

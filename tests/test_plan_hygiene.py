@@ -31,6 +31,9 @@ CARTESIAN_OK = {
     "sim_matryoshka_eval": "broadcast N_QUERY_VECS-row query set x "
     "candidates — the float side IS the exact-recall oracle "
     "(sim_ann_int8_eval pattern, dimension axis instead of quantization)",
+    "part_abc_classification": "the revenue-total denominator rides a "
+    "1-row broadcast side next to the 3-row class readout "
+    "(scalar-aggregate pattern)",
     "ml_naive_bayes_lang": "the smoothed model grid is |langs| x |vocab| "
     "— a 5-row language list cross-joining the vocabulary relation "
     "(dimension-sized, broadcast scale), plus the 1-row vocabulary-size "
