@@ -205,6 +205,7 @@ def main() -> int:
 
     from realtime_twitter_trends_analytics_spark.operators.dedup import (
         dedup_clusters,
+        dedup_incremental_probe,
         dedup_minhash_pairs,
     )
     from realtime_twitter_trends_analytics_spark.operators.graph import graph_kcore
@@ -242,7 +243,8 @@ def main() -> int:
     warm_dir = build_scale(spark, args.scales[0])
     for fn in (dedup_minhash_pairs, dedup_clusters, sim_lsh_ann,
                graph_kcore, market_basket_rules, docs_ngram_novelty,
-               events_audience_overlap, ml_logreg_irls):
+               events_audience_overlap, ml_logreg_irls,
+               dedup_incremental_probe):
         fn(spark, warm_dir).count()
         spark.catalog.clearCache()
     _dedup._PAIRS_MEMO.clear()
@@ -261,6 +263,7 @@ def main() -> int:
             ("docs_ngram_novelty", docs_ngram_novelty),
             ("events_audience_overlap", events_audience_overlap),
             ("ml_logreg_irls", ml_logreg_irls),
+            ("dedup_incremental_probe", dedup_incremental_probe),
         ]:
             # min-of-3 (stronger than bench's min-of-2 — this report is
             # about RATIOS, and one GC pause fakes a super-linearity);
@@ -272,7 +275,7 @@ def main() -> int:
 
             dt, sb, n = None, None, None
             for attempt in range(3):
-                if name == "dedup_minhash_pairs":
+                if name in ("dedup_minhash_pairs", "dedup_incremental_probe"):
                     _dedup._PAIRS_MEMO.clear()  # re-pay the staging build
                     _dedup._SIG_MEMO.clear()
                 spark.catalog.clearCache()
@@ -305,6 +308,7 @@ def write_report(path: str, results: list[dict]) -> None:
         "dedup_minhash_pairs", "dedup_clusters", "sim_lsh_ann",
         "graph_kcore", "market_basket_rules", "docs_ngram_novelty",
         "events_audience_overlap", "ml_logreg_irls",
+        "dedup_incremental_probe",
     ]
     lines = [
         "# SCALE_SMOKE — measured scaling of the headline pairwise operators",
