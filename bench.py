@@ -20,6 +20,7 @@ from realtime_twitter_trends_analytics_spark.registry import (
     all_bench_only,
     all_queries,
     all_staging,
+    clear_staging_memos,
 )
 from realtime_twitter_trends_analytics_spark.session import get_spark
 
@@ -177,6 +178,14 @@ HEADLINE = [
     # what ships.
     "percentiles_approx_prod",
     "events_hll_rollup_prod",
+    # round-8: sketch/bucket production twins of the exact global-sort
+    # segmentation readouts + the ANN-composed RRF fusion (all bench-only;
+    # accuracy pinned vs their exact twins in tests/test_prod_twins.py and
+    # tests/test_rrf_composition.py)
+    "part_abc_classification_prod",
+    "events_power_users_gini_prod",
+    "customers_rfm_segments_prod",
+    "retrieval_rrf_fusion_ann",
 ]
 
 
@@ -342,10 +351,21 @@ def main() -> None:
 
         for t in ("documents", "embeddings"):
             load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
-        for sname, sfn in all_staging().items():
-            t0 = time.time()
-            sfn(spark, sf_dir)
-            staging_timings[f"staging:{sname}"] = round(time.time() - t0, 3)
+        # MIN-of-2 builds (r8, VERDICT r7 item 5): a memoized build only
+        # ever ran once per process, so staging lines carried the full
+        # host-drift band (unchanged lines re-measured 1.23-1.37x on the
+        # same box) while query lines were already min-of-2 damped. The
+        # first full build pass also serves as the staging warm-up.
+        for pass_n in range(2):
+            if pass_n:
+                clear_staging_memos()
+                spark.catalog.clearCache()
+            for sname, sfn in all_staging().items():
+                t0 = time.time()
+                sfn(spark, sf_dir)
+                dt = round(time.time() - t0, 3)
+                key = f"staging:{sname}"
+                staging_timings[key] = min(staging_timings.get(key, dt), dt)
 
     # Warm-up pass: JVM JIT + whole-stage codegen + parquet footer caches.
     # Steady-state is what a resident engine delivers; cold-start is ~4x.
@@ -357,12 +377,18 @@ def main() -> None:
         spark.catalog.clearCache()
 
     # two timed runs, keep the min: damps one-off GC pauses / host noise.
+    # Python-worker-bound queries get a THIRD run (r8, VERDICT r7 item 5):
+    # the Arrow/python-worker paths showed a 1.73x same-file drift in r7
+    # (multimodal_feature_summary, adjudicated as worker variance across 5
+    # isolated runs) — one extra sample cuts the chance that BOTH kept
+    # runs land on a worker stall.
     # The timer wraps CONSTRUCTION + execution: plan building is ~ms for
     # declarative queries, but iterative operators (dedup_clusters) run
     # eagerly-materialized rounds during construction and must be counted.
+    MIN3 = {"multimodal_feature_summary", "sim_mmr_topk", "ml_pca_power_iteration"}
     timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in headline:
+    for pass_n in range(3):
+        for name in headline if pass_n < 2 else [n for n in headline if n in MIN3]:
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -592,14 +592,10 @@ def dsir_instance_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = _DSIR_INST_MEMO.get(key)
     if memo is not None:
         return memo
-    docs = load_table(spark, sf_dir, "documents")
+    from .dedup import tokenized_docs_staging  # r8: tokenize-once staging
+
     out = (
-        docs.select(
-            "doc_id",
-            "lang",
-            "source",
-            F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks"),
-        )
+        tokenized_docs_staging(spark, sf_dir)
         .select(
             "doc_id",
             "lang",

@@ -62,11 +62,65 @@ def shingles_sql(d: str, toks_col: str, n_tokens: int = SHINGLE) -> str:
 
 def shingle_rel(docs: DataFrame) -> DataFrame:
     """(doc_id, sh) relation: distinct 3-gram shingles per document, with
-    the tokenize-once projection barrier."""
+    the tokenize-once projection barrier. Takes an arbitrary docs slice
+    (the incremental probe shingles its daily batch through this); the
+    full-corpus path goes through shingle_rel_staging below."""
     return docs.select("doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")).select(
         "doc_id",
         F.explode(F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "toks")))).alias("sh"),
     )
+
+
+# The tokenize-once corpus relation (r8, VERDICT r7 item 4): the shingle
+# builds here, bigram_instance_staging (textstats) and
+# dsir_instance_staging (cleaning) each re-ran the whitespace-split over
+# documents — at 100 TB that is three full tokenize passes where a real
+# pipeline materializes tokens once at ingest. One localCheckpoint per
+# (application, sf_dir); registered as the FIRST staging line so its build
+# cost is a named number and every consumer line prices only its own work.
+_TOKD_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def tokenized_docs_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, toks) — documents tokenized once, shared by
+    every token-consuming staging build."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _TOKD_MEMO.get(key)
+    if memo is not None:
+        return memo
+    docs = load_table(spark, sf_dir, "documents")
+    out = audit_plan(
+        "tokenized_docs",
+        docs.select(
+            "doc_id", "lang", "source", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+        ),
+    ).localCheckpoint()
+    _TOKD_MEMO[key] = out
+    return out
+
+
+# The UNCAPPED distinct-shingle relation sh_all is read by TWO builds (the
+# hot-list cap below and the minhash signature agg) — before r8 each
+# re-derived it from raw text. Materialized once, same memo discipline.
+_SH_ALL_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def shingle_rel_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) distinct shingles for the full corpus, built from the
+    tokenized-docs staging relation and materialized once per
+    (application, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _SH_ALL_MEMO.get(key)
+    if memo is not None:
+        return memo
+    tokd = tokenized_docs_staging(spark, sf_dir)
+    rel = tokd.select(
+        "doc_id",
+        F.explode(F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "toks")))).alias("sh"),
+    )
+    out = audit_plan("dedup_shingle_rel", rel).localCheckpoint()
+    _SH_ALL_MEMO[key] = out
+    return out
 
 
 # Like _PAIRS_MEMO below: the df-capped distinct-shingle relation (the
@@ -85,8 +139,7 @@ def capped_shingle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast anti-join, so the big shingle relation shuffles only for the
     one count agg. Capping df bounds every downstream self-join bucket at
     CAP^2 regardless of corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh_all = audit_plan("dedup_shingle_rel", shingle_rel(docs)).localCheckpoint()
+    sh_all = shingle_rel_staging(spark, sf_dir)
     hot = (
         sh_all.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -153,9 +206,11 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + K minhash columns h0..h{K-1} (distinct-shingle explode, one
-    groupBy — partial aggregation makes the min() map-side cheap)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_rel(docs)
+    groupBy — partial aggregation makes the min() map-side cheap). Reads
+    the staged shingle relation (r8): the hot-list cap build reads the
+    same sh_all, so deriving it twice from raw text was a full duplicated
+    tokenize+shingle pass."""
+    sh = shingle_rel_staging(spark, sf_dir)
     aggs = [F.expr(_minhash_agg_sql(dl.SPARK, k)).alias(f"h{k}") for k in range(MINHASH_K)]
     return sh.groupBy("doc_id").agg(*aggs)
 

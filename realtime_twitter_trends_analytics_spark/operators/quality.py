@@ -286,6 +286,74 @@ FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+RFM_PCT_ACC = 10000
+
+
+def customers_rfm_segments_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of customers_rfm_segments: the three ntile(5)
+    global-sort windows are replaced by approx_percentile BOUNDARY lookups
+    — one sketch agg produces the 20/40/60/80th percentile of each RFM
+    dimension (recency as integer epoch days), the 1-row boundary set
+    broadcasts, and every customer is scored MAP-SIDE by counting
+    boundaries at or below its value (tile = 5 - #bounds<=v, so higher
+    recency/frequency/monetary still means tile 1).
+
+    Tie handling: ntile SPLITS a tie group across tiles (by custkey
+    order); a raw value boundary puts the whole group in one tile, which
+    on the discrete freq dimension moved 14% of customers (measured
+    sf0.1). So the discrete dimensions (recency days, freq) are scored on
+    a HASH-JITTERED key — value * 2^32 + xxhash64(custkey) mod 2^32 —
+    which preserves the value order and splits ties deterministically
+    pseudo-randomly, the map-side analogue of ntile's arbitrary tie
+    split. Monetary (exact cents, effectively continuous) stays raw to
+    keep its bigint range safe. Segment-count distribution distance vs
+    the exact twin is pinned in tests/test_prod_twins.py. Bench-only
+    (registry.all_bench_only): sketch boundaries are engine-specific,
+    the exact twin IS the oracle target."""
+    o = load_table(spark, sf_dir, "orders")
+    j = "(CAST(pmod(xxhash64(o_custkey), 4294967296) AS BIGINT))"
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "last_days"
+        ),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents"),
+    ).select(
+        "cents",
+        F.expr(f"last_days * 4294967296 + {j}").alias("r_key"),
+        F.expr(f"freq * 4294967296 + {j}").alias("f_key"),
+    )
+    qs = "array(0.2, 0.4, 0.6, 0.8)"
+    bounds = base.agg(
+        F.expr(f"approx_percentile(r_key, {qs}, {RFM_PCT_ACC})").alias("rb"),
+        F.expr(f"approx_percentile(f_key, {qs}, {RFM_PCT_ACC})").alias("fb"),
+        F.expr(f"approx_percentile(cents, {qs}, {RFM_PCT_ACC})").alias("mb"),
+    )
+
+    def tile(v: str, b: str):
+        # 5 - (#boundaries <= v): top quintile (v above all 4 bounds) -> 1
+        return F.lit(5) - F.expr(
+            f"aggregate({b}, 0, (a, x) -> a + CASE WHEN {v} >= x THEN 1 ELSE 0 END)"
+        )
+
+    scored = base.crossJoin(F.broadcast(bounds)).select(
+        "cents",
+        (
+            tile("r_key", "rb") * 100 + tile("f_key", "fb") * 10 + tile("cents", "mb")
+        ).alias("segment"),
+    )
+    return (
+        scored.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr(
+                dl.round_ratio(dl.SPARK, "sum(cents)", "(count(*) * 100)")
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
 # ---------------------------------------------------------------- readability
 # Synthetic docs carry no sentence punctuation, so a fixed 15-token window
 # stands in for the sentence unit; the syllable proxy is vowel-group
@@ -310,6 +378,12 @@ def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"size({dl.split_ws(dl.SPARK, 'text')})").alias("words"),
         F.expr("size(regexp_extract_all(text, '[aeiouy]+', 0))").alias("syls"),
+    ).where(
+        # a zero-word doc (empty/whitespace-only) would make flesch NULL
+        # (0/0) and land in a NULL bucket — whose sort position differs
+        # between engines (Spark NULLS FIRST asc, DuckDB NULLS LAST), so
+        # the readout excludes word-less docs in BOTH plans
+        F.col("words") > 0
     ).select(
         "doc_id",
         "words",
@@ -353,7 +427,7 @@ WITH per AS (
 ), s AS (
   SELECT doc_id, words, syls,
     CAST(ceil(CAST(words AS DOUBLE) / {WORDS_PER_SENT}) AS BIGINT) AS sents
-  FROM per
+  FROM per WHERE words > 0
 ), scored AS (
   SELECT *, 206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))
     - 84.6 * (CAST(syls AS DOUBLE) / CAST(words AS DOUBLE)) AS flesch

@@ -430,6 +430,22 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the 100 TB path; brute force is the oracle of record for
     recall measurements (bench ann_recall_at_10, floor-pinned in
     tests/test_ann_recall.py)."""
+    sim = _lsh_ann_scored(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        sim.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", F.round("cosine", 4).alias("cosine"), "rnk")
+    )
+
+
+def _lsh_ann_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-probe LSH candidate generator + cosine scorer behind
+    sim_lsh_ann, BEFORE any top-k cut: (query_id, cand_id, cosine) for
+    every candidate surfaced by any probed bucket in any table. Shared by
+    sim_lsh_ann (cuts at TOP_K) and retrieval_rrf_fusion_ann (cuts its
+    dense pool at RRF_POOL) — both consume the same candidate machinery,
+    each applying its own depth."""
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = emb.select(
         "vec_id",
@@ -492,12 +508,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "cand_id")
         .agg(F.max("cosine").alias("cosine"))
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        sim.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "cand_id", F.round("cosine", 4).alias("cosine"), "rnk")
-    )
+    return sim
 
 
 def _oracle_lsh_ann() -> str:
@@ -1682,7 +1693,47 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fusion composes with them unchanged); both rank windows
     partition by nothing over <=POOL rows only after per-ranker
     TakeOrdered cuts. Ranks are exact integers; the rrf double is the
-    same two-term IEEE expression in both engines."""
+    same two-term IEEE expression in both engines. Both rank windows
+    order on 1e-6 FIXED-POINT scores (the _quant_cos convention, same as
+    sim_matryoshka_eval): the bm25 float sum's partial-agg order is
+    nondeterministic and the raw cosine is engine-shared but last-bit
+    fragile — ranking on the quantized BIGINT keeps the RRF_POOL cutoff
+    stable across engines and runs."""
+    lex = _rrf_lex(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
+    )
+    dense = (
+        F.broadcast(q)
+        .crossJoin(
+            emb.filter(F.col("vec_id") != 0).select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding").alias("cv"),
+                F.expr(norm_sql(dl.SPARK, "embedding")).alias("cnorm"),
+            )
+        )
+        .withColumn(
+            "cosine",
+            F.expr(dot_sql(dl.SPARK, "qv", "cv")) / (F.col("qnorm") * F.col("cnorm")),
+        )
+        .withColumn("cos_q", F.expr(_quant_cos(dl.SPARK, "cosine")))
+        .withColumn(
+            "rank_dense_",
+            F.row_number().over(W.orderBy(F.desc("cos_q"), F.asc("doc_id"))),
+        )
+        .filter(F.col("rank_dense_") <= RRF_POOL)
+        .select("doc_id", F.col("rank_dense_").alias("rank_dense"))
+    )
+    return _rrf_fuse(lex, dense)
+
+
+def _rrf_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lexical (BM25) ranking side of the RRF fusion: posting-list
+    bounded scoring over the fixed BM25_QUERY term set, cut to a
+    RRF_POOL-deep (doc_id, lex_rank) list — shared by the brute-force
+    and ANN-composed fusion entries."""
     from .textstats import BM25_B, BM25_K1, BM25_QUERY
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1709,38 +1760,23 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("term_score", idf * tf_part)
         .groupBy("doc_id")
         .agg(F.sum("term_score").alias("bm25"))
+        .withColumn("bm25_q", F.expr(_quant_cos(dl.SPARK, "bm25")))
         .withColumn(
             "lex_rank",
-            F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+            F.row_number().over(W.orderBy(F.desc("bm25_q"), F.asc("doc_id"))),
         )
         .filter(F.col("lex_rank") <= RRF_POOL)
         .select("doc_id", "lex_rank")
     )
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv"),
-        F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
-    )
-    dense = (
-        F.broadcast(q)
-        .crossJoin(
-            emb.filter(F.col("vec_id") != 0).select(
-                F.col("vec_id").alias("doc_id"),
-                F.col("embedding").alias("cv"),
-                F.expr(norm_sql(dl.SPARK, "embedding")).alias("cnorm"),
-            )
-        )
-        .withColumn(
-            "cosine",
-            F.expr(dot_sql(dl.SPARK, "qv", "cv")) / (F.col("qnorm") * F.col("cnorm")),
-        )
-        .withColumn(
-            "rank_dense_",
-            F.row_number().over(W.orderBy(F.desc("cosine"), F.asc("doc_id"))),
-        )
-        .filter(F.col("rank_dense_") <= RRF_POOL)
-        .select("doc_id", F.col("rank_dense_").alias("rank_dense"))
-    )
+    return lex
+
+
+def _rrf_fuse(lex: DataFrame, dense: DataFrame) -> DataFrame:
+    """Fuse a lexical (doc_id, lex_rank) list with a dense (doc_id,
+    rank_dense) list: POOL-sized full-outer join + the reciprocal-rank
+    sum. This is the (id, rank) contract the docstring above claims —
+    ANY ranker emitting that shape composes here unchanged (proven for
+    the LSH-ANN dense side in tests/test_rrf_composition.py)."""
     fused = lex.join(dense, "doc_id", "full_outer").select(
         "doc_id",
         "lex_rank",
@@ -1757,6 +1793,33 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RRF_TOP)
         .select("doc_id", "lex_rank", "rank_dense", F.round("rrf", 6).alias("rrf"), "rnk")
     )
+
+
+def retrieval_rrf_fusion_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retrieval_rrf_fusion with the PRODUCTION dense side: the dense
+    ranking comes from the multi-probe LSH-ANN candidate generator
+    (sim_lsh_ann's bucket equi-join machinery) instead of the brute-force
+    corpus scan — the composition the fusion docstring promises. The
+    candidate set for query vector 0 is ranked by the same quantized
+    cosine and cut to RRF_POOL (LSH may surface fewer than POOL
+    candidates; RRF's missing-rank coalesce handles that by contract).
+    Bench-only: the oracle-gated fusion keeps the brute-force baseline;
+    this line prices what ships at 100 TB, and
+    tests/test_rrf_composition.py pins its rank overlap vs the
+    brute-force fusion."""
+    lex = _rrf_lex(spark, sf_dir)
+    dense = (
+        _lsh_ann_scored(spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .withColumn("cos_q", F.expr(_quant_cos(dl.SPARK, "cosine")))
+        .withColumn(
+            "rank_dense_",
+            F.row_number().over(W.orderBy(F.desc("cos_q"), F.asc("cand_id"))),
+        )
+        .filter(F.col("rank_dense_") <= RRF_POOL)
+        .select(F.col("cand_id").alias("doc_id"), F.col("rank_dense_").alias("rank_dense"))
+    )
+    return _rrf_fuse(lex, dense)
 
 
 def _oracle_rrf() -> str:
@@ -1785,13 +1848,14 @@ WITH tokd AS (
   FROM tf JOIN dfr USING (token) GROUP BY 1
 ), lex AS (
   SELECT doc_id, lex_rank FROM (
-    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+    SELECT doc_id,
+      row_number() OVER (ORDER BY {_quant_cos(d, 'bm25')} DESC, doc_id ASC) AS lex_rank
     FROM scored
   ) WHERE lex_rank <= {RRF_POOL}
 ), dense AS (
   SELECT doc_id, rank_dense FROM (
     SELECT c.vec_id AS doc_id,
-      row_number() OVER (ORDER BY {cos} DESC, c.vec_id ASC) AS rank_dense
+      row_number() OVER (ORDER BY {_quant_cos(d, cos)} DESC, c.vec_id ASC) AS rank_dense
     FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id <> 0
   ) WHERE rank_dense <= {RRF_POOL}
 ), fused AS (

@@ -213,18 +213,16 @@ _BIGRAM_MEMO: dict[tuple[str, str], DataFrame] = {}
 def bigram_instance_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, bigram, w1) — one row per corpus bigram instance,
     materialized once per (application, sf_dir). The explode is map-side;
-    consumers aggregate on uniform bigram/w1/source keys."""
-    from .dedup import shingles_sql  # shared dual-dialect template
+    consumers aggregate on uniform bigram/w1/source keys. Reads the shared
+    tokenized-docs staging relation (r8) instead of re-tokenizing."""
+    from .dedup import shingles_sql, tokenized_docs_staging  # shared templates
 
     key = (spark.sparkContext.applicationId, sf_dir)
     memo = _BIGRAM_MEMO.get(key)
     if memo is not None:
         return memo
-    docs = load_table(spark, sf_dir, "documents")
     out = (
-        docs.select(
-            "doc_id", "source", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
-        )
+        tokenized_docs_staging(spark, sf_dir)
         .select(
             "doc_id",
             "source",

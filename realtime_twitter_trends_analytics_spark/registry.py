@@ -77,21 +77,34 @@ def all_staging() -> dict[str, QueryFn]:
     newly-joined staging tier. With the build cost as a named line, both
     the build and every consumer are comparable across rounds."""
     return {
+        # tokenize-once FIRST (r8): the shingle builds, bigram_instances,
+        # and dsir_instances all read it — before r8 each re-tokenized
+        # documents from raw text
+        "tokenized_docs": dedup.tokenized_docs_staging,
+        # the uncapped distinct-shingle relation, read by BOTH the hot-list
+        # cap build and the minhash signature agg
+        "doc_shingles": dedup.shingle_rel_staging,
         "capped_shingles": dedup.capped_shingle_staging,
         # signatures BEFORE the pair build that consumes them (round 7:
         # shared by the banded self-join and the incremental probe)
         "minhash_signatures": dedup.minhash_signatures_staging,
         "minhash_pairs": dedup.dedup_minhash_pairs,
         "cooc_edges": graph._cooc_edges,
+        # r8: the kcore bipartite edge build was ~85% of the kcore query's
+        # bench line — now a named staging line like cooc_edges
+        "kcore_edges": graph.kcore_edges_staging,
         # quantized_vectors FIRST among the vector builds: it is their
         # shared scan (round-7 memoization — VERDICT r6 item 7), so its
         # one-time materialization cost gets its own line instead of
         # riding whichever consumer builds first.
         "quantized_vectors": ml.quantized_vectors,
+        # trainer BEFORE its consumer (r8): kmeans_cells used to absorb
+        # the Lloyd-round training cost because it built the codebook
+        # memo first — same accounting fix as kcore_edges
+        "kmeans_codebook": ml.kmeans_centroids,
         "kmeans_cells": similarity.kmeans_cell_assignment,
         "bigram_instances": textstats.bigram_instance_staging,
         "dsir_instances": cleaning.dsir_instance_staging,
-        "kmeans_codebook": ml.kmeans_centroids,
         "pq_codebook": lambda s, d: ml.pq_trained(s, d)[1],
     }
 
@@ -107,7 +120,47 @@ def all_bench_only() -> dict[str, QueryFn]:
     return {
         "percentiles_approx_prod": relational_ext.percentiles_approx_prod,
         "events_hll_rollup_prod": relational_ext.events_hll_rollup_prod,
+        # r8: sketch/bucket twins of the exact global-sort segmentation
+        # readouts (accuracy pinned vs the exact twins in
+        # tests/test_prod_twins.py)
+        "part_abc_classification_prod": analytics_ext.part_abc_classification_prod,
+        "events_power_users_gini_prod": analytics_ext.events_power_users_gini_prod,
+        "customers_rfm_segments_prod": quality.customers_rfm_segments_prod,
+        # r8: RRF fusion with the LSH-ANN dense side (composition proven in
+        # tests/test_rrf_composition.py; the oracle-gated fusion keeps the
+        # brute-force dense baseline)
+        "retrieval_rrf_fusion_ann": similarity.retrieval_rrf_fusion_ann,
     }
+
+
+def clear_staging_memos() -> None:
+    """Drop every staging-relation memo (and the driver-state model memos
+    they feed) so bench.py can rebuild the staging tier and record
+    MIN-of-N build times. Same-tree staging drift was the largest
+    un-damped noise channel in round-over-round diffs (r7->r8 probe:
+    unchanged cooc_edges/pq_codebook lines re-measured 1.23x/1.37x on the
+    same box) — query lines already damp with min-of-2 timed runs, but a
+    memoized build only ever ran once per process. Safe to call between
+    builds: every builder is deterministic and idempotent, and consumers
+    only hold references through the memo."""
+    from .operators import cleaning, dedup, graph, ml, similarity, textstats
+
+    for memo in (
+        dedup._TOKD_MEMO,
+        dedup._SH_ALL_MEMO,
+        dedup._CAPPED_SH_MEMO,
+        dedup._SIG_MEMO,
+        dedup._PAIRS_MEMO,
+        graph._COOC_MEMO,
+        graph._KCORE_EDGES_MEMO,
+        ml._QVEC_MEMO,
+        ml._KMEANS_CENT_MEMO,
+        ml._PQ_CENT_MEMO,
+        similarity._CELL_ASSIGN_MEMO,
+        textstats._BIGRAM_MEMO,
+        cleaning._DSIR_INST_MEMO,
+    ):
+        memo.clear()
 
 
 def all_oracles() -> dict[str, str]:

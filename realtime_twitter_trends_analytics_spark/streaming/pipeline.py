@@ -88,16 +88,21 @@ def read_raw_stream(
     kafka_servers: str | None = None,
     topics: str = "twitter-tweets",
     max_files_per_trigger: int = 1,
+    starting_offsets: str = "latest",
 ) -> DataFrame:
     """S5: the stream source. Kafka when a broker is configured (offsets in
     the checkpoint mirror proc:80-81's manual-commit intent); JSON-file
-    source otherwise (tests/local replay) with identical (key, value) shape."""
+    source otherwise (tests/local replay) with identical (key, value) shape.
+
+    starting_offsets applies to the Kafka branch only: 'latest' is the
+    production default (progress lives in the checkpoint after the first
+    batch); replay/backfill runs pass 'earliest'."""
     if kafka_servers:
         raw = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", kafka_servers)
             .option("subscribe", topics)
-            .option("startingOffsets", "latest")
+            .option("startingOffsets", starting_offsets)
             .load()
         )
         return raw.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")

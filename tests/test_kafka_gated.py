@@ -133,15 +133,11 @@ def test_kafka_roundtrip_end_to_end(spark, tmp_path):
         "topic", topic
     ).save()
 
-    raw = read_raw_stream(spark, kafka_servers=broker, topics=topic)
-    # earliest for the test: the row above was produced before the stream started
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", broker)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .load()
-        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+    # earliest: the row above was produced before the stream started. This
+    # drives the PRODUCTION read_raw_stream path (the reader under test),
+    # not a hand-built copy of it.
+    raw = read_raw_stream(
+        spark, kafka_servers=broker, topics=topic, starting_offsets="earliest"
     )
     scored = transform_tweets(
         raw, ts_col=F.timestamp_seconds(F.col("key").cast("long"))
