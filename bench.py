@@ -171,6 +171,13 @@ HEADLINE = [
     "dedup_incremental_probe",
     "part_abc_classification",
     "events_power_users_gini",
+    # round-8 additions: behavioral entropy, PSI drift monitor, forward
+    # gap-fill, grouped OLS, vocabulary coverage
+    "events_user_entropy",
+    "events_psi_drift",
+    "orders_gap_fill_forward",
+    "part_price_slope",
+    "docs_vocab_coverage_curve",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

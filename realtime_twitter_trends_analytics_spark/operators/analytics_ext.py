@@ -1510,6 +1510,258 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------- entropy
+ENT_SCALE = 10**6   # fixed-point quantization of per-term c*ln(c)
+# histogram bucket = floor(entropy * 100): the synthetic corpus's near-
+# uniform mixes span ~1.51-1.61 nats, so 0.01-nat buckets discriminate
+ENT_BUCKET = 100
+
+
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity readout: Shannon entropy of each user's
+    event-type mix, histogrammed over the user base — the standard
+    engagement-breadth feature (a user who only ever fires 'view' scores
+    0; a uniform 5-type mix scores ln 5).
+
+    Entropy via H = ln(t) - (1/t) * sum c*ln(c) over per-(user, type)
+    counts: two keyed hash aggs (events -> (user, type) -> user), no
+    window anywhere — survives any scale. Float discipline: each
+    c*ln(c) term is QUANTIZED to 1e-6 fixed point before the per-user
+    sum (a raw double sum's partial-agg order is engine-dependent), so
+    both engines add identical integers; the final H is one shared
+    IEEE expression over exact ints."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    u = per.groupBy("user_id").agg(
+        F.sum("c").alias("t"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.expr(
+                f"CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * {ENT_SCALE}) AS BIGINT)"
+            )
+        ).alias("clc_q"),
+    )
+    scored = u.select(
+        "k",
+        "t",
+        F.expr(
+            f"ln(CAST(t AS DOUBLE)) - CAST(clc_q AS DOUBLE) / {ENT_SCALE} / CAST(t AS DOUBLE)"
+        ).alias("ent"),
+    )
+    return (
+        scored.groupBy(
+            F.expr(f"CAST(floor(ent * {ENT_BUCKET}) AS BIGINT)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("t").alias("n_events"),
+            F.expr(dl.round_ratio(dl.SPARK, "sum(k)", "count(*)")).alias("avg_types"),
+            F.expr(
+                dl.round_ratio(
+                    dl.SPARK,
+                    f"sum(CAST(floor(ent * {ENT_SCALE}) AS BIGINT))",
+                    f"(count(*) * {ENT_SCALE})",
+                )
+            ).alias("mean_entropy"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _oracle_user_entropy() -> str:
+    d = dl.DUCK
+    return f"""
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+), u AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS t, count(*) AS k,
+    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * {ENT_SCALE}) AS BIGINT)) AS BIGINT) AS clc_q
+  FROM per GROUP BY 1
+), scored AS (
+  SELECT k, t,
+    ln(CAST(t AS DOUBLE)) - CAST(clc_q AS DOUBLE) / {ENT_SCALE} / CAST(t AS DOUBLE) AS ent
+  FROM u
+)
+SELECT CAST(floor(ent * {ENT_BUCKET}) AS BIGINT) AS bucket,
+  count(*) AS n_users, CAST(sum(t) AS BIGINT) AS n_events,
+  {dl.round_ratio(d, 'sum(k)', 'count(*)')} AS avg_types,
+  {dl.round_ratio(d, 'sum(CAST(floor(ent * ' + str(ENT_SCALE) + ') AS BIGINT))', f'(count(*) * {ENT_SCALE})')} AS mean_entropy
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------- PSI drift
+PSI_BIN_W = 25.0    # fixed-width value bins (value spans ~0..490 -> ~20 bins)
+PSI_BINS = 20       # Laplace smoothing denominator constant
+PSI_SCALE = 10**9   # fixed-point quantization of each PSI term
+
+
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: for every calendar day,
+    PSI of the event-value distribution against the whole-corpus baseline
+    — the standard go/no-go drift gate in front of a model retrain or a
+    training-data refresh (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25
+    shifted).
+
+    PSI = sum_b (p_b - q_b) * ln(p_b / q_b) over fixed-width value bins,
+    Laplace-smoothed so empty cells are defined. Plan: one (day, bin)
+    hash agg and one (bin) hash agg; the day x bin grid is
+    days x ~{PSI_BINS} rows (resolution-bounded), built by a broadcast
+    cross join and left-joined to the daily counts — no window, no
+    data-sized sort at any scale. Each term is quantized to 1e-9 fixed
+    point before summing (identical-integer addition in both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    binned = e.select(
+        F.expr("CAST(ts AS DATE)").alias("day"),
+        F.expr(f"CAST(floor(value / {PSI_BIN_W}) AS BIGINT)").alias("b"),
+    )
+    daily = binned.groupBy("day", "b").agg(F.count(F.lit(1)).alias("c"))
+    corpus = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    n_all = binned.agg(F.count(F.lit(1)).alias("nq"))
+    day_tot = binned.groupBy("day").agg(F.count(F.lit(1)).alias("nd"))
+    grid = (
+        day_tot.crossJoin(F.broadcast(corpus))
+        .join(daily, ["day", "b"], "left")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "day",
+            "nd",
+            F.expr(
+                # p = (c+1)/(nd+B), q = (cq+1)/(nq+B); term = (p-q)*ln(p/q)
+                f"CAST(floor(("
+                f"  (CAST(coalesce(c, 0) + 1 AS DOUBLE) / (nd + {PSI_BINS})"
+                f"   - CAST(cq + 1 AS DOUBLE) / (nq + {PSI_BINS}))"
+                f"  * ln((CAST(coalesce(c, 0) + 1 AS DOUBLE) / (nd + {PSI_BINS}))"
+                f"       / (CAST(cq + 1 AS DOUBLE) / (nq + {PSI_BINS})))"
+                f") * {PSI_SCALE}) AS BIGINT)"
+            ).alias("term_q"),
+        )
+    )
+    return (
+        grid.groupBy("day")
+        .agg(
+            F.any_value("nd").alias("n_events"),
+            F.round(F.sum("term_q") / F.lit(float(PSI_SCALE)), 6).alias("psi"),
+        )
+        .orderBy("day")
+    )
+
+
+def _oracle_psi() -> str:
+    return f"""
+WITH binned AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(floor(value / {PSI_BIN_W}) AS BIGINT) AS b
+  FROM events
+), daily AS (
+  SELECT day, b, count(*) AS c FROM binned GROUP BY 1, 2
+), corpus AS (
+  SELECT b, count(*) AS cq FROM binned GROUP BY 1
+), n_all AS (SELECT count(*) AS nq FROM binned),
+day_tot AS (SELECT day, count(*) AS nd FROM binned GROUP BY 1),
+grid AS (
+  SELECT dt.day, dt.nd,
+    CAST(floor((
+      (CAST(coalesce(d.c, 0) + 1 AS DOUBLE) / (dt.nd + {PSI_BINS})
+       - CAST(co.cq + 1 AS DOUBLE) / (na.nq + {PSI_BINS}))
+      * ln((CAST(coalesce(d.c, 0) + 1 AS DOUBLE) / (dt.nd + {PSI_BINS}))
+           / (CAST(co.cq + 1 AS DOUBLE) / (na.nq + {PSI_BINS})))
+    ) * {PSI_SCALE}) AS BIGINT) AS term_q
+  FROM day_tot dt CROSS JOIN corpus co CROSS JOIN n_all na
+  LEFT JOIN daily d ON d.day = dt.day AND d.b = co.b
+)
+SELECT day, CAST(any_value(nd) AS BIGINT) AS n_events,
+  round(CAST(sum(term_q) AS DOUBLE) / {PSI_SCALE}.0, 6) AS psi
+FROM grid GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------- gap fill
+def orders_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a complete daily spine per order priority
+    with missing days FORWARD-FILLED from the last observed day
+    (last_value IGNORE NULLS) — the canonical as-of densification step
+    before feature windows or forecasting, and the repair a reporting
+    pipeline runs on sparse daily aggregates.
+
+    Plan: orders reduce to (priority, day) grain; the spine is
+    sequence(min_day, max_day) exploded from a 1-row scalar agg and
+    cross-joined with the 5 priorities (broadcast both ways — the spine
+    is calendar-sized, never data-sized); the fill window partitions by
+    priority over calendar days, so no task ever holds more than one
+    priority's ~2.4k days regardless of order count. Readout is the
+    per-priority fill summary (exact integers only)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.expr("CAST(o_orderdate AS DATE)").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents"),
+    )
+    rng = o.agg(
+        F.expr("MIN(CAST(o_orderdate AS DATE))").alias("d0"),
+        F.expr("MAX(CAST(o_orderdate AS DATE))").alias("d1"),
+    )
+    spine = rng.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    prs = o.select(F.col("o_orderpriority").alias("pr")).distinct()
+    grid = F.broadcast(spine).crossJoin(F.broadcast(prs))
+    j = grid.join(daily, ["pr", "day"], "left")
+    w = (
+        W.partitionBy("pr")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = j.select(
+        "pr",
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+    )
+    return (
+        filled.groupBy("pr")
+        .agg(
+            F.count(F.lit(1)).alias("days_total"),
+            F.count("cents").alias("days_observed"),
+            F.sum(
+                F.when(F.col("cents").isNull() & F.col("filled_cents").isNotNull(), 1).otherwise(0)
+            ).alias("days_filled"),
+            F.sum("cents").alias("observed_cents"),
+            F.sum("filled_cents").alias("filled_total_cents"),
+        )
+        .orderBy("pr")
+    )
+
+
+def _oracle_gap_fill() -> str:
+    return """
+WITH daily AS (
+  SELECT o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS day,
+    count(*) AS cnt, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+), rng AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS d0, max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM rng
+), prs AS (SELECT DISTINCT o_orderpriority AS pr FROM orders),
+grid AS (SELECT pr, day FROM spine CROSS JOIN prs),
+filled AS (
+  SELECT g.pr, g.day, d.cents,
+    last_value(d.cents IGNORE NULLS) OVER (
+      PARTITION BY g.pr ORDER BY g.day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+  FROM grid g LEFT JOIN daily d ON d.pr = g.pr AND d.day = g.day
+)
+SELECT pr, count(*) AS days_total, count(cents) AS days_observed,
+  CAST(sum(CASE WHEN cents IS NULL AND filled_cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS days_filled,
+  CAST(sum(cents) AS BIGINT) AS observed_cents,
+  CAST(sum(filled_cents) AS BIGINT) AS filled_total_cents
+FROM filled GROUP BY 1 ORDER BY 1
+"""
+
+
 # ------------------------------------------------- production twins (r8)
 # The exact ABC/Gini readouts above are the ORACLE targets; their docstrings
 # promise sketch/bucket-based production forms for the 100 TB case where
@@ -1634,6 +1886,9 @@ QUERIES = {
     "stats_mannwhitney": stats_mannwhitney,
     "events_changepoint": events_changepoint,
     "events_gaps_islands": events_gaps_islands,
+    "events_user_entropy": events_user_entropy,
+    "events_psi_drift": events_psi_drift,
+    "orders_gap_fill_forward": orders_gap_fill_forward,
     "sample_reservoir_per_key": sample_reservoir_per_key,
     "docs_boilerplate_chunks": docs_boilerplate_chunks,
     "part_skyline_per_brand": part_skyline_per_brand,
@@ -1646,6 +1901,9 @@ QUERIES = {
 ORACLES = {
     "part_abc_classification": _oracle_abc(),
     "events_power_users_gini": _oracle_gini(),
+    "events_user_entropy": _oracle_user_entropy(),
+    "events_psi_drift": _oracle_psi(),
+    "orders_gap_fill_forward": _oracle_gap_fill(),
     "events_funnel_conversion": _oracle_funnel(),
     "events_ewma_forecast": _oracle_ewma(),
     "customers_clv_cohorts": _oracle_clv(),

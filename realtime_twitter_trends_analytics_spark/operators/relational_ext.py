@@ -1633,7 +1633,77 @@ LIMIT {MB_TOP}
 """
 
 
+# ---------------------------------------------------------------- OLS slope
+def part_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand least-squares fit of retail price (cents) against part
+    size — grouped simple linear regression from SUFFICIENT STATISTICS:
+    one hash agg collects (n, Sx, Sy, Sxx, Sxy, Syy) per brand as exact
+    BIGINTs, then slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) and r^2 are
+    closed-form per-brand expressions. The grouped counterpart of
+    ml_normal_equations's global fit: no window, no per-group iteration,
+    one shuffle keyed by brand at any scale.
+
+    Exactness: sums are BIGINT; slope is the sign-split integer
+    round_ratio (the helper requires a non-negative numerator); r^2 is
+    (num/den)*(num/dyy) — two bigint->double divisions (identical IEEE
+    both engines; num^2 as an integer would overflow BIGINT, which is
+    also why the r^2 pieces stay as ratios). At 100 TB the same stats
+    escalate to DECIMAL(38,0); the plan shape is unchanged."""
+    p = load_table(spark, sf_dir, "part")
+    stats = p.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p_size").cast("bigint")).alias("sx"),
+        F.sum(F.expr("CAST(round(p_retailprice * 100) AS BIGINT)")).alias("sy"),
+        F.sum(F.expr("CAST(p_size AS BIGINT) * p_size")).alias("sxx"),
+        F.sum(F.expr("CAST(p_size AS BIGINT) * CAST(round(p_retailprice * 100) AS BIGINT)")).alias("sxy"),
+        F.sum(F.expr("CAST(round(p_retailprice * 100) AS BIGINT) * CAST(round(p_retailprice * 100) AS BIGINT)")).alias("syy"),
+    )
+    d = dl.SPARK
+    num, den, dyy = "(n * sxy - sx * sy)", "(n * sxx - sx * sx)", "(n * syy - sy * sy)"
+    slope = (
+        f"CASE WHEN {den} = 0 THEN NULL "
+        f"WHEN {num} >= 0 THEN {dl.round_ratio(d, num, den, 6)} "
+        f"ELSE -{dl.round_ratio(d, f'(-{num})', den, 6)} END"
+    )
+    r2 = (
+        f"CASE WHEN {den} = 0 OR {dyy} = 0 THEN NULL ELSE "
+        f"round((CAST({num} AS DOUBLE) / {den}) * (CAST({num} AS DOUBLE) / {dyy}), 6) END"
+    )
+    return stats.select(
+        "brand",
+        F.col("n").alias("n_parts"),
+        F.expr(slope).alias("slope_cents_per_size"),
+        F.expr(r2).alias("r2"),
+        F.expr(dl.round_ratio(d, "sy", "(n * 100)")).alias("avg_price"),
+    ).orderBy("brand")
+
+
+def _oracle_price_slope() -> str:
+    d = dl.DUCK
+    num, den, dyy = "(n * sxy - sx * sy)", "(n * sxx - sx * sx)", "(n * syy - sy * sy)"
+    return f"""
+WITH stats AS (
+  SELECT p_brand AS brand, count(*) AS n,
+    CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sx,
+    CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+    CAST(sum(CAST(p_size AS BIGINT) * p_size) AS BIGINT) AS sxx,
+    CAST(sum(CAST(p_size AS BIGINT) * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sxy,
+    CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT) * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS syy
+  FROM part GROUP BY 1
+)
+SELECT brand, n AS n_parts,
+  CASE WHEN {den} = 0 THEN NULL
+    WHEN {num} >= 0 THEN {dl.round_ratio(d, num, den, 6)}
+    ELSE -{dl.round_ratio(d, f'(-{num})', den, 6)} END AS slope_cents_per_size,
+  CASE WHEN {den} = 0 OR {dyy} = 0 THEN NULL ELSE
+    round((CAST({num} AS DOUBLE) / {den}) * (CAST({num} AS DOUBLE) / {dyy}), 6) END AS r2,
+  {dl.round_ratio(d, 'sy', '(n * 100)')} AS avg_price
+FROM stats ORDER BY brand
+"""
+
+
 QUERIES = {
+    "part_price_slope": part_price_slope,
     "events_cms_topk": events_cms_topk,
     "market_basket_rules": market_basket_rules,
     "events_audience_overlap": events_audience_overlap,
@@ -1664,6 +1734,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "part_price_slope": _oracle_price_slope(),
     "events_cms_topk": _oracle_cms(),
     "market_basket_rules": _oracle_market_basket(),
     "events_audience_overlap": _oracle_audience_overlap(),

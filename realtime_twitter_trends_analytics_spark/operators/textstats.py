@@ -1298,7 +1298,83 @@ ORDER BY exact DESC, token ASC
 """
 
 
+# ------------------------------------------------------------- coverage curve
+# small cuts carry signal on the synthetic corpus's ~31-token vocabulary;
+# 1000 exercises the cut-past-vocabulary contract (no row, both engines)
+COVERAGE_CUTS = (5, 10, 20, 1000)
+
+
+def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative vocabulary-coverage curve: what fraction of all token
+    OCCURRENCES the top-k most frequent token types cover, read out at
+    k in {COVERAGE_CUTS} — the Zipf-coverage readout behind tokenizer
+    vocabulary sizing and stopword-list design (complements
+    textstats_zipf_fit, which fits the law's exponent; this measures the
+    mass the head actually covers).
+
+    Plan: one token hash agg (corpus-sized shuffle on the uniform token
+    key), then rank + running-sum windows over the VOCABULARY-grain
+    relation — vocabulary is sublinear in corpus size (Heaps' law), the
+    standard bounded-window argument, same as the zipf fit. Ties broken
+    by token text so ranks are total-order deterministic. A cut larger
+    than the vocabulary emits no row in either engine (identical row
+    sets by construction)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    wrank = W.orderBy(F.desc("f"), F.asc("token"))
+    wcum = wrank.rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    ranked = freq.select(
+        "token",
+        "f",
+        F.row_number().over(wrank).alias("k"),
+        F.sum("f").over(wcum).alias("cum"),
+        F.sum("f").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("vocab"),
+    )
+    return (
+        ranked.filter(F.col("k").isin(*COVERAGE_CUTS))
+        .select(
+            "k",
+            F.col("cum").alias("cum_occurrences"),
+            F.expr(dl.round_ratio(dl.SPARK, "cum", "total")).alias("coverage"),
+            F.col("vocab").alias("vocab_size"),
+            F.col("total").alias("total_occurrences"),
+        )
+        .orderBy("k")
+    )
+
+
+def _oracle_coverage_curve() -> str:
+    d = dl.DUCK
+    cuts = ", ".join(str(k) for k in COVERAGE_CUTS)
+    return f"""
+WITH freq AS (
+  SELECT token, count(*) AS f FROM (
+    SELECT unnest({dl.split_ws(d, 'text')}) AS token FROM documents
+  ) GROUP BY 1
+), ranked AS (
+  SELECT token, f,
+    row_number() OVER (ORDER BY f DESC, token ASC) AS k,
+    sum(f) OVER (ORDER BY f DESC, token ASC ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(f) OVER () AS total, count(*) OVER () AS vocab
+  FROM freq
+)
+SELECT CAST(k AS INT) AS k, CAST(cum AS BIGINT) AS cum_occurrences,
+  {dl.round_ratio(d, 'cum', 'total')} AS coverage,
+  CAST(vocab AS BIGINT) AS vocab_size, CAST(total AS BIGINT) AS total_occurrences
+FROM ranked WHERE k IN ({cuts}) ORDER BY k
+"""
+
+
 QUERIES = {
+    "docs_vocab_coverage_curve": docs_vocab_coverage_curve,
     "docs_heavy_hitters": docs_heavy_hitters,
     "docs_ngram_novelty": docs_ngram_novelty,
     "textstats_lm_score": textstats_lm_score,
@@ -1322,6 +1398,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_vocab_coverage_curve": _oracle_coverage_curve(),
     "docs_heavy_hitters": _oracle_heavy_hitters(),
     "docs_ngram_novelty": _oracle_ngram_novelty(),
     "textstats_lm_score": _oracle_lm_score(),

@@ -23,9 +23,12 @@ def test_bench_only_names_disjoint_from_gate():
     gate = set(registry.all_queries())
     extra = set(registry.all_bench_only())
     assert not (gate & extra)
-    # every bench-only prod form must have an oracle-gated eval twin
+    # every bench-only form must be the production variant of an
+    # oracle-gated twin: _prod = sketch-only plan of an eval form,
+    # _ann (r8) = ANN-composed plan of a brute-force-baseline form
     for name in extra:
-        assert name.endswith("_prod") and name[: -len("_prod")] in gate
+        base, _, suffix = name.rpartition("_")
+        assert suffix in ("prod", "ann") and base in gate, name
 
 
 def test_hll_rollup_prod_matches_exact_within_bound(spark, sf_dir):
