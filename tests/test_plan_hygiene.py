@@ -95,6 +95,15 @@ CARTESIAN_OK = {
     "— the float side IS the exact-recall oracle (sim_topk_bruteforce "
     "pattern); at scale the int8 side comes from the IVF/PQ candidate "
     "paths and the eval contract is unchanged (see docstring)",
+    "events_psi_drift": "the day x bin grid crosses the per-day totals "
+    "with the broadcast ~20-row corpus-bin relation (resolution-bounded, "
+    "never data-sized) and the 1-row corpus total rides a broadcast side "
+    "(scalar-aggregate pattern); the daily-count join is a (day, bin) "
+    "equi-join",
+    "orders_gap_fill_forward": "the spine is a calendar-sized explode "
+    "crossing the 5-row priority dimension — both sides broadcast and "
+    "bounded by calendar x priority cardinality regardless of order "
+    "count; the daily-aggregate join is a (priority, day) equi-join",
 }
 
 # query -> reason Python evaluation is required (Arrow-batched paths
