@@ -1,0 +1,141 @@
+"""Round-8 operator properties: semantic invariants the oracle hash-match
+cannot express (it proves cross-engine equality, not that the math means
+what the docstring claims). Mirrors the round-6/7 property files.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+    ENT_BUCKET,
+    events_psi_drift,
+    events_user_entropy,
+    orders_gap_fill_forward,
+)
+from realtime_twitter_trends_analytics_spark.operators.relational_ext import (
+    part_price_slope,
+)
+from realtime_twitter_trends_analytics_spark.operators.textstats import (
+    docs_vocab_coverage_curve,
+)
+from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
+
+
+def test_entropy_bounds_and_user_conservation(spark, sf_dir):
+    """Shannon entropy of a T-type mix lies in [0, ln T]; every user lands
+    in exactly one bucket."""
+    rows = events_user_entropy(spark, sf_dir).collect()
+    n_types = (
+        load_table(spark, sf_dir, "events").select("event_type").distinct().count()
+    )
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    hi = math.log(n_types)
+    for r in rows:
+        # bucket is floor(entropy * ENT_BUCKET); the mix can't beat ln T
+        assert 0 <= r["bucket"] <= int(hi * ENT_BUCKET)
+        assert 0.0 <= r["mean_entropy"] <= hi + 1e-9
+        assert 1 <= r["avg_types"] <= n_types
+
+
+def test_psi_nonnegative_and_matches_python_mirror(spark, sf_dir):
+    """PSI is a sum of (p-q)ln(p/q) terms, each >= 0, so every day's PSI
+    is >= 0 (up to the 1e-9 term quantization); and the engine value must
+    reproduce a pure-Python recomputation of the same Laplace-smoothed
+    formula from raw counts. (At sf0.001 a day holds only ~30 events
+    across ~20 bins, so absolute PSI values are sampling-inflated — the
+    invariant is the math, not a small-PSI band.)"""
+    import collections
+    import math as m
+
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        PSI_BINS,
+        PSI_BIN_W,
+        PSI_SCALE,
+    )
+
+    rows = events_psi_drift(spark, sf_dir).collect()
+    assert rows, "corpus spans at least one day"
+    for r in rows:
+        assert r["psi"] >= -1e-6, r
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(ts AS DATE)").alias("day"),
+        F.expr(f"CAST(floor(value / {PSI_BIN_W}) AS BIGINT)").alias("b"),
+    ).collect()
+    daily = collections.Counter((r["day"], r["b"]) for r in ev)
+    corpus = collections.Counter(r["b"] for r in ev)
+    day_tot = collections.Counter(r["day"] for r in ev)
+    nq = len(ev)
+    for row in rows:
+        day, nd = row["day"], day_tot[row["day"]]
+        assert row["n_events"] == nd
+        acc = 0
+        for b, cq in corpus.items():
+            p = (daily.get((day, b), 0) + 1) / (nd + PSI_BINS)
+            q = (cq + 1) / (nq + PSI_BINS)
+            acc += m.floor((p - q) * m.log(p / q) * PSI_SCALE)
+        assert abs(row["psi"] - round(acc / PSI_SCALE, 6)) < 1e-9, (day, row["psi"])
+
+
+def test_gap_fill_conservation_and_fill_accounting(spark, sf_dir):
+    """days_total = spine length for every priority; observed + filled +
+    leading-unfilled = total; observed cents match the raw daily agg."""
+    rows = {r["pr"]: r.asDict() for r in orders_gap_fill_forward(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    d0, d1 = o.agg(
+        F.expr("MIN(CAST(o_orderdate AS DATE))"), F.expr("MAX(CAST(o_orderdate AS DATE))")
+    ).first()
+    spine_days = (d1 - d0).days + 1
+    raw = {
+        r["pr"]: r["cents"]
+        for r in o.groupBy(F.col("o_orderpriority").alias("pr"))
+        .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents"))
+        .collect()
+    }
+    assert set(rows) == set(raw)
+    for pr, r in rows.items():
+        assert r["days_total"] == spine_days
+        assert r["observed_cents"] == raw[pr]
+        assert r["days_observed"] + r["days_filled"] <= r["days_total"]
+        # forward fill only adds mass: filled total >= observed total
+        assert r["filled_total_cents"] >= r["observed_cents"]
+
+
+def test_price_slope_matches_numpy(spark, sf_dir):
+    """The fixed-point slope/r2 must reproduce numpy's polyfit per brand
+    (to the 1e-6 rounding the operator declares)."""
+    import numpy as np
+
+    got = {r["brand"]: r.asDict() for r in part_price_slope(spark, sf_dir).collect()}
+    p = load_table(spark, sf_dir, "part").select("p_brand", "p_size", "p_retailprice").collect()
+    by_brand: dict[str, list[tuple[int, int]]] = {}
+    for r in p:
+        by_brand.setdefault(r["p_brand"], []).append(
+            (r["p_size"], round(r["p_retailprice"] * 100))
+        )
+    for brand, pts in by_brand.items():
+        x = np.array([a for a, _ in pts], dtype=float)
+        y = np.array([b for _, b in pts], dtype=float)
+        if np.var(x) == 0:
+            assert got[brand]["slope_cents_per_size"] is None
+            continue
+        slope = np.polyfit(x, y, 1)[0]
+        assert abs(got[brand]["slope_cents_per_size"] - slope) < 5e-6 * max(1, abs(slope)) + 1e-5
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(got[brand]["r2"] - r * r) < 1e-5
+
+
+def test_coverage_curve_monotone_and_bounded(spark, sf_dir):
+    rows = sorted(docs_vocab_coverage_curve(spark, sf_dir).collect(), key=lambda r: r["k"])
+    assert rows, "at least one cut within vocabulary"
+    prev = 0.0
+    for r in rows:
+        assert 0.0 < r["coverage"] <= 1.0
+        assert r["coverage"] >= prev  # more head types can only cover more
+        prev = r["coverage"]
+        assert r["cum_occurrences"] <= r["total_occurrences"]
+        assert r["k"] <= r["vocab_size"]  # a cut past the vocab emits no row
