@@ -178,6 +178,8 @@ HEADLINE = [
     "orders_gap_fill_forward",
     "part_price_slope",
     "docs_vocab_coverage_curve",
+    "events_bot_regularity",
+    "part_abc_migration",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

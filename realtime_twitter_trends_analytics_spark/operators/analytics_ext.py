@@ -1762,6 +1762,217 @@ FROM filled GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------- bot heuristic
+BOT_MIN_EVENTS = 20   # users below this gap count are 'lowactivity'
+BOT_CV_Q = 10**4      # fixed-point scale of the coefficient of variation
+BOT_CV_THRESHOLD = 2500  # cv_q below this (cv < 0.25) flags 'botlike'
+
+
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness heuristic from inter-event timing regularity: real
+    users fire events in bursts (high variance of inter-event gaps);
+    scripted traffic is metronomic (coefficient of variation near 0).
+    The standard abuse/governance pre-filter a training pipeline runs
+    before user-generated text enters a corpus.
+
+    Per user: consecutive event gaps in whole seconds (one lag window
+    partitioned BY USER — no task ever holds more than one user's
+    events), then gap variance from exact BIGINT sufficient statistics
+    (n*sum(x^2) - sum(x)^2 — seconds keep x^2 ~ 1e13, far inside BIGINT
+    at any horizon), cv = stddev/mean quantized to 1e-4 fixed point from
+    one shared IEEE expression. Verdict classes: 'botlike' (cv < 0.25
+    over >= 20 gaps), 'human' (>= 20 gaps, higher cv), 'lowactivity'.
+    Readout = per-class user counts + mean cv + event mass."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "user_id",
+            "ts",
+            F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("sec"),
+            "event_id",
+        )
+        .withColumn("gap", F.col("sec") - F.lag("sec").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").alias("s"),
+        F.sum(F.expr("gap * gap")).alias("ss"),
+    )
+    # cv^2 = (n*ss - s*s) / s^2  (mean > 0 because gaps >= 0 and a user
+    # with all-zero gaps has s = 0 -> guarded to cv_q NULL -> botlike)
+    cv_q = (
+        f"CASE WHEN s = 0 THEN 0 ELSE "
+        f"CAST(floor(sqrt(CAST(n * ss - s * s AS DOUBLE)) / s * {BOT_CV_Q}) AS BIGINT) END"
+    )
+    scored = per_user.select(
+        "n",
+        F.expr(cv_q).alias("cv_q"),
+    ).select(
+        "n",
+        "cv_q",
+        F.when(F.col("n") < BOT_MIN_EVENTS, "lowactivity")
+        .when(F.col("cv_q") < BOT_CV_THRESHOLD, "botlike")
+        .otherwise("human")
+        .alias("verdict"),
+        # CV-decile histogram bucket: the verdict alone collapses a
+        # bot-free corpus to one row; the bucket shows the regularity
+        # DISTRIBUTION the threshold cuts into
+        F.expr(f"cv_q DIV {BOT_CV_Q // 10}").alias("cv_bucket"),
+    )
+    return (
+        scored.groupBy("verdict", "cv_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("n_gaps"),
+            F.expr(
+                dl.round_ratio(dl.SPARK, "sum(cv_q)", f"(count(*) * {BOT_CV_Q})")
+            ).alias("mean_cv"),
+        )
+        .orderBy("verdict", "cv_bucket")
+    )
+
+
+def _oracle_bot() -> str:
+    d = dl.DUCK
+    cv_q = (
+        f"CASE WHEN s = 0 THEN 0 ELSE "
+        f"CAST(floor(sqrt(CAST(n * ss - s * s AS DOUBLE)) / s * {BOT_CV_Q}) AS BIGINT) END"
+    )
+    return f"""
+WITH gaps AS (
+  -- floor(epoch(ts)): DuckDB's epoch() keeps the fractional second and a
+  -- bare BIGINT cast would round-half-even, while Spark's unix_timestamp
+  -- truncates — floor matches the truncation on both engines
+  SELECT user_id,
+    CAST(floor(epoch(ts)) AS BIGINT)
+      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), g AS (SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL),
+per_user AS (
+  SELECT user_id, count(*) AS n, CAST(sum(gap) AS BIGINT) AS s,
+    CAST(sum(gap * gap) AS BIGINT) AS ss
+  FROM g GROUP BY 1
+), scored AS (
+  SELECT n, {cv_q} AS cv_q,
+    CASE WHEN n < {BOT_MIN_EVENTS} THEN 'lowactivity'
+         WHEN {cv_q} < {BOT_CV_THRESHOLD} THEN 'botlike'
+         ELSE 'human' END AS verdict,
+    ({cv_q}) // {BOT_CV_Q // 10} AS cv_bucket
+  FROM per_user
+)
+SELECT verdict, CAST(cv_bucket AS BIGINT) AS cv_bucket,
+  count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_gaps,
+  {dl.round_ratio(d, 'sum(cv_q)', f'(count(*) * {BOT_CV_Q})')} AS mean_cv
+FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- ABC drift
+def part_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation drift: ABC class of every part computed independently
+    on the FIRST and SECOND half of the shipping horizon, read out as the
+    class-transition matrix (how many parts moved A->B, C->A, entered,
+    left). The longitudinal complement of part_abc_classification — the
+    question a category manager actually asks is not "what are the
+    classes" but "which parts MOVED".
+
+    Plan: one scan reduces lineitem to (half, part) grain (the only
+    data-sized shuffle; the half split point is an exact integer-midpoint
+    date riding a 1-row broadcast); per-half classification reuses the
+    exact cumulative-share rule over part-grain windows PARTITIONED BY
+    half (same honest global-sort note as the base query — the
+    bucket-cut production form of part_abc_classification_prod applies
+    identically per half); the transition matrix is a part-keyed
+    full-outer self-join, absent halves classed 'N'. <= 16 output rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rng = li.agg(
+        F.expr("MIN(CAST(l_shipdate AS DATE))").alias("d0"),
+        F.expr("MAX(CAST(l_shipdate AS DATE))").alias("d1"),
+        # integer floor-division for the midpoint: a double /2 then CAST
+        # truncates in Spark but rounds half-even in DuckDB on odd spans
+    ).select(F.expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").alias("mid"))
+    per = (
+        li.crossJoin(F.broadcast(rng))
+        .select(
+            F.when(F.expr("CAST(l_shipdate AS DATE) <= mid"), 1).otherwise(2).alias("half"),
+            "l_partkey",
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("half", "l_partkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    wrun = (
+        W.partitionBy("half")
+        .orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy("half")
+    classed = per.select(
+        "half",
+        "l_partkey",
+        "cents",
+        F.when(
+            F.sum("cents").over(wrun) * 100 <= F.sum("cents").over(wall) * 80, "A"
+        )
+        .when(F.sum("cents").over(wrun) * 100 <= F.sum("cents").over(wall) * 95, "B")
+        .otherwise("C")
+        .alias("cls"),
+    )
+    h1 = classed.filter(F.col("half") == 1).select(
+        "l_partkey", F.col("cls").alias("from_class")
+    )
+    h2 = classed.filter(F.col("half") == 2).select(
+        "l_partkey", F.col("cls").alias("to_class"), F.col("cents").alias("cents_h2")
+    )
+    return (
+        h1.join(h2, "l_partkey", "full_outer")
+        .select(
+            F.coalesce("from_class", F.lit("N")).alias("from_class"),
+            F.coalesce("to_class", F.lit("N")).alias("to_class"),
+            F.coalesce("cents_h2", F.lit(0)).alias("cents_h2"),
+        )
+        .groupBy("from_class", "to_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("cents_h2").alias("rev_cents_h2"))
+        .orderBy("from_class", "to_class")
+    )
+
+
+def _oracle_abc_migration() -> str:
+    return """
+WITH rng AS (
+  SELECT min(CAST(l_shipdate AS DATE)) AS d0, max(CAST(l_shipdate AS DATE)) AS d1
+  FROM lineitem
+), midp AS (
+  SELECT d0 + CAST(datediff('day', d0, d1) // 2 AS INT) AS mid FROM rng
+), per AS (
+  SELECT CASE WHEN CAST(l_shipdate AS DATE) <= (SELECT mid FROM midp) THEN 1 ELSE 2 END AS half,
+    l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1, 2
+), classed AS (
+  SELECT half, l_partkey, cents,
+    CASE
+      WHEN sum(cents) OVER (PARTITION BY half ORDER BY cents DESC, l_partkey ASC
+             ROWS UNBOUNDED PRECEDING) * 100 <= sum(cents) OVER (PARTITION BY half) * 80 THEN 'A'
+      WHEN sum(cents) OVER (PARTITION BY half ORDER BY cents DESC, l_partkey ASC
+             ROWS UNBOUNDED PRECEDING) * 100 <= sum(cents) OVER (PARTITION BY half) * 95 THEN 'B'
+      ELSE 'C'
+    END AS cls
+  FROM per
+)
+SELECT coalesce(h1.from_class, 'N') AS from_class,
+  coalesce(h2.to_class, 'N') AS to_class,
+  count(*) AS n_parts,
+  CAST(sum(coalesce(h2.cents_h2, 0)) AS BIGINT) AS rev_cents_h2
+FROM (SELECT l_partkey, cls AS from_class FROM classed WHERE half = 1) h1
+FULL OUTER JOIN (SELECT l_partkey, cls AS to_class, cents AS cents_h2
+                 FROM classed WHERE half = 2) h2
+  USING (l_partkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------- production twins (r8)
 # The exact ABC/Gini readouts above are the ORACLE targets; their docstrings
 # promise sketch/bucket-based production forms for the 100 TB case where
@@ -1889,6 +2100,8 @@ QUERIES = {
     "events_user_entropy": events_user_entropy,
     "events_psi_drift": events_psi_drift,
     "orders_gap_fill_forward": orders_gap_fill_forward,
+    "events_bot_regularity": events_bot_regularity,
+    "part_abc_migration": part_abc_migration,
     "sample_reservoir_per_key": sample_reservoir_per_key,
     "docs_boilerplate_chunks": docs_boilerplate_chunks,
     "part_skyline_per_brand": part_skyline_per_brand,
@@ -1904,6 +2117,8 @@ ORACLES = {
     "events_user_entropy": _oracle_user_entropy(),
     "events_psi_drift": _oracle_psi(),
     "orders_gap_fill_forward": _oracle_gap_fill(),
+    "events_bot_regularity": _oracle_bot(),
+    "part_abc_migration": _oracle_abc_migration(),
     "events_funnel_conversion": _oracle_funnel(),
     "events_ewma_forecast": _oracle_ewma(),
     "customers_clv_cohorts": _oracle_clv(),

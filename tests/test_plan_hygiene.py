@@ -100,6 +100,9 @@ CARTESIAN_OK = {
     "never data-sized) and the 1-row corpus total rides a broadcast side "
     "(scalar-aggregate pattern); the daily-count join is a (day, bin) "
     "equi-join",
+    "part_abc_migration": "the half-split midpoint date rides a 1-row "
+    "broadcast side (scalar-aggregate pattern); the per-half aggregation "
+    "and the transition self-join are part-keyed equi",
     "orders_gap_fill_forward": "the spine is a calendar-sized explode "
     "crossing the 5-row priority dimension — both sides broadcast and "
     "bounded by calendar x priority cardinality regardless of order "

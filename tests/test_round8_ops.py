@@ -129,6 +129,71 @@ def test_price_slope_matches_numpy(spark, sf_dir):
         assert abs(got[brand]["r2"] - r * r) < 1e-5
 
 
+def test_bot_regularity_mirror_and_conservation(spark, sf_dir):
+    """Verdict counts must reproduce a pure-Python recomputation of the
+    per-user gap CV from raw (user, epoch-second) rows, and every user
+    with at least one gap lands in exactly one class."""
+    import collections
+    import math as m
+
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        BOT_CV_Q,
+        BOT_CV_THRESHOLD,
+        BOT_MIN_EVENTS,
+        events_bot_regularity,
+    )
+
+    rows = events_bot_regularity(spark, sf_dir).collect()
+    got = collections.Counter()
+    for r in rows:
+        got[r["verdict"]] += r["n_users"]
+        assert r["mean_cv"] >= 0
+        # bucket is the decile of the quantized cv — consistent with class
+        if r["verdict"] == "botlike":
+            assert r["cv_bucket"] * 1000 < 2500 + 1000
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("sec"), "event_id")
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r["sec"])
+    want = collections.Counter()
+    for secs in by_user.values():
+        gaps = [b - a for a, b in zip(secs, secs[1:])]
+        if not gaps:
+            continue
+        n, s, ss = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        cv_q = 0 if s == 0 else m.floor(m.sqrt(float(n * ss - s * s)) / s * BOT_CV_Q)
+        want[
+            "lowactivity"
+            if n < BOT_MIN_EVENTS
+            else ("botlike" if cv_q < BOT_CV_THRESHOLD else "human")
+        ] += 1
+    assert dict(got) == dict(want)
+
+
+def test_abc_migration_conserves_parts(spark, sf_dir):
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        part_abc_migration,
+    )
+
+    rows = part_abc_migration(spark, sf_dir).collect()
+    classes = {"A", "B", "C", "N"}
+    for r in rows:
+        assert r["from_class"] in classes and r["to_class"] in classes
+        assert not (r["from_class"] == "N" and r["to_class"] == "N")
+        assert r["n_parts"] >= 1
+    total = sum(r["n_parts"] for r in rows)
+    n_parts_overall = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    # every part shipped in either half appears in exactly one cell
+    assert total == n_parts_overall
+
+
 def test_coverage_curve_monotone_and_bounded(spark, sf_dir):
     rows = sorted(docs_vocab_coverage_curve(spark, sf_dir).collect(), key=lambda r: r["k"])
     assert rows, "at least one cut within vocabulary"
