@@ -180,6 +180,8 @@ HEADLINE = [
     "docs_vocab_coverage_curve",
     "events_bot_regularity",
     "part_abc_migration",
+    "events_holt_forecast",
+    "sim_kcenter_select",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -1298,6 +1298,103 @@ FROM arr ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------- Holt trend
+HOLT_H = 7  # forecast horizon (days)
+
+
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per event type —
+    the next step up from events_ewma_forecast (level only): level and
+    trend evolve as L_t = 0.3*x_t + 0.7*(L+B), B_t = 0.1*(L_t - L) +
+    0.9*B, seeded L=x2, B=x2-x1; the h-step forecast is L + h*B. The
+    trend term is what makes a steadily growing/decaying series
+    forecastable (EWMA lags any ramp by construction).
+
+    Plan: identical to EWMA — one (type, day) hash agg, one type-keyed
+    day-ordered array (calendar-bounded), one map-side fold. Float
+    discipline: the recurrence needs SIGNED division (a declining trend
+    makes B negative, where BIGINT DIV truncates in Spark but // floors
+    in DuckDB), so instead of fixed point the fold runs the SAME IEEE
+    double expression in sequence order on both engines (the
+    psi/readability convention) and only the OUTPUTS are floor-quantized
+    to 4dp (floor is floor for negatives too, unlike round)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, c))), p -> CAST(p.c AS DOUBLE))"
+        ).alias("cs")
+        # a 1-day series has no trend seed: the oracle's i=2 seed join
+        # drops it, and Spark's slice(cs, 3, -1) would throw
+    ).where(F.expr("size(cs) >= 2"))
+    lnew = "(0.3 * x + 0.7 * (acc.l + acc.b))"
+    fold = (
+        f"aggregate(slice(cs, 3, size(cs) - 2), "
+        f"named_struct('l', element_at(cs, 2), 'b', element_at(cs, 2) - element_at(cs, 1)), "
+        f"(acc, x) -> named_struct('l', {lnew}, "
+        f"'b', 0.1 * ({lnew} - acc.l) + 0.9 * acc.b))"
+    )
+    # divide as DOUBLE/DOUBLE: both engines parse a bare 10000.0 literal
+    # as DECIMAL, and BIGINT / DECIMAL is DECIMAL — a dtype-gate mismatch
+    q4 = "CAST(CAST(floor(({v}) * 10000) AS BIGINT) AS DOUBLE) / CAST(10000 AS DOUBLE)"
+    return arr.select(
+        "event_type",
+        F.expr("CAST(size(cs) AS BIGINT)").alias("n_days"),
+        F.expr("CAST(element_at(cs, size(cs)) AS BIGINT)").alias("last_count"),
+        F.expr(q4.format(v=f"{fold}.l")).alias("level"),
+        F.expr(q4.format(v=f"{fold}.b")).alias("trend"),
+        F.expr(q4.format(v=f"{fold}.l + {HOLT_H} * {fold}.b")).alias(
+            f"forecast_{HOLT_H}d"
+        ),
+    ).orderBy("event_type")
+
+
+def _oracle_holt() -> str:
+    # DuckDB's list_reduce cannot carry a (level, trend) accumulator, so
+    # the oracle runs the identical double recurrence as a recursive CTE
+    # over the day-ranked series — same sequential order, same IEEE ops.
+    lnew = "(0.3 * s.c + 0.7 * (h.l + h.b))"
+    # CAST ... AS DOUBLE before dividing: DuckDB types BIGINT / 10000.0
+    # as DECIMAL (Spark as DOUBLE), and the gate compares dtypes
+    q4 = "CAST(CAST(floor(({v}) * 10000) AS BIGINT) AS DOUBLE) / CAST(10000 AS DOUBLE)"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT event_type, CAST(c AS DOUBLE) AS c,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), hw AS (
+  SELECT s2.event_type, CAST(2 AS BIGINT) AS i, s2.c AS l, s2.c - s1.c AS b
+  FROM series s1 JOIN series s2
+    ON s1.event_type = s2.event_type AND s1.i = 1 AND s2.i = 2
+  UNION ALL
+  SELECT h.event_type, h.i + 1,
+    {lnew},
+    0.1 * ({lnew} - h.l) + 0.9 * h.b
+  FROM hw h JOIN series s ON s.event_type = h.event_type AND s.i = h.i + 1
+), fin AS (
+  SELECT event_type, l, b FROM (
+    SELECT h.*, row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rn
+    FROM hw h
+  ) WHERE rn = 1
+), meta AS (
+  SELECT event_type, CAST(max(i) AS BIGINT) AS n_days,
+    CAST(max(CASE WHEN i = n THEN c END) AS BIGINT) AS last_count
+  FROM series GROUP BY 1
+)
+SELECT m.event_type, m.n_days, m.last_count,
+  {q4.format(v='f.l')} AS level,
+  {q4.format(v='f.b')} AS trend,
+  {q4.format(v=f'f.l + {HOLT_H} * f.b')} AS forecast_{HOLT_H}d
+FROM meta m JOIN fin f USING (event_type) ORDER BY m.event_type
+"""
+
+
 # ---------------------------------------------------------------- CLV cohorts
 def customers_clv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value matrix: cohort = month of the customer's
@@ -2102,6 +2199,7 @@ QUERIES = {
     "orders_gap_fill_forward": orders_gap_fill_forward,
     "events_bot_regularity": events_bot_regularity,
     "part_abc_migration": part_abc_migration,
+    "events_holt_forecast": events_holt_forecast,
     "sample_reservoir_per_key": sample_reservoir_per_key,
     "docs_boilerplate_chunks": docs_boilerplate_chunks,
     "part_skyline_per_brand": part_skyline_per_brand,
@@ -2119,6 +2217,7 @@ ORACLES = {
     "orders_gap_fill_forward": _oracle_gap_fill(),
     "events_bot_regularity": _oracle_bot(),
     "part_abc_migration": _oracle_abc_migration(),
+    "events_holt_forecast": _oracle_holt(),
     "events_funnel_conversion": _oracle_funnel(),
     "events_ewma_forecast": _oracle_ewma(),
     "customers_clv_cohorts": _oracle_clv(),

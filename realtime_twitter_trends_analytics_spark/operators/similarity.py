@@ -1669,6 +1669,119 @@ FROM ranked GROUP BY query_id
 """
 
 
+# ---------------------------------------------------------------- k-center
+KCENTER_K = 8
+
+
+def sim_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point-first) diversity selection over the
+    embedding corpus: start from vec 0, then repeatedly pick the vector
+    FARTHEST from everything already selected (argmin of max cosine
+    similarity to the selected set). The coreset-selection primitive
+    behind diverse exemplar picking and dedup-aware subset curation —
+    the Gonzalez 2-approximation of the k-center objective, complementing
+    MMR (which diversifies a RELEVANCE pool; this diversifies the corpus
+    itself).
+
+    Plan: the running max-similarity column updates each round against
+    ONLY the newest pick (a 1-row broadcast — max over a set folds
+    incrementally), so a round is one map-side projection + one global
+    TakeOrdered(1); rounds are K-1, a constant; driver state is K picked
+    vectors (the kmeans model-state pattern). Similarities are
+    fixed-point quantized (the _quant_cos convention) with vec_id
+    tie-break, so the greedy trajectory is engine-exact; the oracle
+    unrolls the same K-1 picks against the full selected set (max is
+    associative — identical values). Each round's frame is
+    localCheckpointed (audited: kcenter_round) so pick t does not replay
+    rounds 1..t-1."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") == 0).collect()[0]
+    picks = [(1, int(seed["vec_id"]), None)]
+
+    def one_row_df(row_vec):
+        return spark.createDataFrame(
+            [(list(map(float, row_vec)),)], "nv array<double>"
+        )
+
+    qsim = _quant_cos(
+        dl.SPARK, cosine_sql(dl.SPARK, "embedding", "nv")
+    )
+    cur = audit_plan(
+        "kcenter_round",
+        emb.crossJoin(F.broadcast(one_row_df(seed["embedding"]))).select(
+            "vec_id", "embedding", F.expr(qsim).alias("ms_q")
+        ),
+    ).localCheckpoint()
+    for step in range(2, KCENTER_K + 1):
+        chosen = {p[1] for p in picks}
+        pick = (
+            cur.filter(~F.col("vec_id").isin(*chosen))
+            .orderBy(F.asc("ms_q"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((step, int(pick["vec_id"]), int(pick["ms_q"])))
+        if step < KCENTER_K:
+            # per-round localCheckpoint, embeddings riding the frame: the
+            # lazy alternative (K-deep projection lineage, replayed at
+            # each pick) re-codegens the growing cosine chain and was
+            # measured SLOWER (9.2 s vs 5.1 s warm at sf0.1); joining
+            # embeddings back per round would add a shuffle per round.
+            # Cost is ~constant jobs x K — amortizes at any corpus size.
+            cur = audit_plan(
+                "kcenter_round",
+                cur.crossJoin(F.broadcast(one_row_df(pick["embedding"]))).select(
+                    "vec_id",
+                    "embedding",
+                    F.greatest("ms_q", F.expr(qsim)).alias("ms_q"),
+                ),
+            ).localCheckpoint()
+    return spark.createDataFrame(
+        [
+            (s, v, None if m is None else m / float(MMR_SCALE))
+            for s, v, m in picks
+        ],
+        "step int, vec_id bigint, max_sim_at_pick double",
+    ).orderBy("step")
+
+
+def _oracle_kcenter() -> str:
+    d = dl.DUCK
+    qsim = _quant_cos(d, cosine_sql(d, "e.embedding", "s.embedding"))
+    # MATERIALIZED everywhere: without it DuckDB inlines each CTE into its
+    # consumers, and sel{t} referencing sel{t-1} (itself referenced twice
+    # per round) re-expands the whole chain — the unrolled oracle went
+    # exponential (~120 s at sf0.01; ~2 s materialized). Same lesson as
+    # the MMR oracle.
+    ctes = ["sel1 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS vec_id)"]
+    rows = ["SELECT 1 AS step, CAST(0 AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS max_sim_at_pick"]
+    for t in range(2, KCENTER_K + 1):
+        prev = f"sel{t - 1}"
+        ctes.append(
+            f"""ms{t} AS MATERIALIZED (
+  SELECT e.vec_id, max({qsim}) AS m
+  FROM embeddings e
+  JOIN embeddings s ON s.vec_id IN (SELECT vec_id FROM {prev})
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY e.vec_id
+), pick{t} AS MATERIALIZED (
+  SELECT vec_id, m FROM ms{t} ORDER BY m ASC, vec_id ASC LIMIT 1
+), sel{t} AS MATERIALIZED (
+  SELECT vec_id FROM {prev} UNION ALL SELECT vec_id FROM pick{t}
+)"""
+        )
+        rows.append(
+            f"SELECT {t} AS step, vec_id, CAST(m AS DOUBLE) / {MMR_SCALE} AS max_sim_at_pick FROM pick{t}"
+        )
+    body = ",\n".join(ctes)
+    union = "\nUNION ALL ".join(rows)
+    return f"""
+WITH {body}
+SELECT CAST(step AS INT) AS step, vec_id, max_sim_at_pick FROM ({union})
+ORDER BY step
+"""
+
+
 # ---------------------------------------------------------------- RRF fusion
 RRF_K = 60        # standard reciprocal-rank-fusion constant
 RRF_POOL = 50     # per-ranker pool depth fed into the fusion
@@ -1879,6 +1992,7 @@ QUERIES = {
     "decontaminate_semantic": decontaminate_semantic,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_mmr_topk": sim_mmr_topk,
+    "sim_kcenter_select": sim_kcenter_select,
     "sim_ivf_kmeans_ann": sim_ivf_kmeans_ann,
     "sim_pq_adc_ann": sim_pq_adc_ann,
     "sim_knn_label_probe": sim_knn_label_probe,
@@ -1904,6 +2018,7 @@ ORACLES = {
     "sim_knn_label_probe_ivf": _oracle_knn_probe_ivf(),
     "sim_topk_bruteforce": _oracle_bruteforce(),
     "sim_mmr_topk": _oracle_mmr(),
+    "sim_kcenter_select": _oracle_kcenter(),
     "sim_lsh_buckets": _oracle_lsh_buckets(),
     "sim_lsh_ann": _oracle_lsh_ann(),
     "sim_ivf_ann": _oracle_ivf_ann(),

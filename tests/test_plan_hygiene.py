@@ -132,6 +132,10 @@ AUDIT_CARTESIAN_OK = {
     # documented brute-force pattern as sim_topk_bruteforce; at production
     # scale the pool comes from the ANN paths instead (see docstring)
     "mmr_pool": "broadcast N_QUERY_VECS-row query set x candidates",
+    # k-center round: the newest picked vector rides a 1-row broadcast
+    # side against the corpus scan (incremental max-sim update — the
+    # kmeans driver-model pattern, one row instead of K)
+    "kcenter_round": "1-row newest-pick broadcast x corpus scan",
 }
 AUDIT_ROW_PYTHON_OK: dict[str, str] = {}
 

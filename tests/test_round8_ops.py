@@ -194,6 +194,92 @@ def test_abc_migration_conserves_parts(spark, sf_dir):
     assert total == n_parts_overall
 
 
+def test_holt_matches_python_recurrence(spark, sf_dir):
+    """The engine's Holt level/trend must reproduce a pure-Python run of
+    the same recurrence over each type's day-ordered counts."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        HOLT_H,
+        events_holt_forecast,
+    )
+
+    got = {r["event_type"]: r.asDict() for r in events_holt_forecast(spark, sf_dir).collect()}
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series: dict[str, list[float]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(float(r["c"]))
+    import math as m
+
+    def q4(v):
+        return m.floor(v * 10000) / 10000.0
+
+    for t, xs in series.items():
+        if len(xs) < 2:
+            assert t not in got
+            continue
+        level, b = xs[1], xs[1] - xs[0]
+        for x in xs[2:]:
+            lnew = 0.3 * x + 0.7 * (level + b)
+            b = 0.1 * (lnew - level) + 0.9 * b
+            level = lnew
+        assert got[t]["n_days"] == len(xs)
+        assert got[t]["level"] == q4(level)
+        assert got[t]["trend"] == q4(b)
+        assert got[t][f"forecast_{HOLT_H}d"] == q4(level + HOLT_H * b)
+
+
+def test_kcenter_greedy_properties_and_python_mirror(spark, sf_dir):
+    """Farthest-point greedy invariants: picks are distinct, the max-sim
+    at pick time is NON-DECREASING (each pick is the farthest remaining
+    point, so the frontier can only close in), and the whole trajectory
+    reproduces a pure-Python greedy over the same quantized cosines."""
+    import math as m
+
+    from realtime_twitter_trends_analytics_spark.operators.similarity import (
+        KCENTER_K,
+        MMR_SCALE,
+        sim_kcenter_select,
+    )
+
+    rows = sorted(sim_kcenter_select(spark, sf_dir).collect(), key=lambda r: r["step"])
+    assert [r["step"] for r in rows] == list(range(1, KCENTER_K + 1))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == KCENTER_K
+    sims = [r["max_sim_at_pick"] for r in rows[1:]]
+    assert sims == sorted(sims)
+
+    emb = {
+        r["vec_id"]: [float(v) for v in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def qcos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = m.sqrt(sum(x * x for x in a))
+        nb = m.sqrt(sum(y * y for y in b))
+        return m.floor(dot / (na * nb) * MMR_SCALE)
+
+    sel = [0]
+    ms = {v: qcos(emb[v], emb[0]) for v in emb if v != 0}
+    trajectory = [(1, 0, None)]
+    for step in range(2, KCENTER_K + 1):
+        pick = min(ms, key=lambda v: (ms[v], v))
+        trajectory.append((step, pick, ms[pick] / float(MMR_SCALE)))
+        sel.append(pick)
+        del ms[pick]
+        for v in ms:
+            ms[v] = max(ms[v], qcos(emb[v], emb[pick]))
+    got = [(r["step"], r["vec_id"], r["max_sim_at_pick"]) for r in rows]
+    assert got == trajectory
+
+
 def test_coverage_curve_monotone_and_bounded(spark, sf_dir):
     rows = sorted(docs_vocab_coverage_curve(spark, sf_dir).collect(), key=lambda r: r["k"])
     assert rows, "at least one cut within vocabulary"
