@@ -182,6 +182,8 @@ HEADLINE = [
     "part_abc_migration",
     "events_holt_forecast",
     "sim_kcenter_select",
+    "events_k_anonymity",
+    "events_dp_counts",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -354,6 +354,129 @@ def customers_rfm_segments_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- k-anonymity
+KANON_K = 5
+KANON_VALUE_BIN = 50.0
+
+
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (event_type,
+    calendar day, value bin): how many equivalence classes and how many
+    EVENTS sit in classes smaller than k — the re-identification risk
+    readout a privacy review runs before events join a training corpus
+    (a class of size 1 pins its row to an individual even with user_id
+    dropped). One hash agg to class grain (bounded by the QI-space
+    cardinality, never data-sized) + one 4-row verdict agg."""
+    e = load_table(spark, sf_dir, "events")
+    classes = e.groupBy(
+        "event_type",
+        F.expr("CAST(ts AS DATE)").alias("day"),
+        F.expr(f"CAST(floor(value / {KANON_VALUE_BIN}) AS BIGINT)").alias("vb"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        classes.groupBy(
+            F.when(F.col("n") >= KANON_K, F.lit("anonymous"))
+            .otherwise(F.lit("at_risk"))
+            .alias("verdict")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("n").alias("n_events"),
+            F.min("n").alias("min_class_size"),
+            F.max("n").alias("max_class_size"),
+        )
+        .orderBy("verdict")
+    )
+
+
+def _oracle_kanon() -> str:
+    return f"""
+WITH classes AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(floor(value / {KANON_VALUE_BIN}) AS BIGINT) AS vb, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN n >= {KANON_K} THEN 'anonymous' ELSE 'at_risk' END AS verdict,
+  count(*) AS n_classes, CAST(sum(n) AS BIGINT) AS n_events,
+  CAST(min(n) AS BIGINT) AS min_class_size, CAST(max(n) AS BIGINT) AS max_class_size
+FROM classes GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------- DP counts
+DP_EPSILON_INV = 2      # b = sensitivity/epsilon = 1/(1/2) = 2 (epsilon 0.5)
+DP_HASH_CHARS = 13      # 52-bit uniform from md5 — exact in a double
+
+
+def events_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-type daily counts via the Laplace
+    mechanism, with SEEDED noise: u = a 52-bit uniform derived from
+    md5(type||day), noise = -b*sign(u-.5)*ln(1-2|u-.5|) (the Laplace
+    inverse CDF), b = 1/epsilon for the count query's unit sensitivity.
+    Deriving u from a keyed hash instead of an RNG is what makes the
+    mechanism REPLAYABLE (retry-stable releases, engine-exact oracle) —
+    the release is still a fixed draw from the correct Laplace
+    distribution per cell; a production release would rotate the salt
+    per publication. Readout: per type, true vs noisy totals and the L1
+    utility loss — the privacy/utility audit that accompanies any DP
+    release. All map-side after one (type, day) hash agg."""
+    d = dl.SPARK
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.expr("CAST(ts AS DATE)").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    u = (
+        f"(CAST({dl.hex_prefix_uint(d, 'mhx', DP_HASH_CHARS)} AS DOUBLE) "
+        f"/ CAST({16 ** DP_HASH_CHARS} AS DOUBLE))"
+    )
+    noise = (
+        f"(-{DP_EPSILON_INV} * sign({u} - 0.5) "
+        f"* ln(greatest(1.0 - 2.0 * abs({u} - 0.5), 1e-300)))"
+    )
+    noisy = daily.withColumn(
+        "mhx", F.expr("md5(concat(event_type, '|', CAST(day AS STRING)))")
+    ).withColumn(
+        "noisy_c",
+        F.expr(f"CAST(floor(CAST(c AS DOUBLE) + {noise}) AS BIGINT)"),
+    )
+    return (
+        noisy.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("c").alias("true_total"),
+            F.sum("noisy_c").alias("noisy_total"),
+            F.sum(F.expr("abs(noisy_c - c)")).alias("l1_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_dp() -> str:
+    d = dl.DUCK
+    u = (
+        f"(CAST({dl.hex_prefix_uint(d, 'mhx', DP_HASH_CHARS)} AS DOUBLE) "
+        f"/ CAST({16 ** DP_HASH_CHARS} AS DOUBLE))"
+    )
+    noise = (
+        f"(-{DP_EPSILON_INV} * sign({u} - 0.5) "
+        f"* ln(greatest(1.0 - 2.0 * abs({u} - 0.5), 1e-300)))"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+), noisy AS (
+  SELECT event_type, c,
+    CAST(floor(CAST(c AS DOUBLE) + {noise}) AS BIGINT) AS noisy_c
+  FROM (SELECT *, md5(concat(event_type, '|', CAST(day AS VARCHAR))) AS mhx FROM daily)
+)
+SELECT event_type, count(*) AS n_days, CAST(sum(c) AS BIGINT) AS true_total,
+  CAST(sum(noisy_c) AS BIGINT) AS noisy_total,
+  CAST(sum(abs(noisy_c - c)) AS BIGINT) AS l1_error
+FROM noisy GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------- readability
 # Synthetic docs carry no sentence punctuation, so a fixed 15-token window
 # stands in for the sentence unit; the syllable proxy is vowel-group
@@ -445,6 +568,8 @@ QUERIES = {
     "quality_constraint_checks": quality_constraint_checks,
     "customers_rfm_segments": customers_rfm_segments,
     "docs_readability": docs_readability,
+    "events_k_anonymity": events_k_anonymity,
+    "events_dp_counts": events_dp_counts,
 }
 
 ORACLES = {
@@ -452,4 +577,6 @@ ORACLES = {
     "quality_constraint_checks": _oracle_constraints(),
     "customers_rfm_segments": _oracle_rfm(),
     "docs_readability": _oracle_readability(),
+    "events_k_anonymity": _oracle_kanon(),
+    "events_dp_counts": _oracle_dp(),
 }

@@ -280,6 +280,50 @@ def test_kcenter_greedy_properties_and_python_mirror(spark, sf_dir):
     assert got == trajectory
 
 
+def test_k_anonymity_conserves_events(spark, sf_dir):
+    from realtime_twitter_trends_analytics_spark.operators.quality import (
+        KANON_K,
+        events_k_anonymity,
+    )
+
+    rows = {r["verdict"]: r.asDict() for r in events_k_anonymity(spark, sf_dir).collect()}
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows.values()) == total
+    if "at_risk" in rows:
+        assert rows["at_risk"]["max_class_size"] < KANON_K
+    if "anonymous" in rows:
+        assert rows["anonymous"]["min_class_size"] >= KANON_K
+
+
+def test_dp_counts_noise_behaves_like_laplace(spark, sf_dir):
+    """The seeded release must (a) move every type's total (noise is
+    continuous, an exact-zero total shift over many days is measure-zero),
+    (b) have mean absolute per-cell error in a loose band around the
+    Laplace scale b=2 (E|noise| = b), and (c) never change the TRUE side."""
+    from realtime_twitter_trends_analytics_spark.operators.quality import (
+        DP_EPSILON_INV,
+        events_dp_counts,
+    )
+
+    rows = events_dp_counts(spark, sf_dir).collect()
+    true_daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want_true = {r["event_type"]: r["n"] for r in true_daily}
+    total_cells = sum(r["n_days"] for r in rows)
+    total_l1 = sum(r["l1_error"] for r in rows)
+    for r in rows:
+        assert r["true_total"] == want_true[r["event_type"]]
+        assert r["l1_error"] >= 0
+    # mean per-cell |error|: floor() adds up to 1 of downward bias on top
+    # of E|Laplace(2)| = 2 -> band [0.5, 6] is generous but excludes both
+    # a broken (zero-noise) and a runaway mechanism
+    assert 0.5 <= total_l1 / total_cells <= 6.0, total_l1 / total_cells
+
+
 def test_coverage_curve_monotone_and_bounded(spark, sf_dir):
     rows = sorted(docs_vocab_coverage_curve(spark, sf_dir).collect(), key=lambda r: r["k"])
     assert rows, "at least one cut within vocabulary"
