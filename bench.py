@@ -184,6 +184,7 @@ HEADLINE = [
     "sim_kcenter_select",
     "events_k_anonymity",
     "events_dp_counts",
+    "orders_join_ivm",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -247,6 +247,81 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def orders_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-then-aggregate view — the step
+    past orders_incremental_merge (which maintains a single-table
+    aggregate): the (priority, month) revenue view over orders ⋈ lineitem
+    is maintained from a base state plus increment deltas on BOTH inputs
+    using the delta-join algebra
+
+        Δ(A ⋈ B) = ΔA ⋈ B_base  ∪  A_base ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    then coalesce-sum-merged into the base aggregate. Deltas are the
+    post-split-date slice of each table (orders by o_orderdate, lineitem
+    by l_shipdate — deliberately DIFFERENT predicates, so every one of
+    the three delta terms is non-empty and actually exercised).
+
+    Scale: each delta term scans only the pruned increment on at least
+    one side; all joins are orderkey equi-joins; the merge co-partitions
+    on the view key. Exact integer cents everywhere — the DuckDB oracle
+    recomputes the view the non-incremental way (one direct join over
+    the full tables), so the hash-match proves the delta algebra
+    reconstructs the full recompute bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(date_trunc('month', o_orderdate) AS DATE)").alias("om"),
+        F.col("o_orderdate").alias("od"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.col("l_shipdate").alias("sd"),
+    )
+    split = F.lit(INCR_SPLIT_DATE).cast("timestamp")
+    ob, od_ = o.filter(F.col("od") < split), o.filter(F.col("od") >= split)
+    lb, ld = li.filter(F.col("sd") < split), li.filter(F.col("sd") >= split)
+
+    def view_agg(odf: DataFrame, ldf: DataFrame, n: str, c: str) -> DataFrame:
+        return (
+            odf.join(ldf, odf.o_orderkey == ldf.l_orderkey)
+            .groupBy("o_orderpriority", "om")
+            .agg(F.count(F.lit(1)).alias(n), F.sum("cents").alias(c))
+        )
+
+    base = view_agg(ob, lb, "bn", "bc")
+    inc = (
+        view_agg(od_, lb, "dn", "dc")
+        .unionByName(view_agg(ob, ld, "dn", "dc"))
+        .unionByName(view_agg(od_, ld, "dn", "dc"))
+        .groupBy("o_orderpriority", "om")
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        base.join(inc, ["o_orderpriority", "om"], "full_outer")
+        .select(
+            F.col("o_orderpriority").alias("pr"),
+            "om",
+            (F.coalesce("bn", zero) + F.coalesce("dn", zero)).alias("n_items"),
+            (F.coalesce("bc", zero) + F.coalesce("dc", zero)).alias("rev_cents"),
+        )
+        .orderBy("pr", "om")
+    )
+
+
+def _oracle_join_ivm() -> str:
+    # NON-incremental on purpose: one direct join + aggregate over the
+    # full tables — hash-equality proves the delta-join algebra.
+    return """
+SELECT o_orderpriority AS pr, CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+  count(*) AS n_items,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # (column, spark-projection SQL, duckdb-projection SQL) — timestamps
 # profile as epoch days, so min/max stay in exact integer/double space
 # (string-rendering of timestamps/doubles is engine-divergent; numbers
@@ -346,6 +421,7 @@ WITH wide AS (
 
 
 QUERIES = {
+    "orders_join_ivm": orders_join_ivm,
     "profile_orders_columns": profile_orders_columns,
     "layout_zorder_key": layout_zorder_key,
     "events_value_histogram": events_value_histogram,
@@ -355,6 +431,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_join_ivm": _oracle_join_ivm(),
     "profile_orders_columns": _oracle_profile(),
     "layout_zorder_key": _oracle_zorder(),
     "events_value_histogram": _oracle_value_histogram(),

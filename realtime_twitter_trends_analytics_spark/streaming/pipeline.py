@@ -300,6 +300,66 @@ def jdbc_sink_writer(url: str, table: str, properties: dict | None = None, parti
     return write
 
 
+PSI_ALARM_THRESHOLD = 0.25  # the standard "distribution has shifted" PSI cut
+
+
+def category_psi(batch_df: DataFrame, baseline: DataFrame, col: str = "country") -> float:
+    """Population-stability index of a batch's categorical distribution
+    against a BASELINE count table (category, q_count) — the streaming
+    form of the batch events_psi_drift operator (categories instead of
+    value bins; identical Laplace-smoothed (p-q)ln(p/q) sum).
+
+    Distributed end-to-end: one hash agg over the batch, a broadcast
+    join against the (tiny, category-grain) baseline, and a single-row
+    sum collect. The baseline's category set is the universe (a batch
+    category absent from the baseline would be its own alarm — callers
+    pin the baseline from a trusted window)."""
+    cats = [r[0] for r in baseline.select(col).collect()]
+    nb = len(cats)
+    b = batch_df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+    n_batch = batch_df.count()
+    nq_row = baseline.agg(F.sum("q_count").alias("nq")).collect()[0]
+    nq = int(nq_row["nq"])
+    joined = baseline.join(F.broadcast(b), col, "left").select(
+        F.expr(
+            f"(CAST(coalesce(c, 0) + 1 AS DOUBLE) / ({n_batch} + {nb})"
+            f" - CAST(q_count + 1 AS DOUBLE) / ({nq} + {nb}))"
+            f" * ln((CAST(coalesce(c, 0) + 1 AS DOUBLE) / ({n_batch} + {nb}))"
+            f"      / (CAST(q_count + 1 AS DOUBLE) / ({nq} + {nb})))"
+        ).alias("term")
+    )
+    return float(joined.agg(F.sum("term")).collect()[0][0] or 0.0)
+
+
+def drift_monitor_writer(
+    baseline: DataFrame,
+    results: list,
+    col: str = "country",
+    threshold: float = PSI_ALARM_THRESHOLD,
+):
+    """foreachBatch sink_writer: per micro-batch, PSI of the scored
+    stream's category mix vs the pinned baseline, alarm above threshold.
+    The production deployment of round-8's drift gate: the monitor rides
+    the SAME foreachBatch hook as the store append
+    (write_with_first_batch_setup), so drift is evaluated exactly once
+    per committed batch with no extra stream. ``results`` collects
+    (batch_id, n_rows, psi, alarm) — in production this is the metrics/
+    alerting emit."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        psi = category_psi(batch_df, baseline, col=col)
+        results.append(
+            {
+                "batch_id": batch_id,
+                "n_rows": batch_df.count(),
+                "psi": round(psi, 6),
+                "alarm": psi > threshold,
+            }
+        )
+
+    return write
+
+
 def run_pipeline_availablenow(
     spark: SparkSession,
     source_dir: str,
