@@ -185,6 +185,14 @@ HEADLINE = [
     "events_k_anonymity",
     "events_dp_counts",
     "orders_join_ivm",
+    # round-8 continuation: autocorrelation, sweep-line backlog, BH/FDR,
+    # l-diversity, Hilbert layout, split-leakage audit
+    "events_acf",
+    "orders_backlog_sweep",
+    "stats_fdr_bh",
+    "events_l_diversity",
+    "layout_hilbert_key",
+    "dedup_split_leakage",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

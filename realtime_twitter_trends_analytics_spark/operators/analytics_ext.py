@@ -2182,6 +2182,376 @@ def events_power_users_gini_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- ACF
+ACF_MAX_LAG = 6
+
+
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the per-type HOURLY event-count series at
+    lags 1..ACF_MAX_LAG — the diagnostic behind seasonality/periodicity
+    detection (a daily cycle shows as a bump at lag 24; short-memory decay
+    feeds ARIMA order choice). Complements events_seasonal_decompose
+    (which ASSUMES a period; ACF is how you find one).
+
+    The series is DENSIFIED first (hour spine per type via sequence +
+    left join, zero-filled): lag-k on present-hours-only would correlate
+    non-adjacent hours and silently bias r_k toward the busy regions.
+
+    Float discipline: r_k = sum(dev_t*dev_{t+k}) / sum(dev_t^2) with
+    dev_t = n*c_t - S (n = spine hours, S = total events) — all BIGINT
+    exact (the n^2 factor cancels in the ratio), so both engines sum
+    identical integers in any order; the signed final ratio goes through
+    the sign-split round_ratio convention. Exactness bound: the dev^2 sum
+    needs n*(n*c_max)^2 <= 2^63 — holds to ~1e5 hourly events on a
+    decade-long spine; past that the production form quantizes per-term
+    doubles (the PSI pattern).
+
+    Scale: one (type, hour) hash agg, a calendar-bounded spine explode,
+    one window partitioned BY TYPE over hour-grain rows (never
+    data-sized), one type-grain agg. The 6 lead columns ride a single
+    window pass."""
+    d = dl.SPARK
+    e = load_table(spark, sf_dir, "events")
+    cnt = e.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) DIV 3600").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rng = cnt.groupBy("event_type").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = rng.select(
+        "event_type", F.explode(F.expr(dl.seq(d, "mn", "mx"))).alias("h")
+    )
+    dense = spine.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    stats = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    dev = dense.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "h",
+        "n",
+        (F.col("n") * F.col("c") - F.col("s")).alias("dev"),
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    lags = list(range(1, ACF_MAX_LAG + 1))
+    led = dev.select(
+        "event_type",
+        "n",
+        "dev",
+        *[F.lead("dev", k).over(w).alias(f"l{k}") for k in lags],
+    )
+    per = led.groupBy("event_type", "n").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+        *[F.sum(F.col("dev") * F.col(f"l{k}")).alias(f"num{k}") for k in lags],
+    )
+    stack = (
+        f"stack({len(lags)}, "
+        + ", ".join(f"{k}, num{k}" for k in lags)
+        + ") AS (lag, num)"
+    )
+    rows = per.select("event_type", F.col("n").alias("n_hours"), "den", F.expr(stack))
+    rr_pos = dl.round_ratio(d, "num", "den")
+    rr_neg = dl.round_ratio(d, "(-num)", "den")
+    acf = (
+        f"CASE WHEN den = 0 THEN CAST(NULL AS DOUBLE) "
+        f"WHEN num >= 0 THEN {rr_pos} ELSE -{rr_neg} END"
+    )
+    return rows.select(
+        "event_type", "lag", "n_hours", F.expr(acf).alias("acf")
+    ).orderBy("event_type", "lag")
+
+
+def _oracle_acf() -> str:
+    d = dl.DUCK
+    lags = list(range(1, ACF_MAX_LAG + 1))
+    lead_cols = ", ".join(f"lead(dev, {k}) OVER w AS l{k}" for k in lags)
+    num_aggs = ", ".join(f"sum(dev * l{k}) AS num{k}" for k in lags)
+    unioned = "\nUNION ALL ".join(
+        f"SELECT event_type, {k} AS lag, n, den, num{k} AS num FROM per" for k in lags
+    )
+    rr_pos = dl.round_ratio(d, "num", "den")
+    rr_neg = dl.round_ratio(d, "(-num)", "den")
+    return f"""
+WITH cnt AS (
+  SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT event_type, min(h) AS mn, max(h) AS mx FROM cnt GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest({dl.seq(d, 'mn', 'mx')}) AS h FROM rng
+), dense AS (
+  SELECT s.event_type, s.h, coalesce(c.c, 0) AS c
+  FROM spine s LEFT JOIN cnt c ON c.event_type = s.event_type AND c.h = s.h
+), st AS (
+  SELECT event_type, count(*) AS n, sum(c) AS s FROM dense GROUP BY 1
+), dev_t AS (
+  SELECT d.event_type, d.h, st.n, (st.n * d.c - st.s) AS dev
+  FROM dense d JOIN st ON st.event_type = d.event_type
+), led AS (
+  SELECT event_type, n, dev, {lead_cols}
+  FROM dev_t WINDOW w AS (PARTITION BY event_type ORDER BY h)
+), per AS (
+  SELECT event_type, n, sum(dev * dev) AS den, {num_aggs}
+  FROM led GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_hours,
+  CASE WHEN den = 0 THEN CAST(NULL AS DOUBLE)
+       WHEN num >= 0 THEN {rr_pos} ELSE -{rr_neg} END AS acf
+FROM ({unioned})
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- backlog sweep
+def orders_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by SWEEP-LINE: each order is an
+    interval [o_orderdate, last l_shipdate], decomposed into a +1 delta at
+    the start and a -1 the day AFTER the last shipment; the running sum of
+    date-grain deltas is the number of concurrently open orders. Readout
+    per month: orders opened/closed, end-of-month and peak backlog.
+
+    Scale: the naive form is a range join (every order x every date it
+    spans — O(N * avg_duration) rows); the sweep emits exactly 2 deltas
+    per order, aggregates them to DATE grain (calendar-bounded, like
+    events_rolling_dau), and only the date-grain rows ride the cumulative
+    window — the standard interval-stabbing reduction. The cumulative sum
+    is over exact BIGINT deltas, so there is no float drift anywhere.
+
+    Orders with NO line items (the synthetic data has some; strict TPC-H
+    does not) have no shipment timeline and are excluded by the inner
+    join — mirrored in the oracle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("CAST(o_orderdate AS DATE)").alias("start_d")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.expr("CAST(l_shipdate AS DATE)")).alias("ship_d"))
+    )
+    iv = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "start_d", F.expr("date_add(ship_d, 1)").alias("end_d")
+    )
+    deltas = iv.select(
+        F.col("start_d").alias("d"),
+        F.lit(1).alias("delta"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    ).union(
+        iv.select(F.col("end_d"), F.lit(-1), F.lit(0), F.lit(1))
+    )
+    daily = deltas.groupBy("d").agg(
+        F.sum("delta").alias("net"),
+        F.sum("opened").alias("n_opened"),
+        F.sum("closed").alias("n_closed"),
+    )
+    run = daily.withColumn("backlog", F.sum("net").over(W.orderBy("d")))
+    return (
+        run.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum("n_opened").alias("n_opened"),
+            F.sum("n_closed").alias("n_closed"),
+            F.max_by("backlog", "d").alias("eom_backlog"),
+            F.max("backlog").alias("peak_backlog"),
+        )
+        .orderBy("month")
+    )
+
+
+def _oracle_backlog() -> str:
+    return """
+WITH iv AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS start_d,
+    CAST(max(CAST(l.l_shipdate AS DATE)) + INTERVAL 1 DAY AS DATE) AS end_d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, 1
+), deltas AS (
+  SELECT start_d AS d, 1 AS delta, 1 AS opened, 0 AS closed FROM iv
+  UNION ALL
+  SELECT end_d, -1, 0, 1 FROM iv
+), daily AS (
+  SELECT d, sum(delta) AS net, sum(opened) AS n_opened, sum(closed) AS n_closed
+  FROM deltas GROUP BY 1
+), run AS (
+  SELECT d, n_opened, n_closed, sum(net) OVER (ORDER BY d) AS backlog FROM daily
+)
+SELECT strftime(d, '%Y-%m') AS month,
+  CAST(sum(n_opened) AS BIGINT) AS n_opened,
+  CAST(sum(n_closed) AS BIGINT) AS n_closed,
+  CAST(max_by(backlog, d) AS BIGINT) AS eom_backlog,
+  CAST(max(backlog) AS BIGINT) AS peak_backlog
+FROM run GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------- BH / FDR
+FDR_ALPHA_NUM = 5          # alpha = FDR_ALPHA_NUM / 100 = 0.05
+FDR_P_SCALE = 1_000_000    # p quantized to 1e-6 before ranking
+
+
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a FAMILY of hypothesis
+    tests — the multiple-testing layer every metrics platform needs on
+    top of its per-metric tests (run one Welch test per event type and
+    ~5% of null metrics "significant" by chance; BH caps the expected
+    false-discovery rate instead). Family here: per event type, weekend
+    vs weekday value shift (day-of-week from epoch days, engine-portable
+    — dayofweek() numbering differs across engines). Welch z uses the
+    exact-cents moment machinery of events_ab_test_lift; the two-sided
+    p-value maps z through the logistic approximation to the normal CDF
+    (p = 2/(1+exp(1.702|z|)), max abs error ~0.01 — neither engine ships
+    erf, and the BH DECISION only needs p's order, which the
+    approximation preserves exactly since it is monotone in |z|).
+
+    Float discipline: p is quantized to 1e-6 before the rank window, and
+    the BH comparison p_(i) <= alpha*i/m is evaluated in scaled integers
+    (p_q * m <= alpha_scaled * i) — the step function cannot flip on a
+    float ulp. Rejection set: ranks <= max{i: p_(i) <= alpha*i/m}.
+
+    Scale: one (type, daypart) hash agg; everything downstream — pivot,
+    rank window, BH cut — is family-sized (#event_types rows), never
+    data-sized."""
+    e = load_table(spark, sf_dir, "events")
+    dow = F.expr("((unix_timestamp(ts) DIV 86400) + 4) % 7")  # 0=Sunday
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    g = (
+        e.select(
+            "event_type",
+            F.when(dow.isin(0, 6), "weekend").otherwise("weekday").alias("part"),
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "part")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        )
+    )
+    both = (
+        g.groupBy("event_type")
+        .pivot("part", ["weekday", "weekend"])
+        .agg(
+            F.first("n").alias("n"), F.first("s1").alias("s1"), F.first("s2").alias("s2")
+        )
+        .filter((F.col("weekday_n") >= 2) & (F.col("weekend_n") >= 2))
+    )
+    mean = lambda s, n: F.col(s) / (F.col(n) * F.lit(100.0))  # noqa: E731
+    var = lambda s1, s2, n: (  # noqa: E731
+        (F.col(s2) - F.col(s1).cast("double") * F.col(s1) / F.col(n))
+        / (F.col(n) - 1)
+        / F.lit(10000.0)
+    )
+    z = (mean("weekend_s1", "weekend_n") - mean("weekday_s1", "weekday_n")) / F.sqrt(
+        var("weekday_s1", "weekday_s2", "weekday_n") / F.col("weekday_n")
+        + var("weekend_s1", "weekend_s2", "weekend_n") / F.col("weekend_n")
+    )
+    scored = both.select(
+        "event_type",
+        F.col("weekday_n").alias("n_weekday"),
+        F.col("weekend_n").alias("n_weekend"),
+        z.alias("z"),
+    ).withColumn(
+        "p_q",
+        F.expr(
+            f"CAST(round(2.0 / (1.0 + exp(1.702 * abs(z))) * {FDR_P_SCALE}) AS BIGINT)"
+        ),
+    )
+    wf = W.orderBy("p_q", "event_type")  # family-sized window (#event_types)
+    ranked = scored.select(
+        "event_type",
+        "n_weekday",
+        "n_weekend",
+        F.round("z", 4).alias("z"),
+        (F.col("p_q") / F.lit(float(FDR_P_SCALE))).alias("p_approx"),
+        F.row_number().over(wf).alias("p_rank"),
+        F.count(F.lit(1)).over(
+            W.orderBy("p_q").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("m_tests"),
+        F.col("p_q").alias("p_q"),
+    )
+    flag_rank = F.when(
+        F.col("p_q") * F.col("m_tests")
+        <= F.lit(FDR_ALPHA_NUM * FDR_P_SCALE // 100) * F.col("p_rank"),
+        F.col("p_rank"),
+    )
+    cut = ranked.withColumn(
+        "cut",
+        F.max(flag_rank).over(
+            W.orderBy("p_q").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ),
+    )
+    bh_thresh = dl.round_ratio(
+        dl.SPARK, f"(p_rank * {FDR_ALPHA_NUM})", "(m_tests * 100)", 6
+    )
+    return (
+        cut.select(
+            "event_type",
+            "n_weekday",
+            "n_weekend",
+            "z",
+            "p_approx",
+            "p_rank",
+            "m_tests",
+            F.expr(bh_thresh).alias("bh_threshold"),
+            F.when(F.col("p_rank") <= F.coalesce(F.col("cut"), F.lit(0)), 1)
+            .otherwise(0)
+            .alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )
+
+
+def _oracle_fdr() -> str:
+    d = dl.DUCK
+    alpha_scaled = FDR_ALPHA_NUM * FDR_P_SCALE // 100
+    bh_thresh = dl.round_ratio(d, f"(p_rank * {FDR_ALPHA_NUM})", "(m_tests * 100)", 6)
+    return f"""
+WITH g AS (
+  SELECT event_type,
+    CASE WHEN (((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7) IN (0, 6)
+         THEN 'weekend' ELSE 'weekday' END AS part,
+    count(*) AS n,
+    sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+    sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS s2
+  FROM events GROUP BY 1, 2
+), wide AS (
+  SELECT event_type,
+    max(CASE WHEN part = 'weekday' THEN n END) AS wd_n,
+    max(CASE WHEN part = 'weekday' THEN s1 END) AS wd_s1,
+    max(CASE WHEN part = 'weekday' THEN s2 END) AS wd_s2,
+    max(CASE WHEN part = 'weekend' THEN n END) AS we_n,
+    max(CASE WHEN part = 'weekend' THEN s1 END) AS we_s1,
+    max(CASE WHEN part = 'weekend' THEN s2 END) AS we_s2
+  FROM g GROUP BY 1
+  HAVING wd_n >= 2 AND we_n >= 2
+), scored AS (
+  SELECT event_type, wd_n, we_n,
+    (we_s1 / (we_n * 100.0) - wd_s1 / (wd_n * 100.0))
+      / sqrt(((wd_s2 - CAST(wd_s1 AS DOUBLE) * wd_s1 / wd_n) / (wd_n - 1) / 10000.0) / wd_n
+           + ((we_s2 - CAST(we_s1 AS DOUBLE) * we_s1 / we_n) / (we_n - 1) / 10000.0) / we_n)
+      AS z
+  FROM wide
+), quant AS (
+  SELECT event_type, wd_n, we_n, z,
+    CAST(round(2.0 / (1.0 + exp(1.702 * abs(z))) * {FDR_P_SCALE}) AS BIGINT) AS p_q
+  FROM scored
+), ranked AS (
+  SELECT event_type, wd_n, we_n, z, p_q,
+    row_number() OVER (ORDER BY p_q, event_type) AS p_rank,
+    count(*) OVER () AS m_tests
+  FROM quant
+), cutoff AS (
+  SELECT *, max(CASE WHEN p_q * m_tests <= {alpha_scaled} * p_rank
+                     THEN p_rank END) OVER () AS cut
+  FROM ranked
+)
+SELECT event_type, CAST(wd_n AS BIGINT) AS n_weekday, CAST(we_n AS BIGINT) AS n_weekend,
+  round(z, 4) AS z, CAST(p_q AS DOUBLE) / {FDR_P_SCALE} AS p_approx,
+  CAST(p_rank AS INT) AS p_rank, CAST(m_tests AS BIGINT) AS m_tests,
+  {bh_thresh} AS bh_threshold,
+  CAST(CASE WHEN p_rank <= coalesce(cut, 0) THEN 1 ELSE 0 END AS INT) AS rejected
+FROM cutoff ORDER BY p_rank
+"""
+
+
 QUERIES = {
     "part_abc_classification": part_abc_classification,
     "events_power_users_gini": events_power_users_gini,
@@ -2207,6 +2577,9 @@ QUERIES = {
     "stats_correlation_matrix": stats_correlation_matrix,
     "ml_quantile_binning": ml_quantile_binning,
     "stats_ks_test": stats_ks_test,
+    "events_acf": events_acf,
+    "orders_backlog_sweep": orders_backlog_sweep,
+    "stats_fdr_bh": stats_fdr_bh,
 }
 
 ORACLES = {
@@ -2234,4 +2607,7 @@ ORACLES = {
     "stats_correlation_matrix": _oracle_corr_matrix(),
     "ml_quantile_binning": _oracle_quantile_binning(),
     "stats_ks_test": _oracle_ks(),
+    "events_acf": _oracle_acf(),
+    "orders_backlog_sweep": _oracle_backlog(),
+    "stats_fdr_bh": _oracle_fdr(),
 }

@@ -1408,6 +1408,101 @@ ORDER BY new_doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Train/test split leakage audit over the near-dup graph
+# ---------------------------------------------------------------------------
+
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs that STRADDLE the
+    train/val/test split — the contamination mode exact decontamination
+    misses (the eval doc isn't IN train; its near-twin is), and the first
+    check run before any held-out eval is trusted. Composes two existing
+    primitives verbatim: the banded-LSH near-dup pairs (the
+    dedup_minhash_pairs staging relation) and dataset_split_assign's
+    hash-split rule. Readout per unordered split-class pair: candidate
+    pairs, distinct docs involved, and the leaky flag (class pairs that
+    cross a split boundary).
+
+    Scale: the split label is a pure projection of doc_id (md5-nibble
+    rule), so NO join against the corpus is needed — the audit runs
+    entirely over the LSH-bounded pair set (pairs + one explode for the
+    distinct-doc count). At 100 TB this is the same cost as reading the
+    persisted pair table once."""
+    from .sampling import _bucket16_sql
+
+    d = dl.SPARK
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+
+    def split_of(col: str) -> F.Column:
+        b = F.expr(_bucket16_sql(d, f"CAST({col} AS STRING)"))
+        return (
+            F.when(b == 0, "test").when(b == 1, "val").otherwise("train")
+        )
+
+    classed = pairs.select(
+        "a",
+        "b",
+        F.least(split_of("a"), split_of("b")).alias("split_lo"),
+        F.greatest(split_of("a"), split_of("b")).alias("split_hi"),
+    )
+    pair_counts = classed.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    doc_counts = (
+        classed.select(
+            "split_lo", "split_hi", F.explode(F.array("a", "b")).alias("doc_id")
+        )
+        .distinct()
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        pair_counts.join(doc_counts, ["split_lo", "split_hi"])
+        .withColumn(
+            "leaky",
+            F.when(F.col("split_lo") != F.col("split_hi"), 1).otherwise(0),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+def _oracle_split_leakage() -> str:
+    from .sampling import _bucket16_sql
+
+    d = dl.DUCK
+
+    def split_of(col: str) -> str:
+        b = _bucket16_sql(d, f"CAST({col} AS VARCHAR)")
+        return (
+            f"(CASE WHEN {b} = 0 THEN 'test' WHEN {b} = 1 THEN 'val' "
+            f"ELSE 'train' END)"
+        )
+
+    return f"""
+WITH {_oracle_pairs_ctes()}, classed AS (
+  SELECT a, b,
+    least({split_of('a')}, {split_of('b')}) AS split_lo,
+    greatest({split_of('a')}, {split_of('b')}) AS split_hi
+  FROM dup_pairs
+), pair_counts AS (
+  SELECT split_lo, split_hi, count(*) AS n_pairs FROM classed GROUP BY 1, 2
+), doc_counts AS (
+  SELECT split_lo, split_hi, count(*) AS n_docs FROM (
+    SELECT DISTINCT split_lo, split_hi, doc_id FROM (
+      SELECT split_lo, split_hi, a AS doc_id FROM classed
+      UNION ALL
+      SELECT split_lo, split_hi, b AS doc_id FROM classed
+    )
+  ) GROUP BY 1, 2
+)
+SELECT p.split_lo, p.split_hi, p.n_pairs, d.n_docs,
+  CAST(CASE WHEN p.split_lo != p.split_hi THEN 1 ELSE 0 END AS INT) AS leaky
+FROM pair_counts p JOIN doc_counts d
+  ON d.split_lo = p.split_lo AND d.split_hi = p.split_hi
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_incremental_probe": dedup_incremental_probe,
     "dedup_exact": dedup_exact,
@@ -1424,6 +1519,7 @@ QUERIES = {
     "dedup_survivors": dedup_survivors,
     "dedup_soft_weights": dedup_soft_weights,
     "dedup_minhash_eval": dedup_minhash_eval,
+    "dedup_split_leakage": dedup_split_leakage,
 }
 
 ORACLES = {
@@ -1443,4 +1539,5 @@ ORACLES = {
     "dedup_survivors": _oracle_survivors(),
     "dedup_soft_weights": _oracle_soft_weights(),
     "dedup_minhash_eval": _oracle_minhash_eval(),
+    "dedup_split_leakage": _oracle_split_leakage(),
 }

@@ -24,7 +24,12 @@ Z_BLOCK_SHIFT = 12   # z >> shift = the "file" a writer would group into
 
 
 def _epoch_sec(d: str) -> str:
-    return "unix_timestamp(ts)" if d == dl.SPARK else "CAST(epoch(ts) AS BIGINT)"
+    # DuckDB epoch() returns a DOUBLE carrying the sub-second fraction and
+    # CAST(double AS BIGINT) ROUNDS, while Spark unix_timestamp() truncates
+    # — an event in the last 0.5 s of an hour would land in the next bucket
+    # on the DuckDB side only (9 such events live in sf0.1). floor() before
+    # the cast restores truncation semantics.
+    return "unix_timestamp(ts)" if d == dl.SPARK else "CAST(floor(epoch(ts)) AS BIGINT)"
 
 
 def _bit(d: str, col: str, i: int, out_pos: int) -> str:
@@ -89,6 +94,104 @@ SELECT CAST(z >> {Z_BLOCK_SHIFT} AS INT) AS z_block, count(*) AS n_rows,
   min(tb) AS min_hour, max(tb) AS max_hour,
   CAST((max(ux) - min(ux) + 1) * (max(tb) - min(tb) + 1) AS BIGINT) AS bbox_area
 FROM zz GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- Hilbert key
+HB_BITS = 8          # bits per dimension (256 x 256 grid)
+HB_BLOCK_SHIFT = 12  # h >> shift = the "file" a writer would group into
+
+
+def _hb_level_exprs(i: int) -> tuple[str, str, str]:
+    """One level of the Gonzalez/Wikipedia xy2d Hilbert transform as SQL
+    over running columns (x, y, d): quadrant contribution
+    s^2 * ((3*rx) XOR ry) — written arithmetically as 3*rx + ry*(1-2*rx)
+    since neither dialect spells XOR the same — then the conditional
+    reflect+swap rotation. x/y may go NEGATIVE mid-chain (s-1-x with high
+    bits still set); both engines do two's-complement & on BIGINT, and rx
+    tests (x & s) != 0, never a sign-dependent shift, so the chain is
+    engine-exact. The identical text runs as Spark selectExpr levels and
+    DuckDB CTE levels."""
+    s = 1 << i
+    rx = f"(CASE WHEN (x & {s}) != 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (y & {s}) != 0 THEN 1 ELSE 0 END)"
+    d_new = f"(d + {s * s} * (3 * {rx} + {ry} * (1 - 2 * {rx})))"
+    x_new = f"(CASE WHEN {ry} = 1 THEN x WHEN {rx} = 0 THEN y ELSE {s - 1} - y END)"
+    y_new = f"(CASE WHEN {ry} = 1 THEN y WHEN {rx} = 0 THEN x ELSE {s - 1} - x END)"
+    return x_new, y_new, d_new
+
+
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (user_id, event hour) — the
+    locality-preserving upgrade to layout_zorder_key above (Delta Lake
+    OPTIMIZE and recent Iceberg writers moved from Morton to Hilbert for
+    exactly this): every unit step along a Hilbert curve moves one cell in
+    exactly ONE dimension, so sorted runs never take the quadrant-boundary
+    jumps a Z-curve takes, and per-file bounding boxes come out tighter
+    for the SAME block size. Readout is the identical per-block locality
+    audit as the z-order operator so the two keys are directly comparable
+    (sum bbox_area here < z-order's at equal block grain).
+
+    The HB_BITS-level transform is unrolled: each level is one projection
+    (integer CASE/bit arithmetic, whole-stage codegen keeps the chain in
+    one stage), then one hash agg to block grain — identical shuffle
+    profile to z-order, the curve math is free."""
+    ev = load_table(spark, sf_dir, "events")
+    d = dl.SPARK
+    mask = 2 ** HB_BITS - 1
+    cur = ev.select(
+        F.expr(f"user_id & {mask}").alias("ux"),
+        F.expr(f"({_epoch_sec(d)} DIV 3600) & {mask}").alias("tb"),
+    ).selectExpr("ux", "tb", "ux AS x", "tb AS y", "CAST(0 AS BIGINT) AS d")
+    for i in range(HB_BITS - 1, -1, -1):
+        xn, yn, dn = _hb_level_exprs(i)
+        cur = cur.selectExpr("ux", "tb", f"{xn} AS x", f"{yn} AS y", f"{dn} AS d")
+    return (
+        cur.groupBy(
+            F.expr(f"CAST(d >> {HB_BLOCK_SHIFT} AS INT)").alias("h_block")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ux").alias("min_user"),
+            F.max("ux").alias("max_user"),
+            F.min("tb").alias("min_hour"),
+            F.max("tb").alias("max_hour"),
+        )
+        .withColumn(
+            "bbox_area",
+            (
+                (F.col("max_user") - F.col("min_user") + 1)
+                * (F.col("max_hour") - F.col("min_hour") + 1)
+            ).cast("bigint"),
+        )
+    )
+
+
+def _oracle_hilbert() -> str:
+    d = dl.DUCK
+    mask = 2 ** HB_BITS - 1
+    ctes = [
+        f"""masked AS (
+  SELECT user_id & {mask} AS ux,
+    (({_epoch_sec(d)}) // 3600) & {mask} AS tb
+  FROM events
+), lvl{HB_BITS} AS (
+  SELECT ux, tb, ux AS x, tb AS y, CAST(0 AS BIGINT) AS d FROM masked
+)"""
+    ]
+    for i in range(HB_BITS - 1, -1, -1):
+        xn, yn, dn = _hb_level_exprs(i)
+        ctes.append(
+            f"lvl{i} AS (SELECT ux, tb, {xn} AS x, {yn} AS y, {dn} AS d FROM lvl{i + 1})"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT CAST(d >> {HB_BLOCK_SHIFT} AS INT) AS h_block, count(*) AS n_rows,
+  min(ux) AS min_user, max(ux) AS max_user,
+  min(tb) AS min_hour, max(tb) AS max_hour,
+  CAST((max(ux) - min(ux) + 1) * (max(tb) - min(tb) + 1) AS BIGINT) AS bbox_area
+FROM lvl0 GROUP BY 1
 """
 
 
@@ -424,6 +527,7 @@ QUERIES = {
     "orders_join_ivm": orders_join_ivm,
     "profile_orders_columns": profile_orders_columns,
     "layout_zorder_key": layout_zorder_key,
+    "layout_hilbert_key": layout_hilbert_key,
     "events_value_histogram": events_value_histogram,
     "orders_scd_ranges": orders_scd_ranges,
     "orders_asof_snapshot": orders_asof_snapshot,
@@ -434,6 +538,7 @@ ORACLES = {
     "orders_join_ivm": _oracle_join_ivm(),
     "profile_orders_columns": _oracle_profile(),
     "layout_zorder_key": _oracle_zorder(),
+    "layout_hilbert_key": _oracle_hilbert(),
     "events_value_histogram": _oracle_value_histogram(),
     "orders_scd_ranges": _oracle_scd_ranges(),
     "orders_asof_snapshot": _oracle_asof_snapshot(),

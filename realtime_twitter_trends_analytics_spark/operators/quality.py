@@ -563,6 +563,66 @@ FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------- l-diversity
+LDIV_L = 3
+
+
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion check k-anonymity
+    (events_k_anonymity above) cannot do: a class can hold >= k rows yet
+    expose everyone in it if they all share ONE sensitive value
+    (homogeneity attack, Machanavajjhela et al. 2007). Quasi-identifier
+    grain here is (event_type, day); the sensitive attribute is the value
+    bin. For each QI class, l = the number of DISTINCT sensitive values;
+    classes with l < L leak the sensitive attribute for every member.
+    Readout mirrors the k-anonymity verdict shape: class/event counts per
+    verdict plus the min/max observed l.
+
+    Scale: one distinct-pair hash agg (bounded by QI-space x bin-space
+    cardinality) -> one class-grain agg -> one 2-row verdict agg; nothing
+    downstream of the first agg is data-sized."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.expr("CAST(ts AS DATE)").alias("day"),
+        F.expr(f"CAST(floor(value / {KANON_VALUE_BIN}) AS BIGINT)").alias("vb"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    classes = cells.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("l"), F.sum("n").alias("n_events")
+    )
+    return (
+        classes.groupBy(
+            F.when(F.col("l") >= LDIV_L, F.lit("diverse"))
+            .otherwise(F.lit("homogeneous"))
+            .alias("verdict")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("n_events").alias("n_events"),
+            F.min("l").alias("min_l"),
+            F.max("l").alias("max_l"),
+        )
+        .orderBy("verdict")
+    )
+
+
+def _oracle_ldiv() -> str:
+    return f"""
+WITH cells AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(floor(value / {KANON_VALUE_BIN}) AS BIGINT) AS vb, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), classes AS (
+  SELECT event_type, day, count(*) AS l, sum(n) AS n_events
+  FROM cells GROUP BY 1, 2
+)
+SELECT CASE WHEN l >= {LDIV_L} THEN 'diverse' ELSE 'homogeneous' END AS verdict,
+  count(*) AS n_classes, CAST(sum(n_events) AS BIGINT) AS n_events,
+  CAST(min(l) AS BIGINT) AS min_l, CAST(max(l) AS BIGINT) AS max_l
+FROM classes GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "profile_documents": profile_documents,
     "quality_constraint_checks": quality_constraint_checks,
@@ -570,6 +630,7 @@ QUERIES = {
     "docs_readability": docs_readability,
     "events_k_anonymity": events_k_anonymity,
     "events_dp_counts": events_dp_counts,
+    "events_l_diversity": events_l_diversity,
 }
 
 ORACLES = {
@@ -579,4 +640,5 @@ ORACLES = {
     "docs_readability": _oracle_readability(),
     "events_k_anonymity": _oracle_kanon(),
     "events_dp_counts": _oracle_dp(),
+    "events_l_diversity": _oracle_ldiv(),
 }

@@ -1,0 +1,224 @@
+"""Round-8 continuation operators: semantic invariants + independent
+references for ACF, sweep-line backlog, BH/FDR, l-diversity, the Hilbert
+layout key, and the split-leakage audit. Each gated query also has a
+DuckDB oracle (the cross-engine equality gate); these tests check the
+MATH means what the docstring claims, which value-equality alone cannot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+    ACF_MAX_LAG,
+    events_acf,
+    orders_backlog_sweep,
+    stats_fdr_bh,
+)
+from realtime_twitter_trends_analytics_spark.operators.dedup import (
+    dedup_minhash_pairs,
+    dedup_split_leakage,
+)
+from realtime_twitter_trends_analytics_spark.operators.layout import (
+    HB_BITS,
+    _hb_level_exprs,
+    layout_hilbert_key,
+    layout_zorder_key,
+)
+from realtime_twitter_trends_analytics_spark.operators.quality import (
+    events_k_anonymity,
+    events_l_diversity,
+)
+from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
+
+
+def _hilbert_ref(x: int, y: int) -> int:
+    """Independent python transcription of the Wikipedia xy2d algorithm."""
+    d = 0
+    s = 1 << (HB_BITS - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _hilbert_spark(spark, coords):
+    df = spark.createDataFrame(coords, "ux int, tb int").selectExpr(
+        "ux", "tb", "ux AS x", "tb AS y", "CAST(0 AS BIGINT) AS d"
+    )
+    for i in range(HB_BITS - 1, -1, -1):
+        xn, yn, dn = _hb_level_exprs(i)
+        df = df.selectExpr("ux", "tb", f"{xn} AS x", f"{yn} AS y", f"{dn} AS d")
+    return df
+
+
+def test_hilbert_sql_matches_python_reference(spark):
+    """The unrolled SQL level chain is the textbook transform, cell for
+    cell, on a deterministic stratified sample of the 256x256 grid."""
+    coords = [(x, y) for x in range(0, 256, 7) for y in range(0, 256, 11)]
+    coords += [(0, 0), (255, 255), (0, 255), (255, 0), (128, 127)]
+    got = {(r["ux"], r["tb"]): r["d"] for r in _hilbert_spark(spark, coords).collect()}
+    for x, y in coords:
+        assert got[(x, y)] == _hilbert_ref(x, y), (x, y)
+
+
+def test_hilbert_is_a_bijection(spark):
+    """All 65536 grid cells map to 65536 distinct curve positions in
+    [0, 2^(2*HB_BITS)) — no collisions, no out-of-range keys."""
+    full = [(x, y) for x in range(256) for y in range(256)]
+    df = _hilbert_spark(spark, full)
+    stats = df.agg(
+        F.countDistinct("d").alias("nd"), F.min("d").alias("mn"), F.max("d").alias("mx")
+    ).collect()[0]
+    assert stats["nd"] == 1 << (2 * HB_BITS)
+    assert stats["mn"] == 0 and stats["mx"] == (1 << (2 * HB_BITS)) - 1
+
+
+def test_hilbert_locality_not_worse_than_zorder(spark, sf_dir):
+    """The reason to ship Hilbert: at the same block grain, total
+    bounding-box area (the footer-pruning surface) must not exceed the
+    z-order layout's. Compared at matching 8-bit masks via the z-order
+    audit re-done on 8-bit inputs is not available, so compare mean area
+    per covered block — Hilbert must be no worse than ~1.5x z-order's
+    (empirically it is strictly smaller; the slack absorbs grain
+    differences between Z_BITS=10 and HB_BITS=8 masks)."""
+    h = layout_hilbert_key(spark, sf_dir).agg(
+        F.sum("bbox_area").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    z = layout_zorder_key(spark, sf_dir).agg(
+        F.sum("bbox_area").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert (h["s"] / h["n"]) <= 1.5 * (z["s"] / z["n"])
+
+
+def test_acf_matches_numpy(spark, sf_dir):
+    """r_k for every type/lag equals the plain-definition numpy ACF on the
+    densified hourly series (zero-filled spine), to the displayed 4dp."""
+    rows = events_acf(spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("unix_timestamp(ts) DIV 3600").alias("h"))
+        .groupBy("event_type", "h")
+        .count()
+        .collect()
+    )
+    by_type: dict[str, dict[int, int]] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], {})[r["h"]] = r["count"]
+    for r in rows:
+        cnt = by_type[r["event_type"]]
+        lo, hi = min(cnt), max(cnt)
+        x = np.array([cnt.get(h, 0) for h in range(lo, hi + 1)], dtype=float)
+        assert r["n_hours"] == len(x)
+        dev = x - x.mean()
+        k = r["lag"]
+        ref = float(np.dot(dev[:-k], dev[k:]) / np.dot(dev, dev))
+        assert abs(r["acf"] - ref) < 5e-4, (r["event_type"], k, r["acf"], ref)
+
+
+def test_acf_shape_and_bounds(spark, sf_dir):
+    df = events_acf(spark, sf_dir)
+    pdf = df.toPandas()
+    # every type carries exactly lags 1..ACF_MAX_LAG
+    for _, g in pdf.groupby("event_type"):
+        assert sorted(g["lag"]) == list(range(1, ACF_MAX_LAG + 1))
+    assert (pdf["acf"].abs() <= 1.0 + 1e-9).all()
+
+
+def test_backlog_conserves_orders(spark, sf_dir):
+    """Every order opens once and closes once, so total opened == total
+    closed == |orders|, the backlog returns to exactly 0 after the last
+    close, and peak >= end-of-month everywhere."""
+    pdf = orders_backlog_sweep(spark, sf_dir).toPandas()
+    # orders with no line items have no shipment timeline and are out of
+    # scope (inner join) — conserve against the joined order count
+    n_orders = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct(),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    assert int(pdf["n_opened"].sum()) == n_orders
+    assert int(pdf["n_closed"].sum()) == n_orders
+    assert int(pdf["eom_backlog"].iloc[-1]) == 0
+    assert (pdf["peak_backlog"] >= pdf["eom_backlog"]).all()
+    assert (pdf["peak_backlog"] >= 0).all()
+
+
+def test_backlog_matches_pandas_sweep(spark, sf_dir):
+    """Independent pandas reconstruction of the sweep on the raw tables."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "CAST(o_orderdate AS DATE) AS start_d"
+    ).toPandas()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS ship_d")
+        .groupBy("l_orderkey")
+        .agg(F.max("ship_d").alias("ship_d"))
+        .toPandas()
+    )
+    m = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    starts = pd.Series(1, index=pd.to_datetime(m["start_d"]))
+    ends = pd.Series(-1, index=pd.to_datetime(m["ship_d"]) + pd.Timedelta(days=1))
+    daily = pd.concat([starts, ends]).groupby(level=0).sum().sort_index()
+    run = daily.cumsum()
+    peak_ref = run.groupby(run.index.strftime("%Y-%m")).max()
+    got = orders_backlog_sweep(spark, sf_dir).toPandas().set_index("month")
+    for month, ref in peak_ref.items():
+        assert int(got.loc[month, "peak_backlog"]) == int(ref), month
+
+
+def test_fdr_bh_decision_structure(spark, sf_dir):
+    """BH rejections form a PREFIX of the p-ranked family; thresholds rise
+    linearly with rank; p is a valid two-sided probability."""
+    pdf = stats_fdr_bh(spark, sf_dir).toPandas().sort_values("p_rank")
+    assert (pdf["m_tests"] == len(pdf)).all()
+    assert pdf["p_rank"].tolist() == list(range(1, len(pdf) + 1))
+    assert ((pdf["p_approx"] >= 0) & (pdf["p_approx"] <= 1)).all()
+    assert pdf["bh_threshold"].is_monotonic_increasing
+    rej = pdf["rejected"].tolist()
+    assert all(a >= b for a, b in zip(rej, rej[1:])), "rejections must be a prefix"
+    # a rejected rank at the cut must itself satisfy p <= alpha*i/m
+    cut = int(pdf["rejected"].sum())
+    if cut:
+        row = pdf.iloc[cut - 1]
+        assert row["p_approx"] <= 0.05 * cut / len(pdf) + 1e-9
+
+
+def test_l_diversity_consistent_with_k_anonymity(spark, sf_dir):
+    """Both audits partition the SAME event set: their n_events totals
+    agree with the table count; l is at least 1 everywhere."""
+    ld = events_l_diversity(spark, sf_dir).toPandas()
+    ka = events_k_anonymity(spark, sf_dir).toPandas()
+    total = load_table(spark, sf_dir, "events").count()
+    assert int(ld["n_events"].sum()) == total
+    assert int(ka["n_events"].sum()) == total
+    assert int(ld["min_l"].min()) >= 1
+    assert set(ld["verdict"]) <= {"diverse", "homogeneous"}
+
+
+def test_split_leakage_covers_all_pairs(spark, sf_dir):
+    """The audit is a partition of the near-dup pair set (no pair lost or
+    double-counted) and its doc counts are internally consistent."""
+    pdf = dedup_split_leakage(spark, sf_dir).toPandas()
+    n_pairs = dedup_minhash_pairs(spark, sf_dir).count()
+    assert int(pdf["n_pairs"].sum()) == n_pairs
+    assert set(pdf["split_lo"]) | set(pdf["split_hi"]) <= {"train", "val", "test"}
+    # each pair contributes at most 2 docs; a pair's docs are distinct
+    # (a < b), so any class holding a pair involves at least 2 docs
+    assert (pdf["n_docs"] <= 2 * pdf["n_pairs"]).all()
+    assert (pdf["n_docs"] >= 2).all()
+    leaky = pdf[pdf["split_lo"] != pdf["split_hi"]]
+    assert (leaky["leaky"] == 1).all()
+    assert (pdf[pdf["split_lo"] == pdf["split_hi"]]["leaky"] == 0).all()
