@@ -193,6 +193,8 @@ HEADLINE = [
     "events_l_diversity",
     "layout_hilbert_key",
     "dedup_split_leakage",
+    "stats_permutation_test",
+    "ml_decision_stump",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -2552,6 +2552,144 @@ FROM cutoff ORDER BY p_rank
 """
 
 
+# ---------------------------------------------------------------- permutation
+PERM_REPS = 64
+PERM_GROUP_A = "click"
+PERM_GROUP_B = "purchase"
+
+
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation-style) test of the mean-value difference
+    between two event types, with SEEDED relabeling: replicate r assigns
+    each row to pseudo-group A' when the first md5 nibble of
+    (event_id|r) < 8 — a Bernoulli(1/2) relabeling, the standard
+    large-sample approximation to label permutation (group sizes float
+    around the observed split instead of being held exactly fixed;
+    document over a thousand rows the two are indistinguishable). The
+    keyed hash replaces an RNG for the same reason events_dp_counts
+    seeds its Laplace draws: replayable, retry-stable, engine-exact.
+    p = (1 + #{|diff_r| >= |diff_obs|}) / (R + 1), the add-one rule that
+    keeps p valid (Phipson & Smyth 2010).
+
+    Float discipline: all sums are exact integer cents; each replicate's
+    mean difference and the observed one are formed by the identical
+    division/subtraction op sequence on those exact integers, so the
+    comparison |diff_r| >= |diff_obs| sees bit-identical doubles in both
+    engines (no quantization needed for a comparison of identically
+    constructed values).
+
+    Scale: the replicate explode is a map-side xR fan-out that partial-
+    aggregates to R rows before the shuffle — total shuffle volume is
+    R + 1 tiny rows regardless of data size; compute is one R-way pass
+    over the filtered pair of groups (embarrassingly parallel)."""
+    d = dl.SPARK
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(PERM_GROUP_A, PERM_GROUP_B)
+    )
+    base = e.select(
+        "event_type",
+        F.col("event_id").cast("string").alias("eid"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    obs = base.groupBy().agg(
+        F.sum(F.when(F.col("event_type") == PERM_GROUP_A, F.col("cents"))).alias("sa"),
+        F.count(F.when(F.col("event_type") == PERM_GROUP_A, F.lit(1))).alias("na"),
+        F.sum(F.when(F.col("event_type") == PERM_GROUP_B, F.col("cents"))).alias("sb"),
+        F.count(F.when(F.col("event_type") == PERM_GROUP_B, F.lit(1))).alias("nb"),
+    )
+    nib = dl.md5_prefix_nibble(d, "concat(eid, '|', CAST(r AS STRING))")
+    reps = (
+        base.select(
+            "eid",
+            "cents",
+            F.explode(F.expr(f"sequence(0, {PERM_REPS - 1})")).alias("r"),
+        )
+        .withColumn("to_a", F.expr(f"({nib}) < 8"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.when(F.col("to_a"), F.col("cents"))).alias("sa_r"),
+            F.count(F.when(F.col("to_a"), F.lit(1))).alias("na_r"),
+            F.sum(F.when(~F.col("to_a"), F.col("cents"))).alias("sb_r"),
+            F.count(F.when(~F.col("to_a"), F.lit(1))).alias("nb_r"),
+        )
+    )
+    # identical op shape in both engines: mean diff in dollars from exact
+    # cent sums
+    diff = lambda sa, na, sb, nb: (  # noqa: E731
+        F.col(sa) / (F.col(na) * F.lit(100.0)) - F.col(sb) / (F.col(nb) * F.lit(100.0))
+    )
+    joined = reps.crossJoin(F.broadcast(obs))  # 1-row scalar side
+    extreme = joined.groupBy().agg(
+        F.sum(
+            F.when(
+                F.abs(diff("sa_r", "na_r", "sb_r", "nb_r"))
+                >= F.abs(diff("sa", "na", "sb", "nb")),
+                1,
+            ).otherwise(0)
+        ).alias("n_extreme"),
+        F.first("sa").alias("sa"),
+        F.first("na").alias("na"),
+        F.first("sb").alias("sb"),
+        F.first("nb").alias("nb"),
+    )
+    p_perm = dl.round_ratio(d, "(1 + n_extreme)", f"({PERM_REPS} + 1)", 4)
+    return extreme.select(
+        F.lit(PERM_GROUP_A).alias("group_a"),
+        F.lit(PERM_GROUP_B).alias("group_b"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(diff("sa", "na", "sb", "nb"), 4).alias("obs_diff"),
+        F.lit(PERM_REPS).alias("n_reps"),
+        "n_extreme",
+        F.expr(p_perm).alias("p_perm"),
+    )
+
+
+def _oracle_permutation() -> str:
+    d = dl.DUCK
+    nib = dl.md5_prefix_nibble(d, "concat(eid, '|', CAST(r AS VARCHAR))")
+    p_perm = dl.round_ratio(d, "(1 + n_extreme)", f"({PERM_REPS} + 1)", 4)
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(event_id AS VARCHAR) AS eid,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('{PERM_GROUP_A}', '{PERM_GROUP_B}')
+), obs AS (
+  SELECT
+    sum(CASE WHEN event_type = '{PERM_GROUP_A}' THEN cents END) AS sa,
+    count(CASE WHEN event_type = '{PERM_GROUP_A}' THEN 1 END) AS na,
+    sum(CASE WHEN event_type = '{PERM_GROUP_B}' THEN cents END) AS sb,
+    count(CASE WHEN event_type = '{PERM_GROUP_B}' THEN 1 END) AS nb
+  FROM base
+), reps AS (
+  SELECT r,
+    sum(CASE WHEN to_a THEN cents END) AS sa_r,
+    count(CASE WHEN to_a THEN 1 END) AS na_r,
+    sum(CASE WHEN NOT to_a THEN cents END) AS sb_r,
+    count(CASE WHEN NOT to_a THEN 1 END) AS nb_r
+  FROM (
+    SELECT cents, r, ({nib}) < 8 AS to_a
+    FROM base, unnest(generate_series(0, {PERM_REPS - 1})) AS t(r)
+  ) GROUP BY r
+), extreme AS (
+  SELECT
+    sum(CASE WHEN abs(sa_r / (na_r * 100.0) - sb_r / (nb_r * 100.0))
+              >= abs(sa / (na * 100.0) - sb / (nb * 100.0))
+         THEN 1 ELSE 0 END) AS n_extreme,
+    any_value(sa) AS sa, any_value(na) AS na,
+    any_value(sb) AS sb, any_value(nb) AS nb
+  FROM reps CROSS JOIN obs
+)
+SELECT '{PERM_GROUP_A}' AS group_a, '{PERM_GROUP_B}' AS group_b,
+  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  round(sa / (na * 100.0) - sb / (nb * 100.0), 4) AS obs_diff,
+  CAST({PERM_REPS} AS INT) AS n_reps,
+  CAST(n_extreme AS BIGINT) AS n_extreme,
+  {p_perm} AS p_perm
+FROM extreme
+"""
+
+
 QUERIES = {
     "part_abc_classification": part_abc_classification,
     "events_power_users_gini": events_power_users_gini,
@@ -2580,6 +2718,7 @@ QUERIES = {
     "events_acf": events_acf,
     "orders_backlog_sweep": orders_backlog_sweep,
     "stats_fdr_bh": stats_fdr_bh,
+    "stats_permutation_test": stats_permutation_test,
 }
 
 ORACLES = {
@@ -2610,4 +2749,5 @@ ORACLES = {
     "events_acf": _oracle_acf(),
     "orders_backlog_sweep": _oracle_backlog(),
     "stats_fdr_bh": _oracle_fdr(),
+    "stats_permutation_test": _oracle_permutation(),
 }

@@ -1018,6 +1018,147 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
 ml_logreg_irls.__doc__ = _logreg_sql.__doc__
 
 
+# ---------------------------------------------------------------- stumps
+STUMP_DIMS = 8        # first D dims scanned for the best axis-aligned split
+STUMP_BIN_SCALE = 128  # bin = floor(x * scale): ~94 bins over the obs range
+STUMP_Q = 10 ** 9      # impurity quantization (1e-9 fixed point)
+
+
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best axis-aligned decision stump per embedding dimension: for each
+    of the first STUMP_DIMS dims, the binned threshold minimizing the
+    Gini impurity of the induced 2-way split of the 10-class label — the
+    split-finding inner loop of every distributed tree learner
+    (XGBoost/LightGBM histogram method: bin, accumulate class histograms,
+    scan prefix sums), exposed as the single-split readout.
+
+    Split scan in exact integers: per (dim, bin, label) counts roll into
+    per-label prefix sums over a DENSE (dim-bins x labels) grid (a
+    per-label cum is needed at EVERY candidate bin, present or not);
+    weighted Gini n_L*(1-sum(c/n_L)^2) + n_R*(...) reduces to
+    (nL - sL2/nL) + (nR - sR2/nR) over integer sums-of-squares, computed
+    with the identical double op shape in both engines and quantized to
+    1e-9 before the per-dim argmin window (rank on quantized value, bin
+    tie-break — the _quant_cos convention). Exactness bound: sum(cum^2)
+    stays in BIGINT to ~3e9 rows per class; past that the production
+    form subsamples per-worker histograms (the LightGBM approach).
+
+    Scale: one (dim, label, bin) hash agg — cardinality D x L x bins,
+    NEVER data-sized; the grid join, prefix windows (partitioned by dim),
+    and argmin all run on that bounded grain. The explode is map-side
+    xD fan-out with full partial aggregation before the shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    binned = emb.select(
+        "label",
+        F.posexplode(F.expr(f"slice(embedding, 1, {STUMP_DIMS})")).alias("dim", "x"),
+    ).select(
+        "dim",
+        "label",
+        F.expr(f"CAST(floor(x * {STUMP_BIN_SCALE}) AS BIGINT)").alias("bin"),
+    )
+    counts = binned.groupBy("dim", "label", "bin").agg(F.count(F.lit(1)).alias("c"))
+    bins_d = counts.select("dim", "bin").distinct()
+    lab_tot = counts.groupBy("dim", "label").agg(F.sum("c").alias("tot"))
+    grid = bins_d.join(lab_tot, "dim").join(
+        counts, ["dim", "label", "bin"], "left"
+    ).select("dim", "label", "bin", "tot", F.coalesce("c", F.lit(0)).alias("c"))
+    cum = grid.withColumn(
+        "cum", F.sum("c").over(W.partitionBy("dim", "label").orderBy("bin"))
+    )
+    per_bin = cum.groupBy("dim", "bin").agg(
+        F.sum("cum").alias("nl"),
+        F.sum(F.col("cum") * F.col("cum")).alias("sl2"),
+        F.sum((F.col("tot") - F.col("cum")) * (F.col("tot") - F.col("cum"))).alias(
+            "sr2"
+        ),
+        F.sum("tot").alias("n"),
+    )
+    imp = (
+        f"CAST(round(((nl - sl2 / nl + (n - nl) - sr2 / (n - nl)) / n) "
+        f"* {STUMP_Q}) AS BIGINT)"
+    )
+    cand = per_bin.filter((F.col("nl") > 0) & (F.col("nl") < F.col("n"))).withColumn(
+        "imp_q", F.expr(imp)
+    )
+    best = cand.withColumn(
+        "rn", F.row_number().over(W.partitionBy("dim").orderBy("imp_q", "bin"))
+    ).filter(F.col("rn") == 1)
+    gb = lab_tot.groupBy("dim").agg(
+        F.expr(
+            f"CAST(round((1.0 - sum(tot * tot) / (CAST(sum(tot) AS DOUBLE) "
+            f"* sum(tot))) * {STUMP_Q}) AS BIGINT)"
+        ).alias("gb_q")
+    )
+    return (
+        best.join(gb, "dim")
+        .select(
+            "dim",
+            F.col("bin").alias("split_bin"),
+            F.expr(f"CAST(bin + 1 AS DOUBLE) / {STUMP_BIN_SCALE}").alias("threshold"),
+            F.col("nl").alias("n_left"),
+            (F.col("n") - F.col("nl")).alias("n_right"),
+            (F.col("gb_q") / F.lit(float(STUMP_Q))).alias("gini_before"),
+            (F.col("imp_q") / F.lit(float(STUMP_Q))).alias("gini_after"),
+            ((F.col("gb_q") - F.col("imp_q")) / F.lit(float(STUMP_Q))).alias("gain"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _oracle_stump() -> str:
+    return f"""
+WITH binned AS (
+  SELECT dim, label, CAST(floor(x * {STUMP_BIN_SCALE}) AS BIGINT) AS bin
+  FROM (
+    SELECT label,
+      CAST(unnest(generate_series(0, {STUMP_DIMS - 1})) AS INT) AS dim,
+      unnest(embedding[1:{STUMP_DIMS}]) AS x
+    FROM embeddings
+  )
+), counts AS (
+  SELECT dim, label, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3
+), bins_d AS (
+  SELECT DISTINCT dim, bin FROM counts
+), lab_tot AS (
+  SELECT dim, label, sum(c) AS tot FROM counts GROUP BY 1, 2
+), grid AS (
+  SELECT b.dim, l.label, b.bin, l.tot, coalesce(c.c, 0) AS c
+  FROM bins_d b
+  JOIN lab_tot l ON l.dim = b.dim
+  LEFT JOIN counts c ON c.dim = b.dim AND c.label = l.label AND c.bin = b.bin
+), cum AS (
+  SELECT dim, label, bin, tot, c,
+    sum(c) OVER (PARTITION BY dim, label ORDER BY bin) AS cum
+  FROM grid
+), per_bin AS (
+  SELECT dim, bin, sum(cum) AS nl, sum(cum * cum) AS sl2,
+    sum((tot - cum) * (tot - cum)) AS sr2, sum(tot) AS n
+  FROM cum GROUP BY 1, 2
+), cand AS (
+  SELECT *, CAST(round(((nl - sl2 / nl + (n - nl) - sr2 / (n - nl)) / n)
+    * {STUMP_Q}) AS BIGINT) AS imp_q
+  FROM per_bin WHERE nl > 0 AND nl < n
+), best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY dim ORDER BY imp_q, bin) AS rn
+    FROM cand
+  ) WHERE rn = 1
+), gb AS (
+  SELECT dim, CAST(round((1.0 - sum(tot * tot) / (CAST(sum(tot) AS DOUBLE)
+    * sum(tot))) * {STUMP_Q}) AS BIGINT) AS gb_q
+  FROM lab_tot GROUP BY 1
+)
+SELECT b.dim, b.bin AS split_bin,
+  CAST(b.bin + 1 AS DOUBLE) / {STUMP_BIN_SCALE} AS threshold,
+  CAST(b.nl AS BIGINT) AS n_left, CAST(b.n - b.nl AS BIGINT) AS n_right,
+  CAST(g.gb_q AS DOUBLE) / {STUMP_Q} AS gini_before,
+  CAST(b.imp_q AS DOUBLE) / {STUMP_Q} AS gini_after,
+  CAST(g.gb_q - b.imp_q AS DOUBLE) / {STUMP_Q} AS gain
+FROM best b JOIN gb g ON g.dim = b.dim
+ORDER BY b.dim
+"""
+
+
 QUERIES = {
     "ml_naive_bayes_lang": ml_naive_bayes_lang,
     "ml_logreg_irls": ml_logreg_irls,
@@ -1027,6 +1168,7 @@ QUERIES = {
     "ml_embedding_dim_variance": ml_embedding_dim_variance,
     "ml_pq_codebook": ml_pq_codebook,
     "ml_pca_power_iteration": ml_pca_power_iteration,
+    "ml_decision_stump": ml_decision_stump,
 }
 
 ORACLES = {
@@ -1038,4 +1180,5 @@ ORACLES = {
     "ml_embedding_dim_variance": _oracle_dim_variance(),
     "ml_pq_codebook": _oracle_pq(),
     "ml_pca_power_iteration": _oracle_pca(),
+    "ml_decision_stump": _oracle_stump(),
 }

@@ -1727,6 +1727,12 @@ def sim_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             # each pick) re-codegens the growing cosine chain and was
             # measured SLOWER (9.2 s vs 5.1 s warm at sf0.1); joining
             # embeddings back per round would add a shuffle per round.
+            # Also measured and rejected: a 2-column (vec_id, ms_q) state
+            # with embeddings checkpointed once — localCheckpoint erases
+            # partitioning (Scan ExistingRDD reports unknown), so the
+            # per-round re-join planned as a BroadcastHashJoin of the
+            # CORPUS-SIZED state (fine at sf0.1, a broadcast bomb at
+            # scale) and was no faster (4.6 vs 4.2 s warm) anyway.
             # Cost is ~constant jobs x K — amortizes at any corpus size.
             cur = audit_plan(
                 "kcenter_round",

@@ -43,6 +43,10 @@ CARTESIAN_OK = {
     "aggregates cross-joined into the single readout row "
     "(scalar-aggregate pattern); all data-sized joins are user-keyed "
     "equi-joins",
+    "stats_permutation_test": "the observed-difference moments ride a "
+    "1-row broadcast side against the R-row replicate aggregate "
+    "(scalar-aggregate pattern); the xR fan-out partial-aggregates "
+    "map-side to R rows before any shuffle",
     # scalar-subquery brute-force pairs are the oracle for LSH candidates
     "dedup_embedding_cosine": "planted-dup exact verifier joins on LSH "
     "buckets; the tiny residual product is the bucket-pair check",

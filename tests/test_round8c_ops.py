@@ -196,6 +196,75 @@ def test_fdr_bh_decision_structure(spark, sf_dir):
         assert row["p_approx"] <= 0.05 * cut / len(pdf) + 1e-9
 
 
+def test_permutation_test_semantics(spark, sf_dir):
+    """p is a valid add-one randomization p-value, the observed difference
+    matches a direct computation, and the seeded relabeling makes the
+    whole readout replayable (two runs, identical row)."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        PERM_GROUP_A,
+        PERM_GROUP_B,
+        PERM_REPS,
+        stats_permutation_test,
+    )
+
+    r1 = stats_permutation_test(spark, sf_dir).collect()[0]
+    r2 = stats_permutation_test(spark, sf_dir).collect()[0]
+    assert r1 == r2
+    assert 0 < r1["p_perm"] <= 1
+    assert 0 <= r1["n_extreme"] <= PERM_REPS
+    assert abs(r1["p_perm"] - (1 + r1["n_extreme"]) / (PERM_REPS + 1)) < 1e-4
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(PERM_GROUP_A, PERM_GROUP_B))
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    m = {r["event_type"]: r for r in ev}
+    ref = m[PERM_GROUP_A]["m"] - m[PERM_GROUP_B]["m"]
+    assert abs(r1["obs_diff"] - ref) < 1e-3
+    assert r1["n_a"] == m[PERM_GROUP_A]["n"] and r1["n_b"] == m[PERM_GROUP_B]["n"]
+
+
+def test_decision_stump_matches_numpy(spark, sf_dir):
+    """The per-dim best split equals a numpy brute-force histogram scan,
+    and splitting never increases weighted Gini (gain >= 0)."""
+    from realtime_twitter_trends_analytics_spark.operators.ml import (
+        STUMP_BIN_SCALE,
+        STUMP_DIMS,
+        ml_decision_stump,
+    )
+
+    got = {r["dim"]: r for r in ml_decision_stump(spark, sf_dir).collect()}
+    assert sorted(got) == list(range(STUMP_DIMS))
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr("label", f"slice(embedding, 1, {STUMP_DIMS}) AS e")
+        .collect()
+    )
+    labels = np.array([r["label"] for r in rows])
+    classes = sorted(set(labels))
+    n = len(rows)
+    for dim in range(STUMP_DIMS):
+        x = np.floor(np.array([r["e"][dim] for r in rows]) * STUMP_BIN_SCALE)
+        bins = np.unique(x)
+        best = None
+        for b in bins[:-1]:  # a split must leave both sides non-empty
+            left = x <= b
+            nl, nr = int(left.sum()), int((~left).sum())
+            sl2 = sum(int((labels[left] == c).sum()) ** 2 for c in classes)
+            sr2 = sum(int((labels[~left] == c).sum()) ** 2 for c in classes)
+            f = (nl - sl2 / nl + nr - sr2 / nr) / n
+            key = (round(f * 1e9), b)
+            if best is None or key < best[0]:
+                best = (key, b, nl, f)
+        r = got[dim]
+        assert r["split_bin"] == int(best[1]), dim
+        assert r["n_left"] == best[2], dim
+        assert abs(r["gini_after"] - best[3]) < 1e-6, dim
+        assert r["gain"] >= -1e-12, dim
+
+
 def test_l_diversity_consistent_with_k_anonymity(spark, sf_dir):
     """Both audits partition the SAME event set: their n_events totals
     agree with the table count; l is at least 1 everywhere."""
