@@ -195,6 +195,8 @@ HEADLINE = [
     "dedup_split_leakage",
     "stats_permutation_test",
     "ml_decision_stump",
+    "events_forecast_backtest",
+    "textstats_rake_keyphrases",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -2552,6 +2552,116 @@ FROM cutoff ORDER BY p_rank
 """
 
 
+# ---------------------------------------------------------------- backtest
+BACKTEST_H = 7  # rolling-origin horizon: one-step-ahead errors, last H days
+
+
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the EWMA forecaster (events_ewma_forecast
+    above): for each of the last BACKTEST_H days, refit the smoothing fold
+    on the strict prefix and score the one-step-ahead error — the
+    "measure the forecaster, don't just run it" readout (MAE / MAPE /
+    signed bias per type) that decides whether the forecast is shippable.
+
+    Everything stays in the forecaster's own fixed point: level is BIGINT
+    at scale 10^4, so err_fp = actual*SCALE - level is EXACT, |err| sums
+    are exact, and MAPE quantizes each per-term ratio to integer ppm
+    before summing (per-term fixed-point-before-SUM, the repo's float
+    rule). The H prefix folds are H slices of the same bounded
+    calendar-length array — O(H * n_days) map-side work per type, zero
+    extra shuffles over the ewma op itself. Series semantics match the
+    forecaster exactly (present days only), so this evaluates the
+    deployed recurrence, not a variant."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, c))), p -> p.c)"
+        ).alias("cs")
+    )
+    # level after folding the first (n - h) days, scaled by EWMA_SCALE
+    lvl = (
+        f"aggregate(slice(cs, 2, size(cs) - h - 1), "
+        f"CAST(element_at(cs, 1) * {EWMA_SCALE} AS BIGINT), "
+        f"(acc, x) -> ({EWMA_NUM} * x * {EWMA_SCALE} "
+        f"+ {EWMA_DEN - EWMA_NUM} * acc) DIV {EWMA_DEN})"
+    )
+    err = f"(element_at(cs, size(cs) - h + 1) * {EWMA_SCALE} - ({lvl}))"
+    ppm = f"((2 * abs({err}) * 1000000 + element_at(cs, size(cs) - h + 1) * {EWMA_SCALE}) DIV (2 * element_at(cs, size(cs) - h + 1) * {EWMA_SCALE}))"
+    folded = arr.select(
+        "event_type",
+        F.expr("CAST(size(cs) AS BIGINT)").alias("n_days"),
+        F.expr(f"CAST(least({BACKTEST_H}, size(cs) - 1) AS INT)").alias("horizon"),
+        F.expr(
+            f"transform(sequence(1, least({BACKTEST_H}, size(cs) - 1)), h -> {err})"
+        ).alias("errs"),
+        F.expr(
+            f"transform(sequence(1, least({BACKTEST_H}, size(cs) - 1)), h -> {ppm})"
+        ).alias("ppms"),
+    ).filter(F.col("horizon") >= 1)
+    sum_abs = "aggregate(errs, CAST(0 AS BIGINT), (a, x) -> a + abs(x))"
+    sum_err = "aggregate(errs, CAST(0 AS BIGINT), (a, x) -> a + x)"
+    sum_ppm = "aggregate(ppms, CAST(0 AS BIGINT), (a, x) -> a + x)"
+    d = dl.SPARK
+    mae = dl.round_ratio(d, sum_abs, f"(horizon * {EWMA_SCALE})")
+    mape = dl.round_ratio(d, sum_ppm, "(horizon * 1000000)")
+    bias = (
+        f"CASE WHEN {sum_err} >= 0 THEN "
+        f"{dl.round_ratio(d, sum_err, f'(horizon * {EWMA_SCALE})')} "
+        f"ELSE -{dl.round_ratio(d, f'(-({sum_err}))', f'(horizon * {EWMA_SCALE})')} END"
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        "horizon",
+        F.expr(mae).alias("mae"),
+        F.expr(mape).alias("mape"),
+        F.expr(bias).alias("bias"),
+    ).orderBy("event_type")
+
+
+def _oracle_backtest() -> str:
+    d = dl.DUCK
+    lvl = (
+        f"list_reduce(list_prepend(cs[1] * {EWMA_SCALE}, cs[2:len(cs) - h]), "
+        f"(acc, x) -> ({EWMA_NUM} * x * {EWMA_SCALE} "
+        f"+ {EWMA_DEN - EWMA_NUM} * acc) // {EWMA_DEN})"
+    )
+    err = f"(cs[len(cs) - h + 1] * {EWMA_SCALE} - ({lvl}))"
+    ppm = f"((2 * abs({err}) * 1000000 + cs[len(cs) - h + 1] * {EWMA_SCALE}) // (2 * cs[len(cs) - h + 1] * {EWMA_SCALE}))"
+    sum_abs = "CAST(list_sum(list_transform(errs, x -> abs(x))) AS BIGINT)"
+    sum_err = "CAST(list_sum(errs) AS BIGINT)"
+    sum_ppm = "CAST(list_sum(ppms) AS BIGINT)"
+    mae = dl.round_ratio(d, sum_abs, f"(horizon * {EWMA_SCALE})")
+    mape = dl.round_ratio(d, sum_ppm, "(horizon * 1000000)")
+    bias = (
+        f"CASE WHEN {sum_err} >= 0 THEN "
+        f"{dl.round_ratio(d, sum_err, f'(horizon * {EWMA_SCALE})')} "
+        f"ELSE -{dl.round_ratio(d, f'(-({sum_err}))', f'(horizon * {EWMA_SCALE})')} END"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), arr AS (
+  SELECT event_type, array_agg(c ORDER BY day) AS cs FROM daily GROUP BY 1
+), folded AS (
+  SELECT event_type, CAST(len(cs) AS BIGINT) AS n_days,
+    CAST(least({BACKTEST_H}, len(cs) - 1) AS INT) AS horizon,
+    list_transform(generate_series(1, least({BACKTEST_H}, len(cs) - 1)),
+                   h -> {err}) AS errs,
+    list_transform(generate_series(1, least({BACKTEST_H}, len(cs) - 1)),
+                   h -> {ppm}) AS ppms
+  FROM arr
+)
+SELECT event_type, n_days, horizon,
+  {mae} AS mae, {mape} AS mape, {bias} AS bias
+FROM folded WHERE horizon >= 1 ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------- permutation
 PERM_REPS = 64
 PERM_GROUP_A = "click"
@@ -2719,6 +2829,7 @@ QUERIES = {
     "orders_backlog_sweep": orders_backlog_sweep,
     "stats_fdr_bh": stats_fdr_bh,
     "stats_permutation_test": stats_permutation_test,
+    "events_forecast_backtest": events_forecast_backtest,
 }
 
 ORACLES = {
@@ -2750,4 +2861,5 @@ ORACLES = {
     "orders_backlog_sweep": _oracle_backlog(),
     "stats_fdr_bh": _oracle_fdr(),
     "stats_permutation_test": _oracle_permutation(),
+    "events_forecast_backtest": _oracle_backtest(),
 }

@@ -1373,7 +1373,115 @@ FROM ranked WHERE k IN ({cuts}) ORDER BY k
 """
 
 
+# ---------------------------------------------------------------- RAKE
+RAKE_TOP = 20
+RAKE_Q = 1_000_000  # word scores quantized to integer ppm before summing
+
+
+def textstats_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs (gaps-islands
+    on token position), word score = deg(w)/freq(w) with deg the summed
+    length of every phrase containing the word, phrase score = sum of
+    member word scores; readout = the corpus top-RAKE_TOP phrases with
+    occurrence counts. The unsupervised keyword layer on top of the
+    TF-IDF/BM25 machinery — what a corpus-exploration UI shows per slice.
+
+    Float discipline: word scores are quantized to integer ppm
+    (half-up (2*deg*1e6+freq) DIV (2*freq)) BEFORE the phrase sum, so
+    phrase scores are exact BIGINTs; the top-k orders on that integer
+    with phrase-text tie-break.
+
+    Scale: the island window partitions by doc (a task sees one doc's
+    tokens); word stats are a vocabulary-bounded agg whose result
+    broadcasts back onto the token stream; the phrase agg is keyed
+    (doc, island) — per-doc grain; the final top-k is a TakeOrdered over
+    phrase-grain rows. Nothing data-wide rides a single task."""
+    from pyspark.sql.window import Window as W
+
+    d = dl.SPARK
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(dl.split_ws(d, "text"))).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    content = toks.filter(~F.col("w").isin(*STOPWORDS))
+    isl = content.withColumn(
+        "grp",
+        F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    ).withColumn("len", F.count(F.lit(1)).over(W.partitionBy("doc_id", "grp")))
+    wscore = (
+        isl.groupBy("w")
+        .agg(F.sum("len").alias("deg"), F.count(F.lit(1)).alias("freq"))
+        .select(
+            "w",
+            F.expr(
+                f"(2 * deg * {RAKE_Q} + freq) DIV (2 * freq)"
+            ).alias("q"),
+        )
+    )
+    ph = (
+        isl.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, w))), "
+                "p -> p.w), ' ')"
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("q").alias("score_fp"),
+        )
+    )
+    return (
+        ph.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score_fp").alias("score_fp"),
+        )
+        .orderBy(F.desc("score_fp"), F.asc("phrase"))
+        .limit(RAKE_TOP)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            (F.col("score_fp") / F.lit(float(RAKE_Q))).alias("score"),
+        )
+    )
+
+
+def _oracle_rake() -> str:
+    stop_lst = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, unnest(t) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), content AS (
+  SELECT * FROM toks WHERE w NOT IN ({stop_lst})
+), isl AS (
+  SELECT doc_id, pos, w,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM content
+), isl2 AS (
+  SELECT *, count(*) OVER (PARTITION BY doc_id, grp) AS len FROM isl
+), wsc AS (
+  SELECT w, (2 * sum(len) * {RAKE_Q} + count(*)) // (2 * count(*)) AS q
+  FROM isl2 GROUP BY 1
+), ph AS (
+  SELECT i.doc_id, i.grp, string_agg(i.w, ' ' ORDER BY i.pos) AS phrase,
+    count(*) AS n_words, sum(s.q) AS score_fp
+  FROM isl2 i JOIN wsc s ON s.w = i.w GROUP BY 1, 2
+)
+SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+  count(*) AS n_occurrences,
+  CAST(max(score_fp) AS DOUBLE) / {RAKE_Q} AS score
+FROM ph GROUP BY 1
+ORDER BY max(score_fp) DESC, phrase LIMIT {RAKE_TOP}
+"""
+
+
 QUERIES = {
+    "textstats_rake_keyphrases": textstats_rake_keyphrases,
     "docs_vocab_coverage_curve": docs_vocab_coverage_curve,
     "docs_heavy_hitters": docs_heavy_hitters,
     "docs_ngram_novelty": docs_ngram_novelty,
@@ -1398,6 +1506,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "textstats_rake_keyphrases": _oracle_rake(),
     "docs_vocab_coverage_curve": _oracle_coverage_curve(),
     "docs_heavy_hitters": _oracle_heavy_hitters(),
     "docs_ngram_novelty": _oracle_ngram_novelty(),

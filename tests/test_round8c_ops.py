@@ -265,6 +265,88 @@ def test_decision_stump_matches_numpy(spark, sf_dir):
         assert r["gain"] >= -1e-12, dim
 
 
+def test_forecast_backtest_matches_python_fold(spark, sf_dir):
+    """MAE/bias per type equal a plain-python mirror of the fixed-point
+    EWMA recurrence refit on each rolling-origin prefix."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        BACKTEST_H,
+        EWMA_DEN,
+        EWMA_NUM,
+        EWMA_SCALE,
+        events_forecast_backtest,
+    )
+
+    got = {r["event_type"]: r for r in events_forecast_backtest(spark, sf_dir).collect()}
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["count"]))
+    for typ, rows in series.items():
+        cs = [c for _, c in sorted(rows)]
+        n = len(cs)
+        H = min(BACKTEST_H, n - 1)
+        errs = []
+        for h in range(1, H + 1):
+            lvl = cs[0] * EWMA_SCALE
+            for x in cs[1 : n - h]:
+                lvl = (EWMA_NUM * x * EWMA_SCALE + (EWMA_DEN - EWMA_NUM) * lvl) // EWMA_DEN
+            errs.append(cs[n - h] * EWMA_SCALE - lvl)
+        mae_ref = sum(abs(e) for e in errs) / (H * EWMA_SCALE)
+        bias_ref = sum(errs) / (H * EWMA_SCALE)
+        r = got[typ]
+        assert r["horizon"] == H
+        assert abs(r["mae"] - mae_ref) < 1e-3, typ
+        assert abs(r["bias"] - bias_ref) < 1e-3, typ
+        assert r["mae"] >= abs(r["bias"]) - 1e-9  # MAE dominates |bias|
+
+
+def test_rake_matches_python_reference(spark, sf_dir):
+    """Top phrases and integer-ppm scores equal an independent python RAKE
+    over the same corpus with the same stopword list."""
+    from realtime_twitter_trends_analytics_spark.operators.textstats import (
+        RAKE_Q,
+        RAKE_TOP,
+        STOPWORDS,
+        textstats_rake_keyphrases,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    deg: dict[str, int] = {}
+    freq: dict[str, int] = {}
+    phrases = []
+    for r in docs:
+        run = []
+        for w in r["text"].split(" ") + [None]:
+            if w is None or w in STOPWORDS:
+                if run:
+                    phrases.append(tuple(run))
+                    for t in run:
+                        deg[t] = deg.get(t, 0) + len(run)
+                        freq[t] = freq.get(t, 0) + 1
+                    run = []
+            else:
+                run.append(w)
+    q = {w: (2 * deg[w] * RAKE_Q + freq[w]) // (2 * freq[w]) for w in deg}
+    agg: dict[str, dict] = {}
+    for p in phrases:
+        text = " ".join(p)
+        a = agg.setdefault(text, {"n": 0, "score": sum(q[w] for w in p), "len": len(p)})
+        a["n"] += 1
+    ranked = sorted(agg.items(), key=lambda kv: (-kv[1]["score"], kv[0]))[:RAKE_TOP]
+    got = textstats_rake_keyphrases(spark, sf_dir).collect()
+    assert len(got) == RAKE_TOP
+    for row, (text, a) in zip(got, ranked):
+        assert row["phrase"] == text
+        assert row["n_occurrences"] == a["n"]
+        assert row["n_words"] == a["len"]
+        assert abs(row["score"] - a["score"] / RAKE_Q) < 1e-9
+
+
 def test_l_diversity_consistent_with_k_anonymity(spark, sf_dir):
     """Both audits partition the SAME event set: their n_events totals
     agree with the table count; l is at least 1 everywhere."""
