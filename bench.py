@@ -197,6 +197,7 @@ HEADLINE = [
     "ml_decision_stump",
     "events_forecast_backtest",
     "textstats_rake_keyphrases",
+    "docs_cluster_keywords",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -1991,7 +1991,111 @@ FROM (
 """
 
 
+# ------------------------------------------------------------ cluster labels
+CLUSTER_KW_TOP = 5
+CLUSTER_KW_MIN = 5          # minimum in-cluster occurrences for a keyword
+CLUSTER_KW_SCALE = 10_000   # lift quantized to 1e-4 before ranking
+
+
+def docs_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label each learned k-means cell with its most DISTINCTIVE tokens —
+    the "what is this cluster about" readout an embedding-curation UI
+    shows next to every cluster. Exploits the corpus contract that
+    embeddings.vec_id IS documents.doc_id (the same 1:1 the RRF fusion
+    uses): cell assignments come from the shared kmeans_cells staging
+    relation, token stats from the documents table, distinctiveness =
+    lift (in-cluster token share over corpus share), half-up quantized to
+    1e-4 before the per-cell rank window; tokens below CLUSTER_KW_MIN
+    in-cluster occurrences are noise-filtered.
+
+    Scale: one doc-keyed equi-join (tokens x assignments), then
+    everything lives at (cell, token) grain — vocabulary-bounded; the
+    corpus token total rides a 1-row broadcast (scalar-aggregate
+    pattern); rank windows partition by cell over vocab-sized rows.
+    Overflow: c_cw * N * SCALE needs BIGINT — holds to ~3e14 corpus
+    tokens per cluster-token pair product; past that pre-divide N."""
+    d = dl.SPARK
+    cells = kmeans_cell_assignment(spark, sf_dir).select("vec_id", "cell")
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.expr(dl.split_ws(d, "text"))).alias("w")
+    )
+    j = toks.join(cells, toks.doc_id == cells.vec_id).select("cell", "w")
+    cw = j.groupBy("cell", "w").agg(F.count(F.lit(1)).alias("c_cw"))
+    ctot = cw.groupBy("cell").agg(F.sum("c_cw").alias("n_c"))
+    wtot = cw.groupBy("w").agg(F.sum("c_cw").alias("c_w"))
+    ntot = cw.groupBy().agg(F.sum("c_cw").alias("n_all"))
+    scored = (
+        cw.join(F.broadcast(ctot), "cell")
+        .join(F.broadcast(wtot), "w")
+        .crossJoin(F.broadcast(ntot))
+        .filter(F.col("c_cw") >= CLUSTER_KW_MIN)
+        .withColumn(
+            "lift_q",
+            F.expr(
+                f"(2 * c_cw * n_all * {CLUSTER_KW_SCALE} + n_c * c_w) "
+                f"DIV (2 * n_c * c_w)"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window as WW
+
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            WW.partitionBy("cell").orderBy(F.desc("lift_q"), F.asc("w"))
+        ),
+    ).filter(F.col("rank") <= CLUSTER_KW_TOP)
+    return ranked.select(
+        "cell",
+        "rank",
+        F.col("w").alias("token"),
+        F.col("c_cw").alias("n_in_cluster"),
+        (F.col("lift_q") / F.lit(float(CLUSTER_KW_SCALE))).alias("lift"),
+    ).orderBy("cell", "rank")
+
+
+def _oracle_cluster_keywords() -> str:
+    from .ml import kmeans_oracle_ctes
+
+    ctes, final = kmeans_oracle_ctes()
+    return f"""
+WITH {ctes}, cellmap AS (
+  SELECT vec_id, cluster AS cell FROM {final}
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), j AS (
+  SELECT c.cell, t.w FROM toks t JOIN cellmap c ON c.vec_id = t.doc_id
+), cw AS (
+  SELECT cell, w, count(*) AS c_cw FROM j GROUP BY 1, 2
+), ctot AS (
+  SELECT cell, sum(c_cw) AS n_c FROM cw GROUP BY 1
+), wtot AS (
+  SELECT w, sum(c_cw) AS c_w FROM cw GROUP BY 1
+), ntot AS (
+  SELECT sum(c_cw) AS n_all FROM cw
+), scored AS (
+  SELECT cw.cell, cw.w, cw.c_cw,
+    (2 * cw.c_cw * n.n_all * {CLUSTER_KW_SCALE} + ct.n_c * wt.c_w)
+      // (2 * ct.n_c * wt.c_w) AS lift_q
+  FROM cw
+  JOIN ctot ct ON ct.cell = cw.cell
+  JOIN wtot wt ON wt.w = cw.w
+  CROSS JOIN ntot n
+  WHERE cw.c_cw >= {CLUSTER_KW_MIN}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY lift_q DESC, w ASC)
+    AS rank FROM scored
+)
+SELECT cell, CAST(rank AS INT) AS rank, w AS token,
+  CAST(c_cw AS BIGINT) AS n_in_cluster,
+  CAST(lift_q AS DOUBLE) / {CLUSTER_KW_SCALE} AS lift
+FROM ranked WHERE rank <= {CLUSTER_KW_TOP}
+ORDER BY cell, rank
+"""
+
+
 QUERIES = {
+    "docs_cluster_keywords": docs_cluster_keywords,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "sim_matryoshka_eval": sim_matryoshka_eval,
     "sim_ann_int8_eval": sim_ann_int8_eval,
@@ -2012,6 +2116,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_cluster_keywords": _oracle_cluster_keywords(),
     "retrieval_rrf_fusion": _oracle_rrf(),
     "sim_matryoshka_eval": _oracle_matryoshka(),
     "sim_ann_int8_eval": _oracle_int8_eval(),

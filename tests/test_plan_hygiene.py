@@ -47,6 +47,10 @@ CARTESIAN_OK = {
     "1-row broadcast side against the R-row replicate aggregate "
     "(scalar-aggregate pattern); the xR fan-out partial-aggregates "
     "map-side to R rows before any shuffle",
+    "docs_cluster_keywords": "the corpus token total rides a 1-row "
+    "broadcast side against the vocabulary-bounded (cell, token) grain "
+    "(scalar-aggregate pattern); the only data-sized join is the "
+    "doc-keyed tokens x cell-assignments equi-join",
     # scalar-subquery brute-force pairs are the oracle for LSH candidates
     "dedup_embedding_cosine": "planted-dup exact verifier joins on LSH "
     "buckets; the tiny residual product is the bucket-pair check",

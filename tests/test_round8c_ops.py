@@ -347,6 +347,54 @@ def test_rake_matches_python_reference(spark, sf_dir):
         assert abs(row["score"] - a["score"] / RAKE_Q) < 1e-9
 
 
+def test_cluster_keywords_structure(spark, sf_dir):
+    """Per-cell keyword lists are rank-dense, lift-ordered, above the
+    support floor, and every keyword's lift matches a direct recompute
+    from the cell assignments."""
+    from realtime_twitter_trends_analytics_spark.operators.similarity import (
+        CLUSTER_KW_MIN,
+        CLUSTER_KW_SCALE,
+        CLUSTER_KW_TOP,
+        docs_cluster_keywords,
+        kmeans_cell_assignment,
+    )
+
+    rows = docs_cluster_keywords(spark, sf_dir).collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    cells = kmeans_cell_assignment(spark, sf_dir).select("vec_id", "cell").collect()
+    cell_of = {r["vec_id"]: r["cell"] for r in cells}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    cw: dict[tuple, int] = {}
+    wt: dict[str, int] = {}
+    ct: dict[int, int] = {}
+    n_all = 0
+    for d in docs:
+        c = cell_of[d["doc_id"]]
+        for w in d["text"].split(" "):
+            cw[(c, w)] = cw.get((c, w), 0) + 1
+            wt[w] = wt.get(w, 0) + 1
+            ct[c] = ct.get(c, 0) + 1
+            n_all += 1
+    for cell, lst in by_cell.items():
+        assert [r["rank"] for r in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= CLUSTER_KW_TOP
+        lifts = [r["lift"] for r in lst]
+        assert lifts == sorted(lifts, reverse=True) or all(
+            a >= b - 1e-9 for a, b in zip(lifts, lifts[1:])
+        )
+        for r in lst:
+            assert r["n_in_cluster"] >= CLUSTER_KW_MIN
+            assert r["n_in_cluster"] == cw[(cell, r["token"])]
+            lift_ref = (
+                (2 * cw[(cell, r["token"])] * n_all * CLUSTER_KW_SCALE
+                 + ct[cell] * wt[r["token"]])
+                // (2 * ct[cell] * wt[r["token"]])
+            ) / CLUSTER_KW_SCALE
+            assert abs(r["lift"] - lift_ref) < 1e-9, (cell, r["token"], lift_ref)
+
+
 def test_l_diversity_consistent_with_k_anonymity(spark, sf_dir):
     """Both audits partition the SAME event set: their n_events totals
     agree with the table count; l is at least 1 everywhere."""
