@@ -207,6 +207,7 @@ def main() -> int:
         dedup_clusters,
         dedup_incremental_probe,
         dedup_minhash_pairs,
+        dedup_split_leakage,
     )
     from realtime_twitter_trends_analytics_spark.operators.graph import graph_kcore
     from realtime_twitter_trends_analytics_spark.operators.ml import ml_logreg_irls
@@ -214,9 +215,13 @@ def main() -> int:
         events_audience_overlap,
         market_basket_rules,
     )
-    from realtime_twitter_trends_analytics_spark.operators.similarity import sim_lsh_ann
+    from realtime_twitter_trends_analytics_spark.operators.similarity import (
+        docs_cluster_keywords,
+        sim_lsh_ann,
+    )
     from realtime_twitter_trends_analytics_spark.operators.textstats import (
         docs_ngram_novelty,
+        textstats_rake_keyphrases,
     )
     from realtime_twitter_trends_analytics_spark.session import apply_runtime_confs
 
@@ -244,7 +249,8 @@ def main() -> int:
     for fn in (dedup_minhash_pairs, dedup_clusters, sim_lsh_ann,
                graph_kcore, market_basket_rules, docs_ngram_novelty,
                events_audience_overlap, ml_logreg_irls,
-               dedup_incremental_probe):
+               dedup_incremental_probe, dedup_split_leakage,
+               textstats_rake_keyphrases, docs_cluster_keywords):
         fn(spark, warm_dir).count()
         spark.catalog.clearCache()
     _dedup._PAIRS_MEMO.clear()
@@ -264,6 +270,15 @@ def main() -> int:
             ("events_audience_overlap", events_audience_overlap),
             ("ml_logreg_irls", ml_logreg_irls),
             ("dedup_incremental_probe", dedup_incremental_probe),
+            # round-8 continuation: split-leakage and cluster-keywords are
+            # STAGING CONSUMERS (pair relation / kmeans cells) — their
+            # first attempt per scale pays the build, min-of-3 keeps the
+            # warm consumer-marginal cost (the build itself is already a
+            # measured line via dedup_minhash_pairs); RAKE has no memo and
+            # pays full cost every attempt.
+            ("dedup_split_leakage", dedup_split_leakage),
+            ("textstats_rake_keyphrases", textstats_rake_keyphrases),
+            ("docs_cluster_keywords", docs_cluster_keywords),
         ]:
             # min-of-3 (stronger than bench's min-of-2 — this report is
             # about RATIOS, and one GC pause fakes a super-linearity);
@@ -308,7 +323,8 @@ def write_report(path: str, results: list[dict]) -> None:
         "dedup_minhash_pairs", "dedup_clusters", "sim_lsh_ann",
         "graph_kcore", "market_basket_rules", "docs_ngram_novelty",
         "events_audience_overlap", "ml_logreg_irls",
-        "dedup_incremental_probe",
+        "dedup_incremental_probe", "dedup_split_leakage",
+        "textstats_rake_keyphrases", "docs_cluster_keywords",
     ]
     lines = [
         "# SCALE_SMOKE — measured scaling of the headline pairwise operators",
