@@ -198,6 +198,7 @@ HEADLINE = [
     "events_forecast_backtest",
     "textstats_rake_keyphrases",
     "docs_cluster_keywords",
+    "stats_cramers_v",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

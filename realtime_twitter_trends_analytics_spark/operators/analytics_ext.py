@@ -2552,6 +2552,118 @@ FROM cutoff ORDER BY p_rank
 """
 
 
+# ---------------------------------------------------------------- Cramér's V
+CRAMER_Q = 1_000_000  # per-cell chi2 terms quantized to 1e-6 before summing
+
+
+def _cramer_pair_spark(df: DataFrame, a: str, b: str) -> DataFrame:
+    obs = df.groupBy(a, b).agg(F.count(F.lit(1)).alias("o"))
+    ra = obs.groupBy(a).agg(F.sum("o").alias("rt"))
+    cb = obs.groupBy(b).agg(F.sum("o").alias("ct"))
+    nn = obs.groupBy().agg(
+        F.sum("o").alias("n"),
+        F.count_distinct(a).alias("r"),
+        F.count_distinct(b).alias("c"),
+    )
+    term = (
+        f"CAST(round((CAST(o * n - rt * ct AS DOUBLE) * (o * n - rt * ct)) "
+        f"/ (CAST(n AS DOUBLE) * rt * ct) * {CRAMER_Q}) AS BIGINT)"
+    )
+    cells = (
+        obs.join(F.broadcast(ra), a)
+        .join(F.broadcast(cb), b)
+        .crossJoin(F.broadcast(nn))
+        .withColumn("t", F.expr(term))
+    )
+    agg = cells.groupBy("n", "r", "c").agg(F.sum("t").alias("chi2_q"))
+    return agg.select(
+        F.lit(a).alias("var_a"),
+        F.lit(b).alias("var_b"),
+        F.col("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("int").alias("dof"),
+        F.round(F.col("chi2_q") / F.lit(float(CRAMER_Q)), 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_q")
+                / F.lit(float(CRAMER_Q))
+                / (F.col("n") * (F.least("r", "c") - 1))
+            ),
+            4,
+        ).alias("cramers_v"),
+    )
+
+
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix over the events categorical
+    dimensions — the effect-size layer docs_chi2_lang_source's single
+    chi-square test lacks (chi2 grows with n, so at 100 TB EVERY pair is
+    "significant"; V in [0,1] is what tells you which association
+    matters). Pairs: event type x day-of-week, event type x value bin,
+    day-of-week x value bin (dow from epoch days — portable numbering).
+
+    Float discipline: per-cell terms (O*n - rt*ct)^2 / (n*rt*ct) are
+    formed by the identical double op sequence on exact integers in both
+    engines and quantized to 1e-6 BEFORE the sum (per-term fixed point —
+    the PSI pattern); chi2 and V are displayed rounds of those exact
+    quantized sums. Exactness bound: O*n stays in BIGINT to ~3e9 rows;
+    the double products are exact while n*rt*ct < 2^53.
+
+    Scale: each pair is one contingency hash agg whose output is bounded
+    by the CATEGORY-space product (types x 7 x ~20 bins), then
+    marginal/total broadcasts — nothing downstream of the first agg is
+    data-sized; the three pair analyses are independent branches of one
+    union plan."""
+    e = load_table(spark, sf_dir, "events")
+    dow = F.expr("((unix_timestamp(ts) DIV 86400) + 4) % 7")
+    vb = F.expr("CAST(least(floor(value / 50.0), 9) AS BIGINT)")
+    base = e.select(
+        F.col("event_type").alias("etype"),
+        dow.cast("string").alias("dow"),
+        vb.cast("string").alias("vbin"),
+    )
+    out = (
+        _cramer_pair_spark(base, "etype", "dow")
+        .union(_cramer_pair_spark(base, "etype", "vbin"))
+        .union(_cramer_pair_spark(base, "dow", "vbin"))
+    )
+    return out.orderBy("var_a", "var_b")
+
+
+def _oracle_cramers() -> str:
+    dow = "CAST((((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7) AS VARCHAR)"
+    vb = "CAST(CAST(least(floor(value / 50.0), 9) AS BIGINT) AS VARCHAR)"
+    term = (
+        f"CAST(round((CAST(o * n - rt * ct AS DOUBLE) * (o * n - rt * ct)) "
+        f"/ (CAST(n AS DOUBLE) * rt * ct) * {CRAMER_Q}) AS BIGINT)"
+    )
+
+    def pair(a: str, b: str) -> str:
+        return f"""
+SELECT '{a}' AS var_a, '{b}' AS var_b, n, CAST((r - 1) * (c - 1) AS INT) AS dof,
+  round(chi2_q / {CRAMER_Q}.0, 4) AS chi2,
+  round(sqrt(chi2_q / {CRAMER_Q}.0 / (n * (least(r, c) - 1))), 4) AS cramers_v
+FROM (
+  SELECT n, r, c, sum(t) AS chi2_q FROM (
+    SELECT o.o, ra.rt, cb.ct, nn.n, nn.r, nn.c, {term} AS t
+    FROM (SELECT {a} AS va, {b} AS vb_, count(*) AS o FROM base GROUP BY 1, 2) o
+    JOIN (SELECT {a} AS va, count(*) AS rt FROM base GROUP BY 1) ra ON ra.va = o.va
+    JOIN (SELECT {b} AS vb_, count(*) AS ct FROM base GROUP BY 1) cb ON cb.vb_ = o.vb_
+    CROSS JOIN (SELECT count(*) AS n, count(DISTINCT {a}) AS r,
+                count(DISTINCT {b}) AS c FROM base) nn
+  ) GROUP BY 1, 2, 3
+)"""
+
+    return f"""
+WITH base AS (
+  SELECT event_type AS etype, {dow} AS dow, {vb} AS vbin FROM events
+)
+{pair('etype', 'dow')}
+UNION ALL {pair('etype', 'vbin')}
+UNION ALL {pair('dow', 'vbin')}
+ORDER BY var_a, var_b
+"""
+
+
 # ---------------------------------------------------------------- backtest
 BACKTEST_H = 7  # rolling-origin horizon: one-step-ahead errors, last H days
 
@@ -2830,6 +2942,7 @@ QUERIES = {
     "stats_fdr_bh": stats_fdr_bh,
     "stats_permutation_test": stats_permutation_test,
     "events_forecast_backtest": events_forecast_backtest,
+    "stats_cramers_v": stats_cramers_v,
 }
 
 ORACLES = {
@@ -2862,4 +2975,5 @@ ORACLES = {
     "stats_fdr_bh": _oracle_fdr(),
     "stats_permutation_test": _oracle_permutation(),
     "events_forecast_backtest": _oracle_backtest(),
+    "stats_cramers_v": _oracle_cramers(),
 }

@@ -47,6 +47,10 @@ CARTESIAN_OK = {
     "1-row broadcast side against the R-row replicate aggregate "
     "(scalar-aggregate pattern); the xR fan-out partial-aggregates "
     "map-side to R rows before any shuffle",
+    "stats_cramers_v": "each contingency pair crosses its category-grain "
+    "cells with the 1-row (n, r, c) total (scalar-aggregate pattern); "
+    "marginals are broadcast category-grain joins, nothing data-sized "
+    "after the first agg",
     "docs_cluster_keywords": "the corpus token total rides a 1-row "
     "broadcast side against the vocabulary-bounded (cell, token) grain "
     "(scalar-aggregate pattern); the only data-sized join is the "

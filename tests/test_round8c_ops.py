@@ -395,6 +395,54 @@ def test_cluster_keywords_structure(spark, sf_dir):
             assert abs(r["lift"] - lift_ref) < 1e-9, (cell, r["token"], lift_ref)
 
 
+def test_cramers_v_matches_python_contingency(spark, sf_dir):
+    """chi2 and V for every pair equal a direct python contingency-table
+    computation; V is a valid effect size in [0, 1]."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        CRAMER_Q,
+        stats_cramers_v,
+    )
+
+    got = {(r["var_a"], r["var_b"]): r for r in stats_cramers_v(spark, sf_dir).collect()}
+    assert set(got) == {("etype", "dow"), ("etype", "vbin"), ("dow", "vbin")}
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type AS etype",
+            "CAST(((unix_timestamp(ts) DIV 86400) + 4) % 7 AS STRING) AS dow",
+            "CAST(CAST(least(floor(value / 50.0), 9) AS BIGINT) AS STRING) AS vbin",
+        )
+        .collect()
+    )
+    for a, b in got:
+        obs: dict[tuple, int] = {}
+        ra: dict[str, int] = {}
+        cb: dict[str, int] = {}
+        for r in rows:
+            va, vb = r[a], r[b]
+            obs[(va, vb)] = obs.get((va, vb), 0) + 1
+            ra[va] = ra.get(va, 0) + 1
+            cb[vb] = cb.get(vb, 0) + 1
+        n = len(rows)
+        chi2_q = sum(
+            round(
+                float(o * n - ra[va] * cb[vb]) * (o * n - ra[va] * cb[vb])
+                / (float(n) * ra[va] * cb[vb])
+                * CRAMER_Q
+            )
+            for (va, vb), o in obs.items()
+        )
+        g = got[(a, b)]
+        assert g["n"] == n
+        assert g["dof"] == (len(ra) - 1) * (len(cb) - 1)
+        assert abs(g["chi2"] - chi2_q / CRAMER_Q) < 1e-3, (a, b)
+        import math
+
+        v_ref = math.sqrt(chi2_q / CRAMER_Q / (n * (min(len(ra), len(cb)) - 1)))
+        assert abs(g["cramers_v"] - v_ref) < 1e-3
+        assert 0 <= g["cramers_v"] <= 1
+
+
 def test_l_diversity_consistent_with_k_anonymity(spark, sf_dir):
     """Both audits partition the SAME event set: their n_events totals
     agree with the table count; l is at least 1 everywhere."""
