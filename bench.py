@@ -199,6 +199,7 @@ HEADLINE = [
     "textstats_rake_keyphrases",
     "docs_cluster_keywords",
     "stats_cramers_v",
+    "events_hll_sliding_dau",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify
@@ -206,6 +207,7 @@ HEADLINE = [
     # what ships.
     "percentiles_approx_prod",
     "events_hll_rollup_prod",
+    "events_hll_sliding_dau_prod",
     # round-8: sketch/bucket production twins of the exact global-sort
     # segmentation readouts + the ANN-composed RRF fusion (all bench-only;
     # accuracy pinned vs their exact twins in tests/test_prod_twins.py and

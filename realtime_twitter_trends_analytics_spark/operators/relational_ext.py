@@ -1148,6 +1148,118 @@ def events_hll_rollup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hll_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct users per day from MERGED daily HLL
+    partials — the windowed face of events_hll_rollup's mergeability
+    story, and the reason sketch partials beat raw re-scans at 100 TB:
+    a naive sliding distinct re-scans 7 days of raw events per output
+    day (7x read amplification); persisted daily sketches answer every
+    window by unioning 7 lgK=12 partials. The union rides a RANGE
+    window over DAY-grain rows (calendar-bounded — the global window is
+    never data-sized), frame [d-6, d] by day INDEX so calendar gaps
+    shorten the window rather than silently widening it.
+
+    Eval contract (the events_hll_rollup convention): the readout
+    carries the EXACT 7-day distinct (x7 fan-out of the distinct
+    user-day pairs — each pair covers the 7 window-ends it belongs to;
+    user-day grain, bounded) and the naive sum of daily exacts, and
+    reduces the sketch estimate to two oracle-checkable booleans:
+    within 5% of exact (+/-2 absolute floor) and <= the naive sum
+    (union only removes double-counting). Production keeps sketches
+    only — see events_hll_sliding_dau_prod."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    ud = e.select(
+        F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("di"),
+        "user_id",
+    )
+    daily = ud.groupBy("di").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count_distinct("user_id").alias("exact_daily"),
+    )
+    w = W.orderBy("di").rangeBetween(-6, 0)
+    est = (
+        daily.withColumn("u7", F.expr("hll_union_agg(sk)").over(w))
+        .withColumn("est7", F.expr("CAST(round(hll_sketch_estimate(u7)) AS BIGINT)"))
+        .withColumn("naive_7d_sum", F.sum("exact_daily").over(w))
+        .withColumn("n_window_days", F.count(F.lit(1)).over(w))
+    )
+    cov = (
+        ud.distinct()
+        .select("user_id", F.explode(F.expr("sequence(di, di + 6)")).alias("di"))
+        .distinct()
+    )
+    exact7 = cov.groupBy("di").agg(F.count(F.lit(1)).alias("exact_7d"))
+    return (
+        est.join(exact7, "di")
+        .select(
+            F.expr("date_add(DATE '1970-01-01', CAST(di AS INT))").alias("day"),
+            "n_window_days",
+            "exact_7d",
+            "naive_7d_sum",
+            (
+                F.abs(F.col("est7") - F.col("exact_7d")) * 100
+                <= F.greatest(5 * F.col("exact_7d"), F.lit(200))
+            ).alias("merged_within_5pct"),
+            (F.col("est7") <= F.col("naive_7d_sum")).alias("merged_le_naive"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_EVENTS_HLL_SLIDING = """
+WITH ud AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS di, user_id FROM events
+), daily AS (
+  SELECT di, count(DISTINCT user_id) AS exact_daily FROM ud GROUP BY 1
+), win AS (
+  SELECT di, CAST(sum(exact_daily) OVER w AS BIGINT) AS naive_7d_sum,
+    CAST(count(*) OVER w AS BIGINT) AS n_window_days
+  FROM daily
+  WINDOW w AS (ORDER BY di RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+), cov AS (
+  SELECT DISTINCT di, user_id FROM (
+    SELECT user_id, unnest(generate_series(di, di + 6)) AS di
+    FROM (SELECT DISTINCT di, user_id FROM ud)
+  )
+), exact7 AS (
+  SELECT di, count(*) AS exact_7d FROM cov GROUP BY 1
+)
+SELECT DATE '1970-01-01' + CAST(w.di AS INT) AS day, w.n_window_days,
+  CAST(x.exact_7d AS BIGINT) AS exact_7d, w.naive_7d_sum,
+  TRUE AS merged_within_5pct, TRUE AS merged_le_naive
+FROM win w JOIN exact7 x ON x.di = w.di
+ORDER BY day
+"""
+
+
+def events_hll_sliding_dau_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of events_hll_sliding_dau: daily sketch partials
+    union across the 7-day range window — no exact fan-out, no raw
+    user_id shuffles. The plan a 100 TB metrics store runs nightly:
+    append one daily partial, emit the sliding estimate by merging 7
+    sketches per day. Bench-only (estimates are DataSketches-specific;
+    accuracy is gated by the eval twin's within-5% booleans and pinned
+    in tests/test_round8c_ops.py)."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("di")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    w = W.orderBy("di").rangeBetween(-6, 0)
+    return (
+        daily.withColumn("u7", F.expr("hll_union_agg(sk)").over(w))
+        .select(
+            F.expr("date_add(DATE '1970-01-01', CAST(di AS INT))").alias("day"),
+            F.expr("CAST(round(hll_sketch_estimate(u7)) AS BIGINT)").alias("est_7d"),
+            F.count(F.lit(1)).over(w).alias("n_window_days"),
+        )
+        .orderBy("day")
+    )
+
+
 # Fixed alphabetical bit assignment for the audience-overlap bitmask.
 AUD_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -1711,6 +1823,7 @@ QUERIES = {
     "events_cdc_state": events_cdc_state,
     "events_attribution": events_attribution,
     "events_hll_rollup": events_hll_rollup,
+    "events_hll_sliding_dau": events_hll_sliding_dau,
     "events_markov_transitions": events_markov_transitions,
     "events_anomaly_mad": events_anomaly_mad,
     "events_rolling_dau": events_rolling_dau,
@@ -1749,6 +1862,7 @@ ORACLES = {
     "percentiles_approx": ORACLE_PERCENTILES_APPROX,
     "agg_approx_distinct": ORACLE_AGG_APPROX_DISTINCT,
     "events_hll_rollup": ORACLE_EVENTS_HLL_ROLLUP,
+    "events_hll_sliding_dau": ORACLE_EVENTS_HLL_SLIDING,
     "pivot_status_priority": ORACLE_PIVOT,
     "unpivot_nation_balances": ORACLE_UNPIVOT,
     "subqueries": SQL_SUBQUERIES,

@@ -120,6 +120,7 @@ def all_bench_only() -> dict[str, QueryFn]:
     return {
         "percentiles_approx_prod": relational_ext.percentiles_approx_prod,
         "events_hll_rollup_prod": relational_ext.events_hll_rollup_prod,
+        "events_hll_sliding_dau_prod": relational_ext.events_hll_sliding_dau_prod,
         # r8: sketch/bucket twins of the exact global-sort segmentation
         # readouts (accuracy pinned vs the exact twins in
         # tests/test_prod_twins.py)
