@@ -200,6 +200,7 @@ HEADLINE = [
     "docs_cluster_keywords",
     "stats_cramers_v",
     "events_hll_sliding_dau",
+    "events_dp_quantile",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

