@@ -201,6 +201,7 @@ HEADLINE = [
     "stats_cramers_v",
     "events_hll_sliding_dau",
     "events_dp_quantile",
+    "textstats_burstiness",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

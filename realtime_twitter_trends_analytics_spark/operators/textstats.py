@@ -1373,6 +1373,93 @@ FROM ranked WHERE k IN ({cuts}) ORDER BY k
 """
 
 
+# ---------------------------------------------------------------- burstiness
+BURST_TOP = 20
+BURST_MIN_DF = 20      # document-frequency floor (singleton noise gate)
+BURST_Q = 10_000       # VMR quantized to 1e-4 before ranking
+
+
+def textstats_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church & Gale 1995): the variance-to-mean ratio
+    of a token's per-document count, zeros included — VMR ~ 1 means the
+    token arrives Poisson-like (function words); VMR >> 1 means it
+    CLUMPS into few documents (content/topic words). The
+    dispersion-based keyword signal that complements frequency (TF-IDF)
+    and phrase structure (RAKE) — and a corpus-health check: boilerplate
+    contamination shows up as extreme-VMR tokens.
+
+    Exact arithmetic: with N docs, s1 = sum of counts, s2 = sum of
+    squared counts, VMR = (N*s2 - s1^2) / (N*s1) — non-negative by
+    Cauchy-Schwarz, so the half-up integer quantization (round_ratio's
+    internals) applies directly; ranking is on the quantized integer
+    with token tie-break. Overflow bound: s1^2 stays in BIGINT to
+    ~3e9 total occurrences per token; past that pre-scale counts.
+
+    Scale: one (doc, token) count agg, one token-grain agg (vocabulary
+    bounded), a 1-row doc-count broadcast, TakeOrdered top-k. Nothing
+    data-sized past the first agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    ndocs = docs.groupBy().agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tok.crossJoin(F.broadcast(ndocs))
+        .filter(F.col("df") >= BURST_MIN_DF)
+        .withColumn(
+            "vmr_q",
+            F.expr(
+                f"(2 * (nd * s2 - s1 * s1) * {BURST_Q} + (nd * s1)) "
+                f"DIV (2 * (nd * s1))"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("vmr_q"), F.asc("w"))
+        .limit(BURST_TOP)
+        .select(
+            F.col("w").alias("token"),
+            "df",
+            F.col("s1").alias("total_count"),
+            (F.col("vmr_q") / F.lit(float(BURST_Q))).alias("vmr"),
+        )
+    )
+
+
+def _oracle_burstiness() -> str:
+    d = dl.DUCK
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, w, count(*) AS c FROM (
+    SELECT doc_id, {dl.unnest(d, dl.split_ws(d, 'text'))} AS w FROM documents
+  ) GROUP BY 1, 2
+), tok AS (
+  SELECT w, count(*) AS df, sum(c) AS s1, sum(c * c) AS s2
+  FROM per_doc GROUP BY 1
+), nd AS (
+  SELECT count(*) AS nd FROM documents
+), scored AS (
+  SELECT w, df, s1,
+    (2 * (nd.nd * s2 - s1 * s1) * {BURST_Q} + (nd.nd * s1))
+      // (2 * (nd.nd * s1)) AS vmr_q
+  FROM tok CROSS JOIN nd
+  WHERE df >= {BURST_MIN_DF}
+)
+SELECT w AS token, CAST(df AS BIGINT) AS df, CAST(s1 AS BIGINT) AS total_count,
+  CAST(vmr_q AS DOUBLE) / {BURST_Q} AS vmr
+FROM scored ORDER BY vmr_q DESC, w ASC LIMIT {BURST_TOP}
+"""
+
+
 # ---------------------------------------------------------------- RAKE
 RAKE_TOP = 20
 RAKE_Q = 1_000_000  # word scores quantized to integer ppm before summing
@@ -1482,6 +1569,7 @@ ORDER BY max(score_fp) DESC, phrase LIMIT {RAKE_TOP}
 
 QUERIES = {
     "textstats_rake_keyphrases": textstats_rake_keyphrases,
+    "textstats_burstiness": textstats_burstiness,
     "docs_vocab_coverage_curve": docs_vocab_coverage_curve,
     "docs_heavy_hitters": docs_heavy_hitters,
     "docs_ngram_novelty": docs_ngram_novelty,
@@ -1507,6 +1595,7 @@ QUERIES = {
 
 ORACLES = {
     "textstats_rake_keyphrases": _oracle_rake(),
+    "textstats_burstiness": _oracle_burstiness(),
     "docs_vocab_coverage_curve": _oracle_coverage_curve(),
     "docs_heavy_hitters": _oracle_heavy_hitters(),
     "docs_ngram_novelty": _oracle_ngram_novelty(),

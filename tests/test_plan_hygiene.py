@@ -51,6 +51,9 @@ CARTESIAN_OK = {
     "cells with the 1-row (n, r, c) total (scalar-aggregate pattern); "
     "marginals are broadcast category-grain joins, nothing data-sized "
     "after the first agg",
+    "textstats_burstiness": "the 1-row document-count scalar rides a "
+    "broadcast side against the vocabulary-grain token stats "
+    "(scalar-aggregate pattern)",
     "docs_cluster_keywords": "the corpus token total rides a 1-row "
     "broadcast side against the vocabulary-bounded (cell, token) grain "
     "(scalar-aggregate pattern); the only data-sized join is the "
