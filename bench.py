@@ -202,6 +202,10 @@ HEADLINE = [
     "events_hll_sliding_dau",
     "events_dp_quantile",
     "textstats_burstiness",
+    "stats_anova_oneway",
+    "stats_spearman_rho",
+    "events_benford_digits",
+    "stats_trimmed_means",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -2912,6 +2912,374 @@ FROM extreme
 """
 
 
+# ---------------------------------------------------------------- ANOVA
+ANOVA_DOW = "((unix_timestamp(ts) DIV 86400) + 4) % 7"
+ANOVA_DOW_DUCK = "(((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7)"
+
+
+def _anova_readout(k: str, n: str, s1: str, s2: str, t: str) -> tuple[str, str]:
+    """Shared IEEE readout from the five exact per-type BIGINTs: F and
+    eta-squared of the between/within sum-of-squares decomposition.
+    Identical expression text in both engines (the ks_lambda convention);
+    ssb/ssw derive from integers only."""
+    s1d = f"CAST({s1} AS DOUBLE)"
+    ssb = f"(CAST({t} AS DOUBLE) - {s1d} * {s1d} / {n})"
+    ssw = f"(CAST({s2} AS DOUBLE) - CAST({t} AS DOUBLE))"
+    sst = f"(CAST({s2} AS DOUBLE) - {s1d} * {s1d} / {n})"
+    f_ = f"(({ssb} / ({k} - 1)) / ({ssw} / ({n} - {k})))"
+    guard = f"{k} < 2 OR {n} <= {k} OR {ssw} <= 0"
+    return (
+        f"CASE WHEN {guard} THEN 0.0 ELSE round({f_}, 4) END AS f_stat",
+        f"CASE WHEN {sst} <= 0 THEN 0.0 ELSE round({ssb} / {sst}, 4) END AS eta_sq",
+    )
+
+
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across day-of-week groups, per
+    event_type — the k-group generalization of the A/B mean test
+    (events_ab_test_lift): does the day of week move the mean at all?
+    F = (SSB/(k-1)) / (SSW/(N-k)), eta-squared = SSB/SS_total.
+
+    Exact arithmetic: values quantize to cents; per-(type, dow) n/s1/s2
+    are exact BIGINTs. The one rational the decomposition needs,
+    sum over groups of s1_g^2/n_g, is quantized per group by HALF-UP
+    integer division (t_g = (2*s1^2 + n) DIV (2*n), exact in both
+    engines) and summed as BIGINT, so no float ever enters a SUM. The
+    final F/eta are one shared IEEE expression over the five exact
+    integers. Overflow bound: s1_g^2 fits BIGINT to ~3e9 group-cents
+    (~30M $1 events per (type, dow)); past that promote to
+    DECIMAL(38,0) (repo convention, see stats_mannwhitney).
+
+    Scale: one (type, dow) hash agg (35 cells), one type-grain agg.
+    Nothing downstream of the first agg is data-sized."""
+    e = load_table(spark, sf_dir, "events")
+    g = (
+        e.select(
+            "event_type",
+            F.expr(ANOVA_DOW).alias("dow"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum("cents").alias("s1g"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2g"),
+        )
+        .withColumn(
+            "tg", F.expr("(2 * s1g * s1g + ng) DIV (2 * ng)")
+        )
+    )
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("s1g").alias("s1"),
+        F.sum("s2g").alias("s2"),
+        F.sum("tg").alias("t"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "CAST(k AS INT) AS k_groups",
+        "n",
+        *_anova_readout("k", "n", "s1", "s2", "t"),
+    ).orderBy("event_type")
+
+
+def _oracle_anova() -> str:
+    return f"""
+WITH g AS (
+  SELECT event_type, {ANOVA_DOW_DUCK} AS dow,
+    count(*) AS ng,
+    sum(CAST(round(value * 100) AS BIGINT)) AS s1g,
+    sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS s2g
+  FROM events GROUP BY 1, 2
+), gt AS (
+  SELECT event_type, ng, s1g, s2g,
+    ((2 * s1g * s1g + ng) // (2 * ng)) AS tg
+  FROM g
+), agg AS (
+  SELECT event_type, count(*) AS k, sum(ng) AS n, sum(s1g) AS s1,
+    sum(s2g) AS s2, sum(tg) AS t
+  FROM gt GROUP BY 1
+)
+SELECT event_type, CAST(k AS INT) AS k_groups, CAST(n AS BIGINT) AS n,
+  {', '.join(_anova_readout('k', 'n', 's1', 's2', 't'))}
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------- Spearman
+def _spearman_rho(n: str, sx: str, sy: str, sxx: str, syy: str, sxy: str) -> str:
+    """Pearson over tie-averaged DOUBLED ranks (r2 = 2*avg_rank, always an
+    integer): rho = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)).
+    The doubling cancels. Products are formed in DOUBLE (n*Sxy overflows
+    BIGINT at ~1e5 rows) — one shared IEEE expression over exact ints."""
+    terms = {c: f"CAST({c} AS DOUBLE)" for c in (n, sx, sy, sxx, syy, sxy)}
+    num = f"({terms[n]} * {terms[sxy]} - {terms[sx]} * {terms[sy]})"
+    vx = f"({terms[n]} * {terms[sxx]} - {terms[sx]} * {terms[sx]})"
+    vy = f"({terms[n]} * {terms[syy]} - {terms[sy]} * {terms[sy]})"
+    return (
+        f"CASE WHEN {vx} <= 0 OR {vy} <= 0 THEN 0.0 "
+        f"ELSE round({num} / sqrt({vx} * {vy}), 4) END"
+    )
+
+
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and hour-of-day, per
+    event_type — the robust monotone-association readout that completes
+    the correlation family: stats_correlation_matrix is Pearson (linear,
+    outlier-fragile), stats_cramers_v is categorical; Spearman asks "do
+    larger values happen later in the day?" without distribution or
+    linearity assumptions.
+
+    Exact arithmetic: ranks are tie-averaged, carried as the exact
+    integer r2 = 2*cum_before + cnt + 1 (the stats_mannwhitney doubled-
+    rank convention, never a fraction). Rank maps are built on the VALUE
+    DOMAIN (distinct cents per type) and the 24 hours, then joined to
+    the (type, cents, hour) joint-count cells — so every sum is an exact
+    BIGINT over cell-grain rows. Overflow: sum(cnt*r2x*r2y) ~ 4n^3 fits
+    BIGINT to ~1.3M rows per type; past that promote to DECIMAL(38,0).
+
+    Scale: one (type, cents, hour) hash agg; windows partition by type
+    over the VALUE DOMAIN (never event-sized); two bounded equi-joins
+    cell->rank-map; one type-grain final agg."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST((unix_timestamp(ts) DIV 3600) % 24 AS BIGINT)").alias("hod"),
+    )
+    joint = base.groupBy("event_type", "cents", "hod").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    def rank_map(col: str):
+        per = base.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("c"))
+        wt = (
+            W.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        return per.select(
+            "event_type",
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(wt), F.lit(0)) + F.col("c") + 1
+            ).alias(f"r2_{col}"),
+        )
+    withranks = joint.join(rank_map("cents"), ["event_type", "cents"]).join(
+        rank_map("hod"), ["event_type", "hod"]
+    )
+    agg = withranks.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("r2_cents")).alias("sx"),
+        F.sum(F.col("cnt") * F.col("r2_hod")).alias("sy"),
+        F.sum(F.col("cnt") * F.col("r2_cents") * F.col("r2_cents")).alias("sxx"),
+        F.sum(F.col("cnt") * F.col("r2_hod") * F.col("r2_hod")).alias("syy"),
+        F.sum(F.col("cnt") * F.col("r2_cents") * F.col("r2_hod")).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n",
+        _spearman_rho("n", "sx", "sy", "sxx", "syy", "sxy") + " AS rho",
+    ).orderBy("event_type")
+
+
+def _oracle_spearman() -> str:
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+    ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24) AS hod
+  FROM events
+), joint AS (
+  SELECT event_type, cents, hod, count(*) AS cnt FROM base GROUP BY 1, 2, 3
+), rv AS (
+  SELECT event_type, cents,
+    2 * coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2v
+  FROM (SELECT event_type, cents, count(*) AS c FROM base GROUP BY 1, 2)
+), rh AS (
+  SELECT event_type, hod,
+    2 * coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY hod
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2h
+  FROM (SELECT event_type, hod, count(*) AS c FROM base GROUP BY 1, 2)
+), agg AS (
+  SELECT j.event_type, sum(cnt) AS n,
+    sum(cnt * r2v) AS sx, sum(cnt * r2h) AS sy,
+    sum(cnt * r2v * r2v) AS sxx, sum(cnt * r2h * r2h) AS syy,
+    sum(cnt * r2v * r2h) AS sxy
+  FROM joint j
+  JOIN rv ON rv.event_type = j.event_type AND rv.cents = j.cents
+  JOIN rh ON rh.event_type = j.event_type AND rh.hod = j.hod
+  GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  {_spearman_rho('n', 'sx', 'sy', 'sxx', 'syy', 'sxy')} AS rho
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------- Benford
+def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of event values, per event_type: the
+    observed leading-digit distribution of the integer cents vs the
+    Benford expectation P(d) = log10(1 + 1/d), with per-digit chi-square
+    contributions — the classic synthetic-data / fraud smell test (a
+    generator that draws uniforms fails it loudly, which is itself a
+    useful corpus fingerprint).
+
+    Determinism: the leading digit comes from the DECIMAL STRING of the
+    exact BIGINT cents (substring of CAST(cents AS STRING)) — never from
+    floor(log10(double)), whose libm last-bit can differ across engines
+    at powers of ten. Counts are exact; expected/contrib are one shared
+    IEEE expression over (n, d) with ln() on integer-valued doubles.
+
+    Scale: one (type, digit) hash agg (45 cells); the per-type total
+    rides a 45-row window. Nothing downstream is data-sized."""
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .filter(F.col("cents") > 0)
+        .withColumn("digit", F.expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)"))
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    w = W.partitionBy("event_type")
+    exp_ = "(CAST(n AS DOUBLE) * ln(1.0 + 1.0 / digit) / ln(10.0))"
+    return (
+        obs.withColumn("n", F.sum("observed").over(w))
+        .selectExpr(
+            "event_type",
+            "digit",
+            "observed",
+            f"round({exp_}, 4) AS expected",
+            f"round((CAST(observed AS DOUBLE) - {exp_}) * (CAST(observed AS DOUBLE) - {exp_}) / {exp_}, 4) AS chi2_contrib",
+        )
+        .orderBy("event_type", "digit")
+    )
+
+
+def _oracle_benford() -> str:
+    exp_ = "(CAST(n AS DOUBLE) * ln(1.0 + 1.0 / digit) / ln(10.0))"
+    return f"""
+WITH obs AS (
+  SELECT event_type,
+    CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+    count(*) AS observed
+  FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0
+  GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, digit, observed,
+    sum(observed) OVER (PARTITION BY event_type) AS n
+  FROM obs
+)
+SELECT event_type, digit, CAST(observed AS BIGINT) AS observed,
+  round({exp_}, 4) AS expected,
+  round((CAST(observed AS DOUBLE) - {exp_}) * (CAST(observed AS DOUBLE) - {exp_}) / {exp_}, 4) AS chi2_contrib
+FROM tot ORDER BY event_type, digit
+"""
+
+
+# ---------------------------------------------------------------- trimmed
+TRIM_PCT = 10  # trim/winsorize fraction per tail, in percent
+
+
+def stats_trimmed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimates per event_type: the 10%-trimmed mean
+    (drop the k = floor(n/10) smallest and largest rows) and the
+    winsorized mean (clamp them to the surviving boundary values) next
+    to the raw mean — the outlier-robust readout a metrics pipeline
+    ships when value distributions have heavy tails.
+
+    Exact arithmetic: everything happens on the VALUE DOMAIN — per
+    (type, cents) counts with a cumulative-position window. A value
+    cell covering global positions [cum_before+1, cum_before+cnt]
+    contributes kept = overlap with [k+1, n-k] rows to the trimmed sum —
+    pure BIGINT interval arithmetic, no per-row rank. Winsorized sum
+    adds k copies of each boundary value (the min cell reaching past
+    position k, the max cell starting before position n-k+1). Means are
+    half-up integer round_ratio (numerators are non-negative cents).
+
+    Scale: value-domain grain per type (bounded by the cents domain,
+    never event-sized); windows partition by type; one final agg."""
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wt = (
+        W.partitionBy("event_type").orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    )
+    wn = W.partitionBy("event_type")
+    cells = (
+        per.withColumn("cum_before", F.coalesce(F.sum("cnt").over(wt), F.lit(0)))
+        .withColumn("n", F.sum("cnt").over(wn))
+        .withColumn("k", F.expr("n DIV " + str(100 // TRIM_PCT)))
+        .withColumn(
+            "kept",
+            F.expr(
+                "greatest(CAST(0 AS BIGINT), "
+                "least(cum_before + cnt, n - k) - greatest(cum_before, k))"
+            ),
+        )
+    )
+    agg = cells.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(F.col("cnt") * F.col("cents")).alias("raw_sum"),
+        F.sum(F.col("kept") * F.col("cents")).alias("trim_sum"),
+        F.min(F.when(F.col("cum_before") + F.col("cnt") > F.col("k"), F.col("cents"))).alias("lo_val"),
+        F.max(F.when(F.col("cum_before") < F.col("n") - F.col("k"), F.col("cents"))).alias("hi_val"),
+    )
+    d = dl.SPARK
+    return agg.selectExpr(
+        "event_type",
+        "n",
+        "k AS trimmed_each_side",
+        f"{dl.round_ratio(d, 'raw_sum', '(n * 100)')} AS raw_mean",
+        f"{dl.round_ratio(d, 'trim_sum', '((n - 2 * k) * 100)')} AS trimmed_mean",
+        f"{dl.round_ratio(d, '(trim_sum + k * (lo_val + hi_val))', '(n * 100)')} AS winsor_mean",
+    ).orderBy("event_type")
+
+
+def _oracle_trimmed() -> str:
+    d = dl.DUCK
+    return f"""
+WITH per AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), cells AS (
+  SELECT event_type, cents, cnt,
+    coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+    sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM per
+), kc AS (
+  SELECT *, (n // {100 // TRIM_PCT}) AS k,
+    greatest(CAST(0 AS BIGINT),
+      least(cum_before + cnt, n - (n // {100 // TRIM_PCT}))
+      - greatest(cum_before, (n // {100 // TRIM_PCT}))) AS kept
+  FROM cells
+), agg AS (
+  SELECT event_type, max(n) AS n, max(k) AS k,
+    sum(cnt * cents) AS raw_sum, sum(kept * cents) AS trim_sum,
+    min(CASE WHEN cum_before + cnt > k THEN cents END) AS lo_val,
+    max(CASE WHEN cum_before < n - k THEN cents END) AS hi_val
+  FROM kc GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS trimmed_each_side,
+  {dl.round_ratio(d, 'raw_sum', '(n * 100)')} AS raw_mean,
+  {dl.round_ratio(d, 'trim_sum', '((n - 2 * k) * 100)')} AS trimmed_mean,
+  {dl.round_ratio(d, '(trim_sum + k * (lo_val + hi_val))', '(n * 100)')} AS winsor_mean
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES = {
     "part_abc_classification": part_abc_classification,
     "events_power_users_gini": events_power_users_gini,
@@ -2943,6 +3311,10 @@ QUERIES = {
     "stats_permutation_test": stats_permutation_test,
     "events_forecast_backtest": events_forecast_backtest,
     "stats_cramers_v": stats_cramers_v,
+    "stats_anova_oneway": stats_anova_oneway,
+    "stats_spearman_rho": stats_spearman_rho,
+    "events_benford_digits": events_benford_digits,
+    "stats_trimmed_means": stats_trimmed_means,
 }
 
 ORACLES = {
@@ -2976,4 +3348,8 @@ ORACLES = {
     "stats_permutation_test": _oracle_permutation(),
     "events_forecast_backtest": _oracle_backtest(),
     "stats_cramers_v": _oracle_cramers(),
+    "stats_anova_oneway": _oracle_anova(),
+    "stats_spearman_rho": _oracle_spearman(),
+    "events_benford_digits": _oracle_benford(),
+    "stats_trimmed_means": _oracle_trimmed(),
 }
