@@ -206,6 +206,9 @@ HEADLINE = [
     "stats_spearman_rho",
     "events_benford_digits",
     "stats_trimmed_means",
+    "textstats_collocation_pmi",
+    "docs_jsd_drift",
+    "layout_compaction_plan",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

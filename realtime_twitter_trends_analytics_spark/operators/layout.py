@@ -523,6 +523,79 @@ WITH wide AS (
 """
 
 
+# ---------------------------------------------------------------- compaction
+COMPACT_TARGET = 4096  # target compacted "file" size in bytes
+
+
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE bin-packing step a
+    table maintenance service runs): model each (day, hour) slice of
+    events as one written "file" whose size is its serialized payload
+    bytes, then greedily pack consecutive hourly files into compaction
+    groups of ~COMPACT_TARGET bytes — group = cumulative-bytes-before
+    DIV target, the deterministic first-fit-in-order rule. Output is
+    the plan a rewriter would execute: every file, its bytes, its
+    group, and the group's totals.
+
+    Determinism: sizes are exact BIGINT octet counts (payload + fixed
+    per-row overhead); the plan is pure integer window arithmetic.
+
+    Scale: one (day, hour) hash agg; both windows partition by day (and
+    by (day, group)) over <=24 rows per partition — never data-sized.
+    At 100 TB the file inventory comes from the table metadata, not a
+    scan, but the planning plan itself is unchanged: grain = files."""
+    e = load_table(spark, sf_dir, "events")
+    files = (
+        e.select(
+            F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
+            F.expr("(unix_timestamp(ts) DIV 3600) % 24").alias("hour"),
+            F.expr("CAST(octet_length(props) + 32 AS BIGINT)").alias("rb"),
+        )
+        .groupBy("day", "hour")
+        .agg(F.sum("rb").alias("file_bytes"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    wt = (
+        Window.partitionBy("day")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "cum_before", F.coalesce(F.sum("file_bytes").over(wt), F.lit(0))
+    ).withColumn("grp", F.expr(f"cum_before DIV {COMPACT_TARGET}"))
+    wg = Window.partitionBy("day", "grp")
+    return planned.select(
+        "day",
+        "hour",
+        "file_bytes",
+        "n_rows",
+        F.col("grp").alias("compact_group"),
+        F.sum("file_bytes").over(wg).alias("group_bytes"),
+        F.count(F.lit(1)).over(wg).alias("group_files"),
+    ).orderBy("day", "hour")
+
+
+def _oracle_compaction() -> str:
+    return f"""
+WITH files AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+    ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24) AS hour,
+    sum(CAST(strlen(props) + 32 AS BIGINT)) AS file_bytes,  -- DuckDB byte length (octet_length is BLOB-only there)
+    count(*) AS n_rows
+  FROM events GROUP BY 1, 2
+), planned AS (
+  SELECT *,
+    (coalesce(sum(file_bytes) OVER (PARTITION BY day ORDER BY hour
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      // {COMPACT_TARGET}) AS compact_group
+  FROM files
+)
+SELECT day, hour, file_bytes, CAST(n_rows AS BIGINT) AS n_rows, compact_group,
+  sum(file_bytes) OVER (PARTITION BY day, compact_group) AS group_bytes,
+  count(*) OVER (PARTITION BY day, compact_group) AS group_files
+FROM planned ORDER BY day, hour
+"""
+
+
 QUERIES = {
     "orders_join_ivm": orders_join_ivm,
     "profile_orders_columns": profile_orders_columns,
@@ -532,6 +605,7 @@ QUERIES = {
     "orders_scd_ranges": orders_scd_ranges,
     "orders_asof_snapshot": orders_asof_snapshot,
     "orders_incremental_merge": orders_incremental_merge,
+    "layout_compaction_plan": layout_compaction_plan,
 }
 
 ORACLES = {
@@ -543,4 +617,5 @@ ORACLES = {
     "orders_scd_ranges": _oracle_scd_ranges(),
     "orders_asof_snapshot": _oracle_asof_snapshot(),
     "orders_incremental_merge": _oracle_incremental_merge(),
+    "layout_compaction_plan": _oracle_compaction(),
 }

@@ -1567,9 +1567,202 @@ ORDER BY max(score_fp) DESC, phrase LIMIT {RAKE_TOP}
 """
 
 
+# ---------------------------------------------------------------- PMI
+COLL_TOP = 20
+COLL_MIN = 5        # bigram count floor (PMI's singleton bias gate)
+COLL_Q = 10_000     # lift ratio quantized to 1e-4 before ranking
+
+
+def textstats_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information (Church &
+    Hanks 1990): PMI = ln(N * c_xy / (c_x * c_y)) over corpus bigrams —
+    the lift-based phrase detector that complements raw bigram counts
+    (textstats_bigrams ranks "of the"; PMI ranks the pairs that occur
+    together far MORE than their unigram frequencies predict). The
+    count floor is PMI's standard rare-pair bias gate.
+
+    Determinism: ranking is on the exact integer lift ratio
+    lift_q = (N * c_xy * Q) DIV (c_x * c_y) — pure BIGINT, no float in
+    the ordering; the displayed pmi is one shared ln() over that same
+    integer. Overflow: N * c_xy * Q fits BIGINT to ~N*c_xy = 9e14
+    token-pair mass; past that drop Q to 1e2 or promote to DECIMAL.
+
+    Scale: bigram + unigram hash aggs off the shared tokenized/bigram
+    staging relations; two vocabulary-grain equi-joins; the 1-row
+    corpus total rides a broadcast; TakeOrdered top-k."""
+    from .dedup import tokenized_docs_staging  # shared tokenize-once staging
+
+    bg = bigram_instance_staging(spark, sf_dir)
+    toks = tokenized_docs_staging(spark, sf_dir).select(
+        F.explode("toks").alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ntot = toks.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= COLL_MIN)
+        .withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+        .withColumn("w2", F.expr("split_part(bigram, ' ', 2)"))
+    )
+    scored = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "lift_q", F.expr(f"(n * c_xy * {COLL_Q}) DIV (c_x * c_y)")
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift_q"), F.asc("bigram"))
+        .limit(COLL_TOP)
+        .selectExpr(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            f"round(ln(CAST(lift_q AS DOUBLE) / {COLL_Q}), 4) AS pmi",
+        )
+    )
+
+
+def _oracle_collocation_pmi() -> str:
+    d = dl.DUCK
+    from .dedup import shingles_sql
+
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {dl.split_ws(d, 'text')} AS toks FROM documents
+), uni AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT {dl.unnest(d, 'toks')} AS w FROM tokd
+  ) GROUP BY 1
+), ntot AS (
+  SELECT sum(c) AS n FROM uni
+), pairs AS (
+  SELECT bigram, count(*) AS c_xy,
+    split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2
+  FROM (SELECT {dl.unnest(d, shingles_sql(d, 'toks', 2))} AS bigram FROM tokd)
+  GROUP BY 1 HAVING count(*) >= {COLL_MIN}
+), scored AS (
+  SELECT bigram, c_xy, u1.c AS c_x, u2.c AS c_y,
+    ((n * c_xy * {COLL_Q}) // (u1.c * u2.c)) AS lift_q
+  FROM pairs
+  JOIN uni u1 ON u1.w = pairs.w1
+  JOIN uni u2 ON u2.w = pairs.w2
+  CROSS JOIN ntot
+)
+SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy, CAST(c_x AS BIGINT) AS c_x,
+  CAST(c_y AS BIGINT) AS c_y,
+  round(ln(CAST(lift_q AS DOUBLE) / {COLL_Q}), 4) AS pmi
+FROM scored ORDER BY lift_q DESC, bigram ASC LIMIT {COLL_TOP}
+"""
+
+
+# ---------------------------------------------------------------- JSD drift
+JSD_Q = 10**12  # per-cell divergence terms quantized before the SUM
+
+
+def docs_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift: Jensen-Shannon divergence (in bits)
+    between each source's unigram distribution p and the complement
+    corpus q — the bounded, symmetric KL the mixing/rebalancing stage
+    reads (docs_mixture_weights decides proportions; this measures how
+    far each slice actually is from the rest). JSD in [0, 1] bits.
+
+    Unobserved-token closure: tokens absent from a source contribute
+    exactly 0.5*q*ln2 each, so JSD = 0.5*ln2 + sum over OBSERVED
+    (source, token) cells of 0.5*(p*ln(p/m) + q*ln(q/m) - q*ln2) —
+    the full vocabulary grid is never materialized. Each cell term is
+    one shared IEEE expression over exact counts, floor-quantized to
+    1e-12 fixed point before the SUM (partial-agg order independence,
+    the ENT_SCALE convention; |error| <= vocab * 1e-12).
+
+    Scale: one (source, token) hash agg; the corpus token marginal is a
+    vocabulary-grain re-agg; per-source totals ride a broadcast
+    source-grain join and the corpus total a 1-row broadcast."""
+    from .dedup import tokenized_docs_staging  # shared tokenize-once staging
+
+    cells = (
+        tokenized_docs_staging(spark, sf_dir)
+        .select("source", F.explode("toks").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+    )
+    cw = cells.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    ts_ = cells.groupBy("source").agg(F.sum("c_sw").alias("t_s"))
+    tt = cw.groupBy().agg(F.sum("c_w").alias("t"))
+    p = "(CAST(c_sw AS DOUBLE) / t_s)"
+    q = "(CAST(c_w - c_sw AS DOUBLE) / (t - t_s))"
+    m = f"(({p} + {q}) / 2)"
+    term = (
+        f"0.5 * ({p} * ln({p} / {m}) + CASE WHEN c_w > c_sw "
+        f"THEN {q} * ln({q} / {m}) - {q} * ln(2.0) ELSE 0.0 END)"
+    )
+    scored = (
+        cells.join(cw, "w")
+        .join(F.broadcast(ts_), "source")
+        .crossJoin(F.broadcast(tt))
+        .withColumn("tq", F.expr(f"CAST(floor(({term}) * {JSD_Q}) AS BIGINT)"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.max("t_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("tq").alias("stq"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "vocab",
+            f"round((0.5 * ln(2.0) + CAST(stq AS DOUBLE) / {JSD_Q}) / ln(2.0), 4)"
+            " AS jsd_bits",
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_jsd_drift() -> str:
+    d = dl.DUCK
+    p = "(CAST(c_sw AS DOUBLE) / t_s)"
+    q = "(CAST(c_w - c_sw AS DOUBLE) / (t - t_s))"
+    m = f"(({p} + {q}) / 2)"
+    term = (
+        f"0.5 * ({p} * ln({p} / {m}) + CASE WHEN c_w > c_sw "
+        f"THEN {q} * ln({q} / {m}) - {q} * ln(2.0) ELSE 0.0 END)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT source, w, count(*) AS c_sw FROM (
+    SELECT source, {dl.unnest(d, dl.split_ws(d, 'text'))} AS w FROM documents
+  ) GROUP BY 1, 2
+), cw AS (
+  SELECT w, sum(c_sw) AS c_w FROM cells GROUP BY 1
+), ts_ AS (
+  SELECT source, sum(c_sw) AS t_s FROM cells GROUP BY 1
+), tt AS (
+  SELECT sum(c_w) AS t FROM cw
+), scored AS (
+  SELECT cells.source, CAST(floor(({term}) * {JSD_Q}) AS BIGINT) AS tq, t_s
+  FROM cells
+  JOIN cw ON cw.w = cells.w
+  JOIN ts_ ON ts_.source = cells.source
+  CROSS JOIN tt
+)
+SELECT source, CAST(max(t_s) AS BIGINT) AS n_tokens,
+  count(*) AS vocab,
+  round((0.5 * ln(2.0) + CAST(sum(tq) AS DOUBLE) / {JSD_Q}) / ln(2.0), 4)
+    AS jsd_bits
+FROM scored GROUP BY 1 ORDER BY source
+"""
+
+
 QUERIES = {
     "textstats_rake_keyphrases": textstats_rake_keyphrases,
     "textstats_burstiness": textstats_burstiness,
+    "textstats_collocation_pmi": textstats_collocation_pmi,
+    "docs_jsd_drift": docs_jsd_drift,
     "docs_vocab_coverage_curve": docs_vocab_coverage_curve,
     "docs_heavy_hitters": docs_heavy_hitters,
     "docs_ngram_novelty": docs_ngram_novelty,
@@ -1596,6 +1789,8 @@ QUERIES = {
 ORACLES = {
     "textstats_rake_keyphrases": _oracle_rake(),
     "textstats_burstiness": _oracle_burstiness(),
+    "textstats_collocation_pmi": _oracle_collocation_pmi(),
+    "docs_jsd_drift": _oracle_jsd_drift(),
     "docs_vocab_coverage_curve": _oracle_coverage_curve(),
     "docs_heavy_hitters": _oracle_heavy_hitters(),
     "docs_ngram_novelty": _oracle_ngram_novelty(),

@@ -54,6 +54,13 @@ CARTESIAN_OK = {
     "textstats_burstiness": "the 1-row document-count scalar rides a "
     "broadcast side against the vocabulary-grain token stats "
     "(scalar-aggregate pattern)",
+    "textstats_collocation_pmi": "the 1-row corpus token total rides a "
+    "broadcast side against the count-floored bigram grain "
+    "(scalar-aggregate pattern); the unigram joins are vocabulary-grain "
+    "equi-joins",
+    "docs_jsd_drift": "the 1-row corpus token total rides a broadcast "
+    "side against the (source, token) cell grain (scalar-aggregate "
+    "pattern); the marginals are vocabulary/source-grain equi-joins",
     "docs_cluster_keywords": "the corpus token total rides a 1-row "
     "broadcast side against the vocabulary-bounded (cell, token) grain "
     "(scalar-aggregate pattern); the only data-sized join is the "

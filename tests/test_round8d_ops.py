@@ -134,3 +134,108 @@ def test_trimmed_and_winsorized_match_numpy(spark):
         assert abs(row["raw_mean"] - v.mean() / 100) < 1e-4
         assert abs(row["trimmed_mean"] - trimmed) < 1e-4, (etype, row, trimmed)
         assert abs(row["winsor_mean"] - winsor) < 1e-4, (etype, row, winsor)
+
+
+def test_pmi_matches_direct_computation(spark):
+    """PMI rows equal ln(N*c_xy/(c_x*c_y)) computed directly from pandas
+    token/bigram counts, and every returned pair meets the count floor."""
+    from collections import Counter
+
+    from realtime_twitter_trends_analytics_spark.operators.textstats import (
+        COLL_MIN,
+        COLL_Q,
+        textstats_collocation_pmi,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in docs["text"]:
+        toks = t.split(" ")
+        uni.update(toks)
+        bi.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    n = sum(uni.values())
+    rows = textstats_collocation_pmi(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["c_xy"] >= COLL_MIN
+        w1, w2 = r["bigram"].split(" ")
+        assert r["c_xy"] == bi[r["bigram"]]
+        assert r["c_x"] == uni[w1] and r["c_y"] == uni[w2]
+        lift_q = (n * r["c_xy"] * COLL_Q) // (r["c_x"] * r["c_y"])
+        assert abs(r["pmi"] - math.log(lift_q / COLL_Q)) < 5e-4
+
+
+def test_jsd_matches_full_grid_reference(spark):
+    """jsd_bits equals the textbook JSD (computed over the FULL
+    vocabulary grid, zeros included) between each source's unigram
+    distribution and the complement corpus — proving the observed-cells
+    closure term is exact. JSD is bounded by 1 bit."""
+    from collections import Counter
+
+    from realtime_twitter_trends_analytics_spark.operators.textstats import (
+        docs_jsd_drift,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per_source: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for src, t in zip(docs["source"], docs["text"]):
+        c = per_source.setdefault(src, Counter())
+        toks = t.split(" ")
+        c.update(toks)
+        corpus.update(toks)
+    total = sum(corpus.values())
+    got = {r["source"]: r for r in docs_jsd_drift(spark, SF).collect()}
+    assert set(got) == set(per_source)
+    for src, cs in per_source.items():
+        ts = sum(cs.values())
+        ref = 0.0
+        for w, cw in corpus.items():
+            p = cs.get(w, 0) / ts
+            q = (cw - cs.get(w, 0)) / (total - ts)
+            m = (p + q) / 2
+            if p > 0:
+                ref += 0.5 * p * math.log(p / m)
+            if q > 0:
+                ref += 0.5 * q * math.log(q / m)
+        ref_bits = ref / math.log(2)
+        row = got[src]
+        assert row["n_tokens"] == ts and row["vocab"] == len(cs)
+        assert 0.0 <= row["jsd_bits"] <= 1.0
+        assert abs(row["jsd_bits"] - ref_bits) < 5e-4, (src, row["jsd_bits"], ref_bits)
+
+
+def test_compaction_plan_invariants(spark):
+    """The plan is a partition of each day's files into consecutive-hour
+    groups; group ids are dense from 0; every group but the last of a
+    day holds >= 1 file and group bytes reconstruct the day's total; the
+    greedy rule is honored (a file starts a new group iff the bytes
+    before it cross the target boundary)."""
+    from realtime_twitter_trends_analytics_spark.operators.layout import (
+        COMPACT_TARGET,
+        layout_compaction_plan,
+    )
+
+    rows = layout_compaction_plan(spark, SF).collect()
+    assert rows
+    bydays: dict[int, list] = {}
+    for r in rows:
+        bydays.setdefault(r["day"], []).append(r)
+    for day, fs in bydays.items():
+        fs.sort(key=lambda r: r["hour"])
+        cum = 0
+        for r in fs:
+            assert r["compact_group"] == cum // COMPACT_TARGET, (day, r)
+            cum += r["file_bytes"]
+        # group totals reconstruct and are internally consistent
+        bygrp: dict[int, list] = {}
+        for r in fs:
+            bygrp.setdefault(r["compact_group"], []).append(r)
+        for g, members in bygrp.items():
+            tot = sum(m["file_bytes"] for m in members)
+            assert all(m["group_bytes"] == tot for m in members)
+            assert all(m["group_files"] == len(members) for m in members)
+        assert sum(m["file_bytes"] for m in fs) == sum(
+            sum(m["file_bytes"] for m in ms) for ms in bygrp.values()
+        )
