@@ -209,6 +209,9 @@ HEADLINE = [
     "textstats_collocation_pmi",
     "docs_jsd_drift",
     "layout_compaction_plan",
+    "stats_mutual_information",
+    "events_hill_tail_index",
+    "sample_class_balance",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -3181,6 +3181,252 @@ FROM tot ORDER BY event_type, digit
 """
 
 
+# ---------------------------------------------------------------- mutual info
+MI_Q = 10**12  # per-cell information terms quantized before the SUM
+
+
+def _mi_pair_spark(df: DataFrame, a: str, b: str) -> DataFrame:
+    obs = df.groupBy(a, b).agg(F.count(F.lit(1)).alias("o"))
+    ra = obs.groupBy(a).agg(F.sum("o").alias("rt"))
+    cb = obs.groupBy(b).agg(F.sum("o").alias("ct"))
+    nn = obs.groupBy().agg(F.sum("o").alias("n"))
+    mi_term = (
+        f"CAST(floor((CAST(o AS DOUBLE) / n) * ln((CAST(o AS DOUBLE) * n) "
+        f"/ (CAST(rt AS DOUBLE) * ct)) * {MI_Q}) AS BIGINT)"
+    )
+    h_term = (
+        f"CAST(floor(-(CAST({{c}} AS DOUBLE) / n) * ln(CAST({{c}} AS DOUBLE) / n) "
+        f"* {MI_Q}) AS BIGINT)"
+    )
+    mi = (
+        obs.join(F.broadcast(ra), a)
+        .join(F.broadcast(cb), b)
+        .crossJoin(F.broadcast(nn))
+        .withColumn("t", F.expr(mi_term))
+        .groupBy("n")
+        .agg(F.sum("t").alias("mi_q"))
+    )
+    ha = (
+        ra.crossJoin(F.broadcast(nn))
+        .selectExpr(f"{h_term.format(c='rt')} AS t")
+        .groupBy()
+        .agg(F.sum("t").alias("ha_q"))
+    )
+    hb = (
+        cb.crossJoin(F.broadcast(nn))
+        .selectExpr(f"{h_term.format(c='ct')} AS t")
+        .groupBy()
+        .agg(F.sum("t").alias("hb_q"))
+    )
+    out = mi.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    qd = f"{MI_Q}.0"
+    return out.selectExpr(
+        f"'{a}' AS var_a",
+        f"'{b}' AS var_b",
+        "n",
+        f"round(mi_q / {qd} / ln(2.0), 4) AS mi_bits",
+        f"round(ha_q / {qd} / ln(2.0), 4) AS h_a_bits",
+        f"round(hb_q / {qd} / ln(2.0), 4) AS h_b_bits",
+        f"CASE WHEN ha_q <= 0 OR hb_q <= 0 THEN 0.0 ELSE "
+        f"round(CAST(mi_q AS DOUBLE) / sqrt(CAST(ha_q AS DOUBLE) * hb_q), 4) "
+        f"END AS nmi",
+    )
+
+
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information matrix over the same categorical pairs as
+    stats_cramers_v (event type x day-of-week x value bin) — the
+    information-theoretic association measure feature-selection reads
+    (Cover & Thomas): MI in bits, the marginal entropies, and the
+    sqrt-normalized NMI in [0, 1]. Together with V this tells you not
+    just THAT two dimensions associate but how many bits one buys you
+    about the other.
+
+    Float discipline: per-cell (p*ln(p/(px*py))) and per-marginal
+    (-p*ln p) terms are the identical double op sequence over exact
+    integers in both engines, floor-quantized to 1e-12 fixed point
+    BEFORE the sums (the ENT_SCALE convention); displayed values are
+    rounds of the exact quantized sums. MI can floor-quantize a hair
+    below 0 for independent pairs — that is the defined statistic in
+    both engines, not drift.
+
+    Scale: the stats_cramers_v plan shape — one contingency hash agg per
+    pair (category-space sized), marginal/total broadcasts, 1-row
+    results; three independent branches of one union plan."""
+    e = load_table(spark, sf_dir, "events")
+    dow = F.expr("((unix_timestamp(ts) DIV 86400) + 4) % 7")
+    vb = F.expr("CAST(least(floor(value / 50.0), 9) AS BIGINT)")
+    base = e.select(
+        F.col("event_type").alias("etype"),
+        dow.cast("string").alias("dow"),
+        vb.cast("string").alias("vbin"),
+    )
+    out = (
+        _mi_pair_spark(base, "etype", "dow")
+        .union(_mi_pair_spark(base, "etype", "vbin"))
+        .union(_mi_pair_spark(base, "dow", "vbin"))
+    )
+    return out.orderBy("var_a", "var_b")
+
+
+def _oracle_mutual_information() -> str:
+    dow = "CAST((((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7) AS VARCHAR)"
+    vb = "CAST(CAST(least(floor(value / 50.0), 9) AS BIGINT) AS VARCHAR)"
+    mi_term = (
+        f"CAST(floor((CAST(o AS DOUBLE) / n) * ln((CAST(o AS DOUBLE) * n) "
+        f"/ (CAST(rt AS DOUBLE) * ct)) * {MI_Q}) AS BIGINT)"
+    )
+
+    def h_term(c: str) -> str:
+        return (
+            f"CAST(floor(-(CAST({c} AS DOUBLE) / n) * ln(CAST({c} AS DOUBLE) / n) "
+            f"* {MI_Q}) AS BIGINT)"
+        )
+
+    qd = f"{MI_Q}.0"
+
+    def pair(a: str, b: str) -> str:
+        return f"""
+SELECT '{a}' AS var_a, '{b}' AS var_b, n,
+  round(mi_q / {qd} / ln(2.0), 4) AS mi_bits,
+  round(ha_q / {qd} / ln(2.0), 4) AS h_a_bits,
+  round(hb_q / {qd} / ln(2.0), 4) AS h_b_bits,
+  CASE WHEN ha_q <= 0 OR hb_q <= 0 THEN 0.0 ELSE
+    round(CAST(mi_q AS DOUBLE) / sqrt(CAST(ha_q AS DOUBLE) * hb_q), 4)
+  END AS nmi
+FROM (
+  SELECT n, sum({mi_term}) AS mi_q FROM (
+    SELECT o.o, ra.rt, cb.ct, nn.n
+    FROM (SELECT {a} AS va, {b} AS vb_, count(*) AS o FROM base GROUP BY 1, 2) o
+    JOIN (SELECT {a} AS va, count(*) AS rt FROM base GROUP BY 1) ra ON ra.va = o.va
+    JOIN (SELECT {b} AS vb_, count(*) AS ct FROM base GROUP BY 1) cb ON cb.vb_ = o.vb_
+    CROSS JOIN (SELECT count(*) AS n FROM base) nn
+  ) GROUP BY n
+) mi
+CROSS JOIN (
+  SELECT sum({h_term('rt')}) AS ha_q FROM (
+    SELECT count(*) AS rt FROM base GROUP BY {a}
+  ) CROSS JOIN (SELECT count(*) AS n FROM base)
+) ha
+CROSS JOIN (
+  SELECT sum({h_term('ct')}) AS hb_q FROM (
+    SELECT count(*) AS ct FROM base GROUP BY {b}
+  ) CROSS JOIN (SELECT count(*) AS n FROM base)
+) hb"""
+
+    return f"""
+WITH base AS (
+  SELECT event_type AS etype, {dow} AS dow, {vb} AS vbin FROM events
+)
+{pair('etype', 'dow')}
+UNION ALL {pair('etype', 'vbin')}
+UNION ALL {pair('dow', 'vbin')}
+ORDER BY var_a, var_b
+"""
+
+
+# ---------------------------------------------------------------- Hill tail
+HILL_KMAX = 200  # order-statistics cap for the tail estimate
+HILL_Q = 10**9   # per-cell ln terms quantized before the SUM
+
+
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail index per event_type via the Hill estimator over the
+    top k = min(HILL_KMAX, n DIV 10) order statistics:
+    alpha = k / sum_{i<=k} ln(x_(i) / x_(k+1)) — the standard tail
+    exponent readout (Hill 1975) that tells a capacity/abuse model
+    whether the value distribution has finite variance (alpha > 2) or
+    is Pareto-wild. Complements textstats_zipf_fit (rank-frequency) on
+    the numeric-value axis.
+
+    Tie discipline: order statistics are taken from the VALUE DOMAIN
+    with cumulative counts, so engines never rank-break ties — a cell
+    covering descending positions [cumb+1, cumb+cnt] contributes
+    min(cumb+cnt, k) - cumb copies of ln(cents/x_(k+1)), and x_(k+1) is
+    the unique cell spanning position k+1. Per-cell ln terms are
+    floor-quantized to 1e-9 BEFORE the sum (ENT_SCALE convention).
+
+    Scale: value-domain grain per type; windows partition by type; the
+    per-type (k, x_k1) thresholds ride a type-grain broadcast join."""
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .filter(F.col("cents") > 0)
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wt = (
+        W.partitionBy("event_type")
+        .orderBy(F.desc("cents"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cells = per.withColumn(
+        "cumb", F.coalesce(F.sum("cnt").over(wt), F.lit(0))
+    ).withColumn("n", F.sum("cnt").over(W.partitionBy("event_type")))
+    kk = F.expr(f"least(CAST({HILL_KMAX} AS BIGINT), n DIV 10)")
+    cells = cells.withColumn("k", kk)
+    thr = cells.filter(
+        (F.col("cumb") <= F.col("k")) & (F.col("cumb") + F.col("cnt") > F.col("k"))
+    ).select("event_type", F.col("cents").alias("xk1"))
+    term = (
+        f"CAST(floor(CAST(least(cumb + cnt, k) - cumb AS DOUBLE) "
+        f"* ln(CAST(cents AS DOUBLE) / xk1) * {HILL_Q}) AS BIGINT)"
+    )
+    agg = (
+        cells.filter(F.col("cumb") < F.col("k"))
+        .join(F.broadcast(thr), "event_type")
+        .selectExpr("event_type", "n", "k", "xk1", f"{term} AS t")
+        .groupBy("event_type", "n", "k", "xk1")
+        .agg(F.sum("t").alias("s_q"))
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n",
+        "k",
+        f"{dl.round_ratio(dl.SPARK, 'xk1', '100')} AS tail_threshold",
+        f"CASE WHEN s_q <= 0 THEN 0.0 ELSE "
+        f"round(CAST(k AS DOUBLE) * {HILL_Q} / s_q, 4) END AS hill_alpha",
+    ).orderBy("event_type")
+
+
+def _oracle_hill() -> str:
+    term = (
+        f"CAST(floor(CAST(least(cumb + cnt, k) - cumb AS DOUBLE) "
+        f"* ln(CAST(cents AS DOUBLE) / xk1) * {HILL_Q}) AS BIGINT)"
+    )
+    return f"""
+WITH per AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS cnt
+  FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0
+  GROUP BY 1, 2
+), cells AS (
+  SELECT event_type, cents, cnt,
+    coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+    sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM per
+), kc AS (
+  SELECT *, least(CAST({HILL_KMAX} AS BIGINT), n // 10) AS k FROM cells
+), thr AS (
+  SELECT event_type, cents AS xk1 FROM kc
+  WHERE cumb <= k AND cumb + cnt > k
+), agg AS (
+  SELECT kc.event_type, n, k, xk1, sum({term}) AS s_q
+  FROM kc JOIN thr ON thr.event_type = kc.event_type
+  WHERE cumb < k
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+  {dl.round_ratio(dl.DUCK, 'xk1', '100')} AS tail_threshold,
+  CASE WHEN s_q <= 0 THEN 0.0 ELSE
+    round(CAST(k AS DOUBLE) * {HILL_Q} / s_q, 4) END AS hill_alpha
+FROM agg ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------- trimmed
 TRIM_PCT = 10  # trim/winsorize fraction per tail, in percent
 
@@ -3315,6 +3561,8 @@ QUERIES = {
     "stats_spearman_rho": stats_spearman_rho,
     "events_benford_digits": events_benford_digits,
     "stats_trimmed_means": stats_trimmed_means,
+    "stats_mutual_information": stats_mutual_information,
+    "events_hill_tail_index": events_hill_tail_index,
 }
 
 ORACLES = {
@@ -3352,4 +3600,6 @@ ORACLES = {
     "stats_spearman_rho": _oracle_spearman(),
     "events_benford_digits": _oracle_benford(),
     "stats_trimmed_means": _oracle_trimmed(),
+    "stats_mutual_information": _oracle_mutual_information(),
+    "events_hill_tail_index": _oracle_hill(),
 }

@@ -242,12 +242,93 @@ LIMIT {SAMPLE_WEIGHTED_K}
 """
 
 
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT class equalization (the companion to sample_stratified's
+    fixed-rate downsampling): every language is cut to the size of the
+    rarest class by keeping each class's m lowest-hash documents —
+    deterministic "random" under re-runs, appends to OTHER classes, and
+    task retries, because membership depends only on (doc_id hash, m).
+    Output is the audit a pipeline logs: per-class totals, kept count
+    (== min class size for every row), and a kept-set checksum
+    (sum/min/max of kept doc_ids) so a downstream reader can verify the
+    exact membership without shipping the ids.
+
+    Scale: the rank window partitions BY CLASS over (hash, doc_id) —
+    the standard per-class hash top-m; each partition is one class
+    (documents are class-skewed but a class is orders of magnitude
+    below the corpus; for a single monster class, pre-filter by a hash
+    prefix bound before ranking — the two-phase top-k pattern of
+    sample_reservoir_per_key). The min class size rides a 1-row
+    broadcast."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "lang",
+        "doc_id",
+        F.expr(
+            dl.hex_prefix_u60(dl.SPARK, "md5(CAST(doc_id AS STRING))")
+        ).alias("h"),
+    )
+    m = (
+        h.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy()
+        .agg(F.min("c").alias("m"))
+    )
+    ranked = h.withColumn(
+        "rnk", F.row_number().over(W.partitionBy("lang").orderBy("h", "doc_id"))
+    )
+    kept = ranked.crossJoin(F.broadcast(m)).filter(F.col("rnk") <= F.col("m"))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_docid_sum"),
+            F.min("doc_id").alias("kept_docid_min"),
+            F.max("doc_id").alias("kept_docid_max"),
+        )
+        .join(
+            h.groupBy("lang").agg(F.count(F.lit(1)).alias("n_class")), "lang"
+        )
+        .select(
+            "lang", "n_class", "n_kept",
+            "kept_docid_sum", "kept_docid_min", "kept_docid_max",
+        )
+        .orderBy("lang")
+    )
+
+
+def _oracle_class_balance() -> str:
+    u60 = dl.hex_prefix_u60(dl.DUCK, "md5(CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH h AS (
+  SELECT lang, doc_id, {u60} AS h FROM documents
+), m AS (
+  SELECT min(c) AS m FROM (SELECT count(*) AS c FROM h GROUP BY lang)
+), ranked AS (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
+  FROM h
+), kept AS (
+  SELECT lang, doc_id FROM ranked CROSS JOIN m WHERE rnk <= m
+)
+SELECT k.lang, cls.n_class, count(*) AS n_kept,
+  sum(doc_id) AS kept_docid_sum,
+  min(doc_id) AS kept_docid_min, max(doc_id) AS kept_docid_max
+FROM kept k
+JOIN (SELECT lang, count(*) AS n_class FROM h GROUP BY 1) cls ON cls.lang = k.lang
+GROUP BY 1, 2 ORDER BY k.lang
+"""
+
+
 QUERIES = {
     "docs_shard_order": docs_shard_order,
     "sample_weighted_priority": sample_weighted_priority,
     "dataset_split_assign": dataset_split_assign,
     "sample_systematic": sample_systematic,
     "sample_stratified": sample_stratified,
+    "sample_class_balance": sample_class_balance,
     "embedding_quantize_int8": embedding_quantize_int8,
 }
 
@@ -257,5 +338,6 @@ ORACLES = {
     "dataset_split_assign": _oracle_split(),
     "sample_systematic": _oracle_sample(),
     "sample_stratified": _oracle_stratified(),
+    "sample_class_balance": _oracle_class_balance(),
     "embedding_quantize_int8": _oracle_quantize(),
 }

@@ -61,6 +61,12 @@ CARTESIAN_OK = {
     "docs_jsd_drift": "the 1-row corpus token total rides a broadcast "
     "side against the (source, token) cell grain (scalar-aggregate "
     "pattern); the marginals are vocabulary/source-grain equi-joins",
+    "stats_mutual_information": "the stats_cramers_v scalar-aggregate "
+    "shape: 1-row totals and 1-row entropy sums ride broadcast sides "
+    "against category-space contingency cells",
+    "sample_class_balance": "the 1-row min-class-size scalar rides a "
+    "broadcast side against the per-class rank relation "
+    "(scalar-aggregate pattern)",
     "docs_cluster_keywords": "the corpus token total rides a 1-row "
     "broadcast side against the vocabulary-bounded (cell, token) grain "
     "(scalar-aggregate pattern); the only data-sized join is the "

@@ -239,3 +239,89 @@ def test_compaction_plan_invariants(spark):
         assert sum(m["file_bytes"] for m in fs) == sum(
             sum(m["file_bytes"] for m in ms) for ms in bygrp.values()
         )
+
+
+def test_mutual_information_matches_direct(spark):
+    """mi/h/nmi for the etype x dow pair equal the textbook formulas
+    computed directly from pandas contingency counts."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        stats_mutual_information,
+    )
+
+    pdf = _events_pdf()
+    rows = {
+        (r["var_a"], r["var_b"]): r
+        for r in stats_mutual_information(spark, SF).collect()
+    }
+    assert set(rows) == {("etype", "dow"), ("etype", "vbin"), ("dow", "vbin")}
+    n = len(pdf)
+    joint = pdf.groupby(["event_type", "dow"]).size()
+    pa = pdf.groupby("event_type").size()
+    pb = pdf.groupby("dow").size()
+    mi = sum(
+        (o / n) * math.log(o * n / (pa[a] * pb[b]))
+        for (a, b), o in joint.items()
+    )
+    ha = sum(-(c / n) * math.log(c / n) for c in pa)
+    hb = sum(-(c / n) * math.log(c / n) for c in pb)
+    r = rows[("etype", "dow")]
+    ln2 = math.log(2)
+    assert r["n"] == n
+    assert abs(r["mi_bits"] - mi / ln2) < 5e-4
+    assert abs(r["h_a_bits"] - ha / ln2) < 5e-4
+    assert abs(r["h_b_bits"] - hb / ln2) < 5e-4
+    assert abs(r["nmi"] - mi / math.sqrt(ha * hb)) < 5e-4
+    for rr in rows.values():  # information inequalities
+        assert rr["mi_bits"] <= min(rr["h_a_bits"], rr["h_b_bits"]) + 1e-6
+        assert -1e-6 <= rr["nmi"] <= 1.0
+
+
+def test_hill_matches_sorted_order_statistics(spark):
+    """alpha equals k / sum ln(x_i/x_(k+1)) over the top-k values taken
+    from an independent full sort; ties never change the answer because
+    the estimator reads the value multiset."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        HILL_KMAX,
+        events_hill_tail_index,
+    )
+
+    pdf = _events_pdf()
+    got = {r["event_type"]: r for r in events_hill_tail_index(spark, SF).collect()}
+    for etype, sub in pdf.groupby("event_type"):
+        v = np.sort(sub.loc[sub["cents"] > 0, "cents"].to_numpy())[::-1]
+        n = len(v)
+        k = min(HILL_KMAX, n // 10)
+        xk1 = v[k]  # position k+1, 1-based
+        ref = k / np.log(v[:k] / xk1).sum()
+        row = got[etype]
+        assert row["n"] == n and row["k"] == k
+        assert abs(row["tail_threshold"] - xk1 / 100) < 1e-4
+        assert abs(row["hill_alpha"] - ref) < 5e-3, (etype, row["hill_alpha"], ref)
+
+
+def test_class_balance_exact_equalization(spark):
+    """Every class keeps exactly min-class-size docs; the checksums match
+    an independent pandas hash ranking; membership is stable when other
+    classes grow (determinism contract)."""
+    import hashlib
+
+    from realtime_twitter_trends_analytics_spark.operators.sampling import (
+        sample_class_balance,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def h60(did: int) -> int:
+        return int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16)
+
+    docs = docs.assign(h=docs["doc_id"].map(h60))
+    m = docs.groupby("lang").size().min()
+    rows = sample_class_balance(spark, SF).collect()
+    assert {r["lang"] for r in rows} == set(docs["lang"].unique())
+    for r in rows:
+        sub = docs[docs["lang"] == r["lang"]].sort_values(["h", "doc_id"]).head(m)
+        assert r["n_kept"] == m
+        assert r["n_class"] == (docs["lang"] == r["lang"]).sum()
+        assert r["kept_docid_sum"] == sub["doc_id"].sum()
+        assert r["kept_docid_min"] == sub["doc_id"].min()
+        assert r["kept_docid_max"] == sub["doc_id"].max()
