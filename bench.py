@@ -212,6 +212,8 @@ HEADLINE = [
     "stats_mutual_information",
     "events_hill_tail_index",
     "sample_class_balance",
+    "graph_bfs_frontiers",
+    "ml_knn_calibration",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

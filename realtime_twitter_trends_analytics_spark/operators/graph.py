@@ -790,6 +790,108 @@ LIMIT {LINKPRED_TOP}
 """
 
 
+# ---------------------------------------------------------------- BFS
+BFS_ROUNDS = 4  # frontier expansions, unrolled identically in both engines
+
+
+def graph_bfs_frontiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search from the LOWEST-degree token (tie-break:
+    token asc) over the co-occurrence graph — seeding at the periphery,
+    where the longest shortest-paths live (a max-degree hub reaches the
+    whole dense core in one hop, which tests nothing), BFS_ROUNDS frontier
+    expansions — the Pregel traversal primitive (reachability, "within
+    N hops" audience queries) the eigenvector-style iterations
+    (graph_pagerank_topk, graph_lpa_communities) don't cover. Output:
+    one row per distance 0..BFS_ROUNDS with the frontier size and a
+    min/max-token checksum, plus a dist = -1 row for nodes the search
+    never reached (small-world check: on a connected cooc graph this
+    empties fast).
+
+    Plan: per round, one (frontier ⋈ adjacency) equi-join on the node
+    key + one anti-join against the visited set — the synchronous BFS
+    every vertex-centric framework runs; no per-round work exceeds
+    frontier x degree. The visited relation is localCheckpointed each
+    round (iterative-lineage discipline, the connected_components
+    pattern). Rounds are FIXED and unrolled in the DuckDB oracle, so
+    the gate verifies every frontier, not just convergence."""
+    edges = _cooc_edges(spark, sf_dir)
+    sym = edges.selectExpr("tok_a AS s", "tok_b AS d").union(
+        edges.selectExpr("tok_b AS s", "tok_a AS d")
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    seed = (
+        deg.orderBy(F.asc("deg"), F.asc("s"))
+        .limit(1)
+        .select(F.col("s").alias("node"))
+    )
+    visited = seed.withColumn("dist", F.lit(0)).localCheckpoint()
+    frontier = visited.select("node")
+    for r in range(1, BFS_ROUNDS + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        nxt = nxt.withColumn("dist", F.lit(r)).localCheckpoint()
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    reached = visited.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_token"),
+        F.max("node").alias("max_token"),
+    )
+    unreached = (
+        deg.select(F.col("s").alias("node"))
+        .join(visited, "node", "left_anti")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_token"),
+            F.max("node").alias("max_token"),
+        )
+        .filter(F.col("n_nodes") > 0)
+        .select(F.lit(-1).alias("dist"), "n_nodes", "min_token", "max_token")
+    )
+    return reached.union(unreached).orderBy("dist")
+
+
+def _oracle_bfs() -> str:
+    levels = []
+    prev_v = "v0"
+    for r in range(1, BFS_ROUNDS + 1):
+        prev_f = "seed" if r == 1 else f"f{r - 1}"
+        levels.append(
+            f"""f{r} AS (
+  SELECT DISTINCT d AS node FROM sym JOIN {prev_f} p ON sym.s = p.node
+  WHERE d NOT IN (SELECT node FROM {prev_v})
+), v{r} AS (
+  SELECT * FROM {prev_v} UNION ALL SELECT node, {r} AS dist FROM f{r}
+)"""
+        )
+        prev_v = f"v{r}"
+    return f"""
+WITH {_ORACLE_EDGE_CTES}, sym AS (
+  SELECT tok_a AS s, tok_b AS d FROM edges
+  UNION ALL SELECT tok_b AS s, tok_a AS d FROM edges
+), deg AS (
+  SELECT s AS node, count(*) AS deg FROM sym GROUP BY 1
+), seed AS (
+  SELECT node FROM deg ORDER BY deg ASC, node ASC LIMIT 1
+), v0 AS (
+  SELECT node, 0 AS dist FROM seed
+), {', '.join(levels)}
+SELECT CAST(dist AS INT) AS dist, count(*) AS n_nodes,
+  min(node) AS min_token, max(node) AS max_token
+FROM {prev_v} GROUP BY dist
+UNION ALL
+SELECT -1, count(*), min(node), max(node) FROM (
+  SELECT node FROM deg WHERE node NOT IN (SELECT node FROM {prev_v})
+) HAVING count(*) > 0
+ORDER BY dist
+"""
+
+
 QUERIES = {
     "graph_link_prediction": graph_link_prediction,
     "graph_degree_stats": graph_degree_stats,
@@ -797,6 +899,7 @@ QUERIES = {
     "graph_pagerank_topk": graph_pagerank_topk,
     "graph_lpa_communities": graph_lpa_communities,
     "graph_kcore": graph_kcore,
+    "graph_bfs_frontiers": graph_bfs_frontiers,
 }
 
 ORACLES = {
@@ -806,4 +909,5 @@ ORACLES = {
     "graph_pagerank_topk": _oracle_pagerank(),
     "graph_lpa_communities": _oracle_lpa(),
     "graph_kcore": _oracle_kcore(),
+    "graph_bfs_frontiers": _oracle_bfs(),
 }

@@ -2094,6 +2094,127 @@ ORDER BY cell, rank
 """
 
 
+def ml_knn_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the kNN classifier (sim_knn_label_probe):
+    bucket eval queries by the winning vote share (votes/K — the
+    classifier's natural confidence score) and report the observed
+    accuracy per bucket — the calibration readout (Guo et al. 2017,
+    "expected vs observed") that decides whether the vote share can be
+    used as a rejection threshold. A well-calibrated probe has
+    accuracy ~ confidence per row; the displayed gap is the per-bucket
+    calibration error.
+
+    Same eval pipeline as sim_knn_label_probe (broadcast eval set x
+    candidate scan, per-query top-K window, deterministic vote
+    tie-break) — only the final readout differs, so the two queries'
+    numbers are directly comparable. Exact integers throughout: vote
+    counts, bucket keys, and n/correct; confidence/accuracy/gap are
+    round_ratio / shared-IEEE readouts of those integers.
+
+    Scale: the brute-force eval pattern (documented: production twin =
+    feed the same readout from IVF candidates, sim_knn_label_probe_ivf's
+    plan); everything after the top-K window is query-grain (|eval|
+    rows) then vote-share-grain (<= K rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_EVAL_N).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
+    )
+    c = emb.filter(F.col("vec_id") >= KNN_EVAL_N).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("cv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("cnorm"),
+    )
+    sim = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn(
+            "cosine",
+            F.expr(dot_sql(dl.SPARK, "qv", "cv")) / (F.col("qnorm") * F.col("cnorm")),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    knn = sim.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= KNN_K)
+    votes = knn.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pred = (
+        votes.groupBy("query_id", "true_label")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("negc"), F.col("cand_label").alias("lbl")
+                )
+            ).alias("m")
+        )
+        .select(
+            "query_id",
+            (-F.col("m.negc")).cast("long").alias("votes_top"),
+            (F.col("m.lbl") == F.col("true_label")).cast("long").alias("correct"),
+        )
+    )
+    d = dl.SPARK
+    return (
+        pred.groupBy("votes_top")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("correct").alias("n_correct"),
+        )
+        .selectExpr(
+            "votes_top",
+            "n_queries",
+            "n_correct",
+            f"{dl.round_ratio(d, 'votes_top', str(KNN_K))} AS confidence",
+            f"{dl.round_ratio(d, 'n_correct', 'n_queries')} AS accuracy",
+            f"round({dl.round_ratio(d, 'n_correct', 'n_queries')} - "
+            f"{dl.round_ratio(d, 'votes_top', str(KNN_K))}, 4) AS calib_gap",
+        )
+        .orderBy("votes_top")
+    )
+
+
+def _oracle_knn_calibration() -> str:
+    d = dl.DUCK
+    cos = cosine_sql(d, "q.embedding", "c.embedding")
+    return f"""
+WITH sim AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+    c.vec_id AS cand_id, c.label AS cand_label, {cos} AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {KNN_EVAL_N} AND c.vec_id >= {KNN_EVAL_N}
+), knn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+    FROM sim
+  ) WHERE rnk <= {KNN_K}
+), votes AS (
+  SELECT query_id, true_label, cand_label, count(*) AS cnt
+  FROM knn GROUP BY 1, 2, 3
+), pred AS (
+  SELECT query_id, CAST(cnt AS BIGINT) AS votes_top,
+    CAST(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cnt DESC, cand_label ASC) AS vr
+    FROM votes
+  ) WHERE vr = 1
+), buckets AS (
+  SELECT votes_top, count(*) AS n_queries, sum(correct) AS n_correct
+  FROM pred GROUP BY 1
+)
+SELECT votes_top, n_queries, CAST(n_correct AS BIGINT) AS n_correct,
+  {dl.round_ratio(d, 'votes_top', str(KNN_K))} AS confidence,
+  {dl.round_ratio(d, 'n_correct', 'n_queries')} AS accuracy,
+  round({dl.round_ratio(d, 'n_correct', 'n_queries')} -
+    {dl.round_ratio(d, 'votes_top', str(KNN_K))}, 4) AS calib_gap
+FROM buckets ORDER BY votes_top
+"""
+
+
 QUERIES = {
     "docs_cluster_keywords": docs_cluster_keywords,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
@@ -2107,6 +2228,7 @@ QUERIES = {
     "sim_pq_adc_ann": sim_pq_adc_ann,
     "sim_knn_label_probe": sim_knn_label_probe,
     "sim_knn_label_probe_ivf": sim_knn_label_probe_ivf,
+    "ml_knn_calibration": ml_knn_calibration,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_ann": sim_lsh_ann,
     "sim_ivf_ann": sim_ivf_ann,
@@ -2127,6 +2249,7 @@ ORACLES = {
     "sim_pq_adc_ann": _oracle_pq_adc(),
     "sim_knn_label_probe": _oracle_knn_probe(),
     "sim_knn_label_probe_ivf": _oracle_knn_probe_ivf(),
+    "ml_knn_calibration": _oracle_knn_calibration(),
     "sim_topk_bruteforce": _oracle_bruteforce(),
     "sim_mmr_topk": _oracle_mmr(),
     "sim_kcenter_select": _oracle_kcenter(),

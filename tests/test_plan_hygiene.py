@@ -101,6 +101,9 @@ CARTESIAN_OK = {
     "pool is the sampling design — constant 64-row side, map-side product",
     "sim_knn_label_probe": "broadcast eval-set x candidate scan is the "
     "documented brute-force pattern (see sim_topk_bruteforce)",
+    "ml_knn_calibration": "same broadcast eval-set x candidate scan as "
+    "sim_knn_label_probe (shared eval pipeline, different readout); the "
+    "IVF-candidate feed is the documented production fallback",
     "decontaminate_semantic": "broadcast eval-set x corpus scan — the eval "
     "suite is tiny by design; IVF-cell blocking is the documented fallback "
     "if it outgrows broadcast (see sim_knn_label_probe_ivf)",

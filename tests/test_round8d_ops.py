@@ -325,3 +325,70 @@ def test_class_balance_exact_equalization(spark):
         assert r["kept_docid_sum"] == sub["doc_id"].sum()
         assert r["kept_docid_min"] == sub["doc_id"].min()
         assert r["kept_docid_max"] == sub["doc_id"].max()
+
+
+def test_bfs_frontiers_match_networkx_style_reference(spark):
+    """Frontier sizes and membership equal a plain python BFS over the
+    same thresholded co-occurrence edges."""
+    from collections import deque
+
+    from realtime_twitter_trends_analytics_spark.operators.graph import (
+        BFS_ROUNDS,
+        _cooc_edges,
+        graph_bfs_frontiers,
+    )
+
+    edges = [(r["tok_a"], r["tok_b"]) for r in _cooc_edges(spark, SF).collect()]
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seed = min(adj, key=lambda n: (len(adj[n]), n))
+    dist = {seed: 0}
+    dq = deque([seed])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= BFS_ROUNDS:
+            continue
+        for v in sorted(adj[u]):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    rows = {r["dist"]: r for r in graph_bfs_frontiers(spark, SF).collect()}
+    for d in range(BFS_ROUNDS + 1):
+        members = sorted(n for n, dd in dist.items() if dd == d)
+        if not members:
+            assert d not in rows
+            continue
+        assert rows[d]["n_nodes"] == len(members)
+        assert rows[d]["min_token"] == members[0]
+        assert rows[d]["max_token"] == members[-1]
+    unreached = sorted(n for n in adj if n not in dist)
+    if unreached:
+        assert rows[-1]["n_nodes"] == len(unreached)
+    else:
+        assert -1 not in rows
+
+
+def test_knn_calibration_consistency(spark):
+    """Calibration buckets partition the eval set; aggregate accuracy
+    reconciles with sim_knn_label_probe's per-label readout; vote shares
+    are valid (majority needs > K/#labels... at least ceil(K/#cands)),
+    and accuracy/confidence are exact ratios of the integer columns."""
+    from realtime_twitter_trends_analytics_spark.operators.similarity import (
+        KNN_EVAL_N,
+        KNN_K,
+        ml_knn_calibration,
+        sim_knn_label_probe,
+    )
+
+    rows = ml_knn_calibration(spark, SF).collect()
+    assert sum(r["n_queries"] for r in rows) == KNN_EVAL_N
+    probe = sim_knn_label_probe(spark, SF).collect()
+    assert sum(r["n_correct"] for r in rows) == sum(p["n_correct"] for p in probe)
+    for r in rows:
+        assert 1 <= r["votes_top"] <= KNN_K
+        assert 0 <= r["n_correct"] <= r["n_queries"]
+        assert abs(r["confidence"] - r["votes_top"] / KNN_K) < 1e-9
+        assert abs(r["accuracy"] - round(r["n_correct"] / r["n_queries"], 4)) < 2e-4
+        assert abs(r["calib_gap"] - round(r["accuracy"] - r["confidence"], 4)) < 2e-4
