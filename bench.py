@@ -214,6 +214,9 @@ HEADLINE = [
     "sample_class_balance",
     "graph_bfs_frontiers",
     "ml_knn_calibration",
+    "stats_levene_bf",
+    "orders_wow_revenue",
+    "docs_ttr_hapax",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -3427,6 +3427,195 @@ FROM agg ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------- Levene/BF
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene's test with group MEDIANS) for
+    variance homogeneity of event value across day-of-week groups, per
+    event_type — the assumption check for stats_anova_oneway (ANOVA's F
+    assumes equal group variances; BF is the robust way to ask whether
+    that premise even holds): an ANOVA F computed on the absolute
+    deviations |x - median(group)|.
+
+    Exact arithmetic: group medians come from value-domain cumulative
+    counts — med2 = x_(floor((n+1)/2)) + x_(ceil((n+1)/2)) is 2*median
+    as an exact BIGINT, so the per-row deviation |2*cents - med2| is an
+    exact integer at 2x scale (scale cancels inside F). The F/eta
+    readout is the stats_anova_oneway machinery verbatim (_anova_readout
+    over exact group n/s1/s2 and the half-up-quantized s1^2/n sum).
+
+    Scale: one (type, dow, cents) hash agg for medians (value-domain
+    grain); the 35-row median map rides a broadcast join back onto the
+    event scan; then the ANOVA aggs (35 cells -> 5 rows)."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.expr(ANOVA_DOW).alias("dow"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    per = base.groupBy("event_type", "dow", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wt = (
+        W.partitionBy("event_type", "dow")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cells = per.withColumn(
+        "cumb", F.coalesce(F.sum("cnt").over(wt), F.lit(0))
+    ).withColumn("ng", F.sum("cnt").over(W.partitionBy("event_type", "dow")))
+    med = cells.groupBy("event_type", "dow").agg(
+        F.min(
+            F.when(
+                F.col("cumb") + F.col("cnt") >= F.expr("(ng + 1) DIV 2"),
+                F.col("cents"),
+            )
+        ).alias("m_lo"),
+        F.min(
+            F.when(
+                F.col("cumb") + F.col("cnt") >= F.expr("(ng + 2) DIV 2"),
+                F.col("cents"),
+            )
+        ).alias("m_hi"),
+    )
+    dev = base.join(F.broadcast(med), ["event_type", "dow"]).selectExpr(
+        "event_type", "dow", "abs(2 * cents - (m_lo + m_hi)) AS dv"
+    )
+    g = (
+        dev.groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum("dv").alias("s1g"),
+            F.sum(F.col("dv") * F.col("dv")).alias("s2g"),
+        )
+        .withColumn("tg", F.expr("(2 * s1g * s1g + ng) DIV (2 * ng)"))
+    )
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("s1g").alias("s1"),
+        F.sum("s2g").alias("s2"),
+        F.sum("tg").alias("t"),
+    )
+    f_expr, eta_expr = _anova_readout("k", "n", "s1", "s2", "t")
+    return agg.selectExpr(
+        "event_type",
+        "CAST(k AS INT) AS k_groups",
+        "n",
+        f_expr.replace(" AS f_stat", " AS bf_stat"),
+        eta_expr,
+    ).orderBy("event_type")
+
+
+def _oracle_levene() -> str:
+    f_expr, eta_expr = _anova_readout("k", "n", "s1", "s2", "t")
+    return f"""
+WITH base AS (
+  SELECT event_type, {ANOVA_DOW_DUCK} AS dow,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), per AS (
+  SELECT event_type, dow, cents, count(*) AS cnt FROM base GROUP BY 1, 2, 3
+), cells AS (
+  SELECT event_type, dow, cents, cnt,
+    coalesce(sum(cnt) OVER (PARTITION BY event_type, dow ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+    sum(cnt) OVER (PARTITION BY event_type, dow) AS ng
+  FROM per
+), med AS (
+  SELECT event_type, dow,
+    min(CASE WHEN cumb + cnt >= ((ng + 1) // 2) THEN cents END) AS m_lo,
+    min(CASE WHEN cumb + cnt >= ((ng + 2) // 2) THEN cents END) AS m_hi
+  FROM cells GROUP BY 1, 2
+), dev AS (
+  SELECT b.event_type, b.dow, abs(2 * cents - (m_lo + m_hi)) AS dv
+  FROM base b JOIN med ON med.event_type = b.event_type AND med.dow = b.dow
+), g AS (
+  SELECT event_type, dow, count(*) AS ng, sum(dv) AS s1g, sum(dv * dv) AS s2g,
+    ((2 * sum(dv) * sum(dv) + count(*)) // (2 * count(*))) AS tg
+  FROM dev GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, count(*) AS k, sum(ng) AS n, sum(s1g) AS s1,
+    sum(s2g) AS s2, sum(tg) AS t
+  FROM g GROUP BY 1
+)
+SELECT event_type, CAST(k AS INT) AS k_groups, CAST(n AS BIGINT) AS n,
+  {f_expr.replace(' AS f_stat', ' AS bf_stat')}, {eta_expr}
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------- WoW report
+MA_WEEKS = 4  # trailing moving-average span
+
+
+def orders_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly business readout: revenue per epoch week with
+    week-over-week percentage change and a trailing 4-week moving
+    average — the dashboard query every revenue pipeline ships (the
+    reference's only analytic output is the windowed hashtag count;
+    this is the same key->window->readout shape on the money axis).
+
+    Exact arithmetic: weekly sums are BIGINT cents; WoW% is one shared
+    IEEE division of exact integers (signed, so round_ratio's
+    non-negative contract doesn't apply — the ks_lambda convention
+    instead); the moving average is a half-up integer ratio.
+
+    Scale: one week-grain hash agg; the windows run over the WEEK
+    domain (calendar-bounded — decades fit in thousands of rows), the
+    repo's time-series-grain convention (events_ewma_forecast)."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = (
+        o.select(
+            F.expr("unix_timestamp(o_orderdate) DIV 604800").alias("wk"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("rev"))
+    )
+    w = W.orderBy("wk")
+    wma = W.orderBy("wk").rowsBetween(-(MA_WEEKS - 1), 0)
+    d = dl.SPARK
+    return (
+        wk.withColumn("prev", F.lag("rev").over(w))
+        .withColumn("ma_sum", F.sum("rev").over(wma))
+        .withColumn("ma_n", F.count(F.lit(1)).over(wma))
+        .selectExpr(
+            "wk",
+            "n_orders",
+            f"{dl.round_ratio(d, 'rev', '100')} AS revenue",
+            "CASE WHEN prev IS NULL OR prev = 0 THEN NULL ELSE "
+            "round((CAST(rev AS DOUBLE) - prev) / prev * 100, 4) END AS wow_pct",
+            f"{dl.round_ratio(d, 'ma_sum', '(ma_n * 100)')} AS ma4_revenue",
+        )
+        .orderBy("wk")
+    )
+
+
+def _oracle_wow() -> str:
+    d = dl.DUCK
+    return f"""
+WITH wk AS (
+  SELECT (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 604800) AS wk,
+    count(*) AS n_orders,
+    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), win AS (
+  SELECT wk, n_orders, rev,
+    lag(rev) OVER (ORDER BY wk) AS prev,
+    sum(rev) OVER (ORDER BY wk ROWS BETWEEN {MA_WEEKS - 1} PRECEDING
+      AND CURRENT ROW) AS ma_sum,
+    count(*) OVER (ORDER BY wk ROWS BETWEEN {MA_WEEKS - 1} PRECEDING
+      AND CURRENT ROW) AS ma_n
+  FROM wk
+)
+SELECT wk, n_orders, {dl.round_ratio(d, 'rev', '100')} AS revenue,
+  CASE WHEN prev IS NULL OR prev = 0 THEN NULL ELSE
+    round((CAST(rev AS DOUBLE) - prev) / prev * 100, 4) END AS wow_pct,
+  {dl.round_ratio(d, 'ma_sum', '(ma_n * 100)')} AS ma4_revenue
+FROM win ORDER BY wk
+"""
+
+
 # ---------------------------------------------------------------- trimmed
 TRIM_PCT = 10  # trim/winsorize fraction per tail, in percent
 
@@ -3563,6 +3752,8 @@ QUERIES = {
     "stats_trimmed_means": stats_trimmed_means,
     "stats_mutual_information": stats_mutual_information,
     "events_hill_tail_index": events_hill_tail_index,
+    "stats_levene_bf": stats_levene_bf,
+    "orders_wow_revenue": orders_wow_revenue,
 }
 
 ORACLES = {
@@ -3602,4 +3793,6 @@ ORACLES = {
     "stats_trimmed_means": _oracle_trimmed(),
     "stats_mutual_information": _oracle_mutual_information(),
     "events_hill_tail_index": _oracle_hill(),
+    "stats_levene_bf": _oracle_levene(),
+    "orders_wow_revenue": _oracle_wow(),
 }

@@ -1758,11 +1758,74 @@ FROM scored GROUP BY 1 ORDER BY source
 """
 
 
+# ---------------------------------------------------------------- TTR/hapax
+def docs_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness profile per source: type-token ratio, hapax
+    legomena share (tokens seen exactly once), and dis legomena (seen
+    twice) — the corpus-linguistics health panel (a scraped slice full
+    of boilerplate shows LOW ttr + LOW hapax share; OCR noise or spam
+    shows abnormally HIGH hapax). Complements docs_jsd_drift (which
+    measures distribution distance, not richness) on the same grain.
+
+    Exact arithmetic: everything is counts of counts; ratios are
+    half-up integer round_ratio.
+
+    Scale: one (source, token) hash agg, then a source-grain re-agg —
+    per-source vocabulary bounded, nothing data-sized after the first
+    agg."""
+    from .dedup import tokenized_docs_staging  # shared tokenize-once staging
+
+    cells = (
+        tokenized_docs_staging(spark, sf_dir)
+        .select("source", F.explode("toks").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d = dl.SPARK
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum((F.col("c") == 1).cast("long")).alias("hapax"),
+            F.sum((F.col("c") == 2).cast("long")).alias("dis"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            "dis",
+            f"{dl.round_ratio(d, 'vocab', 'n_tokens')} AS ttr",
+            f"{dl.round_ratio(d, 'hapax', 'vocab')} AS hapax_share",
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_ttr_hapax() -> str:
+    d = dl.DUCK
+    return f"""
+WITH cells AS (
+  SELECT source, w, count(*) AS c FROM (
+    SELECT source, {dl.unnest(d, dl.split_ws(d, 'text'))} AS w FROM documents
+  ) GROUP BY 1, 2
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+  {dl.round_ratio(d, 'count(*)', 'sum(c)')} AS ttr,
+  {dl.round_ratio(d, 'sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)', 'count(*)')} AS hapax_share
+FROM cells GROUP BY 1 ORDER BY source
+"""
+
+
 QUERIES = {
     "textstats_rake_keyphrases": textstats_rake_keyphrases,
     "textstats_burstiness": textstats_burstiness,
     "textstats_collocation_pmi": textstats_collocation_pmi,
     "docs_jsd_drift": docs_jsd_drift,
+    "docs_ttr_hapax": docs_ttr_hapax,
     "docs_vocab_coverage_curve": docs_vocab_coverage_curve,
     "docs_heavy_hitters": docs_heavy_hitters,
     "docs_ngram_novelty": docs_ngram_novelty,
@@ -1791,6 +1854,7 @@ ORACLES = {
     "textstats_burstiness": _oracle_burstiness(),
     "textstats_collocation_pmi": _oracle_collocation_pmi(),
     "docs_jsd_drift": _oracle_jsd_drift(),
+    "docs_ttr_hapax": _oracle_ttr_hapax(),
     "docs_vocab_coverage_curve": _oracle_coverage_curve(),
     "docs_heavy_hitters": _oracle_heavy_hitters(),
     "docs_ngram_novelty": _oracle_ngram_novelty(),

@@ -392,3 +392,83 @@ def test_knn_calibration_consistency(spark):
         assert abs(r["confidence"] - r["votes_top"] / KNN_K) < 1e-9
         assert abs(r["accuracy"] - round(r["n_correct"] / r["n_queries"], 4)) < 2e-4
         assert abs(r["calib_gap"] - round(r["accuracy"] - r["confidence"], 4)) < 2e-4
+
+
+def test_levene_bf_matches_direct(spark):
+    """bf_stat equals a direct Brown-Forsythe computation (ANOVA F over
+    |x - group median| deviations) from the raw rows; medians use the
+    lower+upper order-statistic convention (2x-scaled integer med2)."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        stats_levene_bf,
+    )
+
+    pdf = _events_pdf()
+    got = {r["event_type"]: r for r in stats_levene_bf(spark, SF).collect()}
+    for etype, sub in pdf.groupby("event_type"):
+        devs = []
+        for _, g in sub.groupby("dow"):
+            v = np.sort(g["cents"].to_numpy(dtype=np.int64))
+            n = len(v)
+            med2 = v[(n + 1) // 2 - 1] + v[(n + 2) // 2 - 1]
+            devs.append(np.abs(2 * v - med2).astype(np.float64))
+        grand = np.concatenate(devs).mean()
+        ssb = sum(len(d_) * (d_.mean() - grand) ** 2 for d_ in devs)
+        ssw = sum(((d_ - d_.mean()) ** 2).sum() for d_ in devs)
+        k = len(devs)
+        n = sum(len(d_) for d_ in devs)
+        ref = (ssb / (k - 1)) / (ssw / (n - k))
+        row = got[etype]
+        assert row["k_groups"] == k and row["n"] == n
+        assert abs(row["bf_stat"] - ref) < 5e-4, (etype, row["bf_stat"], ref)
+
+
+def test_wow_revenue_matches_pandas(spark):
+    """Weekly sums, WoW%, and the trailing MA4 match a direct pandas
+    resample over the same epoch-week buckets."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        orders_wow_revenue,
+    )
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    secs = o["o_orderdate"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    o = o.assign(wk=secs // 604800, cents=np.round(o["o_totalprice"] * 100).astype("int64"))
+    byw = o.groupby("wk").agg(n=("wk", "size"), rev=("cents", "sum")).sort_index()
+    rows = orders_wow_revenue(spark, SF).collect()
+    assert len(rows) == len(byw)
+    prev = None
+    ma: list[int] = []
+    for r, (wk, ref) in zip(rows, byw.iterrows()):
+        assert r["wk"] == wk and r["n_orders"] == ref["n"]
+        assert abs(r["revenue"] - ref["rev"] / 100) < 1e-4
+        if prev is None:
+            assert r["wow_pct"] is None
+        else:
+            assert abs(r["wow_pct"] - (ref["rev"] - prev) / prev * 100) < 5e-4
+        ma = (ma + [ref["rev"]])[-4:]
+        assert abs(r["ma4_revenue"] - sum(ma) / len(ma) / 100) < 1e-4
+        prev = ref["rev"]
+
+
+def test_ttr_hapax_matches_counters(spark):
+    """Vocab / hapax / dis counts match direct Counters per source."""
+    from collections import Counter
+
+    from realtime_twitter_trends_analytics_spark.operators.textstats import (
+        docs_ttr_hapax,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    got = {r["source"]: r for r in docs_ttr_hapax(spark, SF).collect()}
+    for src, sub in docs.groupby("source"):
+        c: Counter = Counter()
+        for t in sub["text"]:
+            c.update(t.split(" "))
+        row = got[src]
+        n_tok = sum(c.values())
+        hapax = sum(1 for v in c.values() if v == 1)
+        assert row["n_tokens"] == n_tok
+        assert row["vocab"] == len(c)
+        assert row["hapax"] == hapax
+        assert row["dis"] == sum(1 for v in c.values() if v == 2)
+        assert abs(row["ttr"] - len(c) / n_tok) < 1e-4
+        assert abs(row["hapax_share"] - hapax / len(c)) < 1e-4
