@@ -217,6 +217,8 @@ HEADLINE = [
     "stats_levene_bf",
     "orders_wow_revenue",
     "docs_ttr_hapax",
+    "lineitem_leadtime_percentiles",
+    "events_slo_burn",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

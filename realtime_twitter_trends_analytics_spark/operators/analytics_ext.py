@@ -3616,6 +3616,182 @@ FROM win ORDER BY wk
 """
 
 
+# ---------------------------------------------------------------- SLA pctiles
+LEAD_PCTS = (50, 90, 99)  # the SLA ladder
+
+
+def lineitem_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time SLA ladder per return flag: EXACT p50 /
+    p90 / p99 (plus max) of days between o_orderdate and l_shipdate —
+    the fulfillment-latency readout an ops dashboard pins, done with
+    exact order statistics (the "lower" convention: value at position
+    ceil(q*n/100)) so the tail numbers are auditable, unlike
+    interpolated approximations.
+
+    Determinism: lead days are exact integers (epoch-day subtraction);
+    each percentile is the unique value-domain cell spanning its
+    position — pure BIGINT interval arithmetic (the stats_trimmed_means
+    machinery), no per-row rank, no tie ambiguity.
+
+    Scale: the lineitem ⋈ orders equi-join (the TPC-H co-partition
+    shape, bucketable on orderkey), then a (flag, lead_day) hash agg —
+    value-domain grain per flag (lead times are calendar-bounded);
+    windows partition by flag over that domain. The exact form IS the
+    production form here because the value domain is tiny; for
+    unbounded-domain metrics the approx_percentile twin applies
+    (percentiles_approx_prod)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    base = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_returnflag",
+        F.expr(
+            "unix_timestamp(l_shipdate) DIV 86400 - "
+            "unix_timestamp(o_orderdate) DIV 86400"
+        ).alias("ld"),
+    )
+    per = base.groupBy("l_returnflag", "ld").agg(F.count(F.lit(1)).alias("cnt"))
+    wt = (
+        W.partitionBy("l_returnflag")
+        .orderBy("ld")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cells = per.withColumn(
+        "cumb", F.coalesce(F.sum("cnt").over(wt), F.lit(0))
+    ).withColumn("n", F.sum("cnt").over(W.partitionBy("l_returnflag")))
+    aggs = [F.max("n").alias("n")]
+    for q in LEAD_PCTS:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cumb") + F.col("cnt")
+                    >= F.expr(f"({q} * n + 99) DIV 100"),
+                    F.col("ld"),
+                )
+            ).alias(f"p{q}_days")
+        )
+    aggs.append(F.max("ld").alias("max_days"))
+    return (
+        cells.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
+    )
+
+
+def _oracle_leadtime() -> str:
+    pct_cols = ",\n  ".join(
+        f"min(CASE WHEN cumb + cnt >= (({q} * n + 99) // 100) THEN ld END) "
+        f"AS p{q}_days"
+        for q in LEAD_PCTS
+    )
+    return f"""
+WITH base AS (
+  SELECT l_returnflag,
+    (CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400)
+      - (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS ld
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per AS (
+  SELECT l_returnflag, ld, count(*) AS cnt FROM base GROUP BY 1, 2
+), cells AS (
+  SELECT l_returnflag, ld, cnt,
+    coalesce(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY ld
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM per
+)
+SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+  {pct_cols},
+  max(ld) AS max_days
+FROM cells GROUP BY 1 ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------- SLO burn
+SLO_ERR_BUDGET_PCT = 1   # SLO: at most 1% error events
+BURN_FAST_X10 = 144      # fast-window alert threshold, burn x10 (14.4)
+BURN_SLOW_X10 = 60       # slow-window alert threshold, burn x10 (6.0)
+
+
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate report (the Google SRE workbook
+    alerting policy): per day, the 24h error-budget burn rate
+    (error_rate / 1% budget) and how many of that day's hours ALSO
+    exceeded the fast-window threshold — the page fires on fast AND
+    slow together, which this report reconstructs after the fact. The
+    streaming twin is the same two aggs under a sliding watermark
+    window; batch form is the auditable backfill.
+
+    Exact arithmetic: burn thresholds compare as pure integers
+    (10 * 100 * errors >= threshold_x10 * n); displayed burns are
+    half-up integer round_ratio of (100 * errors) / n.
+
+    Scale: one (day, hour) hash agg, one day-grain re-agg — calendar
+    bounded after the first agg."""
+    e = load_table(spark, sf_dir, "events")
+    hours = (
+        e.select(
+            F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
+            F.expr("(unix_timestamp(ts) DIV 3600) % 24").alias("hour"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("day", "hour")
+        .agg(F.count(F.lit(1)).alias("n_h"), F.sum("is_err").alias("err_h"))
+    )
+    d = dl.SPARK
+    days = (
+        hours.groupBy("day")
+        .agg(
+            F.sum("n_h").alias("n"),
+            F.sum("err_h").alias("err"),
+            F.sum(
+                (
+                    F.lit(10 * 100) * F.col("err_h")
+                    >= F.lit(BURN_FAST_X10) * F.col("n_h")
+                ).cast("long")
+            ).alias("fast_hours"),
+        )
+        .withColumn(
+            "slow_alert",
+            (
+                F.lit(10 * 100) * F.col("err") >= F.lit(BURN_SLOW_X10) * F.col("n")
+            ).cast("int"),
+        )
+    )
+    return days.selectExpr(
+        "day",
+        "n AS n_events",
+        "err AS n_errors",
+        f"{dl.round_ratio(d, '(100 * err)', 'n')} AS burn_24h",
+        "fast_hours",
+        "slow_alert",
+        "CAST(CASE WHEN slow_alert = 1 AND fast_hours > 0 THEN 1 ELSE 0 END "
+        "AS INT) AS page",
+    ).orderBy("day")
+
+
+def _oracle_slo_burn() -> str:
+    d = dl.DUCK
+    return f"""
+WITH hours AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+    ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24) AS hour,
+    count(*) AS n_h,
+    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err_h
+  FROM events GROUP BY 1, 2
+), days AS (
+  SELECT day, sum(n_h) AS n, sum(err_h) AS err,
+    sum(CASE WHEN 1000 * err_h >= {BURN_FAST_X10} * n_h THEN 1 ELSE 0 END)
+      AS fast_hours
+  FROM hours GROUP BY 1
+)
+SELECT day, CAST(n AS BIGINT) AS n_events, CAST(err AS BIGINT) AS n_errors,
+  {dl.round_ratio(d, '(100 * err)', 'n')} AS burn_24h,
+  CAST(fast_hours AS BIGINT) AS fast_hours,
+  CAST(CASE WHEN 1000 * err >= {BURN_SLOW_X10} * n THEN 1 ELSE 0 END AS INT)
+    AS slow_alert,
+  CAST(CASE WHEN 1000 * err >= {BURN_SLOW_X10} * n AND fast_hours > 0
+    THEN 1 ELSE 0 END AS INT) AS page
+FROM days ORDER BY day
+"""
+
+
 # ---------------------------------------------------------------- trimmed
 TRIM_PCT = 10  # trim/winsorize fraction per tail, in percent
 
@@ -3754,6 +3930,8 @@ QUERIES = {
     "events_hill_tail_index": events_hill_tail_index,
     "stats_levene_bf": stats_levene_bf,
     "orders_wow_revenue": orders_wow_revenue,
+    "lineitem_leadtime_percentiles": lineitem_leadtime_percentiles,
+    "events_slo_burn": events_slo_burn,
 }
 
 ORACLES = {
@@ -3795,4 +3973,6 @@ ORACLES = {
     "events_hill_tail_index": _oracle_hill(),
     "stats_levene_bf": _oracle_levene(),
     "orders_wow_revenue": _oracle_wow(),
+    "lineitem_leadtime_percentiles": _oracle_leadtime(),
+    "events_slo_burn": _oracle_slo_burn(),
 }

@@ -472,3 +472,62 @@ def test_ttr_hapax_matches_counters(spark):
         assert row["dis"] == sum(1 for v in c.values() if v == 2)
         assert abs(row["ttr"] - len(c) / n_tok) < 1e-4
         assert abs(row["hapax_share"] - hapax / len(c)) < 1e-4
+
+
+def test_leadtime_percentiles_match_numpy_order_stats(spark):
+    """Each pXX equals the value at position ceil(q*n/100) of the
+    independently sorted lead-day array per flag."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        LEAD_PCTS,
+        lineitem_leadtime_percentiles,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+
+    def days(col):
+        return col.astype("datetime64[ns]").astype("int64") // (
+            1_000_000_000 * 86400
+        )
+
+    j = j.assign(ld=days(j["l_shipdate"]) - days(j["o_orderdate"]))
+    got = {
+        r["l_returnflag"]: r
+        for r in lineitem_leadtime_percentiles(spark, SF).collect()
+    }
+    for flag, sub in j.groupby("l_returnflag"):
+        v = np.sort(sub["ld"].to_numpy())
+        n = len(v)
+        row = got[flag]
+        assert row["n"] == n and row["max_days"] == v[-1]
+        for q in LEAD_PCTS:
+            pos = -(-q * n // 100)  # ceil
+            assert row[f"p{q}_days"] == v[pos - 1], (flag, q)
+
+
+def test_slo_burn_matches_direct(spark):
+    """Burn rates and the multi-window page flag match a direct pandas
+    recomputation under the documented thresholds."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        BURN_FAST_X10,
+        BURN_SLOW_X10,
+        events_slo_burn,
+    )
+
+    pdf = _events_pdf()
+    ts = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    pdf = pdf.assign(day=ts // 86400, hour=(ts // 3600) % 24,
+                     is_err=(pdf["event_type"] == "error").astype(int))
+    got = {r["day"]: r for r in events_slo_burn(spark, SF).collect()}
+    for day, sub in pdf.groupby("day"):
+        n, err = len(sub), sub["is_err"].sum()
+        hourly = sub.groupby("hour").agg(nh=("is_err", "size"), eh=("is_err", "sum"))
+        fast = int((1000 * hourly["eh"] >= BURN_FAST_X10 * hourly["nh"]).sum())
+        slow = int(1000 * err >= BURN_SLOW_X10 * n)
+        row = got[day]
+        assert row["n_events"] == n and row["n_errors"] == err
+        assert abs(row["burn_24h"] - round(100 * err / n, 4)) < 2e-4
+        assert row["fast_hours"] == fast
+        assert row["slow_alert"] == slow
+        assert row["page"] == int(slow and fast > 0)
