@@ -219,6 +219,10 @@ HEADLINE = [
     "docs_ttr_hapax",
     "lineitem_leadtime_percentiles",
     "events_slo_burn",
+    "stats_two_proportion_ztest",
+    "events_growth_accounting",
+    "events_cuped_adjustment",
+    "ml_auc_roc",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

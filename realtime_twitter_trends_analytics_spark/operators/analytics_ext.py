@@ -3792,6 +3792,402 @@ FROM days ORDER BY day
 """
 
 
+# ---------------------------------------------------------------- 2-prop z
+PROP_SUCCESS_CENTS = 10_000  # "conversion" = event value >= $100
+
+
+def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event_type between the sticky md5-nibble
+    A/B variants (the events_ab_test_lift assignment): success =
+    value >= $100, z = (pa - pb) / sqrt(p_pool (1-p_pool) (1/na + 1/nb)).
+    Completes the experiment-readout family on the RATE axis (t/Welch =
+    means, KS = distribution, U = location, this = conversion rates —
+    the metric most A/B dashboards actually ship).
+
+    Exact arithmetic: na/xa/nb/xb are exact BIGINTs from one hash agg;
+    rates are half-up integer round_ratio; z is one shared IEEE
+    expression over the four integers (the ks_lambda convention), with
+    the degenerate pooled-rate-0-or-1 slice returning 0.0 via the
+    CASE-guard convention.
+
+    Scale: one (type, variant) hash agg; 2-row pivot per type."""
+    e = load_table(spark, sf_dir, "events")
+    nib = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(user_id AS STRING)"))
+    base = e.select(
+        "event_type",
+        F.when(nib < 8, "A").otherwise("B").alias("variant"),
+        (
+            F.expr("CAST(round(value * 100) AS BIGINT)") >= PROP_SUCCESS_CENTS
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    g = base.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("s").alias("x")
+    )
+    piv = (
+        g.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+            F.sum(F.when(F.col("variant") == "A", F.col("x"))).alias("xa"),
+            F.sum(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+            F.sum(F.when(F.col("variant") == "B", F.col("x"))).alias("xb"),
+        )
+        .filter(F.col("na").isNotNull() & F.col("nb").isNotNull())
+    )
+    d = dl.SPARK
+    pp = "(CAST(xa + xb AS DOUBLE) / (na + nb))"
+    z = (
+        f"((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb) "
+        f"/ sqrt({pp} * (1.0 - {pp}) * (1.0 / na + 1.0 / nb)))"
+    )
+    return piv.selectExpr(
+        "event_type",
+        "na",
+        "xa",
+        "nb",
+        "xb",
+        f"{dl.round_ratio(d, 'xa', 'na')} AS rate_a",
+        f"{dl.round_ratio(d, 'xb', 'nb')} AS rate_b",
+        f"CASE WHEN xa + xb = 0 OR xa + xb = na + nb THEN 0.0 "
+        f"ELSE round({z}, 4) END AS z_stat",
+    ).orderBy("event_type")
+
+
+def _oracle_two_prop() -> str:
+    d = dl.DUCK
+    nib = dl.md5_prefix_nibble(d, "CAST(user_id AS VARCHAR)")
+    pp = "(CAST(xa + xb AS DOUBLE) / (na + nb))"
+    z = (
+        f"((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb) "
+        f"/ sqrt({pp} * (1.0 - {pp}) * (1.0 / na + 1.0 / nb)))"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type,
+    CASE WHEN {nib} < 8 THEN 'A' ELSE 'B' END AS variant,
+    CASE WHEN CAST(round(value * 100) AS BIGINT) >= {PROP_SUCCESS_CENTS}
+      THEN 1 ELSE 0 END AS s
+  FROM events
+), g AS (
+  SELECT event_type, variant, count(*) AS n, sum(s) AS x
+  FROM base GROUP BY 1, 2
+), piv AS (
+  SELECT event_type,
+    sum(CASE WHEN variant = 'A' THEN n END) AS na,
+    sum(CASE WHEN variant = 'A' THEN x END) AS xa,
+    sum(CASE WHEN variant = 'B' THEN n END) AS nb,
+    sum(CASE WHEN variant = 'B' THEN x END) AS xb
+  FROM g GROUP BY 1
+  HAVING sum(CASE WHEN variant = 'A' THEN n END) IS NOT NULL
+     AND sum(CASE WHEN variant = 'B' THEN n END) IS NOT NULL
+)
+SELECT event_type, CAST(na AS BIGINT) AS na, CAST(xa AS BIGINT) AS xa,
+  CAST(nb AS BIGINT) AS nb, CAST(xb AS BIGINT) AS xb,
+  {dl.round_ratio(d, 'xa', 'na')} AS rate_a,
+  {dl.round_ratio(d, 'xb', 'nb')} AS rate_b,
+  CASE WHEN xa + xb = 0 OR xa + xb = na + nb THEN 0.0
+  ELSE round({z}, 4) END AS z_stat
+FROM piv ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------- growth acct
+RESURRECT_GAP_DAYS = 7  # absence longer than this = "resurrected", not "returning"
+
+
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (the Social Capital framework): split each
+    day's active users into NEW (first day ever), RESURRECTED (returning
+    after > RESURRECT_GAP_DAYS of absence), and RETURNING — the
+    product-health decomposition behind "is growth new users or
+    retention". Exact set arithmetic on the (user, day) activity grain.
+
+    Plan: one (user, day) distinct agg; first-seen day and the previous
+    active day come from ONE window pass partitioned BY USER over that
+    reduced grain (never event-sized, the events_gaps_islands
+    discipline); then a day-grain re-agg. At 100 TB the user-day grain
+    is the standard growth-accounting input and every step is keyed.
+
+    Exact: all counts are integers; rates are half-up round_ratio."""
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id", F.expr("unix_timestamp(ts) DIV 86400").alias("day")
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    marked = ud.select(
+        "user_id",
+        "day",
+        F.min("day").over(W.partitionBy("user_id")).alias("first_day"),
+        F.lag("day").over(w).alias("prev_day"),
+    ).selectExpr(
+        "day",
+        "CASE WHEN day = first_day THEN 'new' "
+        f"WHEN day - prev_day > {RESURRECT_GAP_DAYS} THEN 'resurrected' "
+        "ELSE 'returning' END AS status",
+    )
+    d = dl.SPARK
+    return (
+        marked.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum((F.col("status") == "new").cast("long")).alias("n_new"),
+            F.sum((F.col("status") == "returning").cast("long")).alias(
+                "n_returning"
+            ),
+            F.sum((F.col("status") == "resurrected").cast("long")).alias(
+                "n_resurrected"
+            ),
+        )
+        .selectExpr(
+            "day",
+            "n_active",
+            "n_new",
+            "n_returning",
+            "n_resurrected",
+            f"{dl.round_ratio(d, 'n_returning', 'n_active')} AS returning_share",
+        )
+        .orderBy("day")
+    )
+
+
+def _oracle_growth() -> str:
+    d = dl.DUCK
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+  FROM events
+), marked AS (
+  SELECT day,
+    CASE WHEN day = min(day) OVER (PARTITION BY user_id) THEN 'new'
+      WHEN day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+        > {RESURRECT_GAP_DAYS} THEN 'resurrected'
+      ELSE 'returning' END AS status
+  FROM ud
+)
+SELECT day, count(*) AS n_active,
+  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  CAST(sum(CASE WHEN status = 'returning' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_returning,
+  CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_resurrected,
+  {dl.round_ratio(d, "sum(CASE WHEN status = 'returning' THEN 1 ELSE 0 END)", 'count(*)')}
+    AS returning_share
+FROM marked GROUP BY 1 ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------- CUPED
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al. 2013):
+    the experiment window is the data's second half; each user's
+    FIRST-half spend is the pre-experiment covariate;
+    y_adj = y - theta (x - mean x) with theta = cov(x,y)/var(x) pooled
+    across variants. The op every mature experimentation platform runs
+    before the t-test — same decision, tighter intervals. Output: per
+    variant, the raw and CUPED-adjusted mean outcome, plus the pooled
+    rho^2 (the variance fraction CUPED removes).
+
+    Determinism: the mid-experiment split day derives from the data
+    (min/max epoch day, half-open integer midpoint) on a 1-row
+    broadcast; per-user x/y are exact cents sums; Sx/Sy/Sxy/Sxx/Syy are
+    exact BIGINTs over the USER grain (overflow: sum of x*y products
+    fits BIGINT to ~1e5-cent users x 1e9 users; past that promote to
+    DECIMAL(38,0)); theta and the adjusted means are one shared IEEE
+    expression over those integers (ks_lambda convention).
+
+    Scale: one user-grain hash agg, a 1-row pooled-stats broadcast, a
+    2-row variant agg. Nothing downstream of the first agg is
+    data-sized."""
+    e = load_table(spark, sf_dir, "events")
+    nib = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(user_id AS STRING)"))
+    days = e.select(F.expr("unix_timestamp(ts) DIV 86400").alias("day"))
+    mid = days.groupBy().agg(
+        F.expr("(min(day) + max(day) + 1) DIV 2").alias("mid")
+    )
+    base = e.select(
+        "user_id",
+        nib.alias("nb"),
+        F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    users = (
+        base.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("nb") < 8, "A").otherwise("B")).alias("variant"),
+            F.sum(F.when(F.col("day") < F.col("mid"), F.col("cents")).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("day") >= F.col("mid"), F.col("cents")).otherwise(0)).alias("y"),
+        )
+    )
+    pooled = users.groupBy().agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cx = "(CAST(nt AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    vx = "(CAST(nt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    vy = "(CAST(nt AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    theta = f"(CASE WHEN {vx} <= 0 THEN 0.0 ELSE {cx} / {vx} END)"
+    rho2 = (
+        f"(CASE WHEN {vx} <= 0 OR {vy} <= 0 THEN 0.0 "
+        f"ELSE {cx} / {vx} * ({cx} / {vy}) END)"
+    )
+    per_var = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("svx"),
+        F.sum("y").alias("svy"),
+    )
+    out = per_var.crossJoin(F.broadcast(pooled))
+    adj = (
+        f"(CAST(svy AS DOUBLE) / n - {theta} * "
+        f"(CAST(svx AS DOUBLE) / n - CAST(sx AS DOUBLE) / nt))"
+    )
+    return out.selectExpr(
+        "variant",
+        "n",
+        "round(CAST(svy AS DOUBLE) / n / 100, 4) AS mean_spend",
+        f"round({adj} / 100, 4) AS mean_spend_cuped",
+        f"round({rho2}, 4) AS pooled_rho2",
+    ).orderBy("variant")
+
+
+def _oracle_cuped() -> str:
+    d = dl.DUCK
+    nib = dl.md5_prefix_nibble(d, "CAST(user_id AS VARCHAR)")
+    cx = "(CAST(nt AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    vx = "(CAST(nt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    vy = "(CAST(nt AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    theta = f"(CASE WHEN {vx} <= 0 THEN 0.0 ELSE {cx} / {vx} END)"
+    rho2 = (
+        f"(CASE WHEN {vx} <= 0 OR {vy} <= 0 THEN 0.0 "
+        f"ELSE {cx} / {vx} * ({cx} / {vy}) END)"
+    )
+    adj = (
+        f"(CAST(svy AS DOUBLE) / n - {theta} * "
+        f"(CAST(svx AS DOUBLE) / n - CAST(sx AS DOUBLE) / nt))"
+    )
+    return f"""
+WITH mid AS (
+  SELECT (min(day) + max(day) + 1) // 2 AS mid FROM (
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day FROM events
+  )
+), users AS (
+  SELECT user_id,
+    max(CASE WHEN {nib} < 8 THEN 'A' ELSE 'B' END) AS variant,
+    sum(CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT) // 86400) < mid
+      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+    sum(CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT) // 86400) >= mid
+      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+  FROM events CROSS JOIN mid
+  GROUP BY user_id
+), pooled AS (
+  SELECT count(*) AS nt, sum(x) AS sx, sum(y) AS sy,
+    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM users
+), per_var AS (
+  SELECT variant, count(*) AS n, sum(x) AS svx, sum(y) AS svy
+  FROM users GROUP BY 1
+)
+SELECT variant, n,
+  round(CAST(svy AS DOUBLE) / n / 100, 4) AS mean_spend,
+  round({adj} / 100, 4) AS mean_spend_cuped,
+  round({rho2}, 4) AS pooled_rho2
+FROM per_var CROSS JOIN pooled ORDER BY variant
+"""
+
+
+# ---------------------------------------------------------------- AUC
+AUC_POS_TYPE = "purchase"  # positive class for the value-score ROC
+
+
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC per day-of-week for the score "event value" against the
+    label "is a purchase" — the rank-sum identity AUC = (R_pos -
+    n_pos(n_pos+1)/2) / (n_pos n_neg) with tie-averaged ranks, i.e. the
+    Mann-Whitney U normalized to [0, 1], reported with the accuracy-
+    style Gini coefficient 2*AUC - 1. The standard model-eval readout
+    (here scoring a trivially-observable feature, which is the point:
+    the harness is the deliverable, the number profiles the data).
+
+    Exact arithmetic: the value domain carries (pos, neg) counts per
+    cell; tie-averaged DOUBLED ranks r2 = 2*cumb + cnt + 1 are exact
+    integers (stats_mannwhitney convention), so 2*R_pos = sum(cp * r2)
+    is exact and AUC = (2R_pos - 2*np*(np+1)/2) / (2*np*nn) is a
+    non-negative integer ratio -> half-up round_ratio. Gini derives on
+    the same 1e-4 grid (no re-rounding tie risk).
+
+    Scale: one (dow, cents) hash agg; windows partition by dow over the
+    value domain; 7-row output."""
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.select(
+            F.expr(ANOVA_DOW).alias("dow"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            (F.col("event_type") == AUC_POS_TYPE).cast("long").alias("p"),
+        )
+        .groupBy("dow", "cents")
+        .agg(F.sum("p").alias("cp"), F.sum(F.lit(1) - F.col("p")).alias("cn"))
+    )
+    wt = W.partitionBy("dow").orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    cells = per.withColumn(
+        "cumb",
+        F.coalesce(F.sum(F.col("cp") + F.col("cn")).over(wt), F.lit(0)),
+    ).withColumn("r2", 2 * F.col("cumb") + F.col("cp") + F.col("cn") + 1)
+    agg = (
+        cells.groupBy("dow")
+        .agg(
+            F.sum("cp").alias("np"),
+            F.sum("cn").alias("nn"),
+            F.sum(F.col("cp") * F.col("r2")).alias("r2p"),
+        )
+        .filter((F.col("np") > 0) & (F.col("nn") > 0))
+    )
+    d = dl.SPARK
+    auc = dl.round_ratio(d, "(r2p - np * (np + 1))", "(2 * np * nn)")
+    return agg.selectExpr(
+        "dow",
+        "np AS n_pos",
+        "nn AS n_neg",
+        f"{auc} AS auc",
+        f"round(2 * {auc} - 1, 4) AS gini",
+    ).orderBy("dow")
+
+
+def _oracle_auc() -> str:
+    d = dl.DUCK
+    auc = dl.round_ratio(d, "(r2p - np * (np + 1))", "(2 * np * nn)")
+    return f"""
+WITH per AS (
+  SELECT {ANOVA_DOW_DUCK} AS dow,
+    CAST(round(value * 100) AS BIGINT) AS cents,
+    sum(CASE WHEN event_type = '{AUC_POS_TYPE}' THEN 1 ELSE 0 END) AS cp,
+    sum(CASE WHEN event_type = '{AUC_POS_TYPE}' THEN 0 ELSE 1 END) AS cn
+  FROM events GROUP BY 1, 2
+), cells AS (
+  SELECT dow, cp, cn,
+    2 * coalesce(sum(cp + cn) OVER (PARTITION BY dow ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cp + cn + 1 AS r2
+  FROM per
+), agg AS (
+  SELECT dow, sum(cp) AS np, sum(cn) AS nn, sum(cp * r2) AS r2p
+  FROM cells GROUP BY 1
+  HAVING sum(cp) > 0 AND sum(cn) > 0
+)
+SELECT dow, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+  {auc} AS auc,
+  round(2 * {auc} - 1, 4) AS gini
+FROM agg ORDER BY dow
+"""
+
+
 # ---------------------------------------------------------------- trimmed
 TRIM_PCT = 10  # trim/winsorize fraction per tail, in percent
 
@@ -3932,6 +4328,10 @@ QUERIES = {
     "orders_wow_revenue": orders_wow_revenue,
     "lineitem_leadtime_percentiles": lineitem_leadtime_percentiles,
     "events_slo_burn": events_slo_burn,
+    "stats_two_proportion_ztest": stats_two_proportion_ztest,
+    "events_growth_accounting": events_growth_accounting,
+    "events_cuped_adjustment": events_cuped_adjustment,
+    "ml_auc_roc": ml_auc_roc,
 }
 
 ORACLES = {
@@ -3975,4 +4375,8 @@ ORACLES = {
     "orders_wow_revenue": _oracle_wow(),
     "lineitem_leadtime_percentiles": _oracle_leadtime(),
     "events_slo_burn": _oracle_slo_burn(),
+    "stats_two_proportion_ztest": _oracle_two_prop(),
+    "events_growth_accounting": _oracle_growth(),
+    "events_cuped_adjustment": _oracle_cuped(),
+    "ml_auc_roc": _oracle_auc(),
 }

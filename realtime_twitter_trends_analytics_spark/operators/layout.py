@@ -579,18 +579,19 @@ def _oracle_compaction() -> str:
 WITH files AS (
   SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
     ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24) AS hour,
-    sum(CAST(strlen(props) + 32 AS BIGINT)) AS file_bytes,  -- DuckDB byte length (octet_length is BLOB-only there)
+    CAST(sum(CAST(strlen(props) + 32 AS BIGINT)) AS BIGINT) AS file_bytes,  -- DuckDB byte length (octet_length is BLOB-only there); sum() widens to HUGEINT
     count(*) AS n_rows
   FROM events GROUP BY 1, 2
 ), planned AS (
   SELECT *,
-    (coalesce(sum(file_bytes) OVER (PARTITION BY day ORDER BY hour
+    CAST(coalesce(sum(file_bytes) OVER (PARTITION BY day ORDER BY hour
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      // {COMPACT_TARGET}) AS compact_group
+      // {COMPACT_TARGET} AS BIGINT) AS compact_group
   FROM files
 )
 SELECT day, hour, file_bytes, CAST(n_rows AS BIGINT) AS n_rows, compact_group,
-  sum(file_bytes) OVER (PARTITION BY day, compact_group) AS group_bytes,
+  CAST(sum(file_bytes) OVER (PARTITION BY day, compact_group) AS BIGINT)
+    AS group_bytes,
   count(*) OVER (PARTITION BY day, compact_group) AS group_files
 FROM planned ORDER BY day, hour
 """

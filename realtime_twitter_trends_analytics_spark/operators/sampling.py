@@ -314,7 +314,7 @@ WITH h AS (
   SELECT lang, doc_id FROM ranked CROSS JOIN m WHERE rnk <= m
 )
 SELECT k.lang, cls.n_class, count(*) AS n_kept,
-  sum(doc_id) AS kept_docid_sum,
+  CAST(sum(doc_id) AS BIGINT) AS kept_docid_sum,
   min(doc_id) AS kept_docid_min, max(doc_id) AS kept_docid_max
 FROM kept k
 JOIN (SELECT lang, count(*) AS n_class FROM h GROUP BY 1) cls ON cls.lang = k.lang

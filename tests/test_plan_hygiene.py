@@ -67,6 +67,10 @@ CARTESIAN_OK = {
     "sample_class_balance": "the 1-row min-class-size scalar rides a "
     "broadcast side against the per-class rank relation "
     "(scalar-aggregate pattern)",
+    "events_cuped_adjustment": "two 1-row scalars ride broadcast sides: "
+    "the mid-experiment split day against the event scan, and the pooled "
+    "covariance stats against the 2-row variant agg (scalar-aggregate "
+    "pattern)",
     "docs_cluster_keywords": "the corpus token total rides a 1-row "
     "broadcast side against the vocabulary-bounded (cell, token) grain "
     "(scalar-aggregate pattern); the only data-sized join is the "

@@ -531,3 +531,148 @@ def test_slo_burn_matches_direct(spark):
         assert row["fast_hours"] == fast
         assert row["slow_alert"] == slow
         assert row["page"] == int(slow and fast > 0)
+
+
+def test_two_proportion_ztest_matches_direct(spark):
+    """Counts and z match a direct pandas recomputation under the same
+    md5-nibble variant assignment and $100 success threshold."""
+    import hashlib
+
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        PROP_SUCCESS_CENTS,
+        stats_two_proportion_ztest,
+    )
+
+    pdf = _events_pdf()
+    pdf = pdf.assign(
+        variant=pdf["user_id"].map(
+            lambda u: "A"
+            if int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) < 8
+            else "B"
+        ),
+        s=(pdf["cents"] >= PROP_SUCCESS_CENTS).astype(int),
+    )
+    got = {r["event_type"]: r for r in stats_two_proportion_ztest(spark, SF).collect()}
+    for etype, sub in pdf.groupby("event_type"):
+        a, b = sub[sub["variant"] == "A"], sub[sub["variant"] == "B"]
+        na, xa, nb, xb = len(a), a["s"].sum(), len(b), b["s"].sum()
+        row = got[etype]
+        assert (row["na"], row["xa"], row["nb"], row["xb"]) == (na, xa, nb, xb)
+        pp = (xa + xb) / (na + nb)
+        ref = (xa / na - xb / nb) / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+        assert abs(row["z_stat"] - ref) < 5e-4, (etype, row["z_stat"], ref)
+
+
+def test_growth_accounting_partitions_actives(spark):
+    """new + returning + resurrected == active per day; statuses match a
+    direct per-user day-sequence walk; summed new users == total users."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        RESURRECT_GAP_DAYS,
+        events_growth_accounting,
+    )
+
+    pdf = _events_pdf()
+    ts = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    pdf = pdf.assign(day=ts // 86400)
+    ref: dict[int, dict[str, int]] = {}
+    for _, sub in pdf.groupby("user_id"):
+        days = sorted(sub["day"].unique())
+        prev = None
+        for i, dday in enumerate(days):
+            st = (
+                "new"
+                if i == 0
+                else ("resurrected" if dday - prev > RESURRECT_GAP_DAYS else "returning")
+            )
+            ref.setdefault(dday, {"new": 0, "returning": 0, "resurrected": 0})[st] += 1
+            prev = dday
+    rows = events_growth_accounting(spark, SF).collect()
+    assert {r["day"] for r in rows} == set(ref)
+    for r in rows:
+        e = ref[r["day"]]
+        assert r["n_new"] == e["new"]
+        assert r["n_returning"] == e["returning"]
+        assert r["n_resurrected"] == e["resurrected"]
+        assert r["n_active"] == sum(e.values())
+    assert sum(r["n_new"] for r in rows) == pdf["user_id"].nunique()
+
+
+def test_cuped_matches_direct_theta(spark):
+    """Adjusted means equal the textbook y_adj decomposition computed in
+    pandas under the same split day and covariate; pooled rho2 equals
+    the squared pooled correlation."""
+    import hashlib
+
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        events_cuped_adjustment,
+    )
+
+    pdf = _events_pdf()
+    ts = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    pdf = pdf.assign(day=ts // 86400)
+    mid = (pdf["day"].min() + pdf["day"].max() + 1) // 2
+    u = pdf.groupby("user_id").apply(
+        lambda g: pd.Series(
+            {
+                "x": g.loc[g["day"] < mid, "cents"].sum(),
+                "y": g.loc[g["day"] >= mid, "cents"].sum(),
+            }
+        ),
+        include_groups=False,
+    )
+    u = u.assign(
+        variant=[
+            "A" if int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) < 8 else "B"
+            for i in u.index
+        ]
+    )
+    x, y = u["x"].to_numpy(np.float64), u["y"].to_numpy(np.float64)
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    got = {r["variant"]: r for r in events_cuped_adjustment(spark, SF).collect()}
+    for v in ("A", "B"):
+        sub = u[u["variant"] == v]
+        raw = sub["y"].mean() / 100
+        adj = (sub["y"].mean() - theta * (sub["x"].mean() - x.mean())) / 100
+        row = got[v]
+        assert row["n"] == len(sub)
+        assert abs(row["mean_spend"] - raw) < 1e-3
+        assert abs(row["mean_spend_cuped"] - adj) < 1e-3, (v, row, adj)
+        assert abs(row["pooled_rho2"] - rho2) < 1e-3
+    # CUPED moves both variants by a common-theta shift; the adjusted
+    # estimator must preserve the pooled mean up to weighting error
+    na, nb = got["A"]["n"], got["B"]["n"]
+    pooled_raw = (got["A"]["mean_spend"] * na + got["B"]["mean_spend"] * nb) / (na + nb)
+    pooled_adj = (
+        got["A"]["mean_spend_cuped"] * na + got["B"]["mean_spend_cuped"] * nb
+    ) / (na + nb)
+    assert abs(pooled_raw - pooled_adj) < 1e-3
+
+
+def test_auc_matches_sklearn_style_reference(spark):
+    """AUC equals the probability a random positive outranks a random
+    negative (ties = 1/2), computed directly per dow."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        AUC_POS_TYPE,
+        ml_auc_roc,
+    )
+
+    pdf = _events_pdf()
+    got = {r["dow"]: r for r in ml_auc_roc(spark, SF).collect()}
+    for dow, sub in pdf.groupby("dow"):
+        pos = np.sort(sub.loc[sub["event_type"] == AUC_POS_TYPE, "cents"].to_numpy())
+        neg = np.sort(sub.loc[sub["event_type"] != AUC_POS_TYPE, "cents"].to_numpy())
+        if len(pos) == 0 or len(neg) == 0:
+            assert dow not in got
+            continue
+        # P(pos > neg) + 0.5 P(pos == neg) via searchsorted
+        wins = np.searchsorted(neg, pos, side="left").sum()
+        ties = (
+            np.searchsorted(neg, pos, side="right")
+            - np.searchsorted(neg, pos, side="left")
+        ).sum()
+        ref = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        row = got[dow]
+        assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+        assert abs(row["auc"] - ref) < 2e-4, (dow, row["auc"], ref)
+        assert abs(row["gini"] - (2 * row["auc"] - 1)) < 1e-9
