@@ -223,6 +223,8 @@ HEADLINE = [
     "events_growth_accounting",
     "events_cuped_adjustment",
     "ml_auc_roc",
+    "stats_power_mde",
+    "orders_reorder_intervals",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -4188,6 +4188,182 @@ FROM agg ORDER BY dow
 """
 
 
+# ---------------------------------------------------------------- MDE
+Z_ALPHA = "1.959964"  # two-sided 5%
+Z_POWER = "0.841621"  # 80% power
+
+
+def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect per event_type for the running A/B
+    design (the experiment-PLANNING readout that belongs next to the
+    t/z/U tests): with the current group sizes and variances, the
+    smallest true mean shift a 5%-two-sided / 80%-power test would
+    detect — MDE = (z_a + z_b) * sqrt(va/na + vb/nb). The number a
+    platform shows before anyone runs the experiment ("you can detect
+    a $0.80 shift; your hoped-for $0.20 needs 16x the traffic").
+
+    Exact arithmetic: per-variant n/s1/s2 are exact cents BIGINTs; the
+    sample variances and the MDE are one shared IEEE expression over
+    them (ks_lambda convention) with the textbook z constants as
+    literal text in both engines. n >= 2 both sides, mirroring
+    events_ab_test_lift's degenerate-slice contract.
+
+    Scale: one (type, variant) hash agg; 2-row pivot per type."""
+    e = load_table(spark, sf_dir, "events")
+    nib = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(user_id AS STRING)"))
+    g = (
+        e.select(
+            "event_type",
+            F.when(nib < 8, "A").otherwise("B").alias("v"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        )
+    )
+    piv = (
+        g.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("v") == "A", F.col("n"))).alias("na"),
+            F.sum(F.when(F.col("v") == "A", F.col("s1"))).alias("s1a"),
+            F.sum(F.when(F.col("v") == "A", F.col("s2"))).alias("s2a"),
+            F.sum(F.when(F.col("v") == "B", F.col("n"))).alias("nb"),
+            F.sum(F.when(F.col("v") == "B", F.col("s1"))).alias("s1b"),
+            F.sum(F.when(F.col("v") == "B", F.col("s2"))).alias("s2b"),
+        )
+        .filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    def var(n: str, s1: str, s2: str) -> str:
+        return (
+            f"((CAST({n} AS DOUBLE) * {s2} - CAST({s1} AS DOUBLE) * {s1}) "
+            f"/ (CAST({n} AS DOUBLE) * ({n} - 1)))"
+        )
+    mde = (
+        f"(({Z_ALPHA} + {Z_POWER}) * sqrt({var('na', 's1a', 's2a')} / na "
+        f"+ {var('nb', 's1b', 's2b')} / nb))"
+    )
+    return piv.selectExpr(
+        "event_type",
+        "na",
+        "nb",
+        "round(CAST(s1a AS DOUBLE) / na / 100, 4) AS mean_a",
+        f"round({mde} / 100, 4) AS mde_dollars",
+        f"CASE WHEN s1a = 0 THEN 0.0 ELSE "
+        f"round({mde} / (CAST(s1a AS DOUBLE) / na) * 100, 4) END AS mde_pct",
+    ).orderBy("event_type")
+
+
+def _oracle_mde() -> str:
+    d = dl.DUCK
+    nib = dl.md5_prefix_nibble(d, "CAST(user_id AS VARCHAR)")
+
+    def var(n: str, s1: str, s2: str) -> str:
+        return (
+            f"((CAST({n} AS DOUBLE) * {s2} - CAST({s1} AS DOUBLE) * {s1}) "
+            f"/ (CAST({n} AS DOUBLE) * ({n} - 1)))"
+        )
+
+    mde = (
+        f"(({Z_ALPHA} + {Z_POWER}) * sqrt({var('na', 's1a', 's2a')} / na "
+        f"+ {var('nb', 's1b', 's2b')} / nb))"
+    )
+    return f"""
+WITH g AS (
+  SELECT event_type,
+    CASE WHEN {nib} < 8 THEN 'A' ELSE 'B' END AS v,
+    count(*) AS n,
+    sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+    sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS s2
+  FROM events GROUP BY 1, 2
+), piv AS (
+  SELECT event_type,
+    sum(CASE WHEN v = 'A' THEN n END) AS na,
+    sum(CASE WHEN v = 'A' THEN s1 END) AS s1a,
+    sum(CASE WHEN v = 'A' THEN s2 END) AS s2a,
+    sum(CASE WHEN v = 'B' THEN n END) AS nb,
+    sum(CASE WHEN v = 'B' THEN s1 END) AS s1b,
+    sum(CASE WHEN v = 'B' THEN s2 END) AS s2b
+  FROM g GROUP BY 1
+  HAVING sum(CASE WHEN v = 'A' THEN n END) >= 2
+     AND sum(CASE WHEN v = 'B' THEN n END) >= 2
+)
+SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+  round(CAST(s1a AS DOUBLE) / na / 100, 4) AS mean_a,
+  round({mde} / 100, 4) AS mde_dollars,
+  CASE WHEN s1a = 0 THEN 0.0 ELSE
+    round({mde} / (CAST(s1a AS DOUBLE) / na) * 100, 4) END AS mde_pct
+FROM piv ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------- reorder gaps
+REORDER_BUCKET_DAYS = 30  # interval histogram granularity
+
+
+def orders_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase-time distribution: days between a customer's
+    consecutive orders, bucketed into 30-day bands, with each band's
+    share of all gaps — the repeat-purchase cadence readout CRM and
+    inventory planning read (and the empirical input to "expected time
+    to next order" models).
+
+    Plan: one lag window partitioned BY CUSTOMER over (customer, day)
+    rows (never order-file-sized partitions; per-customer order counts
+    are bounded), then a band-grain hash agg; the total rides a window
+    over the band domain. Exact integer day math; shares are half-up
+    round_ratio."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("day")
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.expr("unix_timestamp(o_orderdate) DIV 86400").alias("day"),
+        )
+        .withColumn("prev", F.lag("day").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.expr(f"(day - prev) DIV {REORDER_BUCKET_DAYS}").alias("band")
+        )
+    )
+    d = dl.SPARK
+    return (
+        gaps.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .withColumn("total", F.sum("n_gaps").over(W.partitionBy()))
+        .selectExpr(
+            "band",
+            f"band * {REORDER_BUCKET_DAYS} AS band_min_days",
+            "n_gaps",
+            f"{dl.round_ratio(d, 'n_gaps', 'total')} AS share",
+        )
+        .orderBy("band")
+    )
+
+
+def _oracle_reorder() -> str:
+    d = dl.DUCK
+    return f"""
+WITH gaps AS (
+  SELECT ((day - prev) // {REORDER_BUCKET_DAYS}) AS band FROM (
+    SELECT day, lag(day) OVER (PARTITION BY o_custkey ORDER BY day) AS prev
+    FROM (
+      SELECT o_custkey,
+        (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS day
+      FROM orders
+    )
+  ) WHERE prev IS NOT NULL
+), banded AS (
+  SELECT band, count(*) AS n_gaps FROM gaps GROUP BY 1
+)
+SELECT band, band * {REORDER_BUCKET_DAYS} AS band_min_days, n_gaps,
+  {dl.round_ratio(d, 'n_gaps', 'sum(n_gaps) OVER ()')} AS share
+FROM banded ORDER BY band
+"""
+
+
 # ---------------------------------------------------------------- trimmed
 TRIM_PCT = 10  # trim/winsorize fraction per tail, in percent
 
@@ -4332,6 +4508,8 @@ QUERIES = {
     "events_growth_accounting": events_growth_accounting,
     "events_cuped_adjustment": events_cuped_adjustment,
     "ml_auc_roc": ml_auc_roc,
+    "stats_power_mde": stats_power_mde,
+    "orders_reorder_intervals": orders_reorder_intervals,
 }
 
 ORACLES = {
@@ -4379,4 +4557,6 @@ ORACLES = {
     "events_growth_accounting": _oracle_growth(),
     "events_cuped_adjustment": _oracle_cuped(),
     "ml_auc_roc": _oracle_auc(),
+    "stats_power_mde": _oracle_mde(),
+    "orders_reorder_intervals": _oracle_reorder(),
 }

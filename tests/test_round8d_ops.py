@@ -676,3 +676,64 @@ def test_auc_matches_sklearn_style_reference(spark):
         assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
         assert abs(row["auc"] - ref) < 2e-4, (dow, row["auc"], ref)
         assert abs(row["gini"] - (2 * row["auc"] - 1)) < 1e-9
+
+
+def test_power_mde_matches_direct(spark):
+    """MDE equals (z_a+z_b)*sqrt(va/na + vb/nb) with sample variances
+    computed independently per variant."""
+    import hashlib
+
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        stats_power_mde,
+    )
+
+    pdf = _events_pdf()
+    pdf = pdf.assign(
+        variant=pdf["user_id"].map(
+            lambda u: "A"
+            if int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) < 8
+            else "B"
+        )
+    )
+    got = {r["event_type"]: r for r in stats_power_mde(spark, SF).collect()}
+    for etype, sub in pdf.groupby("event_type"):
+        a = sub.loc[sub["variant"] == "A", "cents"].to_numpy(np.float64)
+        b = sub.loc[sub["variant"] == "B", "cents"].to_numpy(np.float64)
+        if len(a) < 2 or len(b) < 2:
+            assert etype not in got
+            continue
+        mde = (1.959964 + 0.841621) * math.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        row = got[etype]
+        assert row["na"] == len(a) and row["nb"] == len(b)
+        assert abs(row["mean_a"] - a.mean() / 100) < 1e-3
+        assert abs(row["mde_dollars"] - mde / 100) < 1e-3
+        assert abs(row["mde_pct"] - mde / a.mean() * 100) < 1e-2
+
+
+def test_reorder_intervals_match_pandas(spark):
+    """Band counts equal a direct per-customer consecutive-gap walk and
+    shares sum to ~1."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext import (
+        REORDER_BUCKET_DAYS,
+        orders_reorder_intervals,
+    )
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    days = o["o_orderdate"].astype("datetime64[ns]").astype("int64") // (
+        1_000_000_000 * 86400
+    )
+    o = o.assign(day=days)
+    bands: dict[int, int] = {}
+    for _, sub in o.groupby("o_custkey"):
+        d_ = np.sort(sub["day"].to_numpy())
+        for gap in np.diff(d_):
+            bands[gap // REORDER_BUCKET_DAYS] = (
+                bands.get(gap // REORDER_BUCKET_DAYS, 0) + 1
+            )
+    rows = orders_reorder_intervals(spark, SF).collect()
+    assert {r["band"]: r["n_gaps"] for r in rows} == bands
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-2
+    for r in rows:
+        assert r["band_min_days"] == r["band"] * REORDER_BUCKET_DAYS
