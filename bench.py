@@ -225,6 +225,12 @@ HEADLINE = [
     "ml_auc_roc",
     "stats_power_mde",
     "orders_reorder_intervals",
+    # round-8 fourth session
+    "events_stickiness_dau_mau",
+    "stats_kendall_tau",
+    "ml_feature_hashing",
+    "sample_neyman_allocation",
+    "layout_range_splits",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify
@@ -240,6 +246,7 @@ HEADLINE = [
     "part_abc_classification_prod",
     "events_power_users_gini_prod",
     "customers_rfm_segments_prod",
+    "layout_range_splits_prod",
     "retrieval_rrf_fusion_ann",
 ]
 

@@ -597,6 +597,102 @@ FROM planned ORDER BY day, hour
 """
 
 
+# ------------------------------------------------------------- range splits
+RANGE_SPLITS = 32  # target partition count for the repartitionByRange plan
+
+
+def layout_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced range-partition boundary planner — the split table a
+    writer feeds `repartitionByRange` / a range-bucketed layout: cut
+    lineitem's price axis into RANGE_SPLITS ranges holding equal row
+    counts, so downstream range-pruned scans and merge joins see no
+    straggler partition. Exact form: ntile over the TOTAL order
+    (cents, orderkey, linenumber — the tiebreak makes both engines
+    deal identical tiles), reading back each tile's [lo, hi] cents and
+    row count.
+
+    This is the EXACT/eval form: the data-wide ORDER BY window is the
+    oracle-checkable definition of "balanced", priced accordingly
+    (percentiles_approx convention). The production twin
+    (layout_range_splits_prod, registry.all_bench_only) plans the same
+    table from an approx_percentile sketch — one pass, no global sort —
+    and tests/test_prod_twins.py pins its balance error against this
+    form. Scale: a planner runs on a SAMPLE or sketch at 100 TB; the
+    exact form exists so the sketch's balance claim is a measured
+    number, not a hope."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tiled = cents.select(
+        "cents",
+        F.ntile(RANGE_SPLITS)
+        .over(Window.orderBy("cents", "l_orderkey", "l_linenumber"))
+        .alias("split_id"),
+    )
+    return (
+        tiled.groupBy("split_id")
+        .agg(
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("split_id")
+    )
+
+
+def _oracle_range_splits() -> str:
+    return f"""
+WITH tiled AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+    ntile({RANGE_SPLITS}) OVER (
+      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+               l_orderkey, l_linenumber) AS split_id
+  FROM lineitem
+)
+SELECT CAST(split_id AS INT) AS split_id,
+  min(cents) AS lo_cents, max(cents) AS hi_cents, count(*) AS n_rows
+FROM tiled GROUP BY split_id ORDER BY split_id
+"""
+
+
+def layout_range_splits_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of layout_range_splits: boundaries from ONE
+    approx_percentile sketch pass (no global sort, no single-partition
+    window), bucket assignment by counting boundaries below each row
+    (a 31-element array scan inside codegen), then the same per-split
+    readout. This is the plan a writer actually runs at 100 TB — the
+    sketch is mergeable across executors and the second pass is a plain
+    hash agg. Balance error vs the exact ntile form is pinned in
+    tests/test_prod_twins.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents")
+    )
+    qs = ", ".join(str(i / RANGE_SPLITS) for i in range(1, RANGE_SPLITS))
+    bounds = cents.agg(
+        F.expr(f"approx_percentile(cents, array({qs}), 10000)").alias("bs")
+    )
+    assigned = cents.join(F.broadcast(bounds)).select(
+        "cents",
+        F.expr(
+            "1 + aggregate(bs, 0, (acc, b) -> acc + CASE WHEN cents > b "
+            "THEN 1 ELSE 0 END)"
+        ).alias("split_id"),
+    )
+    return (
+        assigned.groupBy("split_id")
+        .agg(
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("split_id")
+    )
+
+
 QUERIES = {
     "orders_join_ivm": orders_join_ivm,
     "profile_orders_columns": profile_orders_columns,
@@ -607,6 +703,7 @@ QUERIES = {
     "orders_asof_snapshot": orders_asof_snapshot,
     "orders_incremental_merge": orders_incremental_merge,
     "layout_compaction_plan": layout_compaction_plan,
+    "layout_range_splits": layout_range_splits,
 }
 
 ORACLES = {
@@ -619,4 +716,5 @@ ORACLES = {
     "orders_asof_snapshot": _oracle_asof_snapshot(),
     "orders_incremental_merge": _oracle_incremental_merge(),
     "layout_compaction_plan": _oracle_compaction(),
+    "layout_range_splits": _oracle_range_splits(),
 }

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
     analytics_ext,
+    analytics_ext2,
     cleaning,
     dedup,
     graph,
@@ -36,6 +37,7 @@ _MODULES = [
     relational,
     relational_ext,
     analytics_ext,
+    analytics_ext2,
     trends,
     dedup,
     similarity,
@@ -127,6 +129,7 @@ def all_bench_only() -> dict[str, QueryFn]:
         "part_abc_classification_prod": analytics_ext.part_abc_classification_prod,
         "events_power_users_gini_prod": analytics_ext.events_power_users_gini_prod,
         "customers_rfm_segments_prod": quality.customers_rfm_segments_prod,
+        "layout_range_splits_prod": layout.layout_range_splits_prod,
         # r8: RRF fusion with the LSH-ANN dense side (composition proven in
         # tests/test_rrf_composition.py; the oracle-gated fusion keeps the
         # brute-force dense baseline)

@@ -34,6 +34,10 @@ CARTESIAN_OK = {
     "part_abc_classification": "the revenue-total denominator rides a "
     "1-row broadcast side next to the 3-row class readout "
     "(scalar-aggregate pattern)",
+    "stats_kendall_tau": "the quadratic pair join runs on the CALENDAR-"
+    "bounded day grain (~2.4k rows at any SF), so the non-equi self-join "
+    "is a constant ~3M pair evaluations regardless of data volume; the "
+    "final crossJoin is the 1-row scalar-aggregate pattern",
     "ml_naive_bayes_lang": "the smoothed model grid is |langs| x |vocab| "
     "— a 5-row language list cross-joining the vocabulary relation "
     "(dimension-sized, broadcast scale), plus the 1-row vocabulary-size "
