@@ -231,6 +231,8 @@ HEADLINE = [
     "ml_feature_hashing",
     "sample_neyman_allocation",
     "layout_range_splits",
+    "events_uplift_by_tier",
+    "events_markov_stationary",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -396,11 +396,290 @@ FROM scored ORDER BY event_type
 """
 
 
+# ------------------------------------------------------------ uplift by tier
+UPLIFT_OUTCOME = "purchase"  # conversion event for the outcome window
+
+
+def events_uplift_by_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment-effect readout (the uplift-modeling
+    table): split the calendar at its midpoint, score every user by
+    PRE-period spend, assign treatment by the hash coin
+    (events_ab_test_lift's convention), and read POST-period purchase
+    conversion per (activity tier x arm) — where tier is the
+    Benford-style geometric band 9*(decimal digits - 1) + (leading
+    digit - 1), a DETERMINISTIC magnitude band computed by pure string
+    arithmetic. Tiers instead of ntile deciles on purpose: exact
+    deciles need a data-wide global-sort window (the known weak
+    pattern the ABC/Gini/RFM prod twins exist to avoid); geometric
+    bands give the same heterogeneity readout with a plain map-side
+    expression — no sort, no sketch, and the oracle gate covers it
+    exactly. String digits instead of floor(log2): libm log2 differs
+    by ulps across engines and a boundary user would flip bands;
+    CAST(BIGINT AS STRING) cannot.
+
+    The time split (score from the first half, outcome from the second)
+    is the leakage discipline every uplift analysis needs; the split
+    day derives from the data's own min/max day so the operator is not
+    calendar-hardcoded. Counts are exact integers; rates and uplift are
+    final-division round_ratio readouts (tie-safe).
+
+    Scale: one event scan -> two user-grain aggs -> tier-grain agg.
+    The split-day scalar rides a 1-row broadcast (scalar-aggregate
+    pattern, whitelisted)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("di"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    split = e.agg(
+        F.expr("CAST((min(di) + max(di) + 1) DIV 2 AS BIGINT)").alias("split_di")
+    )
+    tagged = e.join(F.broadcast(split))
+    pre = (
+        tagged.filter(F.col("di") < F.col("split_di"))
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("pre_cents"))
+    )
+    post = (
+        tagged.filter(F.col("di") >= F.col("split_di"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == UPLIFT_OUTCOME, 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    users = e.select("user_id").distinct()
+    nib = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(user_id AS STRING)"))
+    scored = (
+        users.join(pre, "user_id", "left")
+        .join(post, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("pre_cents", F.lit(0)).alias("pre_cents"),
+            F.coalesce("converted", F.lit(0)).alias("converted"),
+            F.when(nib < 8, "control").otherwise("treat").alias("arm"),
+        )
+        .withColumn(
+            "tier",
+            F.expr(
+                "CASE WHEN pre_cents = 0 THEN -1 ELSE "
+                "CAST(9 * (length(CAST(pre_cents AS STRING)) - 1) "
+                "+ CAST(substr(CAST(pre_cents AS STRING), 1, 1) AS INT) - 1 "
+                "AS INT) END"
+            ),
+        )
+    )
+    g = scored.groupBy("tier").agg(
+        F.sum(F.when(F.col("arm") == "treat", 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).alias("n_c"),
+        F.sum(
+            F.when((F.col("arm") == "treat") & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("conv_t"),
+        F.sum(
+            F.when((F.col("arm") == "control") & (F.col("converted") == 1), 1).otherwise(
+                0
+            )
+        ).alias("conv_c"),
+    ).filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    rate_t = dl.round_ratio(dl.SPARK, "conv_t", "n_t")
+    rate_c = dl.round_ratio(dl.SPARK, "conv_c", "n_c")
+    return g.selectExpr(
+        "tier",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        f"{rate_t} AS rate_t",
+        f"{rate_c} AS rate_c",
+        f"round({rate_t} - {rate_c}, 4) AS uplift",
+    ).orderBy("tier")
+
+
+def _oracle_uplift() -> str:
+    d = dl.DUCK
+    nib = dl.md5_prefix_nibble(d, "CAST(user_id AS VARCHAR)")
+    rate_t = dl.round_ratio(d, "conv_t", "n_t")
+    rate_c = dl.round_ratio(d, "conv_c", "n_c")
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type,
+    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS di,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), split AS (
+  SELECT CAST((min(di) + max(di) + 1) // 2 AS BIGINT) AS split_di FROM e
+), pre AS (
+  SELECT user_id, sum(cents) AS pre_cents
+  FROM e, split WHERE di < split_di GROUP BY user_id
+), post AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = '{UPLIFT_OUTCOME}' THEN 1 ELSE 0 END) AS converted
+  FROM e, split WHERE di >= split_di GROUP BY user_id
+), scored AS (
+  SELECT u.user_id,
+    coalesce(pre_cents, 0) AS pre_cents,
+    coalesce(converted, 0) AS converted,
+    CASE WHEN {nib} < 8 THEN 'control' ELSE 'treat' END AS arm,
+    CASE WHEN coalesce(pre_cents, 0) = 0 THEN -1 ELSE
+      CAST(9 * (length(CAST(coalesce(pre_cents, 0) AS VARCHAR)) - 1)
+      + CAST(substr(CAST(coalesce(pre_cents, 0) AS VARCHAR), 1, 1) AS INT) - 1
+      AS INT) END AS tier
+  FROM (SELECT DISTINCT user_id FROM e) u
+  LEFT JOIN pre USING (user_id) LEFT JOIN post USING (user_id)
+), g AS (
+  SELECT tier,
+    CAST(sum(CASE WHEN arm = 'treat' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+    CAST(sum(CASE WHEN arm = 'treat' AND converted = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS conv_t,
+    CAST(sum(CASE WHEN arm = 'control' AND converted = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS conv_c
+  FROM scored GROUP BY tier
+  HAVING sum(CASE WHEN arm = 'treat' THEN 1 ELSE 0 END) > 0
+     AND sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) > 0
+)
+SELECT tier, n_t, n_c, conv_t, conv_c,
+  {rate_t} AS rate_t, {rate_c} AS rate_c,
+  round({rate_t} - {rate_c}, 4) AS uplift
+FROM g ORDER BY tier
+"""
+
+
+# ------------------------------------------------------- markov stationary
+MARKOV_ITERS = 30          # unrolled power-iteration rounds
+MARKOV_SCALE = 10**12      # fixed-point mass scale (BIGINT-exact)
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — the
+    long-run share of each state if users kept behaving per the observed
+    transition matrix (events_markov_transitions shows ONE step; this
+    answers "where does the chain settle"). MARKOV_ITERS unrolled power
+    iterations of v <- vP, in FIXED-POINT BIGINT arithmetic: transition
+    probabilities quantize once to p6 = cnt * 1e6 DIV tot, the mass
+    vector lives at MARKOV_SCALE, and each step moves v_i * p6 DIV 1e6
+    along every observed edge — integer-exact, so partial-agg order
+    cannot perturb the result and both engines converge to
+    bit-identical masses (the _quant_cos discipline applied to linear
+    algebra; DIV flooring leaks a few units of 1e-12 mass per round,
+    identically in both engines). The p6 pre-quantization also bounds
+    the products: mass * p6 <= 1e18 < BIGINT max REGARDLESS of data
+    volume (the raw cnt form would overflow once an edge count passed
+    ~9e6). Readout compares the stationary share against the empirical
+    state frequency — the mismatch IS the non-stationarity signal.
+
+    Scale: the transition counts come from one user-partitioned lag
+    window + a K^2 hash agg (K = event types, a handful); every
+    iteration joins K-row against K^2-row relations — driver-scale
+    state, the ml.py model-iteration pattern, data touched once."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    trans = (
+        e.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = trans.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    tm = (
+        trans.join(tot, "src")
+        .select("src", "dst", F.expr("(cnt * 1000000) DIV tot").alias("p6"))
+        .localCheckpoint()
+    )
+    states = tm.select(F.col("src").alias("state")).distinct()
+    k = states.count()  # K-row driver scalar (model-state collect pattern)
+    v = states.select(
+        "state", F.lit(MARKOV_SCALE // k).cast("bigint").alias("mass")
+    )
+    for _ in range(MARKOV_ITERS):
+        v = (
+            tm.join(v.withColumnRenamed("state", "src"), "src")
+            .select(
+                F.col("dst").alias("state"),
+                F.expr("(mass * p6) DIV 1000000").alias("m"),
+            )
+            .groupBy("state")
+            .agg(F.sum("m").alias("mass"))
+        )
+    emp = (
+        e.groupBy(F.col("event_type").alias("state"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    emp_tot = emp.groupBy().agg(F.sum("n_events").alias("n_tot"))
+    share = dl.round_ratio(dl.SPARK, "n_events", "n_tot")
+    stat = dl.round_ratio(dl.SPARK, "mass", str(MARKOV_SCALE))
+    return (
+        v.join(emp, "state")
+        .join(F.broadcast(emp_tot))
+        .selectExpr(
+            "state",
+            "mass",
+            f"{stat} AS stationary_share",
+            f"{share} AS empirical_share",
+            f"round({stat} - {share}, 4) AS drift",
+        )
+        .orderBy("state")
+    )
+
+
+def _oracle_markov_stationary() -> str:
+    d = dl.DUCK
+    share = dl.round_ratio(d, "n_events", "n_tot")
+    stat = dl.round_ratio(d, "mass", str(MARKOV_SCALE))
+    ctes = [
+        """pairs AS MATERIALIZED (
+  SELECT event_type AS src,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+)""",
+        """tm AS MATERIALIZED (
+  SELECT src, dst,
+    CAST((count(*) * 1000000)
+         // sum(count(*)) OVER (PARTITION BY src) AS BIGINT) AS p6
+  FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT src AS state,
+    CAST({MARKOV_SCALE} // (SELECT count(DISTINCT src) FROM tm) AS BIGINT)
+      AS mass
+  FROM (SELECT DISTINCT src FROM tm)
+)""",
+    ]
+    for i in range(1, MARKOV_ITERS + 1):
+        ctes.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT tm.dst AS state,
+    CAST(sum((v.mass * tm.p6) // 1000000) AS BIGINT) AS mass
+  FROM tm JOIN v{i - 1} v ON v.state = tm.src
+  GROUP BY tm.dst
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+emp AS (
+  SELECT event_type AS state, count(*) AS n_events,
+    sum(count(*)) OVER () AS n_tot
+  FROM events GROUP BY event_type
+)
+SELECT v.state AS state, v.mass AS mass,
+  {stat} AS stationary_share,
+  {share} AS empirical_share,
+  round({stat} - {share}, 4) AS drift
+FROM v{MARKOV_ITERS} v JOIN emp ON emp.state = v.state
+ORDER BY state
+"""
+
+
 QUERIES = {
     "events_stickiness_dau_mau": events_stickiness_dau_mau,
     "stats_kendall_tau": stats_kendall_tau,
     "ml_feature_hashing": ml_feature_hashing,
     "sample_neyman_allocation": sample_neyman_allocation,
+    "events_uplift_by_tier": events_uplift_by_tier,
+    "events_markov_stationary": events_markov_stationary,
 }
 
 ORACLES = {
@@ -408,4 +687,6 @@ ORACLES = {
     "stats_kendall_tau": _oracle_kendall(),
     "ml_feature_hashing": _oracle_feature_hashing(),
     "sample_neyman_allocation": _oracle_neyman(),
+    "events_uplift_by_tier": _oracle_uplift(),
+    "events_markov_stationary": _oracle_markov_stationary(),
 }

@@ -34,6 +34,11 @@ CARTESIAN_OK = {
     "part_abc_classification": "the revenue-total denominator rides a "
     "1-row broadcast side next to the 3-row class readout "
     "(scalar-aggregate pattern)",
+    "events_uplift_by_tier": "the derived split-day scalar rides a 1-row "
+    "broadcast side against the event scan (scalar-aggregate pattern)",
+    "events_markov_stationary": "the empirical-total denominator rides a "
+    "1-row broadcast next to the K-row stationary vector "
+    "(scalar-aggregate pattern)",
     "stats_kendall_tau": "the quadratic pair join runs on the CALENDAR-"
     "bounded day grain (~2.4k rows at any SF), so the non-equi self-join "
     "is a constant ~3M pair evaluations regardless of data volume; the "

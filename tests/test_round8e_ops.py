@@ -178,3 +178,92 @@ def test_range_splits_exact_tiles_are_balanced_and_ordered(spark):
         assert r["n_rows"] == base + (1 if i < rem else 0)
     for a, b in zip(rows, rows[1:]):
         assert a["hi_cents"] <= b["lo_cents"]
+
+
+def test_uplift_by_tier_matches_pandas_recompute(spark):
+    """Arm sizes, conversion counts, and uplift per tier equal a direct
+    pandas recomputation of the time-split + hash-coin + Benford-band
+    pipeline."""
+    import hashlib
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        UPLIFT_OUTCOME,
+        events_uplift_by_tier,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf = pdf.assign(
+        di=_day_index(pdf["ts"]),
+        cents=np.round(pdf["value"] * 100).astype("int64"),
+    )
+    split = (int(pdf["di"].min()) + int(pdf["di"].max()) + 1) // 2
+    pre = pdf[pdf["di"] < split].groupby("user_id")["cents"].sum()
+    post = (
+        pdf[pdf["di"] >= split]
+        .assign(conv=(pdf["event_type"] == UPLIFT_OUTCOME).astype(int))
+        .groupby("user_id")["conv"]
+        .max()
+    )
+    rows = []
+    for uid in pdf["user_id"].unique():
+        pc = int(pre.get(uid, 0))
+        conv = int(post.get(uid, 0))
+        nib = int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16)
+        arm = "control" if nib < 8 else "treat"
+        tier = -1 if pc == 0 else 9 * (len(str(pc)) - 1) + int(str(pc)[0]) - 1
+        rows.append((tier, arm, conv))
+    ref = pd.DataFrame(rows, columns=["tier", "arm", "conv"])
+    got = {r["tier"]: r for r in events_uplift_by_tier(spark, SF).collect()}
+    for tier, sub in ref.groupby("tier"):
+        t = sub[sub["arm"] == "treat"]
+        c = sub[sub["arm"] == "control"]
+        if len(t) == 0 or len(c) == 0:
+            assert tier not in got
+            continue
+        row = got[tier]
+        assert row["n_t"] == len(t) and row["n_c"] == len(c)
+        assert row["conv_t"] == int(t["conv"].sum())
+        assert row["conv_c"] == int(c["conv"].sum())
+        uplift_ref = round(
+            round(t["conv"].sum() / len(t), 4) - round(c["conv"].sum() / len(c), 4), 4
+        )
+        assert abs(row["uplift"] - uplift_ref) <= 2e-4
+
+
+def test_markov_stationary_is_eigenvector_of_transition_matrix(spark):
+    """The fixed-point iterate converges (within quantization leak) to
+    the true stationary eigenvector of the empirical transition matrix,
+    computed independently in numpy float."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        events_markov_stationary,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    pdf = pdf.assign(nxt=pdf.groupby("user_id")["event_type"].shift(-1))
+    pairs = pdf.dropna(subset=["nxt"])
+    states = sorted(set(pairs["event_type"]) | set(pairs["nxt"]))
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    P = np.zeros((k, k))
+    for (s, t), n in pairs.groupby(["event_type", "nxt"]).size().items():
+        P[idx[s], idx[t]] = n
+    P = P / P.sum(axis=1, keepdims=True)
+    v = np.full(k, 1.0 / k)
+    for _ in range(200):
+        v = v @ P
+    v = v / v.sum()
+    got = {r["state"]: r for r in events_markov_stationary(spark, SF).collect()}
+    assert set(got) == set(states)
+    mass_total = sum(r["mass"] for r in got.values())
+    # two leak channels, both deterministic: each row of p6 sums to at
+    # most 1e6 (short by < K quantization units -> ~K/1e6 mass lost per
+    # round, ~1.5e-4 over 30 rounds at K=5), plus DIV flooring.
+    # Invisible at the 4dp readout; bounded here.
+    assert 1 - mass_total / 10**12 < 1e-3
+    for s in states:
+        assert abs(got[s]["stationary_share"] - v[idx[s]]) <= 5e-3, (
+            s,
+            got[s]["stationary_share"],
+            v[idx[s]],
+        )
