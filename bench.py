@@ -233,6 +233,9 @@ HEADLINE = [
     "layout_range_splits",
     "events_uplift_by_tier",
     "events_markov_stationary",
+    "events_diff_in_diff",
+    "layout_partition_skew",
+    "events_watermark_lateness",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

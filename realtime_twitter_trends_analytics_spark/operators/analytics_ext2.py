@@ -673,6 +673,329 @@ ORDER BY state
 """
 
 
+# -------------------------------------------------------------- diff-in-diff
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the hash-assigned
+    treatment's effect on mean spend: split the calendar at its
+    midpoint (events_uplift_by_tier's split), form the classic 2x2
+    (arm x period) cell means, and read DiD = (T_post - T_pre) -
+    (C_post - C_pre) with its large-sample standard error
+    sqrt(sum cell_var/cell_n) and t-statistic. The A/B readout that
+    survives a pre-existing level difference between arms — what
+    events_ab_test_lift cannot correct for.
+
+    Exact arithmetic: per-cell n/s1/s2 are exact cents BIGINTs from ONE
+    (arm, period) hash agg folded to a single row by conditional sums
+    (no pivot shuffle, no scalar cross join); means, the DiD, the SE,
+    and t are each one shared IEEE expression (ks_lambda convention).
+
+    Scale: one event scan, one 4-group agg, constant-size everything
+    after. The split-day scalar rides the same whitelisted 1-row
+    broadcast as events_uplift_by_tier."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("di"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    split = e.agg(
+        F.expr("CAST((min(di) + max(di) + 1) DIV 2 AS BIGINT)").alias("split_di")
+    )
+    nib = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(user_id AS STRING)"))
+    cells = (
+        e.join(F.broadcast(split))
+        .select(
+            F.when(nib < 8, "c").otherwise("t").alias("arm"),
+            F.when(F.col("di") < F.col("split_di"), "pre")
+            .otherwise("post")
+            .alias("period"),
+            "cents",
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        )
+    )
+
+    def cell(a: str, p: str, col: str) -> F.Column:
+        return F.sum(
+            F.when((F.col("arm") == a) & (F.col("period") == p), F.col(col))
+        )
+
+    one = cells.groupBy().agg(
+        *[
+            cell(a, p, c).alias(f"{c}_{a}{p[:2]}")
+            for a in ("t", "c")
+            for p in ("pre", "post")
+            for c in ("n", "s1", "s2")
+        ]
+    )
+
+    def mean(sfx: str) -> str:
+        return f"(CAST(s1_{sfx} AS DOUBLE) / n_{sfx})"
+
+    def var_over_n(sfx: str) -> str:
+        return (
+            f"((CAST(n_{sfx} AS DOUBLE) * s2_{sfx} "
+            f"- CAST(s1_{sfx} AS DOUBLE) * s1_{sfx}) "
+            f"/ (CAST(n_{sfx} AS DOUBLE) * (n_{sfx} - 1)) / n_{sfx})"
+        )
+
+    did = (
+        f"(({mean('tpo')} - {mean('tpr')}) - ({mean('cpo')} - {mean('cpr')}))"
+    )
+    se = (
+        f"sqrt({var_over_n('tpo')} + {var_over_n('tpr')} "
+        f"+ {var_over_n('cpo')} + {var_over_n('cpr')})"
+    )
+    return one.selectExpr(
+        "n_tpr", "n_tpo", "n_cpr", "n_cpo",
+        f"round({mean('tpr')} / 100, 4) AS mean_t_pre",
+        f"round({mean('tpo')} / 100, 4) AS mean_t_post",
+        f"round({mean('cpr')} / 100, 4) AS mean_c_pre",
+        f"round({mean('cpo')} / 100, 4) AS mean_c_post",
+        f"round({did} / 100, 4) AS did_dollars",
+        f"round({se} / 100, 4) AS se_dollars",
+        f"round({did} / {se}, 4) AS t_stat",
+    )
+
+
+def _oracle_did() -> str:
+    d = dl.DUCK
+    nib = dl.md5_prefix_nibble(d, "CAST(user_id AS VARCHAR)")
+
+    def mean(sfx: str) -> str:
+        return f"(CAST(s1_{sfx} AS DOUBLE) / n_{sfx})"
+
+    def var_over_n(sfx: str) -> str:
+        return (
+            f"((CAST(n_{sfx} AS DOUBLE) * s2_{sfx} "
+            f"- CAST(s1_{sfx} AS DOUBLE) * s1_{sfx}) "
+            f"/ (CAST(n_{sfx} AS DOUBLE) * (n_{sfx} - 1)) / n_{sfx})"
+        )
+
+    did = f"(({mean('tpo')} - {mean('tpr')}) - ({mean('cpo')} - {mean('cpr')}))"
+    se = (
+        f"sqrt({var_over_n('tpo')} + {var_over_n('tpr')} "
+        f"+ {var_over_n('cpo')} + {var_over_n('cpr')})"
+    )
+    cellcols = ",\n    ".join(
+        f"CAST(sum(CASE WHEN arm = '{a}' AND period = '{p}' THEN {c} END) AS BIGINT)"
+        f" AS {c}_{a}{p[:2]}"
+        for a in ("t", "c")
+        for p in ("pre", "post")
+        for c in ("n", "s1", "s2")
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id,
+    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS di,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), split AS (
+  SELECT CAST((min(di) + max(di) + 1) // 2 AS BIGINT) AS split_di FROM e
+), cells AS (
+  SELECT CASE WHEN {nib} < 8 THEN 'c' ELSE 't' END AS arm,
+    CASE WHEN di < split_di THEN 'pre' ELSE 'post' END AS period,
+    count(*) AS n, sum(cents) AS s1, sum(cents * cents) AS s2
+  FROM e, split GROUP BY 1, 2
+), one AS (
+  SELECT {cellcols}
+  FROM cells
+)
+SELECT n_tpr, n_tpo, n_cpr, n_cpo,
+  round({mean('tpr')} / 100, 4) AS mean_t_pre,
+  round({mean('tpo')} / 100, 4) AS mean_t_post,
+  round({mean('cpr')} / 100, 4) AS mean_c_pre,
+  round({mean('cpo')} / 100, 4) AS mean_c_post,
+  round({did} / 100, 4) AS did_dollars,
+  round({se} / 100, 4) AS se_dollars,
+  round({did} / {se}, 4) AS t_stat
+FROM one
+"""
+
+
+# ------------------------------------------------------------ partition skew
+SKEW_PARTITION_COUNTS = (32, 256)  # candidate shuffle widths to audit
+
+
+def layout_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition skew audit — the planner readout for "would
+    this partition strategy hold at 1000 executors": hash events by
+    user_id into each candidate partition count and report the load
+    distribution (max/mean ratio, the straggler predictor; top
+    partition's share; empty-partition count). The portable md5 hash
+    stands in for the engine's internal shuffle hash so both engines
+    audit the SAME assignment; the SKEW the audit measures is a
+    property of the key distribution, which is what carries to the
+    real shuffle.
+
+    Scale: one scan -> P-bounded hash agg per candidate width ->
+    constant-size summary. All-integer loads; ratios are final
+    divisions."""
+    e = load_table(spark, sf_dir, "events")
+    outs = []
+    for p in SKEW_PARTITION_COUNTS:
+        pid = (
+            f"pmod({dl.hex_prefix_uint(dl.SPARK, 'md5(CAST(user_id AS STRING))', 8)},"
+            f" {p})"
+        )
+        loads = (
+            e.selectExpr(f"{pid} AS pid")
+            .groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("load"))
+        )
+        outs.append(
+            loads.groupBy().agg(
+                F.lit(p).cast("int").alias("n_partitions"),
+                F.count(F.lit(1)).alias("used_partitions"),
+                F.sum("load").alias("total_rows"),
+                F.max("load").alias("max_load"),
+                F.min("load").alias("min_load"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.selectExpr(
+        "n_partitions",
+        "used_partitions",
+        "total_rows",
+        "max_load",
+        "min_load",
+        # max/mean straggler factor: max * P / total, exact-integer rounding
+        f"{dl.round_ratio(dl.SPARK, 'max_load * n_partitions', 'total_rows')} "
+        "AS straggler_factor",
+        f"{dl.round_ratio(dl.SPARK, 'max_load', 'total_rows')} AS top_share",
+    ).orderBy("n_partitions")
+
+
+def _oracle_partition_skew() -> str:
+    d = dl.DUCK
+    parts = []
+    for p in SKEW_PARTITION_COUNTS:
+        pid = f"({dl.hex_prefix_uint(d, 'md5(CAST(user_id AS VARCHAR))', 8)}) % {p}"
+        parts.append(
+            f"""
+  SELECT {p} AS n_partitions, count(*) AS used_partitions,
+    CAST(sum(load) AS BIGINT) AS total_rows,
+    max(load) AS max_load, min(load) AS min_load
+  FROM (
+    SELECT {pid} AS pid, count(*) AS load FROM events GROUP BY 1
+  )"""
+        )
+    union = "\n  UNION ALL\n".join(parts)
+    sf_ = dl.round_ratio(d, "max_load * n_partitions", "total_rows")
+    ts_ = dl.round_ratio(d, "max_load", "total_rows")
+    return f"""
+WITH per AS (
+{union}
+)
+SELECT CAST(n_partitions AS INT) AS n_partitions, used_partitions,
+  total_rows, max_load, min_load,
+  {sf_} AS straggler_factor,
+  {ts_} AS top_share
+FROM per ORDER BY n_partitions
+"""
+
+
+# -------------------------------------------------------- watermark lateness
+LATE_JITTER_SEC = 3600  # per-nibble synthetic transport delay step
+LATE_BUCKET_SEC = 3600  # lateness histogram granularity (hours)
+LATE_BUCKET_CAP = 24    # last bucket is ">= cap hours"
+
+
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile — the measurement that SIZES a streaming
+    watermark: a record's lateness is how far the per-user event-time
+    high-watermark had already passed it on arrival (running max of
+    event time, in arrival order, minus the record's own event time).
+    The histogram's tail tells you what `withWatermark` delay keeps
+    completeness — a p99 at 9 hours means a 10-hour watermark drops
+    ~nothing — and the terminal bucket's share is the unavoidable drop
+    rate at the cap. The batch-side twin of the streaming pipeline's
+    watermark configuration (SURVEY A1/A2).
+
+    The dataset records no transport timestamps (event_id is exactly
+    event-time-ordered — verified, zero inversions), so arrival time is
+    SIMULATED deterministically: arr = ts + md5-nibble(event_id) *
+    LATE_JITTER_SEC, a 0-15h uniform transport delay. The harness —
+    per-user arrival-ordered running max, bucketed exceedance — is the
+    real product; the jitter is the declared stand-in for a transport
+    log, same discipline as the multimodal decode stubs.
+
+    Scale: one user-partitioned running-max window over the raw scan,
+    one bucket-grain agg (LATE_BUCKET_CAP+1 output rows). All-integer
+    seconds and bucket math."""
+    e = load_table(spark, sf_dir, "events")
+    nib = dl.md5_prefix_nibble(dl.SPARK, "CAST(event_id AS STRING)")
+    arr = e.selectExpr(
+        "user_id",
+        "event_id",
+        "CAST(unix_timestamp(ts) AS BIGINT) AS sec",
+        f"CAST(unix_timestamp(ts) AS BIGINT) + ({nib}) * {LATE_JITTER_SEC} AS arr",
+    )
+    wm = F.max("sec").over(
+        W.partitionBy("user_id").orderBy("arr", "event_id").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    )
+    late = arr.select((wm - F.col("sec")).alias("late_sec"))
+    bucket = F.expr(
+        f"least(late_sec DIV {LATE_BUCKET_SEC}, {LATE_BUCKET_CAP})"
+    )
+    g = late.groupBy(bucket.alias("late_hour_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("late_sec").alias("max_late_sec"),
+    )
+    share = dl.round_ratio(dl.SPARK, "n_events", "tot")
+    return (
+        g.selectExpr(
+            "late_hour_bucket",
+            "n_events",
+            "max_late_sec",
+            "sum(n_events) OVER () AS tot",
+        )
+        .selectExpr(
+            "late_hour_bucket",
+            "n_events",
+            "max_late_sec",
+            f"{share} AS share",
+        )
+        .orderBy("late_hour_bucket")
+    )
+
+
+def _oracle_lateness() -> str:
+    d = dl.DUCK
+    nib = dl.md5_prefix_nibble(d, "CAST(event_id AS VARCHAR)")
+    share = dl.round_ratio(d, "n_events", "tot")
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+    CAST(floor(epoch(ts)) AS BIGINT)
+      + ({nib}) * {LATE_JITTER_SEC} AS arr
+  FROM events
+), late AS (
+  SELECT max(sec) OVER (
+      PARTITION BY user_id ORDER BY arr, event_id
+      ROWS UNBOUNDED PRECEDING) - sec AS late_sec
+  FROM e
+), g AS (
+  SELECT least(late_sec // {LATE_BUCKET_SEC}, {LATE_BUCKET_CAP})
+      AS late_hour_bucket,
+    count(*) AS n_events, max(late_sec) AS max_late_sec
+  FROM late GROUP BY 1
+), w AS (
+  SELECT *, CAST(sum(n_events) OVER () AS BIGINT) AS tot FROM g
+)
+SELECT late_hour_bucket, n_events, max_late_sec, {share} AS share
+FROM w ORDER BY late_hour_bucket
+"""
+
+
 QUERIES = {
     "events_stickiness_dau_mau": events_stickiness_dau_mau,
     "stats_kendall_tau": stats_kendall_tau,
@@ -680,6 +1003,9 @@ QUERIES = {
     "sample_neyman_allocation": sample_neyman_allocation,
     "events_uplift_by_tier": events_uplift_by_tier,
     "events_markov_stationary": events_markov_stationary,
+    "events_diff_in_diff": events_diff_in_diff,
+    "layout_partition_skew": layout_partition_skew,
+    "events_watermark_lateness": events_watermark_lateness,
 }
 
 ORACLES = {
@@ -689,4 +1015,7 @@ ORACLES = {
     "sample_neyman_allocation": _oracle_neyman(),
     "events_uplift_by_tier": _oracle_uplift(),
     "events_markov_stationary": _oracle_markov_stationary(),
+    "events_diff_in_diff": _oracle_did(),
+    "layout_partition_skew": _oracle_partition_skew(),
+    "events_watermark_lateness": _oracle_lateness(),
 }

@@ -36,6 +36,8 @@ CARTESIAN_OK = {
     "(scalar-aggregate pattern)",
     "events_uplift_by_tier": "the derived split-day scalar rides a 1-row "
     "broadcast side against the event scan (scalar-aggregate pattern)",
+    "events_diff_in_diff": "the derived split-day scalar rides a 1-row "
+    "broadcast side against the event scan (scalar-aggregate pattern)",
     "events_markov_stationary": "the empirical-total denominator rides a "
     "1-row broadcast next to the K-row stationary vector "
     "(scalar-aggregate pattern)",

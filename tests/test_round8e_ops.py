@@ -267,3 +267,106 @@ def test_markov_stationary_is_eigenvector_of_transition_matrix(spark):
             got[s]["stationary_share"],
             v[idx[s]],
         )
+
+
+def test_diff_in_diff_matches_pandas_2x2(spark):
+    """Cell means, DiD, SE, and t match a direct pandas computation of
+    the 2x2 design."""
+    import hashlib
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        events_diff_in_diff,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf = pdf.assign(
+        di=_day_index(pdf["ts"]),
+        cents=np.round(pdf["value"] * 100).astype("int64"),
+    )
+    split = (int(pdf["di"].min()) + int(pdf["di"].max()) + 1) // 2
+    pdf = pdf.assign(
+        arm=pdf["user_id"].map(
+            lambda u: "c" if int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) < 8 else "t"
+        ),
+        period=np.where(pdf["di"] < split, "pre", "post"),
+    )
+    cells = {}
+    for (a, p), sub in pdf.groupby(["arm", "period"]):
+        x = sub["cents"].to_numpy(dtype=np.float64)
+        cells[(a, p)] = (len(x), x.mean(), x.var(ddof=1))
+    row = events_diff_in_diff(spark, SF).collect()[0]
+    assert row["n_tpr"] == cells[("t", "pre")][0]
+    assert row["n_cpo"] == cells[("c", "post")][0]
+    assert abs(row["mean_t_pre"] - round(cells[("t", "pre")][1] / 100, 4)) <= 1e-3
+    did = (cells[("t", "post")][1] - cells[("t", "pre")][1]) - (
+        cells[("c", "post")][1] - cells[("c", "pre")][1]
+    )
+    se = np.sqrt(sum(v / n for (n, m, v) in cells.values()))
+    assert abs(row["did_dollars"] - round(did / 100, 4)) <= 1e-3
+    assert abs(row["se_dollars"] - round(se / 100, 4)) <= 1e-3
+    assert abs(row["t_stat"] - round(did / se, 4)) <= 1e-3
+
+
+def test_partition_skew_matches_python_hash_assignment(spark):
+    """Loads per candidate width match a python md5 recomputation, and
+    the straggler factor is max*P/total."""
+    import hashlib
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        SKEW_PARTITION_COUNTS,
+        layout_partition_skew,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    got = {r["n_partitions"]: r for r in layout_partition_skew(spark, SF).collect()}
+    assert set(got) == set(SKEW_PARTITION_COUNTS)
+    for p in SKEW_PARTITION_COUNTS:
+        loads: dict[int, int] = {}
+        for u in pdf["user_id"]:
+            h = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % p
+            loads[h] = loads.get(h, 0) + 1
+        row = got[p]
+        assert row["used_partitions"] == len(loads)
+        assert row["total_rows"] == len(pdf)
+        assert row["max_load"] == max(loads.values())
+        assert row["min_load"] == min(loads.values())
+        sf_ref = round(max(loads.values()) * p / len(pdf), 4)
+        assert abs(row["straggler_factor"] - sf_ref) <= 1e-9
+
+
+def test_watermark_lateness_matches_pandas_running_max(spark):
+    """Bucket counts match a per-user arrival-ordered running-max
+    recomputation with the same deterministic jitter."""
+    import hashlib
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        LATE_BUCKET_CAP,
+        LATE_BUCKET_SEC,
+        LATE_JITTER_SEC,
+        events_watermark_lateness,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    ts = pdf["ts"]
+    secs = (
+        ts // 1_000_000_000
+        if ts.dtype.kind in "iu"
+        else ts.astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    )
+    pdf = pdf.assign(
+        sec=secs,
+        arr=secs
+        + pdf["event_id"].map(
+            lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[0], 16)
+        )
+        * LATE_JITTER_SEC,
+    )
+    buckets: dict[int, int] = {}
+    for _, sub in pdf.groupby("user_id"):
+        sub = sub.sort_values(["arr", "event_id"])
+        runmax = sub["sec"].cummax()
+        for late in (runmax - sub["sec"]).astype("int64"):
+            b = min(late // LATE_BUCKET_SEC, LATE_BUCKET_CAP)
+            buckets[b] = buckets.get(b, 0) + 1
+    got = {r["late_hour_bucket"]: r for r in events_watermark_lateness(spark, SF).collect()}
+    assert {k: v for k, v in buckets.items()} == {
+        k: r["n_events"] for k, r in got.items()
+    }
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) <= 1e-2
