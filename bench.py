@@ -236,6 +236,8 @@ HEADLINE = [
     "events_diff_in_diff",
     "layout_partition_skew",
     "events_watermark_lateness",
+    "graph_degree_assortativity",
+    "ml_stump_cv_gain",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -892,6 +892,89 @@ ORDER BY dist
 """
 
 
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-occurrence graph — the Pearson
+    correlation of endpoint degrees over the (symmetrized) edge list
+    (Newman 2002's r, computed on full endpoint degrees; the
+    excess-degree variant shifts both axes by 1 and leaves Pearson r
+    unchanged). r > 0 = hubs attach to hubs (social-graph shape),
+    r < 0 = hubs attach to leaves (the star/stopword shape co-occurrence
+    graphs usually show) — the one-number summary of whether the heavy
+    keys of a graph join concentrate on each other, which is exactly
+    what decides if a vertex-cut or salting strategy is needed at scale.
+
+    Exact arithmetic: degrees are integer counts; the six correlation
+    sums (n, sx, sy, sxy, sx2, sy2) are exact BIGINTs off one edge-grain
+    agg; r is one shared IEEE expression with CAST-to-DOUBLE products
+    (no BIGINT overflow at any graph size).
+
+    Scale: two node-keyed equi-joins to attach endpoint degrees, one
+    global agg. Reuses the memoized cooc-edge staging relation; the
+    degree relation is vocabulary-sized."""
+    edges = _cooc_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("tok_a").alias("node"), F.col("tok_b").alias("nbr")
+    ).union(edges.select(F.col("tok_b").alias("node"), F.col("tok_a").alias("nbr")))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    xy = (
+        und.join(deg, "node")
+        .withColumnRenamed("deg", "x")
+        .join(deg.select(F.col("node").alias("nbr"), F.col("deg").alias("y")), "nbr")
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    r = (
+        "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+        "/ sqrt((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) "
+        "* (CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)))"
+    )
+    return agg.selectExpr(
+        "n AS n_directed_edges",
+        f"{dl.round_ratio(dl.SPARK, 'sx', 'n')} AS mean_endpoint_degree",
+        f"round({r}, 4) AS assortativity_r",
+    )
+
+
+def _oracle_assortativity() -> str:
+    r = (
+        "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+        "/ sqrt((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) "
+        "* (CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)))"
+    )
+    ratio = dl.round_ratio(dl.DUCK, "sx", "n")
+    return f"""
+WITH {_ORACLE_EDGE_CTES},
+und AS (
+  SELECT tok_a AS node, tok_b AS nbr FROM edges
+  UNION ALL
+  SELECT tok_b AS node, tok_a AS nbr FROM edges
+), deg AS (
+  SELECT node, count(*) AS deg FROM und GROUP BY node
+), xy AS (
+  SELECT dx.deg AS x, dy.deg AS y
+  FROM und u
+  JOIN deg dx ON dx.node = u.node
+  JOIN deg dy ON dy.node = u.nbr
+), agg AS (
+  SELECT count(*) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sx2, CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM xy
+)
+SELECT n AS n_directed_edges,
+  {ratio} AS mean_endpoint_degree,
+  round({r}, 4) AS assortativity_r
+FROM agg
+"""
+
+
 QUERIES = {
     "graph_link_prediction": graph_link_prediction,
     "graph_degree_stats": graph_degree_stats,
@@ -900,6 +983,7 @@ QUERIES = {
     "graph_lpa_communities": graph_lpa_communities,
     "graph_kcore": graph_kcore,
     "graph_bfs_frontiers": graph_bfs_frontiers,
+    "graph_degree_assortativity": graph_degree_assortativity,
 }
 
 ORACLES = {
@@ -910,4 +994,5 @@ ORACLES = {
     "graph_lpa_communities": _oracle_lpa(),
     "graph_kcore": _oracle_kcore(),
     "graph_bfs_frontiers": _oracle_bfs(),
+    "graph_degree_assortativity": _oracle_assortativity(),
 }

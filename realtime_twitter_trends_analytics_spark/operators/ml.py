@@ -1159,6 +1159,254 @@ ORDER BY b.dim
 """
 
 
+CV_FOLDS = 5  # k-fold split for the cross-validated stump
+
+
+def ml_stump_cv_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated stump selection — the model-selection loop
+    on top of ml_decision_stump's histogram scan: vectors hash (md5)
+    into CV_FOLDS folds; for each fold the best (dim, bin) split is
+    chosen on the TRAIN folds only and its Gini gain re-measured on the
+    HELD-OUT fold. train_gain - test_gain is the overfitting gap the
+    validation protocol exists to expose.
+
+    The trick that keeps this one pass: per-(fold, dim, label, bin)
+    prefix sums over the SHARED dense bin grid mean the train-side
+    histogram for fold f is just (sum over folds) - (fold f) — total
+    and per-fold cums come from the same agg, so CV costs one extra
+    grouping column, not K re-scans (the histogram-subtraction trick
+    distributed GBDT trainers use for sibling nodes). Empty split
+    sides contribute zero impurity by the CASE convention, identically
+    in both engines; impurities are quantized to 1e-9 before the
+    per-fold argmin (rank on quantized value, dim/bin tie-break — the
+    _quant_cos convention).
+
+    Scale: everything runs on the (folds x dims x bins x labels) grid —
+    bounded by constants and never data-sized; the raw scan feeds one
+    hash agg with map-side partials."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = (
+        f"pmod({dl.hex_prefix_uint(dl.SPARK, 'md5(CAST(vec_id AS STRING))', 8)},"
+        f" {CV_FOLDS})"
+    )
+    binned = emb.select(
+        F.expr(fold).alias("fold"),
+        "label",
+        F.posexplode(F.expr(f"slice(embedding, 1, {STUMP_DIMS})")).alias("dim", "x"),
+    ).select(
+        "fold",
+        "dim",
+        "label",
+        F.expr(f"CAST(floor(x * {STUMP_BIN_SCALE}) AS BIGINT)").alias("bin"),
+    )
+    counts = binned.groupBy("fold", "dim", "label", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bins_d = counts.select("dim", "bin").distinct()
+    lab_tot_f = counts.groupBy("fold", "dim", "label").agg(F.sum("c").alias("tot"))
+    grid = (
+        bins_d.join(lab_tot_f, "dim")
+        .join(counts, ["fold", "dim", "label", "bin"], "left")
+        .select(
+            "fold", "dim", "label", "bin", "tot",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    cum = grid.withColumn(
+        "cum",
+        F.sum("c").over(W.partitionBy("fold", "dim", "label").orderBy("bin")),
+    )
+    tot_all = cum.groupBy("dim", "label", "bin").agg(
+        F.sum("cum").alias("cum_all"), F.sum("tot").alias("tot_all")
+    )
+    both = cum.join(tot_all, ["dim", "label", "bin"]).select(
+        "fold",
+        "dim",
+        "bin",
+        F.col("cum").alias("te_cum"),
+        F.col("tot").alias("te_tot"),
+        (F.col("cum_all") - F.col("cum")).alias("tr_cum"),
+        (F.col("tot_all") - F.col("tot")).alias("tr_tot"),
+    )
+    per_bin = both.groupBy("fold", "dim", "bin").agg(
+        F.sum("tr_cum").alias("tr_nl"),
+        F.sum(F.col("tr_cum") * F.col("tr_cum")).alias("tr_sl2"),
+        F.sum(
+            (F.col("tr_tot") - F.col("tr_cum")) * (F.col("tr_tot") - F.col("tr_cum"))
+        ).alias("tr_sr2"),
+        F.sum("tr_tot").alias("tr_n"),
+        F.sum("te_cum").alias("te_nl"),
+        F.sum(F.col("te_cum") * F.col("te_cum")).alias("te_sl2"),
+        F.sum(
+            (F.col("te_tot") - F.col("te_cum")) * (F.col("te_tot") - F.col("te_cum"))
+        ).alias("te_sr2"),
+        F.sum("te_tot").alias("te_n"),
+    )
+
+    def imp(pfx: str) -> str:
+        nl, sl2, sr2, n = (f"{pfx}_nl", f"{pfx}_sl2", f"{pfx}_sr2", f"{pfx}_n")
+        left = f"CASE WHEN {nl} = 0 THEN 0.0 ELSE {nl} - {sl2} / {nl} END"
+        right = (
+            f"CASE WHEN {n} - {nl} = 0 THEN 0.0 "
+            f"ELSE ({n} - {nl}) - {sr2} / ({n} - {nl}) END"
+        )
+        return f"((({left}) + ({right})) / {n})"
+
+    cand = per_bin.filter(
+        (F.col("tr_nl") > 0) & (F.col("tr_nl") < F.col("tr_n"))
+    ).withColumn(
+        "tr_imp_q", F.expr(f"CAST(round({imp('tr')} * {STUMP_Q}) AS BIGINT)")
+    ).withColumn(
+        "te_imp_q", F.expr(f"CAST(round({imp('te')} * {STUMP_Q}) AS BIGINT)")
+    )
+    best = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("fold").orderBy("tr_imp_q", "dim", "bin")
+        ),
+    ).filter(F.col("rn") == 1)
+    gb = lab_tot_f.groupBy("fold", "dim").agg(
+        F.expr(
+            f"CAST(round((1.0 - sum(tot * tot) / (CAST(sum(tot) AS DOUBLE) "
+            f"* sum(tot))) * {STUMP_Q}) AS BIGINT)"
+        ).alias("te_gb_q")
+    )
+    # train gini-before per (fold, dim): totals minus the fold
+    tot_dl = lab_tot_f.groupBy("dim", "label").agg(F.sum("tot").alias("tot_all"))
+    gb_tr = (
+        lab_tot_f.join(tot_dl, ["dim", "label"])
+        .select("fold", "dim", "label", (F.col("tot_all") - F.col("tot")).alias("t"))
+        .groupBy("fold", "dim")
+        .agg(
+            F.expr(
+                f"CAST(round((1.0 - sum(t * t) / (CAST(sum(t) AS DOUBLE) "
+                f"* sum(t))) * {STUMP_Q}) AS BIGINT)"
+            ).alias("tr_gb_q")
+        )
+    )
+    q = float(STUMP_Q)
+    return (
+        best.join(gb, ["fold", "dim"])
+        .join(gb_tr, ["fold", "dim"])
+        .select(
+            "fold",
+            "dim",
+            F.col("bin").alias("split_bin"),
+            F.col("tr_n").alias("n_train"),
+            F.col("te_n").alias("n_test"),
+            ((F.col("tr_gb_q") - F.col("tr_imp_q")) / F.lit(q)).alias("train_gain"),
+            ((F.col("te_gb_q") - F.col("te_imp_q")) / F.lit(q)).alias("test_gain"),
+            (
+                ((F.col("tr_gb_q") - F.col("tr_imp_q"))
+                 - (F.col("te_gb_q") - F.col("te_imp_q"))) / F.lit(q)
+            ).alias("overfit_gap"),
+        )
+        .orderBy("fold")
+    )
+
+
+def _oracle_stump_cv() -> str:
+    d = dl.DUCK
+    fold = f"({dl.hex_prefix_uint(d, 'md5(CAST(vec_id AS VARCHAR))', 8)}) % {CV_FOLDS}"
+
+    def imp(pfx: str) -> str:
+        nl, sl2, sr2, n = (f"{pfx}_nl", f"{pfx}_sl2", f"{pfx}_sr2", f"{pfx}_n")
+        left = f"CASE WHEN {nl} = 0 THEN 0.0 ELSE {nl} - {sl2} / {nl} END"
+        right = (
+            f"CASE WHEN {n} - {nl} = 0 THEN 0.0 "
+            f"ELSE ({n} - {nl}) - {sr2} / ({n} - {nl}) END"
+        )
+        return f"((({left}) + ({right})) / {n})"
+
+    return f"""
+WITH binned AS (
+  SELECT {fold} AS fold, label, dim,
+    CAST(floor(x * {STUMP_BIN_SCALE}) AS BIGINT) AS bin
+  FROM (
+    SELECT vec_id, label,
+      CAST(unnest(generate_series(0, {STUMP_DIMS - 1})) AS INT) AS dim,
+      unnest(embedding[1:{STUMP_DIMS}]) AS x
+    FROM embeddings
+  )
+), counts AS (
+  SELECT fold, dim, label, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3, 4
+), bins_d AS (
+  SELECT DISTINCT dim, bin FROM counts
+), lab_tot_f AS (
+  SELECT fold, dim, label, CAST(sum(c) AS BIGINT) AS tot
+  FROM counts GROUP BY 1, 2, 3
+), grid AS (
+  SELECT l.fold, b.dim, l.label, b.bin, l.tot, coalesce(c.c, 0) AS c
+  FROM bins_d b
+  JOIN lab_tot_f l ON l.dim = b.dim
+  LEFT JOIN counts c
+    ON c.fold = l.fold AND c.dim = b.dim AND c.label = l.label AND c.bin = b.bin
+), cum AS (
+  SELECT fold, dim, label, bin, tot,
+    CAST(sum(c) OVER (PARTITION BY fold, dim, label ORDER BY bin
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM grid
+), tot_all AS (
+  SELECT dim, label, bin,
+    CAST(sum(cum) AS BIGINT) AS cum_all, CAST(sum(tot) AS BIGINT) AS tot_all
+  FROM cum GROUP BY 1, 2, 3
+), sides AS (
+  SELECT c.fold, c.dim, c.bin,
+    c.cum AS te_cum, c.tot AS te_tot,
+    t.cum_all - c.cum AS tr_cum, t.tot_all - c.tot AS tr_tot
+  FROM cum c JOIN tot_all t
+    ON t.dim = c.dim AND t.label = c.label AND t.bin = c.bin
+), per_bin AS (
+  SELECT fold, dim, bin,
+    CAST(sum(tr_cum) AS BIGINT) AS tr_nl,
+    CAST(sum(tr_cum * tr_cum) AS BIGINT) AS tr_sl2,
+    CAST(sum((tr_tot - tr_cum) * (tr_tot - tr_cum)) AS BIGINT) AS tr_sr2,
+    CAST(sum(tr_tot) AS BIGINT) AS tr_n,
+    CAST(sum(te_cum) AS BIGINT) AS te_nl,
+    CAST(sum(te_cum * te_cum) AS BIGINT) AS te_sl2,
+    CAST(sum((te_tot - te_cum) * (te_tot - te_cum)) AS BIGINT) AS te_sr2,
+    CAST(sum(te_tot) AS BIGINT) AS te_n
+  FROM sides GROUP BY 1, 2, 3
+), cand AS (
+  SELECT *,
+    CAST(round({imp('tr')} * {STUMP_Q}) AS BIGINT) AS tr_imp_q,
+    CAST(round({imp('te')} * {STUMP_Q}) AS BIGINT) AS te_imp_q
+  FROM per_bin WHERE tr_nl > 0 AND tr_nl < tr_n
+), best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fold
+        ORDER BY tr_imp_q, dim, bin) AS rn
+    FROM cand
+  ) WHERE rn = 1
+), gb AS (
+  SELECT fold, dim,
+    CAST(round((1.0 - sum(tot * tot) / (CAST(sum(tot) AS DOUBLE) * sum(tot)))
+      * {STUMP_Q}) AS BIGINT) AS te_gb_q
+  FROM lab_tot_f GROUP BY 1, 2
+), tot_dl AS (
+  SELECT dim, label, CAST(sum(tot) AS BIGINT) AS tot_all
+  FROM lab_tot_f GROUP BY 1, 2
+), gb_tr AS (
+  SELECT fold, l.dim,
+    CAST(round((1.0 - sum((tot_all - tot) * (tot_all - tot))
+      / (CAST(sum(tot_all - tot) AS DOUBLE) * sum(tot_all - tot)))
+      * {STUMP_Q}) AS BIGINT) AS tr_gb_q
+  FROM lab_tot_f l JOIN tot_dl t ON t.dim = l.dim AND t.label = l.label
+  GROUP BY 1, 2
+)
+SELECT b.fold AS fold, b.dim AS dim, b.bin AS split_bin,
+  b.tr_n AS n_train, b.te_n AS n_test,
+  (g2.tr_gb_q - b.tr_imp_q) / {STUMP_Q}.0 AS train_gain,
+  (g.te_gb_q - b.te_imp_q) / {STUMP_Q}.0 AS test_gain,
+  ((g2.tr_gb_q - b.tr_imp_q) - (g.te_gb_q - b.te_imp_q)) / {STUMP_Q}.0
+    AS overfit_gap
+FROM best b
+JOIN gb g ON g.fold = b.fold AND g.dim = b.dim
+JOIN gb_tr g2 ON g2.fold = b.fold AND g2.dim = b.dim
+ORDER BY fold
+"""
+
+
 QUERIES = {
     "ml_naive_bayes_lang": ml_naive_bayes_lang,
     "ml_logreg_irls": ml_logreg_irls,
@@ -1169,6 +1417,7 @@ QUERIES = {
     "ml_pq_codebook": ml_pq_codebook,
     "ml_pca_power_iteration": ml_pca_power_iteration,
     "ml_decision_stump": ml_decision_stump,
+    "ml_stump_cv_gain": ml_stump_cv_gain,
 }
 
 ORACLES = {
@@ -1181,4 +1430,5 @@ ORACLES = {
     "ml_pq_codebook": _oracle_pq(),
     "ml_pca_power_iteration": _oracle_pca(),
     "ml_decision_stump": _oracle_stump(),
+    "ml_stump_cv_gain": _oracle_stump_cv(),
 }

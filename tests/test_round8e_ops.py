@@ -370,3 +370,92 @@ def test_watermark_lateness_matches_pandas_running_max(spark):
         k: r["n_events"] for k, r in got.items()
     }
     assert abs(sum(r["share"] for r in got.values()) - 1.0) <= 1e-2
+
+
+def test_assortativity_matches_numpy_pearson_on_edges(spark):
+    """r equals the numpy Pearson correlation of endpoint degrees over
+    the same symmetrized edge list (edges pulled from the shared cooc
+    staging relation; the edge build itself is oracle-gated
+    elsewhere)."""
+    from realtime_twitter_trends_analytics_spark.operators.graph import (
+        _cooc_edges,
+        graph_degree_assortativity,
+    )
+
+    edges = [(r["tok_a"], r["tok_b"]) for r in _cooc_edges(spark, SF).collect()]
+    deg: dict[str, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    x = np.array(xs, dtype=np.float64)
+    y = np.array(ys, dtype=np.float64)
+    r_ref = np.corrcoef(x, y)[0, 1]
+    row = graph_degree_assortativity(spark, SF).collect()[0]
+    assert row["n_directed_edges"] == 2 * len(edges)
+    assert abs(row["assortativity_r"] - round(float(r_ref), 4)) <= 1e-3
+    assert abs(row["mean_endpoint_degree"] - round(float(x.mean()), 4)) <= 1e-3
+
+
+def test_stump_cv_matches_numpy_fold_recompute(spark):
+    """Per-fold chosen split and gains match a direct numpy histogram
+    recomputation: train impurity minimized over (dim, bin) with
+    dim/bin tie-break, gains measured on train and held-out fold."""
+    import hashlib
+    from realtime_twitter_trends_analytics_spark.operators.ml import (
+        CV_FOLDS,
+        STUMP_BIN_SCALE,
+        STUMP_DIMS,
+        ml_stump_cv_gain,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    folds = emb["vec_id"].map(
+        lambda v: int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % CV_FOLDS
+    )
+    labels = emb["label"].to_numpy()
+    vecs = np.stack(emb["embedding"].to_numpy())[:, :STUMP_DIMS]
+    bins = np.floor(vecs * STUMP_BIN_SCALE).astype(np.int64)
+
+    def weighted_gini(lab):
+        if len(lab) == 0:
+            return 0.0
+        _, c = np.unique(lab, return_counts=True)
+        return len(lab) - (c.astype(np.float64) ** 2).sum() / len(lab)
+
+    got = {r["fold"]: r for r in ml_stump_cv_gain(spark, SF).collect()}
+    for f in range(CV_FOLDS):
+        tr = (folds != f).to_numpy()
+        te = ~tr
+        best = None
+        for dim in range(STUMP_DIMS):
+            for b in sorted(set(bins[:, dim])):
+                left = bins[:, dim] <= b
+                nl = int((tr & left).sum())
+                if nl == 0 or nl == int(tr.sum()):
+                    continue
+                imp = (
+                    weighted_gini(labels[tr & left])
+                    + weighted_gini(labels[tr & ~left])
+                ) / tr.sum()
+                key = (round(imp * 10**9), dim, b)
+                if best is None or key < best:
+                    best = key
+        imp_q, dim, b = best
+        row = got[f]
+        assert (row["dim"], row["split_bin"]) == (dim, b), (f, row, best)
+        left = bins[:, dim] <= b
+        gb_tr = weighted_gini(labels[tr]) / tr.sum()
+        tr_gain = gb_tr - imp_q / 10**9
+        gb_te = weighted_gini(labels[te]) / te.sum()
+        te_imp = (
+            weighted_gini(labels[te & left]) + weighted_gini(labels[te & ~left])
+        ) / te.sum()
+        assert abs(row["train_gain"] - tr_gain) <= 1e-6, (f, row["train_gain"], tr_gain)
+        assert abs(row["test_gain"] - (gb_te - te_imp)) <= 1e-6
+        assert abs(row["overfit_gap"] - (tr_gain - (gb_te - te_imp))) <= 1e-6
+        assert row["n_train"] == int(tr.sum())
+        assert row["n_test"] == int(te.sum())
