@@ -238,6 +238,8 @@ HEADLINE = [
     "events_watermark_lateness",
     "graph_degree_assortativity",
     "ml_stump_cv_gain",
+    "graph_modularity",
+    "dedup_lsh_tuning_curve",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

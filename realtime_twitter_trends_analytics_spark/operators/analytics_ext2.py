@@ -582,12 +582,15 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    from ..audit import audit_plan
+
     tot = trans.groupBy("src").agg(F.sum("cnt").alias("tot"))
-    tm = (
-        trans.join(tot, "src")
-        .select("src", "dst", F.expr("(cnt * 1000000) DIV tot").alias("p6"))
-        .localCheckpoint()
-    )
+    tm = audit_plan(
+        "markov_tm",
+        trans.join(tot, "src").select(
+            "src", "dst", F.expr("(cnt * 1000000) DIV tot").alias("p6")
+        ),
+    ).localCheckpoint()
     states = tm.select(F.col("src").alias("state")).distinct()
     k = states.count()  # K-row driver scalar (model-state collect pattern)
     v = states.select(

@@ -1503,6 +1503,114 @@ ORDER BY 1, 2
 """
 
 
+
+# LSH band-tuning grid: every (bands, rows) factorization of MINHASH_K
+LSH_TUNE_GRID = [(8, 1), (4, 2), (2, 4), (1, 8)]
+LSH_PROB_Q = 10**8  # per-pair detection-probability quantization
+
+
+def _pow_expr(x: str, k: int) -> str:
+    """x**k for small integer k as literal multiplication — libm pow()
+    differs across engines by ulps; a product of identical doubles
+    cannot."""
+    assert k >= 1
+    return "(" + " * ".join([f"({x})"] * k) + ")"
+
+
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding design curve — for every (bands b, rows-per-band r)
+    factorization of the MINHASH_K signature budget, the detection rate
+    the banded index would achieve on the corpus's MEASURED near-dup
+    pairs: P(detect | jaccard s) = 1 - (1 - s^r)^b, evaluated at each
+    verified pair's exact Jaccard and aggregated. The table that answers
+    "should we re-band before the next crawl" with data instead of the
+    textbook S-curve sketch; s50 (the similarity where detection is a
+    coin flip) is the closed-form (1 - 2^(-1/b))^(1/r), emitted as a
+    Python-computed literal so no runtime pow() is involved.
+
+    Float discipline: s is the already-quantized 4dp Jaccard from the
+    oracle-gated verifier; s^r and (1-s^r)^b are LITERAL repeated
+    multiplications (identical op sequence in both engines — no libm
+    pow); each pair's probability quantizes to LSH_PROB_Q fixed point
+    BEFORE the sum, so partial-agg order cannot perturb the total.
+
+    Scale: reuses the verified-pair relation (staging-backed); the
+    curve itself is a constant-size agg per grid point over pair-grain
+    rows."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("jaccard")
+    outs = []
+    for b, r in LSH_TUNE_GRID:
+        prob = f"(1.0 - {_pow_expr('1.0 - ' + _pow_expr('jaccard', r), b)})"
+        s50 = round((1.0 - 2.0 ** (-1.0 / b)) ** (1.0 / r), 4)
+        q = (
+            pairs.selectExpr(
+                f"CAST(round({prob} * {LSH_PROB_Q}) AS BIGINT) AS pq"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("pq").alias("sum_pq"),
+                F.min("pq").alias("min_pq"),
+                F.sum(
+                    F.when(F.col("pq") >= int(0.9 * LSH_PROB_Q), 1).otherwise(0)
+                ).alias("n_above_90"),
+            )
+            .selectExpr(
+                f"CAST({b} AS INT) AS bands",
+                f"CAST({r} AS INT) AS rows_per_band",
+                f"CAST({s50} AS DOUBLE) AS s50",
+                "n_pairs",
+                f"{dl.round_ratio(dl.SPARK, 'sum_pq', 'n_pairs * ' + str(LSH_PROB_Q))} "
+                "AS expected_recall",
+                f"round(CAST(min_pq AS DOUBLE) / {LSH_PROB_Q}, 4) AS worst_pair_prob",
+                "n_above_90",
+            )
+        )
+        outs.append(q)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("bands")
+
+
+def _oracle_lsh_tuning() -> str:
+    inner = _oracle_ngram_jaccard()
+    parts = []
+    for b, r in LSH_TUNE_GRID:
+        prob = f"(1.0 - {_pow_expr('1.0 - ' + _pow_expr('jaccard', r), b)})"
+        s50 = round((1.0 - 2.0 ** (-1.0 / b)) ** (1.0 / r), 4)
+        ratio = dl.round_ratio(
+            dl.DUCK, "sum_pq", f"n_pairs * {LSH_PROB_Q}"
+        )
+        parts.append(
+            f"""
+  SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band,
+    CAST({s50} AS DOUBLE) AS s50, n_pairs,
+    {ratio} AS expected_recall,
+    round(CAST(min_pq AS DOUBLE) / {LSH_PROB_Q}, 4) AS worst_pair_prob,
+    n_above_90
+  FROM (
+    SELECT count(*) AS n_pairs,
+      CAST(sum(pq) AS BIGINT) AS sum_pq,
+      min(pq) AS min_pq,
+      CAST(sum(CASE WHEN pq >= {int(0.9 * LSH_PROB_Q)} THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_above_90
+    FROM (
+      SELECT CAST(round({prob} * {LSH_PROB_Q}) AS BIGINT) AS pq FROM pairs
+    )
+  )"""
+        )
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH pairs AS (
+  SELECT jaccard FROM ({inner}) verified
+)
+SELECT * FROM (
+{union}
+) ORDER BY bands
+"""
+
+
+
 QUERIES = {
     "dedup_incremental_probe": dedup_incremental_probe,
     "dedup_exact": dedup_exact,
@@ -1520,6 +1628,7 @@ QUERIES = {
     "dedup_soft_weights": dedup_soft_weights,
     "dedup_minhash_eval": dedup_minhash_eval,
     "dedup_split_leakage": dedup_split_leakage,
+    "dedup_lsh_tuning_curve": dedup_lsh_tuning_curve,
 }
 
 ORACLES = {
@@ -1539,5 +1648,6 @@ ORACLES = {
     "dedup_survivors": _oracle_survivors(),
     "dedup_soft_weights": _oracle_soft_weights(),
     "dedup_minhash_eval": _oracle_minhash_eval(),
+    "dedup_lsh_tuning_curve": _oracle_lsh_tuning(),
     "dedup_split_leakage": _oracle_split_leakage(),
 }

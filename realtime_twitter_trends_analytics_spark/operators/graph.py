@@ -423,30 +423,10 @@ LPA_ITERS = 3       # synchronous label-propagation rounds (both engines unroll 
 LPA_SAMPLE = 5      # members shown per community in the summary
 
 
-def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by synchronous label propagation (Raghavan et
-    al.) over the shared co-occurrence graph: every token starts as its
-    own label; each round a node adopts the label with the greatest total
-    edge weight among its neighbors, ties to the lexicographically
-    smallest label. LPA_ITERS fixed rounds — deterministic (integer
-    weights + total tie order), unlike the randomized-order classic, so
-    both engines land on identical labels. Complements
-    connected-components (dedup_clusters): LPA splits a connected graph
-    into dense regions instead of whole components.
-
-    On THIS corpus the min-support co-occurrence graph is small and dense,
-    so LPA collapses it to one community — the documented dense-graph
-    behavior of the algorithm, and the honest answer here (both engines
-    agree bit-for-bit). Community RECOVERY is pinned separately by
-    tests/test_graph.py's planted two-clique corpus, where the weak
-    bridge must not merge the cliques.
-
-    Plan: the symmetric edge list materializes ONCE (localCheckpoint —
-    every round joins it; the per-round relations are vocab-sized label
-    tables). Each round = one join keyed nbr + one (node, label) hash agg
-    + one min(struct) argmax agg (map-side partials, no window sort) —
-    all uniform token keys. Rounds are a fixed constant, so the plan is
-    LPA_ITERS joins deep, never data-dependent."""
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) after LPA_ITERS synchronous rounds — the label loop
+    shared by graph_lpa_communities (readout) and graph_modularity
+    (quality score of the same labeling)."""
     edges = _cooc_edges(spark, sf_dir)
     und = audit_plan(
         "graph_lpa_und",
@@ -474,6 +454,34 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("node", F.col("m.l").alias("label"))
         )
+    return labels
+
+
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al.) over the shared co-occurrence graph: every token starts as its
+    own label; each round a node adopts the label with the greatest total
+    edge weight among its neighbors, ties to the lexicographically
+    smallest label. LPA_ITERS fixed rounds — deterministic (integer
+    weights + total tie order), unlike the randomized-order classic, so
+    both engines land on identical labels. Complements
+    connected-components (dedup_clusters): LPA splits a connected graph
+    into dense regions instead of whole components.
+
+    On THIS corpus the min-support co-occurrence graph is small and dense,
+    so LPA collapses it to one community — the documented dense-graph
+    behavior of the algorithm, and the honest answer here (both engines
+    agree bit-for-bit). Community RECOVERY is pinned separately by
+    tests/test_graph.py's planted two-clique corpus, where the weak
+    bridge must not merge the cliques.
+
+    Plan: the symmetric edge list materializes ONCE (localCheckpoint —
+    every round joins it; the per-round relations are vocab-sized label
+    tables). Each round = one join keyed nbr + one (node, label) hash agg
+    + one min(struct) argmax agg (map-side partials, no window sort) —
+    all uniform token keys. Rounds are a fixed constant, so the plan is
+    LPA_ITERS joins deep, never data-dependent."""
+    labels = _lpa_labels(spark, sf_dir)
     return (
         labels.groupBy("label")
         .agg(
@@ -486,8 +494,9 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_lpa() -> str:
-    d = dl.DUCK
+def _lpa_label_ctes() -> str:
+    """The LPA label-iteration CTE chain (ending at l{LPA_ITERS}), shared
+    by the LPA and modularity oracles."""
     ctes = [
         """und AS MATERIALIZED (
   SELECT tok_a AS node, tok_b AS nbr, w FROM edges
@@ -513,7 +522,11 @@ def _oracle_lpa() -> str:
   ) WHERE rn = 1
 )"""
         )
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def _oracle_lpa() -> str:
+    body = _lpa_label_ctes()
     return f"""
 WITH {_ORACLE_EDGE_CTES},
 {body}
@@ -975,6 +988,99 @@ FROM agg
 """
 
 
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA labeling — the one-number quality
+    score of graph_lpa_communities' output (Q = intra-community edge
+    share minus the share expected under the degree-preserving null
+    model): the number a clustering pipeline publishes to decide
+    whether the communities are real structure or degree artifacts.
+
+    Closed integer form: Q = in_w/m - sum_c(deg_c^2)/(4*m^2) where m =
+    total edge weight, in_w = weight of intra-community edges, deg_c =
+    summed weighted degree per community — ALL exact BIGINT sums (no
+    per-community float accumulation to order-perturb), combined in ONE
+    shared IEEE expression and rounded (ks_lambda convention).
+
+    Scale: two label equi-joins on the edge list + node-grain and
+    community-grain aggs; the LPA loop itself is the shared
+    _lpa_labels chain (vocab-sized relations, fixed rounds)."""
+    labels = _lpa_labels(spark, sf_dir)
+    edges = _cooc_edges(spark, sf_dir)
+    lab = labels.select("node", "label")
+    e2 = (
+        edges.join(lab.withColumnRenamed("node", "tok_a").withColumnRenamed("label", "la"), "tok_a")
+        .join(lab.withColumnRenamed("node", "tok_b").withColumnRenamed("label", "lb"), "tok_b")
+    )
+    tot = e2.agg(
+        F.sum("w").alias("m"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("w")).otherwise(0)).alias(
+            "in_w"
+        ),
+    )
+    wdeg = (
+        e2.select(F.col("la").alias("label"), "w")
+        .union(e2.select(F.col("lb").alias("label"), "w"))
+        .groupBy("label")
+        .agg(F.sum("w").alias("deg_c"))
+    )
+    n_comm = lab.select("label").distinct().count()  # scalar model-state
+    sq = wdeg.agg(F.sum(F.col("deg_c") * F.col("deg_c")).alias("sum_deg_sq"))
+    q = (
+        "(CAST(in_w AS DOUBLE) / m "
+        "- CAST(sum_deg_sq AS DOUBLE) / (4.0 * CAST(m AS DOUBLE) * m))"
+    )
+    return (
+        tot.join(F.broadcast(sq))
+        .selectExpr(
+            f"CAST({n_comm} AS BIGINT) AS n_communities",
+            "m AS total_edge_weight",
+            "in_w AS intra_weight",
+            "sum_deg_sq",
+            f"round({q}, 4) AS modularity_q",
+        )
+    )
+
+
+def _oracle_modularity() -> str:
+    body = _lpa_label_ctes()
+    q = (
+        "(CAST(in_w AS DOUBLE) / m "
+        "- CAST(sum_deg_sq AS DOUBLE) / (4.0 * CAST(m AS DOUBLE) * m))"
+    )
+    return f"""
+WITH {_ORACLE_EDGE_CTES},
+{body},
+e2 AS (
+  SELECT e.w, la.label AS la, lb.label AS lb
+  FROM edges e
+  JOIN l{LPA_ITERS} la ON la.node = e.tok_a
+  JOIN l{LPA_ITERS} lb ON lb.node = e.tok_b
+), tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS m,
+    CAST(sum(CASE WHEN la = lb THEN w ELSE 0 END) AS BIGINT) AS in_w
+  FROM e2
+), wdeg AS (
+  SELECT label, CAST(sum(w) AS BIGINT) AS deg_c FROM (
+    SELECT la AS label, w FROM e2
+    UNION ALL
+    SELECT lb AS label, w FROM e2
+  ) GROUP BY label
+), sq AS (
+  SELECT CAST(sum(deg_c * deg_c) AS BIGINT) AS sum_deg_sq,
+    count(*) AS n_comm_deg
+  FROM wdeg
+), ncomm AS (
+  SELECT count(DISTINCT label) AS n_communities FROM l{LPA_ITERS}
+)
+SELECT CAST(n_communities AS BIGINT) AS n_communities,
+  m AS total_edge_weight, in_w AS intra_weight, sum_deg_sq,
+  round({q}, 4) AS modularity_q
+FROM tot, sq, ncomm
+"""
+
+
+
 QUERIES = {
     "graph_link_prediction": graph_link_prediction,
     "graph_degree_stats": graph_degree_stats,
@@ -984,6 +1090,7 @@ QUERIES = {
     "graph_kcore": graph_kcore,
     "graph_bfs_frontiers": graph_bfs_frontiers,
     "graph_degree_assortativity": graph_degree_assortativity,
+    "graph_modularity": graph_modularity,
 }
 
 ORACLES = {
@@ -995,4 +1102,5 @@ ORACLES = {
     "graph_kcore": _oracle_kcore(),
     "graph_bfs_frontiers": _oracle_bfs(),
     "graph_degree_assortativity": _oracle_assortativity(),
+    "graph_modularity": _oracle_modularity(),
 }

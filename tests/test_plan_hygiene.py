@@ -41,6 +41,9 @@ CARTESIAN_OK = {
     "events_markov_stationary": "the empirical-total denominator rides a "
     "1-row broadcast next to the K-row stationary vector "
     "(scalar-aggregate pattern)",
+    "graph_modularity": "the sum-of-squared-community-degrees scalar "
+    "rides a 1-row broadcast next to the 1-row edge totals "
+    "(scalar-aggregate pattern)",
     "stats_kendall_tau": "the quadratic pair join runs on the CALENDAR-"
     "bounded day grain (~2.4k rows at any SF), so the non-equi self-join "
     "is a constant ~3M pair evaluations regardless of data volume; the "

@@ -459,3 +459,58 @@ def test_stump_cv_matches_numpy_fold_recompute(spark):
         assert abs(row["overfit_gap"] - (tr_gain - (gb_te - te_imp))) <= 1e-6
         assert row["n_train"] == int(tr.sum())
         assert row["n_test"] == int(te.sum())
+
+
+def test_modularity_matches_numpy_formula(spark):
+    """Q equals the Newman closed form recomputed in python from the
+    same edges and LPA labels."""
+    from realtime_twitter_trends_analytics_spark.operators.graph import (
+        _cooc_edges,
+        _lpa_labels,
+        graph_modularity,
+    )
+
+    labels = {r["node"]: r["label"] for r in _lpa_labels(spark, SF).collect()}
+    edges = [
+        (r["tok_a"], r["tok_b"], r["w"]) for r in _cooc_edges(spark, SF).collect()
+    ]
+    m = sum(w for _, _, w in edges)
+    in_w = sum(w for a, b, w in edges if labels[a] == labels[b])
+    deg: dict[str, int] = {}
+    for a, b, w in edges:
+        deg[labels[a]] = deg.get(labels[a], 0) + w
+        deg[labels[b]] = deg.get(labels[b], 0) + w
+    sum_deg_sq = sum(v * v for v in deg.values())
+    q_ref = in_w / m - sum_deg_sq / (4.0 * m * m)
+    row = graph_modularity(spark, SF).collect()[0]
+    assert row["total_edge_weight"] == m
+    assert row["intra_weight"] == in_w
+    assert row["sum_deg_sq"] == sum_deg_sq
+    assert row["n_communities"] == len(set(labels.values()))
+    assert abs(row["modularity_q"] - round(q_ref, 4)) <= 1e-9
+
+
+def test_lsh_tuning_curve_matches_s_curve_math(spark):
+    """Expected recall per (b, r) equals the mean S-curve detection
+    probability over the verified pairs' jaccards, and s50 solves
+    1-(1-s^r)^b = 1/2."""
+    from realtime_twitter_trends_analytics_spark.operators.dedup import (
+        LSH_TUNE_GRID,
+        dedup_lsh_tuning_curve,
+        dedup_ngram_jaccard,
+    )
+
+    sims = [r["jaccard"] for r in dedup_ngram_jaccard(spark, SF).collect()]
+    got = {(r["bands"], r["rows_per_band"]): r for r in dedup_lsh_tuning_curve(spark, SF).collect()}
+    assert set(got) == set(LSH_TUNE_GRID)
+    for b, r in LSH_TUNE_GRID:
+        probs = [
+            round(1.0 - (1.0 - s**r) ** b, 8) for s in sims
+        ]
+        row = got[(b, r)]
+        assert row["n_pairs"] == len(sims)
+        assert abs(row["expected_recall"] - round(sum(probs) / len(probs), 4)) <= 2e-4
+        assert abs(row["worst_pair_prob"] - round(min(probs), 4)) <= 1e-4
+        s50 = row["s50"]
+        assert abs((1.0 - (1.0 - s50**r) ** b) - 0.5) <= 1e-3
+        assert row["n_above_90"] == sum(1 for p in probs if p >= 0.9)
