@@ -240,6 +240,9 @@ HEADLINE = [
     "ml_stump_cv_gain",
     "graph_modularity",
     "dedup_lsh_tuning_curve",
+    "orders_ar_aging",
+    "lineitem_discount_bands",
+    "events_ab_srm_check",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

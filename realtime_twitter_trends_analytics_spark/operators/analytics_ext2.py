@@ -999,6 +999,230 @@ FROM w ORDER BY late_hour_bucket
 """
 
 
+# ------------------------------------------------------------------ AR aging
+AGING_BANDS = (30, 60, 90)  # classic 0-30 / 31-60 / 61-90 / 90+ buckets
+
+
+def orders_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable aging — the finance close readout: every
+    order not yet finalized (o_orderstatus != 'F'), bucketed by how
+    many days it has been open as of the dataset's own last order date
+    (the snapshot), with per-bucket open order counts and dollar
+    totals per status. The snapshot day derives from max(o_orderdate)
+    so the operator is calendar-portable (same discipline as the
+    uplift split day).
+
+    Exact: ages are integer day differences, totals exact cents; the
+    bucket label is a pure CASE over integers. Scale: one scan, the
+    1-row snapshot scalar broadcast (whitelisted pattern), one
+    (status, bucket) hash agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)").alias("di"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    snap = o.agg(F.max("di").alias("snap_di"))
+    b1, b2, b3 = AGING_BANDS
+    bucket = (
+        f"CASE WHEN age <= {b1} THEN '00-{b1}' "
+        f"WHEN age <= {b2} THEN '{b1 + 1}-{b2}' "
+        f"WHEN age <= {b3} THEN '{b2 + 1}-{b3}' "
+        f"ELSE '{b3}+' END"
+    )
+    share = dl.round_ratio(dl.SPARK, "open_cents", "tot_cents")
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .join(F.broadcast(snap))
+        .selectExpr("o_orderstatus", "cents", "snap_di - di AS age")
+        .selectExpr("o_orderstatus", "cents", f"{bucket} AS age_band")
+        .groupBy("o_orderstatus", "age_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            F.sum("cents").alias("open_cents"),
+        )
+        .selectExpr(
+            "o_orderstatus",
+            "age_band",
+            "n_open",
+            "open_cents",
+            "sum(open_cents) OVER () AS tot_cents",
+        )
+        .selectExpr(
+            "o_orderstatus",
+            "age_band",
+            "n_open",
+            "round(CAST(open_cents AS DOUBLE) / 100.0, 2) AS open_dollars",
+            f"{share} AS share_of_open",
+        )
+        .orderBy("o_orderstatus", "age_band")
+    )
+
+
+def _oracle_ar_aging() -> str:
+    b1, b2, b3 = AGING_BANDS
+    bucket = (
+        f"CASE WHEN age <= {b1} THEN '00-{b1}' "
+        f"WHEN age <= {b2} THEN '{b1 + 1}-{b2}' "
+        f"WHEN age <= {b3} THEN '{b2 + 1}-{b3}' "
+        f"ELSE '{b3}+' END"
+    )
+    share = dl.round_ratio(dl.DUCK, "open_cents", "tot_cents")
+    return f"""
+WITH o AS (
+  SELECT o_orderstatus,
+    (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS di,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), snap AS (SELECT max(di) AS snap_di FROM o),
+aged AS (
+  SELECT o_orderstatus, cents, {bucket} AS age_band
+  FROM (SELECT o_orderstatus, cents, snap_di - di AS age
+        FROM o, snap WHERE o_orderstatus <> 'F')
+), g AS (
+  SELECT o_orderstatus, age_band, count(*) AS n_open,
+    CAST(sum(cents) AS BIGINT) AS open_cents
+  FROM aged GROUP BY 1, 2
+), w AS (
+  SELECT *, CAST(sum(open_cents) OVER () AS BIGINT) AS tot_cents FROM g
+)
+SELECT o_orderstatus, age_band, n_open,
+  round(CAST(open_cents AS DOUBLE) / 100.0, 2) AS open_dollars,
+  {share} AS share_of_open
+FROM w ORDER BY o_orderstatus, age_band
+"""
+
+
+# ------------------------------------------------------------- discount bands
+def lineitem_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount effectiveness — revenue and volume per discount band
+    (the pricing-analytics readout behind TPC-H Q19's predicates):
+    lineitems banded by their exact discount percentage point
+    (integer round(discount*100), 0..10 here), with per-band order-line
+    counts, quantity, gross and discounted revenue, and the effective
+    realized margin ratio. Answers "does a deeper discount move enough
+    volume to pay for itself" from one scan.
+
+    Exact: the band is an integer; revenues sum exact cents with the
+    discount applied in integer basis points before any division.
+    Scale: one scan, one band-grain hash agg (<=101 groups)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.selectExpr(
+        "CAST(round(l_discount * 100) AS INT) AS disc_pct",
+        "CAST(round(l_quantity) AS BIGINT) AS qty",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS gross_cents",
+        # discounted revenue in exact cents x 100 basis points
+        "CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "* (100 - CAST(round(l_discount * 100) AS BIGINT)) AS net_cents_x100",
+    )
+    ratio = dl.round_ratio(dl.SPARK, "net_x100", "gross * 100")
+    return (
+        rows.groupBy("disc_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qty").alias("total_qty"),
+            F.sum("gross_cents").alias("gross"),
+            F.sum("net_cents_x100").alias("net_x100"),
+        )
+        .selectExpr(
+            "disc_pct",
+            "n_lines",
+            "total_qty",
+            "round(CAST(gross AS DOUBLE) / 100.0, 2) AS gross_dollars",
+            "round(CAST(net_x100 AS DOUBLE) / 10000.0, 2) AS net_dollars",
+            f"{ratio} AS realized_ratio",
+        )
+        .orderBy("disc_pct")
+    )
+
+
+def _oracle_discount_bands() -> str:
+    ratio = dl.round_ratio(dl.DUCK, "net_x100", "gross * 100")
+    return f"""
+WITH rows_ AS (
+  SELECT CAST(round(l_discount * 100) AS INT) AS disc_pct,
+    CAST(round(l_quantity) AS BIGINT) AS qty,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS gross_cents,
+    CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS net_cents_x100
+  FROM lineitem
+), g AS (
+  SELECT disc_pct, count(*) AS n_lines,
+    CAST(sum(qty) AS BIGINT) AS total_qty,
+    CAST(sum(gross_cents) AS BIGINT) AS gross,
+    CAST(sum(net_cents_x100) AS BIGINT) AS net_x100
+  FROM rows_ GROUP BY 1
+)
+SELECT disc_pct, n_lines, total_qty,
+  round(CAST(gross AS DOUBLE) / 100.0, 2) AS gross_dollars,
+  round(CAST(net_x100 AS DOUBLE) / 10000.0, 2) AS net_dollars,
+  {ratio} AS realized_ratio
+FROM g ORDER BY disc_pct
+"""
+
+
+# ---------------------------------------------------------------- SRM check
+SRM_CHI2_CRIT = "3.841459"  # chi-square 95% critical value, 1 dof
+
+
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard — the first thing an experimentation
+    platform checks before ANY lift readout: are the hash-assigned arms
+    actually 50/50 at the user grain? Chi-square goodness-of-fit of the
+    observed (n_a, n_b) against the design ratio, with the pass/fail
+    verdict at the textbook 95% critical value as an oracle-checkable
+    boolean. A failed SRM invalidates events_ab_test_lift /
+    events_cuped_adjustment / events_diff_in_diff downstream — this is
+    their gate.
+
+    Exact: counts are integers; chi2 = (n_a - n_b)^2 / (n_a + n_b) for
+    the 50/50 design is one shared IEEE expression over them; the
+    verdict compares against a literal constant. Scale: one user-grain
+    distinct + one 2-group agg."""
+    e = load_table(spark, sf_dir, "events")
+    nib = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(user_id AS STRING)"))
+    users = e.select("user_id").distinct().select(
+        F.when(nib < 8, "A").otherwise("B").alias("arm")
+    )
+    g = users.groupBy().agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+    )
+    chi2 = (
+        "(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b))"
+    )
+    ratio = dl.round_ratio(dl.SPARK, "n_a", "n_a + n_b")
+    return g.selectExpr(
+        "n_a",
+        "n_b",
+        f"{ratio} AS share_a",
+        f"round({chi2}, 4) AS chi2_stat",
+        f"CAST({chi2} <= {SRM_CHI2_CRIT} AS BOOLEAN) AS srm_ok",
+    )
+
+
+def _oracle_srm() -> str:
+    d = dl.DUCK
+    nib = dl.md5_prefix_nibble(d, "CAST(user_id AS VARCHAR)")
+    chi2 = "(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b))"
+    ratio = dl.round_ratio(d, "n_a", "n_a + n_b")
+    return f"""
+WITH users AS (
+  SELECT CASE WHEN {nib} < 8 THEN 'A' ELSE 'B' END AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+), g AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM users
+)
+SELECT n_a, n_b,
+  {ratio} AS share_a,
+  round({chi2}, 4) AS chi2_stat,
+  CAST({chi2} <= {SRM_CHI2_CRIT} AS BOOLEAN) AS srm_ok
+FROM g
+"""
+
+
 QUERIES = {
     "events_stickiness_dau_mau": events_stickiness_dau_mau,
     "stats_kendall_tau": stats_kendall_tau,
@@ -1009,6 +1233,9 @@ QUERIES = {
     "events_diff_in_diff": events_diff_in_diff,
     "layout_partition_skew": layout_partition_skew,
     "events_watermark_lateness": events_watermark_lateness,
+    "orders_ar_aging": orders_ar_aging,
+    "lineitem_discount_bands": lineitem_discount_bands,
+    "events_ab_srm_check": events_ab_srm_check,
 }
 
 ORACLES = {
@@ -1021,4 +1248,7 @@ ORACLES = {
     "events_diff_in_diff": _oracle_did(),
     "layout_partition_skew": _oracle_partition_skew(),
     "events_watermark_lateness": _oracle_lateness(),
+    "orders_ar_aging": _oracle_ar_aging(),
+    "lineitem_discount_bands": _oracle_discount_bands(),
+    "events_ab_srm_check": _oracle_srm(),
 }

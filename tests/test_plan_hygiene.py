@@ -38,6 +38,9 @@ CARTESIAN_OK = {
     "broadcast side against the event scan (scalar-aggregate pattern)",
     "events_diff_in_diff": "the derived split-day scalar rides a 1-row "
     "broadcast side against the event scan (scalar-aggregate pattern)",
+    "orders_ar_aging": "the derived snapshot-day scalar rides a 1-row "
+    "broadcast side against the open-orders scan (scalar-aggregate "
+    "pattern)",
     "events_markov_stationary": "the empirical-total denominator rides a "
     "1-row broadcast next to the K-row stationary vector "
     "(scalar-aggregate pattern)",

@@ -514,3 +514,102 @@ def test_lsh_tuning_curve_matches_s_curve_math(spark):
         s50 = row["s50"]
         assert abs((1.0 - (1.0 - s50**r) ** b) - 0.5) <= 1e-3
         assert row["n_above_90"] == sum(1 for p in probs if p >= 0.9)
+
+
+def test_ar_aging_matches_pandas_buckets(spark):
+    """Open-order bucket counts and dollar totals match a pandas
+    recomputation against the dataset's own snapshot day."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        AGING_BANDS,
+        orders_ar_aging,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")
+    pdf = pdf.assign(
+        di=_day_index(pdf["o_orderdate"]),
+        cents=np.round(pdf["o_totalprice"] * 100).astype("int64"),
+    )
+    snap = int(pdf["di"].max())
+    b1, b2, b3 = AGING_BANDS
+
+    def band(age: int) -> str:
+        if age <= b1:
+            return f"00-{b1}"
+        if age <= b2:
+            return f"{b1 + 1}-{b2}"
+        if age <= b3:
+            return f"{b2 + 1}-{b3}"
+        return f"{b3}+"
+
+    open_ = pdf[pdf["o_orderstatus"] != "F"].assign(
+        age_band=lambda d: (snap - d["di"]).map(band)
+    )
+    ref = open_.groupby(["o_orderstatus", "age_band"]).agg(
+        n_open=("cents", "count"), open_cents=("cents", "sum")
+    )
+    got = {
+        (r["o_orderstatus"], r["age_band"]): r
+        for r in orders_ar_aging(spark, SF).collect()
+    }
+    assert set(got) == set(ref.index)
+    tot = open_["cents"].sum()
+    for key, row in ref.iterrows():
+        g = got[key]
+        assert g["n_open"] == row["n_open"]
+        assert abs(g["open_dollars"] - round(row["open_cents"] / 100, 2)) <= 0.01
+        assert abs(g["share_of_open"] - round(row["open_cents"] / tot, 4)) <= 1e-4
+
+
+def test_discount_bands_match_pandas(spark):
+    """Band totals and the realized ratio match pandas exact-integer
+    recomputation."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        lineitem_discount_bands,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/lineitem.parquet")
+    pdf = pdf.assign(
+        disc=np.round(pdf["l_discount"] * 100).astype("int64"),
+        qty=np.round(pdf["l_quantity"]).astype("int64"),
+        gross=np.round(pdf["l_extendedprice"] * 100).astype("int64"),
+    )
+    pdf = pdf.assign(net_x100=pdf["gross"] * (100 - pdf["disc"]))
+    ref = pdf.groupby("disc").agg(
+        n=("qty", "count"),
+        qty=("qty", "sum"),
+        gross=("gross", "sum"),
+        net=("net_x100", "sum"),
+    )
+    got = {r["disc_pct"]: r for r in lineitem_discount_bands(spark, SF).collect()}
+    assert set(got) == set(int(i) for i in ref.index)
+    for disc, row in ref.iterrows():
+        g = got[int(disc)]
+        assert g["n_lines"] == row["n"] and g["total_qty"] == row["qty"]
+        # 0.011: python round() is banker's; the engines round half-up, so
+        # an exact .005 tie (observed live: 287875037450/10000) differs by
+        # one cent between the mirror and both engines
+        assert abs(g["gross_dollars"] - round(row["gross"] / 100, 2)) <= 0.011
+        assert abs(g["net_dollars"] - round(row["net"] / 10000, 2)) <= 0.011
+        assert abs(g["realized_ratio"] - round(row["net"] / (row["gross"] * 100), 4)) <= 1e-4
+
+
+def test_srm_check_matches_chi_square(spark):
+    """Arm counts come from the same md5 coin and the chi-square and
+    verdict match the textbook computation."""
+    import hashlib
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        events_ab_srm_check,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    arms = {
+        u: ("A" if int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) < 8 else "B")
+        for u in pdf["user_id"].unique()
+    }
+    n_a = sum(1 for a in arms.values() if a == "A")
+    n_b = len(arms) - n_a
+    chi2 = (n_a - n_b) ** 2 / (n_a + n_b)
+    row = events_ab_srm_check(spark, SF).collect()[0]
+    assert row["n_a"] == n_a and row["n_b"] == n_b
+    assert abs(row["chi2_stat"] - round(chi2, 4)) <= 1e-9
+    assert row["srm_ok"] == (chi2 <= 3.841459)

@@ -64,7 +64,7 @@ def build_scale(spark: SparkSession, k: int) -> str:
     rule's support/confidence/lift invariant while pair counts grow Kx).
     """
     out = f"{WORK}/x{k}"
-    if os.path.exists(f"{out}/_OK3"):
+    if os.path.exists(f"{out}/_OK4"):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -110,8 +110,11 @@ def build_scale(spark: SparkSession, k: int) -> str:
     li = spark.read.parquet(f"{BASE}/lineitem.parquet").select(
         "l_orderkey", "l_partkey", "l_suppkey"
     )
+    # o_orderdate/o_totalprice carried for the kendall day-grain series:
+    # dates unchanged per shard, so the day grain stays CONSTANT while
+    # the scan grows Kx — exactly the constant-cost claim being measured.
     orders = spark.read.parquet(f"{BASE}/orders.parquet").select(
-        "o_orderkey", "o_custkey"
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     part = spark.read.parquet(f"{BASE}/part.parquet").select("p_partkey", "p_brand")
     n_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
@@ -131,6 +134,8 @@ def build_scale(spark: SparkSession, k: int) -> str:
             orders.select(
                 (F.col("o_orderkey") + i * n_ord).alias("o_orderkey"),
                 (F.col("o_custkey") + i * n_cust).alias("o_custkey"),
+                "o_orderdate",
+                "o_totalprice",
             )
         )
         part_parts.append(
@@ -180,7 +185,7 @@ def build_scale(spark: SparkSession, k: int) -> str:
     _union(ev_parts).repartition(32).write.mode("overwrite").parquet(
         f"{out}/events.parquet"
     )
-    open(f"{out}/_OK3", "w").write("ok")
+    open(f"{out}/_OK4", "w").write("ok")
     return out
 
 
@@ -210,7 +215,15 @@ def main() -> int:
         dedup_split_leakage,
     )
     from realtime_twitter_trends_analytics_spark.operators.graph import graph_kcore
-    from realtime_twitter_trends_analytics_spark.operators.ml import ml_logreg_irls
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        events_stickiness_dau_mau,
+        ml_feature_hashing,
+        stats_kendall_tau,
+    )
+    from realtime_twitter_trends_analytics_spark.operators.ml import (
+        ml_logreg_irls,
+        ml_stump_cv_gain,
+    )
     from realtime_twitter_trends_analytics_spark.operators.relational_ext import (
         events_audience_overlap,
         market_basket_rules,
@@ -250,7 +263,9 @@ def main() -> int:
                graph_kcore, market_basket_rules, docs_ngram_novelty,
                events_audience_overlap, ml_logreg_irls,
                dedup_incremental_probe, dedup_split_leakage,
-               textstats_rake_keyphrases, docs_cluster_keywords):
+               textstats_rake_keyphrases, docs_cluster_keywords,
+               events_stickiness_dau_mau, stats_kendall_tau,
+               ml_stump_cv_gain, ml_feature_hashing):
         fn(spark, warm_dir).count()
         spark.catalog.clearCache()
     _dedup._PAIRS_MEMO.clear()
@@ -279,6 +294,16 @@ def main() -> int:
             ("dedup_split_leakage", dedup_split_leakage),
             ("textstats_rake_keyphrases", textstats_rake_keyphrases),
             ("docs_cluster_keywords", docs_cluster_keywords),
+            # round-8 fourth session: the interval-merge stickiness explode
+            # (claim: linear in covered user-days), the CV stump grid
+            # (claim: scan-linear, grid-bounded downstream), feature
+            # hashing (token-grain agg, linear), and Kendall tau-b (claim:
+            # CONSTANT — the day-grain pair join does not grow with data;
+            # only the day-agg scan grows)
+            ("events_stickiness_dau_mau", events_stickiness_dau_mau),
+            ("stats_kendall_tau", stats_kendall_tau),
+            ("ml_stump_cv_gain", ml_stump_cv_gain),
+            ("ml_feature_hashing", ml_feature_hashing),
         ]:
             # min-of-3 (stronger than bench's min-of-2 — this report is
             # about RATIOS, and one GC pause fakes a super-linearity);
