@@ -243,6 +243,8 @@ HEADLINE = [
     "orders_ar_aging",
     "lineitem_discount_bands",
     "events_ab_srm_check",
+    "ml_pr_auc",
+    "supplier_otif_scorecard",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

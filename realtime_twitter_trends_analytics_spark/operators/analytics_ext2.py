@@ -29,6 +29,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions import dialect as dl
 from ..sources.loaders import load_table
+from .analytics_ext import ANOVA_DOW, ANOVA_DOW_DUCK
 
 
 # ---------------------------------------------------------------- stickiness
@@ -1223,6 +1224,196 @@ FROM g
 """
 
 
+# ------------------------------------------------------------------- PR / AP
+AP_POS_TYPE = "purchase"  # positive class, matching ml_auc_roc
+AP_Q = 10**9              # per-cell precision-term quantization
+
+
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the PR-curve area) per day-of-week — the
+    class-imbalance-honest companion to ml_auc_roc (same score = event
+    value, same positive = purchase): AP weighs precision where the
+    positives actually rank, so a model that looks fine by ROC on a
+    rare class shows its true retrieval quality here. Reported with the
+    prevalence baseline (a random ranker's AP) and the lift over it.
+
+    Tie-deterministic BLOCK form: scores tie heavily on the cents grid,
+    and textbook AP depends on the arbitrary order within a tied block
+    — so precision is evaluated at tied-BLOCK boundaries (descending
+    score), each block contributing cp * (cumPos/cumAll) at its
+    inclusive boundary. Equal to textbook AP when ties are absent, and
+    a well-defined, engine-identical quantity when present. Per-block
+    terms are exact integer ratios quantized to 1e-9 BEFORE the sum
+    (partial-agg order independence), the same discipline as every
+    ln()-bearing sum in this repo.
+
+    Scale: one (dow, cents) hash agg; cumulative windows partition by
+    dow over the bounded value domain; 7-row output."""
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.select(
+            F.expr(ANOVA_DOW).alias("dow"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            (F.col("event_type") == AP_POS_TYPE).cast("long").alias("p"),
+        )
+        .groupBy("dow", "cents")
+        .agg(F.sum("p").alias("cp"), F.sum(F.lit(1) - F.col("p")).alias("cn"))
+    )
+    wd = W.partitionBy("dow").orderBy(F.desc("cents")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cells = per.withColumn("cum_pos", F.sum("cp").over(wd)).withColumn(
+        "cum_all", F.sum(F.col("cp") + F.col("cn")).over(wd)
+    )
+    term = f"CAST(round(cp * (CAST(cum_pos AS DOUBLE) / cum_all) * {AP_Q}) AS BIGINT)"
+    agg = (
+        cells.selectExpr("dow", "cp", "cn", f"{term} AS tq")
+        .groupBy("dow")
+        .agg(
+            F.sum("cp").alias("np"),
+            F.sum("cn").alias("nn"),
+            F.sum("tq").alias("sum_tq"),
+        )
+        .filter(F.col("np") > 0)
+    )
+    ap = f"(CAST(sum_tq AS DOUBLE) / np / {AP_Q})"
+    prev = dl.round_ratio(dl.SPARK, "np", "np + nn")
+    return agg.selectExpr(
+        "dow",
+        "np AS n_pos",
+        "nn AS n_neg",
+        f"round({ap}, 4) AS avg_precision",
+        f"{prev} AS prevalence",
+        f"round({ap} / (CAST(np AS DOUBLE) / (np + nn)), 4) AS ap_lift",
+    ).orderBy("dow")
+
+
+def _oracle_pr_auc() -> str:
+    d = dl.DUCK
+    term = f"CAST(round(cp * (CAST(cum_pos AS DOUBLE) / cum_all) * {AP_Q}) AS BIGINT)"
+    ap = f"(CAST(sum_tq AS DOUBLE) / np / {AP_Q})"
+    prev = dl.round_ratio(d, "np", "np + nn")
+    return f"""
+WITH per AS (
+  SELECT {ANOVA_DOW_DUCK} AS dow,
+    CAST(round(value * 100) AS BIGINT) AS cents,
+    CAST(sum(CASE WHEN event_type = '{AP_POS_TYPE}' THEN 1 ELSE 0 END)
+      AS BIGINT) AS cp,
+    CAST(sum(CASE WHEN event_type = '{AP_POS_TYPE}' THEN 0 ELSE 1 END)
+      AS BIGINT) AS cn
+  FROM events GROUP BY 1, 2
+), cells AS (
+  SELECT dow, cp, cn,
+    CAST(sum(cp) OVER (PARTITION BY dow ORDER BY cents DESC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+    CAST(sum(cp + cn) OVER (PARTITION BY dow ORDER BY cents DESC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all
+  FROM per
+), agg AS (
+  SELECT dow, CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn,
+    CAST(sum({term}) AS BIGINT) AS sum_tq
+  FROM cells GROUP BY dow
+  HAVING sum(cp) > 0
+)
+SELECT dow, np AS n_pos, nn AS n_neg,
+  round({ap}, 4) AS avg_precision,
+  {prev} AS prevalence,
+  round({ap} / (CAST(np AS DOUBLE) / (np + nn)), 4) AS ap_lift
+FROM agg ORDER BY dow
+"""
+
+
+# -------------------------------------------------------- supplier scorecard
+OTIF_LEAD_DAYS = 90   # "on time" = shipped within this many days of order
+OTIF_TOP = 20         # scorecard rows
+
+
+def supplier_otif_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier on-time scorecard — the procurement readout next to
+    lineitem_leadtime_percentiles (which profiles lead times by return
+    flag; this ranks SUPPLIERS): per supplier, line volume, revenue,
+    mean lead days, and the late-share (lead > OTIF_LEAD_DAYS), for
+    the OTIF_TOP suppliers by revenue.
+
+    Exact: lead days are integer day differences off the lineitem ⋈
+    orders equi-join; revenue exact cents; mean lead and late share
+    are half-up integer-ratio rounds. Scale: the join shuffles on
+    orderkey (both sides key-partitioned), then one supplier-grain
+    hash agg; top-k is TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr("CAST(unix_timestamp(l_shipdate) DIV 86400 AS BIGINT)").alias(
+            "ship_di"
+        ),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)").alias(
+            "ord_di"
+        ),
+    )
+    g = (
+        li.join(o, "l_orderkey")
+        .select(
+            "l_suppkey",
+            "cents",
+            (F.col("ship_di") - F.col("ord_di")).alias("lead"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("cents").alias("rev_cents"),
+            F.sum("lead").alias("lead_sum"),
+            F.sum(
+                F.when(F.col("lead") > OTIF_LEAD_DAYS, 1).otherwise(0)
+            ).alias("n_late"),
+        )
+    )
+    mean_lead = dl.round_ratio(dl.SPARK, "lead_sum", "n_lines", 2)
+    late = dl.round_ratio(dl.SPARK, "n_late", "n_lines")
+    return (
+        g.orderBy(F.desc("rev_cents"), F.asc("l_suppkey"))
+        .limit(OTIF_TOP)
+        .selectExpr(
+            "l_suppkey",
+            "n_lines",
+            "round(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS revenue_dollars",
+            f"{mean_lead} AS mean_lead_days",
+            f"{late} AS late_share",
+        )
+    )
+
+
+def _oracle_otif() -> str:
+    d = dl.DUCK
+    mean_lead = dl.round_ratio(d, "lead_sum", "n_lines", 2)
+    late = dl.round_ratio(d, "n_late", "n_lines")
+    return f"""
+WITH j AS (
+  SELECT l_suppkey,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+    (CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400)
+      - (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS lead
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+), g AS (
+  SELECT l_suppkey, count(*) AS n_lines,
+    CAST(sum(cents) AS BIGINT) AS rev_cents,
+    CAST(sum(lead) AS BIGINT) AS lead_sum,
+    CAST(sum(CASE WHEN lead > {OTIF_LEAD_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_late
+  FROM j GROUP BY 1
+)
+SELECT l_suppkey, n_lines,
+  round(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS revenue_dollars,
+  {mean_lead} AS mean_lead_days,
+  {late} AS late_share
+FROM g ORDER BY rev_cents DESC, l_suppkey ASC
+LIMIT {OTIF_TOP}
+"""
+
+
 QUERIES = {
     "events_stickiness_dau_mau": events_stickiness_dau_mau,
     "stats_kendall_tau": stats_kendall_tau,
@@ -1236,6 +1427,8 @@ QUERIES = {
     "orders_ar_aging": orders_ar_aging,
     "lineitem_discount_bands": lineitem_discount_bands,
     "events_ab_srm_check": events_ab_srm_check,
+    "ml_pr_auc": ml_pr_auc,
+    "supplier_otif_scorecard": supplier_otif_scorecard,
 }
 
 ORACLES = {
@@ -1251,4 +1444,6 @@ ORACLES = {
     "orders_ar_aging": _oracle_ar_aging(),
     "lineitem_discount_bands": _oracle_discount_bands(),
     "events_ab_srm_check": _oracle_srm(),
+    "ml_pr_auc": _oracle_pr_auc(),
+    "supplier_otif_scorecard": _oracle_otif(),
 }

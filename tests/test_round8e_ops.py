@@ -613,3 +613,81 @@ def test_srm_check_matches_chi_square(spark):
     assert row["n_a"] == n_a and row["n_b"] == n_b
     assert abs(row["chi2_stat"] - round(chi2, 4)) <= 1e-9
     assert row["srm_ok"] == (chi2 <= 3.841459)
+
+
+def test_pr_auc_block_ap_matches_numpy(spark):
+    """Block-form AP per dow equals a direct numpy recomputation:
+    descending-score tied blocks, precision at inclusive block
+    boundaries weighted by block positives."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        AP_POS_TYPE,
+        ml_pr_auc,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf = pdf.assign(
+        cents=np.round(pdf["value"] * 100).astype("int64"),
+        dow=(_day_index(pdf["ts"]) + 4) % 7,
+        p=(pdf["event_type"] == AP_POS_TYPE).astype(int),
+    )
+    got = {r["dow"]: r for r in ml_pr_auc(spark, SF).collect()}
+    for dow, sub in pdf.groupby("dow"):
+        cells = (
+            sub.groupby("cents")["p"]
+            .agg(cp="sum", n="count")
+            .sort_index(ascending=False)
+        )
+        cum_pos = cells["cp"].cumsum()
+        cum_all = cells["n"].cumsum()
+        np_tot = int(cells["cp"].sum())
+        if np_tot == 0:
+            assert dow not in got
+            continue
+        terms = [
+            round(cp * (int(cpos) / int(call)) * 10**9)
+            for cp, cpos, call in zip(cells["cp"], cum_pos, cum_all)
+        ]
+        ap_ref = sum(terms) / np_tot / 10**9
+        row = got[dow]
+        assert row["n_pos"] == np_tot
+        assert abs(row["avg_precision"] - round(ap_ref, 4)) <= 1e-9
+        prev = np_tot / len(sub)
+        assert abs(row["prevalence"] - round(prev, 4)) <= 1e-4
+        assert abs(row["ap_lift"] - round(ap_ref / prev, 4)) <= 1e-3
+
+
+def test_otif_scorecard_matches_pandas_join(spark):
+    """Supplier rows equal a pandas merge + groupby recomputation, in
+    revenue order."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        OTIF_LEAD_DAYS,
+        OTIF_TOP,
+        supplier_otif_scorecard,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    li = li.assign(
+        ship_di=_day_index(li["l_shipdate"]),
+        cents=np.round(li["l_extendedprice"] * 100).astype("int64"),
+    )
+    o = o.assign(ord_di=_day_index(o["o_orderdate"]))
+    j = li.merge(
+        o[["o_orderkey", "ord_di"]], left_on="l_orderkey", right_on="o_orderkey"
+    )
+    j = j.assign(lead=j["ship_di"] - j["ord_di"])
+    g = j.groupby("l_suppkey").agg(
+        n=("cents", "count"),
+        rev=("cents", "sum"),
+        lead_sum=("lead", "sum"),
+        late=("lead", lambda x: int((x > OTIF_LEAD_DAYS).sum())),
+    )
+    top = g.sort_values(["rev", "l_suppkey"], ascending=[False, True]).head(OTIF_TOP)
+    got = supplier_otif_scorecard(spark, SF).collect()
+    assert len(got) == min(OTIF_TOP, len(g))
+    for row, (supp, ref) in zip(got, top.iterrows()):
+        assert row["l_suppkey"] == supp
+        assert row["n_lines"] == ref["n"]
+        assert abs(row["revenue_dollars"] - round(ref["rev"] / 100, 2)) <= 0.011
+        assert abs(row["mean_lead_days"] - round(ref["lead_sum"] / ref["n"], 2)) <= 0.011
+        assert abs(row["late_share"] - round(ref["late"] / ref["n"], 4)) <= 1e-4
