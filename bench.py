@@ -245,6 +245,8 @@ HEADLINE = [
     "events_ab_srm_check",
     "ml_pr_auc",
     "supplier_otif_scorecard",
+    "orders_monthly_yoy",
+    "events_velocity_flags",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -1414,6 +1414,140 @@ LIMIT {OTIF_TOP}
 """
 
 
+# ---------------------------------------------------------------- monthly YoY
+def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth — the board-deck twin
+    of orders_wow_revenue (weekly): revenue per calendar month, the
+    same month last year via a 12-month lag over the MONTH-INDEX domain
+    (ym = year*12 + month, so a January correctly lags to last January
+    even across year boundaries and calendar gaps cannot silently
+    shift the comparison — the lag is an equi-join on ym-12, not a
+    positional lag), and the YoY percentage as a sign-split exact
+    ratio.
+
+    Scale: one scan, one month-grain agg (tens of rows), a self-join on
+    the month index. Exact cents; the signed YoY ratio splits into
+    magnitude (round_ratio on non-negative ints) and sign, per the
+    float-discipline rule that round_ratio operands be non-negative."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.selectExpr(
+            "(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS ym",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("ym")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("rev"))
+    )
+    prev = m.selectExpr("ym + 12 AS ym", "rev AS rev_prev")
+    mag = dl.round_ratio(dl.SPARK, "abs(rev - rev_prev) * 100", "rev_prev", 2)
+    return (
+        m.join(prev, "ym", "left")
+        .selectExpr(
+            "ym DIV 12 AS year",
+            "ym % 12 + 1 AS month",
+            "n_orders",
+            "round(CAST(rev AS DOUBLE) / 100.0, 2) AS revenue_dollars",
+            f"CASE WHEN rev_prev IS NULL OR rev_prev = 0 THEN NULL "
+            f"ELSE CASE WHEN rev >= rev_prev THEN {mag} ELSE -{mag} END "
+            f"END AS yoy_pct",
+        )
+        .orderBy("year", "month")
+    )
+
+
+def _oracle_monthly_yoy() -> str:
+    mag = dl.round_ratio(dl.DUCK, "abs(rev - rev_prev) * 100", "rev_prev", 2)
+    return f"""
+WITH m AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS ym,
+    count(*) AS n_orders,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT a.ym, a.n_orders, a.rev, b.rev AS rev_prev
+  FROM m a LEFT JOIN m b ON b.ym = a.ym - 12
+)
+SELECT CAST(ym // 12 AS BIGINT) AS year, CAST(ym % 12 + 1 AS BIGINT) AS month,
+  n_orders,
+  round(CAST(rev AS DOUBLE) / 100.0, 2) AS revenue_dollars,
+  CASE WHEN rev_prev IS NULL OR rev_prev = 0 THEN NULL
+    ELSE CASE WHEN rev >= rev_prev THEN {mag} ELSE -{mag} END
+  END AS yoy_pct
+FROM j ORDER BY year, month
+"""
+
+
+# -------------------------------------------------------------- velocity flag
+VELOCITY_PER_HOUR = 1  # events per user-hour above which the hour is flagged
+# (this corpus averages ~2 events/user/DAY, so >1 in one hour IS the burst)
+
+
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit / fraud velocity audit: users whose per-hour event
+    rate ever exceeded VELOCITY_PER_HOUR, with how many hours tripped,
+    the worst hour's count, and their share of total events — the
+    batch twin of a streaming rate-limiter (the same user-hour grain a
+    `transformWithState` throttle would key on), and the list a fraud
+    review queue consumes.
+
+    Exact integers end to end. Scale: one (user, hour) hash agg —
+    activity-bounded grain — then a user-grain agg over the flagged
+    subset; the total-events scalar rides the whitelisted 1-row
+    broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    uh = (
+        e.selectExpr(
+            "user_id",
+            "CAST(unix_timestamp(ts) DIV 3600 AS BIGINT) AS hi",
+        )
+        .groupBy("user_id", "hi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    flagged = (
+        uh.filter(F.col("c") > VELOCITY_PER_HOUR)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("hours_tripped"),
+            F.max("c").alias("worst_hour_events"),
+        )
+    )
+    all_tot = e.agg(F.count(F.lit(1)).alias("corpus_events"))
+    share = dl.round_ratio(dl.SPARK, "n_events", "corpus_events")
+    return (
+        flagged.join(tot, "user_id")
+        .join(F.broadcast(all_tot))
+        .selectExpr(
+            "user_id",
+            "hours_tripped",
+            "worst_hour_events",
+            "n_events",
+            f"{share} AS share_of_corpus",
+        )
+        .orderBy(F.desc("hours_tripped"), F.desc("worst_hour_events"), "user_id")
+    )
+
+
+def _oracle_velocity() -> str:
+    share = dl.round_ratio(dl.DUCK, "n_events", "corpus_events")
+    return f"""
+WITH uh AS (
+  SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS hi,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+), flagged AS (
+  SELECT user_id, count(*) AS hours_tripped, max(c) AS worst_hour_events
+  FROM uh WHERE c > {VELOCITY_PER_HOUR} GROUP BY 1
+), allt AS (SELECT count(*) AS corpus_events FROM events)
+SELECT f.user_id AS user_id, hours_tripped, worst_hour_events, n_events,
+  {share} AS share_of_corpus
+FROM flagged f JOIN tot USING (user_id), allt
+ORDER BY hours_tripped DESC, worst_hour_events DESC, user_id
+"""
+
+
 QUERIES = {
     "events_stickiness_dau_mau": events_stickiness_dau_mau,
     "stats_kendall_tau": stats_kendall_tau,
@@ -1429,6 +1563,8 @@ QUERIES = {
     "events_ab_srm_check": events_ab_srm_check,
     "ml_pr_auc": ml_pr_auc,
     "supplier_otif_scorecard": supplier_otif_scorecard,
+    "orders_monthly_yoy": orders_monthly_yoy,
+    "events_velocity_flags": events_velocity_flags,
 }
 
 ORACLES = {
@@ -1446,4 +1582,6 @@ ORACLES = {
     "events_ab_srm_check": _oracle_srm(),
     "ml_pr_auc": _oracle_pr_auc(),
     "supplier_otif_scorecard": _oracle_otif(),
+    "orders_monthly_yoy": _oracle_monthly_yoy(),
+    "events_velocity_flags": _oracle_velocity(),
 }

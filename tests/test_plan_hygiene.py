@@ -41,6 +41,9 @@ CARTESIAN_OK = {
     "orders_ar_aging": "the derived snapshot-day scalar rides a 1-row "
     "broadcast side against the open-orders scan (scalar-aggregate "
     "pattern)",
+    "events_velocity_flags": "the corpus-total denominator rides a 1-row "
+    "broadcast next to the flagged-user readout (scalar-aggregate "
+    "pattern)",
     "events_markov_stationary": "the empirical-total denominator rides a "
     "1-row broadcast next to the K-row stationary vector "
     "(scalar-aggregate pattern)",

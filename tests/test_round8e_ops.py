@@ -691,3 +691,63 @@ def test_otif_scorecard_matches_pandas_join(spark):
         assert abs(row["revenue_dollars"] - round(ref["rev"] / 100, 2)) <= 0.011
         assert abs(row["mean_lead_days"] - round(ref["lead_sum"] / ref["n"], 2)) <= 0.011
         assert abs(row["late_share"] - round(ref["late"] / ref["n"], 4)) <= 1e-4
+
+
+def test_monthly_yoy_matches_pandas(spark):
+    """Monthly revenue and the 12-month-lag YoY percentage match pandas;
+    months with no same-month-last-year comparison report NULL."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        orders_monthly_yoy,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")
+    od = pd.to_datetime(pdf["o_orderdate"])
+    pdf = pdf.assign(
+        ym=od.dt.year * 12 + od.dt.month - 1,
+        cents=np.round(pdf["o_totalprice"] * 100).astype("int64"),
+    )
+    g = pdf.groupby("ym").agg(n=("cents", "count"), rev=("cents", "sum"))
+    got = {(r["year"], r["month"]): r for r in orders_monthly_yoy(spark, SF).collect()}
+    assert len(got) == len(g)
+    for ym, row in g.iterrows():
+        key = (ym // 12, ym % 12 + 1)
+        r = got[key]
+        assert r["n_orders"] == row["n"]
+        assert abs(r["revenue_dollars"] - round(row["rev"] / 100, 2)) <= 0.011
+        if ym - 12 in g.index and g.loc[ym - 12, "rev"] != 0:
+            prev = g.loc[ym - 12, "rev"]
+            ref = round(abs(row["rev"] - prev) * 100 / prev, 2)
+            ref = ref if row["rev"] >= prev else -ref
+            assert abs(r["yoy_pct"] - ref) <= 0.011, (key, r["yoy_pct"], ref)
+        else:
+            assert r["yoy_pct"] is None
+
+
+def test_velocity_flags_match_pandas(spark):
+    """Flagged users, tripped-hour counts, and worst hours match a
+    pandas user-hour recomputation."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        VELOCITY_PER_HOUR,
+        events_velocity_flags,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    ts = pdf["ts"]
+    secs = (
+        ts // 1_000_000_000
+        if ts.dtype.kind in "iu"
+        else ts.astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    )
+    pdf = pdf.assign(hi=secs // 3600)
+    uh = pdf.groupby(["user_id", "hi"]).size()
+    tripped = uh[uh > VELOCITY_PER_HOUR]
+    ref = tripped.groupby(level=0).agg(["count", "max"])
+    tot = pdf.groupby("user_id").size()
+    got = {r["user_id"]: r for r in events_velocity_flags(spark, SF).collect()}
+    assert set(got) == set(ref.index)
+    for uid, row in ref.iterrows():
+        g = got[uid]
+        assert g["hours_tripped"] == row["count"]
+        assert g["worst_hour_events"] == row["max"]
+        assert g["n_events"] == int(tot[uid])
+        assert abs(g["share_of_corpus"] - round(int(tot[uid]) / len(pdf), 4)) <= 1e-4

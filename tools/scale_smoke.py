@@ -344,13 +344,9 @@ def main() -> int:
 
 
 def write_report(path: str, results: list[dict]) -> None:
-    ops = [
-        "dedup_minhash_pairs", "dedup_clusters", "sim_lsh_ann",
-        "graph_kcore", "market_basket_rules", "docs_ngram_novelty",
-        "events_audience_overlap", "ml_logreg_irls",
-        "dedup_incremental_probe", "dedup_split_leakage",
-        "textstats_rake_keyphrases", "docs_cluster_keywords",
-    ]
+    # derive the op list from the measured rows so a query added to the
+    # measurement loop can never be silently dropped from the report
+    ops = [k for k in results[0] if k != "scale"]
     lines = [
         "# SCALE_SMOKE — measured scaling of the headline pairwise operators",
         "",
