@@ -247,6 +247,8 @@ HEADLINE = [
     "supplier_otif_scorecard",
     "orders_monthly_yoy",
     "events_velocity_flags",
+    "ml_kmeans_silhouette",
+    "events_churn_sensitivity",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

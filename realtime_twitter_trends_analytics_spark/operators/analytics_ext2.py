@@ -1548,6 +1548,83 @@ ORDER BY hours_tripped DESC, worst_hour_events DESC, user_id
 """
 
 
+# ---------------------------------------------------------- churn sensitivity
+CHURN_HORIZONS = (7, 14, 28)  # inactivity thresholds (days) to compare
+
+
+def events_churn_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-definition sensitivity — the table that settles "what do we
+    call churned": for each candidate inactivity horizon, the share of
+    ever-seen users whose last activity is more than that many days
+    before the dataset's own snapshot (max event day). Growth teams
+    pick the horizon where the rate stabilizes; publishing the whole
+    sensitivity row prevents the silent metric fork where two teams
+    ship different 'churn' numbers.
+
+    Exact integers end to end; one user-grain agg (last active day) is
+    shared by every horizon via conditional sums — the horizons cost
+    grouping expressions, not re-scans. The snapshot scalar rides the
+    whitelisted 1-row broadcast."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("di"),
+    )
+    last = e.groupBy("user_id").agg(F.max("di").alias("last_di"))
+    snap = e.agg(F.max("di").alias("snap_di"))
+    idle = last.join(F.broadcast(snap)).selectExpr(
+        "snap_di - last_di AS idle_days"
+    )
+    outs = []
+    for h in CHURN_HORIZONS:
+        rate = dl.round_ratio(dl.SPARK, "churned", "n_users")
+        outs.append(
+            idle.agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum(
+                    F.when(F.col("idle_days") > h, 1).otherwise(0)
+                ).alias("churned"),
+            ).selectExpr(
+                f"CAST({h} AS INT) AS horizon_days",
+                "n_users",
+                "churned",
+                f"{rate} AS churn_rate",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("horizon_days")
+
+
+def _oracle_churn() -> str:
+    rate = dl.round_ratio(dl.DUCK, "churned", "n_users")
+    parts = []
+    for h in CHURN_HORIZONS:
+        parts.append(
+            f"""
+  SELECT CAST({h} AS INT) AS horizon_days, count(*) AS n_users,
+    CAST(sum(CASE WHEN idle_days > {h} THEN 1 ELSE 0 END) AS BIGINT)
+      AS churned
+  FROM idle"""
+        )
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH e AS (
+  SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS di
+  FROM events
+), last AS (
+  SELECT user_id, max(di) AS last_di FROM e GROUP BY 1
+), snap AS (SELECT max(di) AS snap_di FROM e),
+idle AS (
+  SELECT snap_di - last_di AS idle_days FROM last, snap
+), per AS (
+{union}
+)
+SELECT horizon_days, n_users, churned, {rate} AS churn_rate
+FROM per ORDER BY horizon_days
+"""
+
+
 QUERIES = {
     "events_stickiness_dau_mau": events_stickiness_dau_mau,
     "stats_kendall_tau": stats_kendall_tau,
@@ -1565,6 +1642,7 @@ QUERIES = {
     "supplier_otif_scorecard": supplier_otif_scorecard,
     "orders_monthly_yoy": orders_monthly_yoy,
     "events_velocity_flags": events_velocity_flags,
+    "events_churn_sensitivity": events_churn_sensitivity,
 }
 
 ORACLES = {
@@ -1584,4 +1662,5 @@ ORACLES = {
     "supplier_otif_scorecard": _oracle_otif(),
     "orders_monthly_yoy": _oracle_monthly_yoy(),
     "events_velocity_flags": _oracle_velocity(),
+    "events_churn_sensitivity": _oracle_churn(),
 }

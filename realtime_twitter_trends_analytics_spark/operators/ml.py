@@ -1407,6 +1407,103 @@ ORDER BY fold
 """
 
 
+
+SIL_Q = 10**9  # per-vector silhouette quantization before the mean
+
+
+def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per k-means cluster — the clustering
+    quality score (Hruschka et al.'s centroid-distance silhouette, the
+    form MLlib's ClusteringEvaluator computes): per vector, a = distance
+    to its OWN centroid, b = distance to the nearest OTHER centroid,
+    s = (b - a) / max(a, b); reported as the per-cluster mean with the
+    cluster size. s near 1 = tight and separated, near 0 = boundary,
+    negative = likely mis-assigned — the number that says whether K was
+    right.
+
+    Map-side like the assignment itself: the K trained centroids are
+    driver state baked into ONE literal expression computing every
+    centroid's exact BIGINT d2, sorted so [0] is own-cluster (a2) and
+    [1] the runner-up (b2) — no joins, no shuffles before the K-row
+    agg. sqrt of the exact integers is correctly-rounded IEEE in both
+    engines; per-vector s quantizes to 1e-9 BEFORE the mean (the
+    quantize-before-SUM rule). Both-zero distances define s = 0.
+
+    Scale: one scan with a ~K*D-term codegen expression, one K-row
+    agg."""
+    rows = kmeans_centroid_rows(spark, sf_dir)
+    q = quantized_vectors(spark, sf_dir)
+    ordered = sorted(rows)
+    d = dl.SPARK
+    pairs = ", ".join(
+        "named_struct('d2', "
+        + _dist2_sql(
+            d, "qe", "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
+        )
+        + f", 'cl', {cl})"
+        for cl, c in ordered
+    )
+    two = f"slice(array_sort(array({pairs})), 1, 2)"
+    sil = (
+        "CASE WHEN a2 = 0 AND b2 = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) "
+        "/ greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))) END"
+    )
+    per = q.selectExpr("vec_id", f"{two} AS two").selectExpr(
+        "two[0].cl AS cluster",
+        "two[0].d2 AS a2",
+        "two[1].d2 AS b2",
+    ).selectExpr(
+        "cluster", f"CAST(round(({sil}) * {SIL_Q}) AS BIGINT) AS sq"
+    )
+    mean = f"(CAST(sum_sq AS DOUBLE) / n_vecs / {SIL_Q})"
+    return (
+        per.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("sq").alias("sum_sq"))
+        .selectExpr(
+            "cluster",
+            "n_vecs",
+            f"round({mean}, 4) AS mean_silhouette",
+        )
+        .orderBy("cluster")
+    )
+
+
+def _oracle_silhouette() -> str:
+    d = dl.DUCK
+    ctes, final = kmeans_oracle_ctes()
+    dist2 = _dist2_sql(d, "q.qe", "c.c")
+    sil = (
+        "CASE WHEN a2 = 0 AND b2 = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) "
+        "/ greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))) END"
+    )
+    mean = f"(CAST(sum_sq AS DOUBLE) / n_vecs / {SIL_Q})"
+    return f"""
+WITH {ctes},
+alld AS (
+  SELECT q.vec_id, c.cluster, {dist2} AS d2,
+    row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY {dist2}, c.cluster) AS rnk
+  FROM q, c{KMEANS_ITERS} c
+), two AS (
+  SELECT vec_id,
+    max(CASE WHEN rnk = 1 THEN cluster END) AS cluster,
+    max(CASE WHEN rnk = 1 THEN d2 END) AS a2,
+    max(CASE WHEN rnk = 2 THEN d2 END) AS b2
+  FROM alld WHERE rnk <= 2 GROUP BY vec_id
+), per AS (
+  SELECT cluster, CAST(round(({sil}) * {SIL_Q}) AS BIGINT) AS sq FROM two
+), g AS (
+  SELECT cluster, count(*) AS n_vecs, CAST(sum(sq) AS BIGINT) AS sum_sq
+  FROM per GROUP BY cluster
+)
+SELECT CAST(cluster AS INT) AS cluster, n_vecs,
+  round({mean}, 4) AS mean_silhouette
+FROM g ORDER BY cluster
+"""
+
+
 QUERIES = {
     "ml_naive_bayes_lang": ml_naive_bayes_lang,
     "ml_logreg_irls": ml_logreg_irls,
@@ -1418,6 +1515,7 @@ QUERIES = {
     "ml_pca_power_iteration": ml_pca_power_iteration,
     "ml_decision_stump": ml_decision_stump,
     "ml_stump_cv_gain": ml_stump_cv_gain,
+    "ml_kmeans_silhouette": ml_kmeans_silhouette,
 }
 
 ORACLES = {
@@ -1431,4 +1529,5 @@ ORACLES = {
     "ml_pca_power_iteration": _oracle_pca(),
     "ml_decision_stump": _oracle_stump(),
     "ml_stump_cv_gain": _oracle_stump_cv(),
+    "ml_kmeans_silhouette": _oracle_silhouette(),
 }

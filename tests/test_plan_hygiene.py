@@ -44,6 +44,9 @@ CARTESIAN_OK = {
     "events_velocity_flags": "the corpus-total denominator rides a 1-row "
     "broadcast next to the flagged-user readout (scalar-aggregate "
     "pattern)",
+    "events_churn_sensitivity": "the derived snapshot-day scalar rides a "
+    "1-row broadcast next to the user-grain last-activity relation "
+    "(scalar-aggregate pattern)",
     "events_markov_stationary": "the empirical-total denominator rides a "
     "1-row broadcast next to the K-row stationary vector "
     "(scalar-aggregate pattern)",

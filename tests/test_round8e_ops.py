@@ -751,3 +751,63 @@ def test_velocity_flags_match_pandas(spark):
         assert g["worst_hour_events"] == row["max"]
         assert g["n_events"] == int(tot[uid])
         assert abs(g["share_of_corpus"] - round(int(tot[uid]) / len(pdf), 4)) <= 1e-4
+
+
+def test_kmeans_silhouette_matches_numpy(spark):
+    """Per-cluster simplified silhouette equals a numpy recomputation
+    against the same trained fixed-point centroids."""
+    from realtime_twitter_trends_analytics_spark.operators.ml import (
+        KMEANS_SCALE,
+        kmeans_centroid_rows,
+        ml_kmeans_silhouette,
+    )
+
+    cents = {cl: np.array(c, dtype=np.int64) for cl, c in kmeans_centroid_rows(spark, SF)}
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    sums: dict[int, list] = {}
+    for vec in emb["embedding"]:
+        qe = np.round(np.asarray(vec, dtype=np.float64) * KMEANS_SCALE).astype(np.int64)
+        d2 = sorted(
+            (int(((qe - c) ** 2).sum()), cl) for cl, c in cents.items()
+        )
+        (a2, cl), (b2, _) = d2[0], d2[1]
+        if a2 == 0 and b2 == 0:
+            s = 0.0
+        else:
+            s = (np.sqrt(b2) - np.sqrt(a2)) / max(np.sqrt(a2), np.sqrt(b2))
+        acc = sums.setdefault(cl, [0, 0])
+        acc[0] += 1
+        acc[1] += round(s * 10**9)
+    got = {r["cluster"]: r for r in ml_kmeans_silhouette(spark, SF).collect()}
+    assert set(got) == set(sums)
+    for cl, (n, sq) in sums.items():
+        row = got[cl]
+        assert row["n_vecs"] == n
+        assert abs(row["mean_silhouette"] - round(sq / n / 10**9, 4)) <= 1e-9
+
+
+def test_churn_sensitivity_matches_pandas(spark):
+    """Churn rates per horizon equal the pandas last-activity
+    recomputation, and the rate is monotone non-increasing in the
+    horizon."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        CHURN_HORIZONS,
+        events_churn_sensitivity,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf = pdf.assign(di=_day_index(pdf["ts"]))
+    last = pdf.groupby("user_id")["di"].max()
+    snap = int(pdf["di"].max())
+    idle = snap - last
+    got = {r["horizon_days"]: r for r in events_churn_sensitivity(spark, SF).collect()}
+    assert set(got) == set(CHURN_HORIZONS)
+    rates = []
+    for h in sorted(CHURN_HORIZONS):
+        row = got[h]
+        churned = int((idle > h).sum())
+        assert row["n_users"] == len(idle)
+        assert row["churned"] == churned
+        assert abs(row["churn_rate"] - round(churned / len(idle), 4)) <= 1e-9
+        rates.append(row["churn_rate"])
+    assert all(a >= b for a, b in zip(rates, rates[1:]))
