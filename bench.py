@@ -249,6 +249,8 @@ HEADLINE = [
     "events_velocity_flags",
     "ml_kmeans_silhouette",
     "events_churn_sensitivity",
+    "parts_supplier_hhi",
+    "orders_basket_size_dist",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

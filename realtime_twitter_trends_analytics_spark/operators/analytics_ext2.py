@@ -1625,6 +1625,133 @@ FROM per ORDER BY horizon_days
 """
 
 
+# ------------------------------------------------------------------ HHI
+def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration (Herfindahl-Hirschman) index per brand —
+    the procurement-risk readout: for each part brand, the sum of
+    squared supplier revenue shares. HHI near 1 = single-supplier
+    exposure (one factory fire stops the line); near 1/n = healthy
+    multi-sourcing. The supplier-axis complement of
+    events_power_users_gini's user-concentration readout.
+
+    All-integer core: HHI = sum(rev_i^2) / (sum rev)^2 — numerator and
+    denominator are exact BIGINT sums off one (brand, supplier) agg
+    (squares go through DOUBLE casts inside one shared expression, so
+    no BIGINT overflow at any revenue), the top-supplier share is a
+    max over the same relation. Scale: lineitem ⋈ part equi-join
+    (partkey), two bounded-grain aggs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    bs = (
+        li.join(p, "l_partkey")
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    g = bs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev").alias("tot"),
+        F.sum(F.expr("CAST(rev AS DOUBLE) * rev")).alias("sq"),
+        F.max("rev").alias("top_rev"),
+    )
+    hhi = "(sq / (CAST(tot AS DOUBLE) * tot))"
+    top = dl.round_ratio(dl.SPARK, "top_rev", "tot")
+    return g.selectExpr(
+        "p_brand",
+        "n_suppliers",
+        f"round({hhi}, 4) AS hhi",
+        f"{top} AS top_supplier_share",
+        f"round(CAST(1.0 AS DOUBLE) / n_suppliers, 4) AS equal_share_floor",
+    ).orderBy("p_brand")
+
+
+def _oracle_hhi() -> str:
+    hhi = "(sq / (CAST(tot AS DOUBLE) * tot))"
+    top = dl.round_ratio(dl.DUCK, "top_rev", "tot")
+    return f"""
+WITH bs AS (
+  SELECT p_brand, l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+), g AS (
+  SELECT p_brand, count(*) AS n_suppliers,
+    CAST(sum(rev) AS BIGINT) AS tot,
+    sum(CAST(rev AS DOUBLE) * rev) AS sq,
+    max(rev) AS top_rev
+  FROM bs GROUP BY 1
+)
+SELECT p_brand, n_suppliers,
+  round({hhi}, 4) AS hhi,
+  {top} AS top_supplier_share,
+  round(CAST(1.0 AS DOUBLE) / n_suppliers, 4) AS equal_share_floor
+FROM g ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------- basket size
+def orders_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-composition histogram: how many line items an order
+    carries, with each size's order count, share, and revenue — the
+    merchandising readout behind bundle design and the direct check on
+    the fan-out factor every orders ⋈ lineitem join pays (mean basket
+    size IS the join amplification).
+
+    Exact integers; shares are half-up integer-ratio rounds on a
+    size-grain (<=7 for TPC-H) relation. Scale: one lineitem agg to
+    order grain, one size-grain agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("basket_size"), F.sum("cents").alias("rev")
+    )
+    share = dl.round_ratio(dl.SPARK, "n_orders", "tot_orders")
+    return (
+        per_order.groupBy("basket_size")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("rev").alias("rev"))
+        .selectExpr(
+            "basket_size",
+            "n_orders",
+            "rev",
+            "sum(n_orders) OVER () AS tot_orders",
+        )
+        .selectExpr(
+            "basket_size",
+            "n_orders",
+            f"{share} AS order_share",
+            "round(CAST(rev AS DOUBLE) / 100.0, 2) AS revenue_dollars",
+        )
+        .orderBy("basket_size")
+    )
+
+
+def _oracle_basket_size() -> str:
+    share = dl.round_ratio(dl.DUCK, "n_orders", "tot_orders")
+    return f"""
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS basket_size,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+), g AS (
+  SELECT basket_size, count(*) AS n_orders, CAST(sum(rev) AS BIGINT) AS rev
+  FROM per_order GROUP BY 1
+), w AS (
+  SELECT *, CAST(sum(n_orders) OVER () AS BIGINT) AS tot_orders FROM g
+)
+SELECT basket_size, n_orders,
+  {share} AS order_share,
+  round(CAST(rev AS DOUBLE) / 100.0, 2) AS revenue_dollars
+FROM w ORDER BY basket_size
+"""
+
+
 QUERIES = {
     "events_stickiness_dau_mau": events_stickiness_dau_mau,
     "stats_kendall_tau": stats_kendall_tau,
@@ -1643,6 +1770,8 @@ QUERIES = {
     "orders_monthly_yoy": orders_monthly_yoy,
     "events_velocity_flags": events_velocity_flags,
     "events_churn_sensitivity": events_churn_sensitivity,
+    "parts_supplier_hhi": parts_supplier_hhi,
+    "orders_basket_size_dist": orders_basket_size_dist,
 }
 
 ORACLES = {
@@ -1663,4 +1792,6 @@ ORACLES = {
     "orders_monthly_yoy": _oracle_monthly_yoy(),
     "events_velocity_flags": _oracle_velocity(),
     "events_churn_sensitivity": _oracle_churn(),
+    "parts_supplier_hhi": _oracle_hhi(),
+    "orders_basket_size_dist": _oracle_basket_size(),
 }

@@ -811,3 +811,51 @@ def test_churn_sensitivity_matches_pandas(spark):
         assert abs(row["churn_rate"] - round(churned / len(idle), 4)) <= 1e-9
         rates.append(row["churn_rate"])
     assert all(a >= b for a, b in zip(rates, rates[1:]))
+
+
+def test_hhi_matches_pandas(spark):
+    """Per-brand HHI, supplier counts, and top share equal a pandas
+    merge + share recomputation; HHI is bounded by [1/n, 1]."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        parts_supplier_hhi,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    pt = pd.read_parquet(f"{SF}/part.parquet")
+    li = li.assign(cents=np.round(li["l_extendedprice"] * 100).astype("int64"))
+    j = li.merge(pt[["p_partkey", "p_brand"]], left_on="l_partkey", right_on="p_partkey")
+    bs = j.groupby(["p_brand", "l_suppkey"])["cents"].sum()
+    got = {r["p_brand"]: r for r in parts_supplier_hhi(spark, SF).collect()}
+    brands = bs.index.get_level_values(0).unique()
+    assert set(got) == set(brands)
+    for brand in brands:
+        revs = bs[brand]
+        tot = revs.sum()
+        hhi = float((revs.astype("float64") ** 2).sum() / (float(tot) * tot))
+        row = got[brand]
+        assert row["n_suppliers"] == len(revs)
+        assert abs(row["hhi"] - round(hhi, 4)) <= 1e-9
+        assert abs(row["top_supplier_share"] - round(revs.max() / tot, 4)) <= 1e-4
+        assert 1 / len(revs) - 1e-4 <= row["hhi"] <= 1 + 1e-9
+
+
+def test_basket_size_dist_matches_pandas(spark):
+    """Histogram counts/shares/revenue equal the pandas order-grain
+    recomputation, and shares sum to ~1."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        orders_basket_size_dist,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li = li.assign(cents=np.round(li["l_extendedprice"] * 100).astype("int64"))
+    per = li.groupby("l_orderkey").agg(sz=("cents", "count"), rev=("cents", "sum"))
+    ref = per.groupby("sz").agg(n=("rev", "count"), rev=("rev", "sum"))
+    got = {r["basket_size"]: r for r in orders_basket_size_dist(spark, SF).collect()}
+    assert set(got) == set(ref.index)
+    tot = len(per)
+    for sz, row in ref.iterrows():
+        g = got[sz]
+        assert g["n_orders"] == row["n"]
+        assert abs(g["order_share"] - round(row["n"] / tot, 4)) <= 1e-9
+        assert abs(g["revenue_dollars"] - round(row["rev"] / 100, 2)) <= 0.011
+    assert abs(sum(r["order_share"] for r in got.values()) - 1.0) <= 1e-3
