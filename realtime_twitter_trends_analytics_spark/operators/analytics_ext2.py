@@ -1443,8 +1443,8 @@ def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m.join(prev, "ym", "left")
         .selectExpr(
-            "ym DIV 12 AS year",
-            "ym % 12 + 1 AS month",
+            "CAST(ym DIV 12 AS BIGINT) AS year",
+            "CAST(ym % 12 + 1 AS BIGINT) AS month",
             "n_orders",
             "round(CAST(rev AS DOUBLE) / 100.0, 2) AS revenue_dollars",
             f"CASE WHEN rev_prev IS NULL OR rev_prev = 0 THEN NULL "
