@@ -942,10 +942,16 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sx2"),
         F.sum(F.col("y") * F.col("y")).alias("sy2"),
     )
+    # r is undefined when either endpoint-degree variance is zero (a
+    # degree-regular graph — observed live: the sf0.1 min-support cooc
+    # graph is complete, every degree equal); define r = 0 there, and
+    # guard BEFORE the division (ANSI mode makes 0/0 an error, not NaN)
+    vx = "(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)"
+    vy = "(CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)"
     r = (
-        "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
-        "/ sqrt((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) "
-        "* (CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)))"
+        f"(CASE WHEN {vx} * {vy} <= 0 THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+        f"/ sqrt({vx} * {vy}) END)"
     )
     return agg.selectExpr(
         "n AS n_directed_edges",
@@ -955,10 +961,16 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_assortativity() -> str:
+    # r is undefined when either endpoint-degree variance is zero (a
+    # degree-regular graph — observed live: the sf0.1 min-support cooc
+    # graph is complete, every degree equal); define r = 0 there, and
+    # guard BEFORE the division (ANSI mode makes 0/0 an error, not NaN)
+    vx = "(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)"
+    vy = "(CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)"
     r = (
-        "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
-        "/ sqrt((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) "
-        "* (CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)))"
+        f"(CASE WHEN {vx} * {vy} <= 0 THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+        f"/ sqrt({vx} * {vy}) END)"
     )
     ratio = dl.round_ratio(dl.DUCK, "sx", "n")
     return f"""
