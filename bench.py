@@ -251,6 +251,8 @@ HEADLINE = [
     "events_churn_sensitivity",
     "parts_supplier_hhi",
     "orders_basket_size_dist",
+    "stats_welch_ttest",
+    "layout_pruning_advisor",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -1752,6 +1752,212 @@ FROM w ORDER BY basket_size
 """
 
 
+# ------------------------------------------------------------ pruning advisor
+def layout_pruning_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping advisor — for each candidate filter column, how
+    well the CURRENT write layout prunes: model files as the (day,
+    hour) slices the stream writer emits (layout_compaction_plan's
+    model), and measure how many files an equality predicate on each
+    column must read (avg and max over values), against the floor of 1.
+    `skip_ratio` near 1 = predicates on that column already skip most
+    files; near 0 = a re-cluster (z-order/Hilbert on that column) pays
+    for itself. The question every OPTIMIZE decision starts with,
+    answered from one scan instead of a guess.
+
+    All-integer: file ids, per-value file counts, and the ratios are
+    exact counts and half-up integer-ratio rounds. Scale: one
+    (column-value, file) distinct per candidate — activity-bounded —
+    then a value-grain agg; candidates cost one scan each over the
+    SAME cached projection shape (Catalyst shares the scan via
+    unionByName of two aggregations on one base)."""
+    e = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_type",
+        "(CAST(unix_timestamp(ts) DIV 3600 AS BIGINT)) AS file_id",
+    )
+    n_files = e.select("file_id").distinct().count()  # scalar model-state
+    outs = []
+    for col in ("user_id", "event_type"):
+        vf = e.select(col, "file_id").distinct()
+        per_val = vf.groupBy(col).agg(F.count(F.lit(1)).alias("nf"))
+        avg_files = dl.round_ratio(dl.SPARK, "sum_nf", "n_values", 2)
+        skip = dl.round_ratio(
+            dl.SPARK, f"{n_files} * n_values - sum_nf", f"{n_files} * n_values"
+        )
+        outs.append(
+            per_val.agg(
+                F.count(F.lit(1)).alias("n_values"),
+                F.sum("nf").alias("sum_nf"),
+                F.max("nf").alias("max_files"),
+            ).selectExpr(
+                f"'{col}' AS candidate_column",
+                "n_values",
+                f"CAST({n_files} AS BIGINT) AS n_files",
+                f"{avg_files} AS avg_files_per_value",
+                "max_files",
+                f"{skip} AS skip_ratio",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("candidate_column")
+
+
+def _oracle_pruning_advisor() -> str:
+    parts = []
+    for col in ("user_id", "event_type"):
+        avg_files = dl.round_ratio(dl.DUCK, "sum_nf", "n_values", 2)
+        skip = dl.round_ratio(
+            dl.DUCK, "nfl * n_values - sum_nf", "nfl * n_values"
+        )
+        parts.append(
+            f"""
+  SELECT '{col}' AS candidate_column, n_values,
+    CAST(nfl AS BIGINT) AS n_files,
+    {avg_files} AS avg_files_per_value,
+    max_files,
+    {skip} AS skip_ratio
+  FROM (
+    SELECT count(*) AS n_values, CAST(sum(nf) AS BIGINT) AS sum_nf,
+      max(nf) AS max_files
+    FROM (
+      SELECT {col}, count(*) AS nf FROM (
+        SELECT DISTINCT {col},
+          (CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS file_id
+        FROM events
+      ) GROUP BY 1
+    )
+  ), (SELECT count(DISTINCT (CAST(floor(epoch(ts)) AS BIGINT) // 3600))
+        AS nfl FROM events)"""
+        )
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+SELECT * FROM (
+{union}
+) ORDER BY candidate_column
+"""
+
+
+# ------------------------------------------------------------------- Welch t
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event_type for the
+    hash-assigned arms — the test the equal-variance pooled t (and the
+    large-sample z in events_ab_test_lift) silently gets wrong when
+    one arm's variance differs: t = (mb - ma) / sqrt(va/na + vb/nb)
+    with the Welch-Satterthwaite effective degrees of freedom, plus
+    Cohen's d (the standardized effect size readouts get reported
+    next to). dof is what distinguishes this from the z — at small or
+    lopsided n the critical value moves.
+
+    Exact arithmetic: per-arm n/s1/s2 are exact cents BIGINTs (the
+    stats_power_mde pivot); t, dof, and d are each ONE shared IEEE
+    expression over them. Scale: one (type, arm) hash agg, 2-row fold
+    per type."""
+    e = load_table(spark, sf_dir, "events")
+    nib = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(user_id AS STRING)"))
+    g = (
+        e.select(
+            "event_type",
+            F.when(nib < 8, "A").otherwise("B").alias("v"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        )
+    )
+    piv = (
+        g.groupBy("event_type")
+        .agg(
+            *[
+                F.sum(F.when(F.col("v") == a, F.col(c))).alias(f"{c}{a.lower()}")
+                for a in ("A", "B")
+                for c in ("n", "s1", "s2")
+            ]
+        )
+        .filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+
+    def var(a: str) -> str:
+        return (
+            f"((CAST(n{a} AS DOUBLE) * s2{a} - CAST(s1{a} AS DOUBLE) * s1{a}) "
+            f"/ (CAST(n{a} AS DOUBLE) * (n{a} - 1)))"
+        )
+
+    se2 = f"({var('a')} / na + {var('b')} / nb)"
+    t = f"((CAST(s1b AS DOUBLE) / nb - CAST(s1a AS DOUBLE) / na) / sqrt({se2}))"
+    dof = (
+        f"(({se2}) * ({se2}) / "
+        f"(({var('a')} / na) * ({var('a')} / na) / (na - 1) "
+        f"+ ({var('b')} / nb) * ({var('b')} / nb) / (nb - 1)))"
+    )
+    pooled_sd = (
+        f"sqrt(((na - 1) * {var('a')} + (nb - 1) * {var('b')}) / (na + nb - 2))"
+    )
+    d = f"((CAST(s1b AS DOUBLE) / nb - CAST(s1a AS DOUBLE) / na) / {pooled_sd})"
+    return piv.selectExpr(
+        "event_type",
+        "na",
+        "nb",
+        f"round({t}, 4) AS welch_t",
+        f"round({dof}, 2) AS welch_dof",
+        f"round({d}, 4) AS cohens_d",
+    ).orderBy("event_type")
+
+
+def _oracle_welch() -> str:
+    d_ = dl.DUCK
+    nib = dl.md5_prefix_nibble(d_, "CAST(user_id AS VARCHAR)")
+
+    def var(a: str) -> str:
+        return (
+            f"((CAST(n{a} AS DOUBLE) * s2{a} - CAST(s1{a} AS DOUBLE) * s1{a}) "
+            f"/ (CAST(n{a} AS DOUBLE) * (n{a} - 1)))"
+        )
+
+    se2 = f"({var('a')} / na + {var('b')} / nb)"
+    t = f"((CAST(s1b AS DOUBLE) / nb - CAST(s1a AS DOUBLE) / na) / sqrt({se2}))"
+    dof = (
+        f"(({se2}) * ({se2}) / "
+        f"(({var('a')} / na) * ({var('a')} / na) / (na - 1) "
+        f"+ ({var('b')} / nb) * ({var('b')} / nb) / (nb - 1)))"
+    )
+    pooled_sd = (
+        f"sqrt(((na - 1) * {var('a')} + (nb - 1) * {var('b')}) / (na + nb - 2))"
+    )
+    dd = f"((CAST(s1b AS DOUBLE) / nb - CAST(s1a AS DOUBLE) / na) / {pooled_sd})"
+    cols = ",\n    ".join(
+        f"CAST(sum(CASE WHEN v = '{a}' THEN {c} END) AS BIGINT) AS {c}{a.lower()}"
+        for a in ("A", "B")
+        for c in ("n", "s1", "s2")
+    )
+    return f"""
+WITH g AS (
+  SELECT event_type,
+    CASE WHEN {nib} < 8 THEN 'A' ELSE 'B' END AS v,
+    count(*) AS n,
+    sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+    sum(CAST(round(value * 100) AS BIGINT)
+        * CAST(round(value * 100) AS BIGINT)) AS s2
+  FROM events GROUP BY 1, 2
+), piv AS (
+  SELECT event_type,
+    {cols}
+  FROM g GROUP BY 1
+  HAVING sum(CASE WHEN v = 'A' THEN n END) >= 2
+     AND sum(CASE WHEN v = 'B' THEN n END) >= 2
+)
+SELECT event_type, na, nb,
+  round({t}, 4) AS welch_t,
+  round({dof}, 2) AS welch_dof,
+  round({dd}, 4) AS cohens_d
+FROM piv ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_stickiness_dau_mau": events_stickiness_dau_mau,
     "stats_kendall_tau": stats_kendall_tau,
@@ -1772,6 +1978,8 @@ QUERIES = {
     "events_churn_sensitivity": events_churn_sensitivity,
     "parts_supplier_hhi": parts_supplier_hhi,
     "orders_basket_size_dist": orders_basket_size_dist,
+    "stats_welch_ttest": stats_welch_ttest,
+    "layout_pruning_advisor": layout_pruning_advisor,
 }
 
 ORACLES = {
@@ -1794,4 +2002,6 @@ ORACLES = {
     "events_churn_sensitivity": _oracle_churn(),
     "parts_supplier_hhi": _oracle_hhi(),
     "orders_basket_size_dist": _oracle_basket_size(),
+    "stats_welch_ttest": _oracle_welch(),
+    "layout_pruning_advisor": _oracle_pruning_advisor(),
 }

@@ -859,3 +859,69 @@ def test_basket_size_dist_matches_pandas(spark):
         assert abs(g["order_share"] - round(row["n"] / tot, 4)) <= 1e-9
         assert abs(g["revenue_dollars"] - round(row["rev"] / 100, 2)) <= 0.011
     assert abs(sum(r["order_share"] for r in got.values()) - 1.0) <= 1e-3
+
+
+def test_welch_ttest_matches_scipy_free_formula(spark):
+    """t, Welch-Satterthwaite dof, and Cohen's d match the textbook
+    formulas computed independently in numpy per event type."""
+    import hashlib
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        stats_welch_ttest,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf = pdf.assign(
+        cents=np.round(pdf["value"] * 100).astype("int64"),
+        arm=pdf["user_id"].map(
+            lambda u: "A" if int(hashlib.md5(str(u).encode()).hexdigest()[0], 16) < 8 else "B"
+        ),
+    )
+    got = {r["event_type"]: r for r in stats_welch_ttest(spark, SF).collect()}
+    for et, sub in pdf.groupby("event_type"):
+        a = sub.loc[sub["arm"] == "A", "cents"].to_numpy(dtype=np.float64)
+        b = sub.loc[sub["arm"] == "B", "cents"].to_numpy(dtype=np.float64)
+        if len(a) < 2 or len(b) < 2:
+            assert et not in got
+            continue
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        na, nb = len(a), len(b)
+        se2 = va / na + vb / nb
+        t = (b.mean() - a.mean()) / np.sqrt(se2)
+        dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+        sp = np.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+        d = (b.mean() - a.mean()) / sp
+        row = got[et]
+        assert row["na"] == na and row["nb"] == nb
+        assert abs(row["welch_t"] - round(float(t), 4)) <= 1e-3
+        assert abs(row["welch_dof"] - round(float(dof), 2)) <= 0.02
+        assert abs(row["cohens_d"] - round(float(d), 4)) <= 1e-3
+
+
+def test_pruning_advisor_matches_pandas_file_model(spark):
+    """Per-candidate file-touch stats equal the pandas (value, hour-file)
+    recomputation; event_type (low cardinality, spread everywhere) must
+    skip less than user_id."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        layout_pruning_advisor,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    ts = pdf["ts"]
+    secs = (
+        ts // 1_000_000_000
+        if ts.dtype.kind in "iu"
+        else ts.astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    )
+    pdf = pdf.assign(file_id=secs // 3600)
+    n_files = pdf["file_id"].nunique()
+    got = {r["candidate_column"]: r for r in layout_pruning_advisor(spark, SF).collect()}
+    for col in ("user_id", "event_type"):
+        vf = pdf[[col, "file_id"]].drop_duplicates().groupby(col).size()
+        row = got[col]
+        assert row["n_values"] == len(vf)
+        assert row["n_files"] == n_files
+        assert abs(row["avg_files_per_value"] - round(vf.mean(), 2)) <= 0.011
+        assert row["max_files"] == int(vf.max())
+        skip_ref = (n_files * len(vf) - vf.sum()) / (n_files * len(vf))
+        assert abs(row["skip_ratio"] - round(float(skip_ref), 4)) <= 1e-4
+    assert got["user_id"]["skip_ratio"] > got["event_type"]["skip_ratio"]
