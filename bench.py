@@ -253,6 +253,8 @@ HEADLINE = [
     "orders_basket_size_dist",
     "stats_welch_ttest",
     "layout_pruning_advisor",
+    "ml_calibration_brier",
+    "events_holt_winters",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -1958,6 +1958,142 @@ FROM piv ORDER BY event_type
 """
 
 
+# ------------------------------------------------------------- Holt-Winters
+HW_PERIOD = 7   # weekly seasonality
+HW_H = 7        # forecast horizon (one full season)
+HW_ALPHA = "0.3"
+HW_BETA = "0.1"
+HW_GAMMA = "0.2"
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly seasonality) per
+    event type — the final rung of the smoothing ladder after
+    events_ewma_forecast (level) and events_holt_forecast (level +
+    trend): L_t = a*(x_t - S_{t-m}) + (1-a)*(L+B), B_t = b*(L_t - L) +
+    (1-b)*B, S_t = g*(x_t - L_t) + (1-g)*S_{t-m}, m = 7. Seeds are the
+    textbook simple-init: L = mean of the first week (written as ONE
+    left-parenthesized sum so both engines add in the same order),
+    B = 0, S_i = x_i - L. Forecast at h = 7 adds back the matching
+    season: L + h*B + S_t.
+
+    Float discipline is the events_holt_forecast convention: signed
+    recurrences run the IDENTICAL IEEE double expression in sequence
+    order on both engines (Spark: array fold with a (l, b, s[7])
+    struct accumulator that rotates the season ring; DuckDB: recursive
+    CTE carrying the same ring as a list), and only OUTPUTS are
+    floor-quantized to 4dp. Plan: one (type, day) hash agg, one
+    type-keyed calendar-bounded array, one map-side fold."""
+    e = load_table(spark, sf_dir, "events")
+    m = HW_PERIOD
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    arr = (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, c))), "
+                "p -> CAST(p.c AS DOUBLE))"
+            ).alias("cs")
+        )
+        .where(F.expr(f"size(cs) >= {m + 1}"))
+    )
+    # explicit left-assoc seed sum: ((((((x1+x2)+x3)+x4)+x5)+x6)+x7)
+    terms = [f"element_at(cs, {i})" for i in range(1, m + 1)]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    seed_l = f"({acc} / {m}.0)"
+    seed_s = ", ".join(f"element_at(cs, {i}) - {seed_l}" for i in range(1, m + 1))
+    a, b, g = HW_ALPHA, HW_BETA, HW_GAMMA
+    lnew = f"({a} * (x - element_at(acc.s, 1)) + (1.0 - {a}) * (acc.l + acc.b))"
+    bnew = f"({b} * ({lnew} - acc.l) + (1.0 - {b}) * acc.b)"
+    snew = f"({g} * (x - {lnew}) + (1.0 - {g}) * element_at(acc.s, 1))"
+    fold = (
+        f"aggregate(slice(cs, {m + 1}, size(cs) - {m}), "
+        f"named_struct('l', CAST({seed_l} AS DOUBLE), 'b', CAST(0.0 AS DOUBLE), "
+        f"'s', array({seed_s})), "
+        f"(acc, x) -> named_struct('l', {lnew}, 'b', {bnew}, "
+        f"'s', concat(slice(acc.s, 2, {m - 1}), array({snew}))))"
+    )
+    q4 = "CAST(CAST(floor(({v}) * 10000) AS BIGINT) AS DOUBLE) / CAST(10000 AS DOUBLE)"
+    return arr.select(
+        "event_type",
+        F.expr("CAST(size(cs) AS BIGINT)").alias("n_days"),
+        F.expr(q4.format(v=f"{fold}.l")).alias("level"),
+        F.expr(q4.format(v=f"{fold}.b")).alias("trend"),
+        F.expr(q4.format(v=f"element_at({fold}.s, {m})")).alias("season_last"),
+        F.expr(
+            q4.format(v=f"{fold}.l + {HW_H} * {fold}.b + element_at({fold}.s, {m})")
+        ).alias(f"forecast_{HW_H}d"),
+    ).orderBy("event_type")
+
+
+def _oracle_holt_winters() -> str:
+    m = HW_PERIOD
+    a, b, g = HW_ALPHA, HW_BETA, HW_GAMMA
+    # seeds from the pivoted first week, same left-assoc sum text
+    terms = [f"x{i}" for i in range(1, m + 1)]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    seed_l = f"({acc} / {m}.0)"
+    seed_s = ", ".join(f"x{i} - {seed_l}" for i in range(1, m + 1))
+    piv = ",\n    ".join(
+        f"max(CASE WHEN i = {i} THEN c END) AS x{i}" for i in range(1, m + 1)
+    )
+    lnew = f"({a} * (s.c - h.s[1]) + (1.0 - {a}) * (h.l + h.b))"
+    bnew = f"({b} * ({lnew} - h.l) + (1.0 - {b}) * h.b)"
+    snew = f"({g} * (s.c - {lnew}) + (1.0 - {g}) * h.s[1])"
+    q4 = "CAST(CAST(floor(({v}) * 10000) AS BIGINT) AS DOUBLE) / CAST(10000 AS DOUBLE)"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT event_type, CAST(c AS DOUBLE) AS c,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), seeds AS (
+  SELECT event_type,
+    {piv}
+  FROM series WHERE i <= {m} GROUP BY event_type
+  HAVING count(*) = {m}
+), hw AS (
+  SELECT s.event_type, CAST({m} AS BIGINT) AS i,
+    CAST({seed_l} AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+    [{seed_s}] AS s
+  FROM seeds s
+  JOIN (SELECT DISTINCT event_type FROM series WHERE n >= {m + 1}) ok
+    USING (event_type)
+  UNION ALL
+  SELECT h.event_type, h.i + 1,
+    {lnew},
+    {bnew},
+    list_append(h.s[2:{m}], {snew})
+  FROM hw h JOIN series s ON s.event_type = h.event_type AND s.i = h.i + 1
+), fin AS (
+  SELECT hw.event_type, hw.l, hw.b, hw.s
+  FROM hw
+  JOIN (SELECT event_type, max(i) AS mi FROM hw GROUP BY 1) last
+    ON last.event_type = hw.event_type AND last.mi = hw.i
+), nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM series GROUP BY 1
+)
+SELECT f.event_type AS event_type, nd.n_days AS n_days,
+  {q4.format(v="f.l")} AS level,
+  {q4.format(v="f.b")} AS trend,
+  {q4.format(v=f"f.s[{m}]")} AS season_last,
+  {q4.format(v=f"f.l + {HW_H} * f.b + f.s[{m}]")} AS forecast_{HW_H}d
+FROM fin f JOIN nd USING (event_type)
+ORDER BY event_type
+"""
+
+
+
 QUERIES = {
     "events_stickiness_dau_mau": events_stickiness_dau_mau,
     "stats_kendall_tau": stats_kendall_tau,
@@ -1980,6 +2116,7 @@ QUERIES = {
     "orders_basket_size_dist": orders_basket_size_dist,
     "stats_welch_ttest": stats_welch_ttest,
     "layout_pruning_advisor": layout_pruning_advisor,
+    "events_holt_winters": events_holt_winters,
 }
 
 ORACLES = {
@@ -2004,4 +2141,5 @@ ORACLES = {
     "orders_basket_size_dist": _oracle_basket_size(),
     "stats_welch_ttest": _oracle_welch(),
     "layout_pruning_advisor": _oracle_pruning_advisor(),
+    "events_holt_winters": _oracle_holt_winters(),
 }

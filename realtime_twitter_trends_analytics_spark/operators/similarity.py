@@ -2215,6 +2215,94 @@ FROM buckets ORDER BY votes_top
 """
 
 
+BRIER_Q = 10**12  # per-bucket reliability-term quantization
+
+
+def ml_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition for the kNN probe —
+    the PROPER scoring rule behind ml_knn_calibration's reliability
+    diagram: Brier = REL - RES + UNC, where reliability is the
+    diagram's weighted squared gap, resolution is how much the
+    confidence buckets actually separate outcomes, and uncertainty is
+    the outcome variance no model can remove. One readout row that
+    says not just "is it calibrated" (REL) but "is the confidence
+    USEFUL" (RES vs UNC).
+
+    Computed from the calibration query's own bucket relation (same
+    pipeline, zero new scans). Exactness: the Brier numerator is ALL
+    integer — sum of c_b*(v-K)^2 + (n_b-c_b)*v^2 over buckets, divided
+    once by N*K^2 (half-up round_ratio); the per-bucket reliability
+    terms (v*n_b - c_b*K)^2 / (n_b*K^2) quantize to 1e-12 before their
+    sum; resolution derives from the exact decomposition identity
+    RES = REL + UNC - Brier, so no third quantized pass exists to
+    drift. Scale: a <=K+1-row agg on top of the calibration plan."""
+    buckets = ml_knn_calibration(spark, sf_dir).select(
+        "votes_top", "n_queries", "n_correct"
+    )
+    k = KNN_K
+    rel_term = (
+        f"CAST(round(CAST((votes_top * n_queries - n_correct * {k}) AS DOUBLE) "
+        f"* (votes_top * n_queries - n_correct * {k}) "
+        f"/ (CAST(n_queries AS DOUBLE) * {k * k}) * {BRIER_Q}) AS BIGINT)"
+    )
+    agg = buckets.selectExpr(
+        "n_queries",
+        "n_correct",
+        f"n_correct * (votes_top - {k}) * (votes_top - {k}) "
+        f"+ (n_queries - n_correct) * votes_top * votes_top AS bnum",
+        f"{rel_term} AS relq",
+    ).groupBy().agg(
+        F.sum("n_queries").alias("n"),
+        F.sum("n_correct").alias("c"),
+        F.sum("bnum").alias("bnum"),
+        F.sum("relq").alias("relq"),
+    )
+    brier = dl.round_ratio(dl.SPARK, "bnum", f"n * {k * k}")
+    rel = f"(CAST(relq AS DOUBLE) / n / {BRIER_Q})"
+    unc = "((CAST(c AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n))"
+    return agg.selectExpr(
+        "n AS n_queries",
+        "c AS n_correct",
+        f"{brier} AS brier",
+        f"round({rel}, 4) AS reliability",
+        f"round({rel} + {unc} - {brier}, 4) AS resolution",
+        f"round({unc}, 4) AS uncertainty",
+    )
+
+
+def _oracle_brier() -> str:
+    d = dl.DUCK
+    k = KNN_K
+    inner = _oracle_knn_calibration()
+    rel_term = (
+        f"CAST(round(CAST((votes_top * n_queries - n_correct * {k}) AS DOUBLE) "
+        f"* (votes_top * n_queries - n_correct * {k}) "
+        f"/ (CAST(n_queries AS DOUBLE) * {k * k}) * {BRIER_Q}) AS BIGINT)"
+    )
+    brier = dl.round_ratio(d, "bnum", f"n * {k * k}")
+    rel = f"(CAST(relq AS DOUBLE) / n / {BRIER_Q})"
+    unc = "((CAST(c AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n))"
+    return f"""
+WITH buckets AS (
+  SELECT votes_top, n_queries, n_correct FROM ({inner}) cal
+), agg AS (
+  SELECT CAST(sum(n_queries) AS BIGINT) AS n,
+    CAST(sum(n_correct) AS BIGINT) AS c,
+    CAST(sum(n_correct * (votes_top - {k}) * (votes_top - {k})
+      + (n_queries - n_correct) * votes_top * votes_top) AS BIGINT) AS bnum,
+    CAST(sum({rel_term}) AS BIGINT) AS relq
+  FROM buckets
+)
+SELECT n AS n_queries, c AS n_correct,
+  {brier} AS brier,
+  round({rel}, 4) AS reliability,
+  round({rel} + {unc} - {brier}, 4) AS resolution,
+  round({unc}, 4) AS uncertainty
+FROM agg
+"""
+
+
+
 QUERIES = {
     "docs_cluster_keywords": docs_cluster_keywords,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
@@ -2228,6 +2316,7 @@ QUERIES = {
     "sim_pq_adc_ann": sim_pq_adc_ann,
     "sim_knn_label_probe": sim_knn_label_probe,
     "sim_knn_label_probe_ivf": sim_knn_label_probe_ivf,
+    "ml_calibration_brier": ml_calibration_brier,
     "ml_knn_calibration": ml_knn_calibration,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_ann": sim_lsh_ann,
@@ -2250,6 +2339,7 @@ ORACLES = {
     "sim_knn_label_probe": _oracle_knn_probe(),
     "sim_knn_label_probe_ivf": _oracle_knn_probe_ivf(),
     "ml_knn_calibration": _oracle_knn_calibration(),
+    "ml_calibration_brier": _oracle_brier(),
     "sim_topk_bruteforce": _oracle_bruteforce(),
     "sim_mmr_topk": _oracle_mmr(),
     "sim_kcenter_select": _oracle_kcenter(),

@@ -131,6 +131,9 @@ CARTESIAN_OK = {
     "ml_knn_calibration": "same broadcast eval-set x candidate scan as "
     "sim_knn_label_probe (shared eval pipeline, different readout); the "
     "IVF-candidate feed is the documented production fallback",
+    "ml_calibration_brier": "consumes ml_knn_calibration's bucket "
+    "relation verbatim (same broadcast eval-set x candidate scan, one "
+    "more K-row agg); same IVF production fallback",
     "decontaminate_semantic": "broadcast eval-set x corpus scan — the eval "
     "suite is tiny by design; IVF-cell blocking is the documented fallback "
     "if it outgrows broadcast (see sim_knn_label_probe_ivf)",

@@ -925,3 +925,77 @@ def test_pruning_advisor_matches_pandas_file_model(spark):
         skip_ref = (n_files * len(vf) - vf.sum()) / (n_files * len(vf))
         assert abs(row["skip_ratio"] - round(float(skip_ref), 4)) <= 1e-4
     assert got["user_id"]["skip_ratio"] > got["event_type"]["skip_ratio"]
+
+
+def test_brier_decomposition_identity_and_value(spark):
+    """Brier equals the direct mean of (p - o)^2 over queries, and the
+    Murphy identity REL - RES + UNC == Brier holds at 4dp."""
+    from realtime_twitter_trends_analytics_spark.operators.similarity import (
+        KNN_K,
+        ml_calibration_brier,
+        ml_knn_calibration,
+    )
+
+    buckets = ml_knn_calibration(spark, SF).collect()
+    terms = []
+    for r in buckets:
+        p = r["votes_top"] / KNN_K
+        terms += [(p - 1) ** 2] * r["n_correct"]
+        terms += [(p - 0) ** 2] * (r["n_queries"] - r["n_correct"])
+    brier_ref = sum(terms) / len(terms)
+    row = ml_calibration_brier(spark, SF).collect()[0]
+    assert row["n_queries"] == len(terms)
+    assert abs(row["brier"] - round(brier_ref, 4)) <= 1e-4
+    assert (
+        abs(
+            (row["reliability"] - row["resolution"] + row["uncertainty"])
+            - row["brier"]
+        )
+        <= 3e-4
+    )
+    c = sum(r["n_correct"] for r in buckets)
+    n = len(terms)
+    assert abs(row["uncertainty"] - round(c / n * (1 - c / n), 4)) <= 1e-4
+
+
+def test_holt_winters_matches_python_recurrence(spark):
+    """Level/trend/season/forecast per type equal a direct python
+    implementation of the additive HW recurrence with the same seeds."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        HW_H,
+        HW_PERIOD,
+        events_holt_winters,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf = pdf.assign(day=_day_index(pdf["ts"]))
+    a, b, g = 0.3, 0.1, 0.2
+    m = HW_PERIOD
+    got = {r["event_type"]: r for r in events_holt_winters(spark, SF).collect()}
+    for et, sub in pdf.groupby("event_type"):
+        xs = sub.groupby("day").size().sort_index().astype(float).tolist()
+        if len(xs) < m + 1:
+            assert et not in got
+            continue
+        L = 0.0
+        for v in xs[:m]:
+            L = L + v
+        L /= float(m)
+        B = 0.0
+        S = [x - L for x in xs[:m]]
+        for x in xs[m:]:
+            Lp = a * (x - S[0]) + (1 - a) * (L + B)
+            Bp = b * (Lp - L) + (1 - b) * B
+            Sp = g * (x - Lp) + (1 - g) * S[0]
+            L, B, S = Lp, Bp, S[1:] + [Sp]
+        import math
+
+        def q4(v: float) -> float:
+            return math.floor(v * 10000) / 10000
+
+        row = got[et]
+        assert row["n_days"] == len(xs)
+        assert abs(row["level"] - q4(L)) <= 2e-4
+        assert abs(row["trend"] - q4(B)) <= 2e-4
+        assert abs(row["season_last"] - q4(S[-1])) <= 2e-4
+        assert abs(row[f"forecast_{HW_H}d"] - q4(L + HW_H * B + S[-1])) <= 4e-4
