@@ -255,6 +255,8 @@ HEADLINE = [
     "layout_pruning_advisor",
     "ml_calibration_brier",
     "events_holt_winters",
+    "events_interrupted_time_series",
+    "events_ingest_gap_audit",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

@@ -1958,6 +1958,183 @@ FROM piv ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------- ITS
+def events_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series readout: fit OLS daily-revenue trends
+    independently BEFORE and AFTER the calendar midpoint (the same
+    derived split day the experiment readouts use) and report the
+    level jump at the boundary and the slope change — the
+    quasi-experimental estimate teams reach for when there IS no
+    randomized control (launch day, pricing change, incident).
+    Segmented regression in its two-fit form: pre yhat extrapolated to
+    the split day vs post yhat at the split day is the level effect;
+    b_post - b_pre is the trend effect.
+
+    Exact arithmetic: per-segment OLS closed forms (n, St, Sy, Stt,
+    Sty) are exact BIGINT sums over (day-index, cents) — the
+    part_price_slope convention — folded to one row by conditional
+    sums; slopes/intercepts/effects are shared IEEE expressions.
+    Scale: one day-grain agg (calendar-bounded), one 2-segment fold."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("di"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    day = e.groupBy("di").agg(F.sum("cents").alias("y"))
+    split = day.agg(
+        F.expr("CAST((min(di) + max(di) + 1) DIV 2 AS BIGINT)").alias("sd")
+    )
+    seg = day.join(F.broadcast(split)).selectExpr(
+        "CASE WHEN di < sd THEN 'pre' ELSE 'post' END AS seg",
+        "di - sd AS t",  # centered at the split so intercept = level AT the split
+        "y",
+        "sd",
+    )
+    one = seg.groupBy().agg(
+        F.max("sd").alias("sd"),
+        *[
+            F.sum(F.when(F.col("seg") == sg, F.expr(ex))).alias(f"{nm}_{sg}")
+            for sg in ("pre", "post")
+            for nm, ex in (
+                ("n", "1"),
+                ("st", "t"),
+                ("sy", "y"),
+                ("stt", "t * t"),
+                ("sty", "t * y"),
+            )
+        ],
+    )
+
+    def slope(sg: str) -> str:
+        return (
+            f"((CAST(n_{sg} AS DOUBLE) * sty_{sg} - CAST(st_{sg} AS DOUBLE) * sy_{sg}) "
+            f"/ (CAST(n_{sg} AS DOUBLE) * stt_{sg} - CAST(st_{sg} AS DOUBLE) * st_{sg}))"
+        )
+
+    def icept(sg: str) -> str:
+        return (
+            f"((CAST(sy_{sg} AS DOUBLE) - {slope(sg)} * st_{sg}) / n_{sg})"
+        )
+
+    return one.selectExpr(
+        "sd AS split_day_index",
+        "n_pre",
+        "n_post",
+        f"round({slope('pre')} / 100, 4) AS slope_pre",
+        f"round({slope('post')} / 100, 4) AS slope_post",
+        f"round(({slope('post')} - {slope('pre')}) / 100, 4) AS slope_change",
+        f"round(({icept('post')} - {icept('pre')}) / 100, 2) AS level_jump_dollars",
+    )
+
+
+def _oracle_its() -> str:
+    def slope(sg: str) -> str:
+        return (
+            f"((CAST(n_{sg} AS DOUBLE) * sty_{sg} - CAST(st_{sg} AS DOUBLE) * sy_{sg}) "
+            f"/ (CAST(n_{sg} AS DOUBLE) * stt_{sg} - CAST(st_{sg} AS DOUBLE) * st_{sg}))"
+        )
+
+    def icept(sg: str) -> str:
+        return f"((CAST(sy_{sg} AS DOUBLE) - {slope(sg)} * st_{sg}) / n_{sg})"
+
+    cols = ",\n    ".join(
+        f"CAST(sum(CASE WHEN seg = '{sg}' THEN {ex} END) AS BIGINT) AS {nm}_{sg}"
+        for sg in ("pre", "post")
+        for nm, ex in (
+            ("n", "1"),
+            ("st", "t"),
+            ("sy", "y"),
+            ("stt", "t * t"),
+            ("sty", "t * y"),
+        )
+    )
+    return f"""
+WITH day AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS di,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), split AS (
+  SELECT CAST((min(di) + max(di) + 1) // 2 AS BIGINT) AS sd FROM day
+), seg AS (
+  SELECT CASE WHEN di < sd THEN 'pre' ELSE 'post' END AS seg,
+    di - sd AS t, y, sd
+  FROM day, split
+), one AS (
+  SELECT max(sd) AS sd,
+    {cols}
+  FROM seg
+)
+SELECT sd AS split_day_index, n_pre, n_post,
+  round({slope('pre')} / 100, 4) AS slope_pre,
+  round({slope('post')} / 100, 4) AS slope_post,
+  round(({slope('post')} - {slope('pre')}) / 100, 4) AS slope_change,
+  round(({icept('post')} - {icept('pre')}) / 100, 2) AS level_jump_dollars
+FROM one
+"""
+
+
+# --------------------------------------------------------------- ingest gaps
+GAP_TOP = 15
+
+
+def events_ingest_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-outage audit — per event type, the gaps in the hourly
+    event timeline (hours with traffic on both sides but none inside):
+    the dropped-batch / dead-producer detector a feed SLO runs before
+    anyone trusts downstream counts. Reports the GAP_TOP widest
+    outages (type, start hour, end hour, width) with a deterministic
+    tiebreak; a healthy feed's widest gap is its known quiet period,
+    anything wider is the incident.
+
+    Scale: one (type, hour) hash agg — calendar x type bounded — then
+    a lag window PARTITIONED BY TYPE over that bounded grain (never a
+    data-wide sort); top-k is TakeOrdered. All-integer hour
+    arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    th = (
+        e.selectExpr(
+            "event_type",
+            "CAST(unix_timestamp(ts) DIV 3600 AS BIGINT) AS hi",
+        )
+        .groupBy("event_type", "hi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lag = F.lag("hi").over(W.partitionBy("event_type").orderBy("hi"))
+    gaps = (
+        th.select("event_type", F.col("hi").alias("next_hi"), lag.alias("prev_hi"))
+        .filter(F.col("prev_hi").isNotNull())
+        .filter(F.col("next_hi") - F.col("prev_hi") > 1)
+        .selectExpr(
+            "event_type",
+            "prev_hi + 1 AS gap_start_hour",
+            "next_hi - 1 AS gap_end_hour",
+            "next_hi - prev_hi - 1 AS gap_hours",
+        )
+    )
+    return gaps.orderBy(
+        F.desc("gap_hours"), F.asc("event_type"), F.asc("gap_start_hour")
+    ).limit(GAP_TOP)
+
+
+def _oracle_ingest_gaps() -> str:
+    return f"""
+WITH th AS (
+  SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS hi,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+), k AS (
+  SELECT event_type, hi AS next_hi,
+    lag(hi) OVER (PARTITION BY event_type ORDER BY hi) AS prev_hi
+  FROM th
+)
+SELECT event_type, prev_hi + 1 AS gap_start_hour,
+  next_hi - 1 AS gap_end_hour,
+  next_hi - prev_hi - 1 AS gap_hours
+FROM k WHERE prev_hi IS NOT NULL AND next_hi - prev_hi > 1
+ORDER BY gap_hours DESC, event_type ASC, gap_start_hour ASC
+LIMIT {GAP_TOP}
+"""
+
+
 # ------------------------------------------------------------- Holt-Winters
 HW_PERIOD = 7   # weekly seasonality
 HW_H = 7        # forecast horizon (one full season)
@@ -2117,6 +2294,8 @@ QUERIES = {
     "stats_welch_ttest": stats_welch_ttest,
     "layout_pruning_advisor": layout_pruning_advisor,
     "events_holt_winters": events_holt_winters,
+    "events_interrupted_time_series": events_interrupted_time_series,
+    "events_ingest_gap_audit": events_ingest_gap_audit,
 }
 
 ORACLES = {
@@ -2142,4 +2321,6 @@ ORACLES = {
     "stats_welch_ttest": _oracle_welch(),
     "layout_pruning_advisor": _oracle_pruning_advisor(),
     "events_holt_winters": _oracle_holt_winters(),
+    "events_interrupted_time_series": _oracle_its(),
+    "events_ingest_gap_audit": _oracle_ingest_gaps(),
 }

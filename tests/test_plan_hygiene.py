@@ -47,6 +47,9 @@ CARTESIAN_OK = {
     "events_churn_sensitivity": "the derived snapshot-day scalar rides a "
     "1-row broadcast next to the user-grain last-activity relation "
     "(scalar-aggregate pattern)",
+    "events_interrupted_time_series": "the derived split-day scalar rides "
+    "a 1-row broadcast against the calendar-bounded day series "
+    "(scalar-aggregate pattern)",
     "events_markov_stationary": "the empirical-total denominator rides a "
     "1-row broadcast next to the K-row stationary vector "
     "(scalar-aggregate pattern)",

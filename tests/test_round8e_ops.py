@@ -999,3 +999,62 @@ def test_holt_winters_matches_python_recurrence(spark):
         assert abs(row["trend"] - q4(B)) <= 2e-4
         assert abs(row["season_last"] - q4(S[-1])) <= 2e-4
         assert abs(row[f"forecast_{HW_H}d"] - q4(L + HW_H * B + S[-1])) <= 4e-4
+
+
+def test_its_matches_numpy_two_fits(spark):
+    """Pre/post slopes and the level jump equal two independent numpy
+    polyfits on the same centered day series."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        events_interrupted_time_series,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf = pdf.assign(
+        di=_day_index(pdf["ts"]),
+        cents=np.round(pdf["value"] * 100).astype("int64"),
+    )
+    day = pdf.groupby("di")["cents"].sum()
+    sd = (int(day.index.min()) + int(day.index.max()) + 1) // 2
+    t = day.index.to_numpy(dtype=np.float64) - sd
+    y = day.to_numpy(dtype=np.float64)
+    pre, post = t < 0, t >= 0
+    bp, ap_ = np.polyfit(t[pre], y[pre], 1)
+    bq, aq = np.polyfit(t[post], y[post], 1)
+    row = events_interrupted_time_series(spark, SF).collect()[0]
+    assert row["split_day_index"] == sd
+    assert row["n_pre"] == int(pre.sum()) and row["n_post"] == int(post.sum())
+    assert abs(row["slope_pre"] - round(bp / 100, 4)) <= 1e-3
+    assert abs(row["slope_post"] - round(bq / 100, 4)) <= 1e-3
+    assert abs(row["slope_change"] - round((bq - bp) / 100, 4)) <= 2e-3
+    assert abs(row["level_jump_dollars"] - round((aq - ap_) / 100, 2)) <= 0.02
+
+
+def test_ingest_gap_audit_matches_pandas(spark):
+    """The widest per-type hourly gaps equal a pandas lag recomputation
+    with the same deterministic ordering."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        GAP_TOP,
+        events_ingest_gap_audit,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    ts = pdf["ts"]
+    secs = (
+        ts // 1_000_000_000
+        if ts.dtype.kind in "iu"
+        else ts.astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    )
+    pdf = pdf.assign(hi=secs // 3600)
+    gaps = []
+    for et, sub in pdf.groupby("event_type"):
+        hs = sorted(sub["hi"].unique())
+        for a, b in zip(hs, hs[1:]):
+            if b - a > 1:
+                gaps.append((et, a + 1, b - 1, b - a - 1))
+    gaps.sort(key=lambda g: (-g[3], g[0], g[1]))
+    ref = gaps[:GAP_TOP]
+    got = [
+        (r["event_type"], r["gap_start_hour"], r["gap_end_hour"], r["gap_hours"])
+        for r in events_ingest_gap_audit(spark, SF).collect()
+    ]
+    assert got == ref
