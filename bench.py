@@ -257,6 +257,8 @@ HEADLINE = [
     "events_holt_winters",
     "events_interrupted_time_series",
     "events_ingest_gap_audit",
+    "orders_revenue_drawdown",
+    "ml_feature_hash_tradeoff",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

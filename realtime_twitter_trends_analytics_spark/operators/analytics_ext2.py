@@ -1958,6 +1958,166 @@ FROM piv ORDER BY event_type
 """
 
 
+# ------------------------------------------------------------------ drawdown
+def orders_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily revenue momentum — the
+    risk-curve readout applied to a business series: track daily
+    revenue's running peak and report the worst peak-to-trough fall
+    (depth, the peak day, the trough day) plus the current drawdown at
+    the series end. On a revenue series this surfaces the worst
+    sustained slump window exactly as the financial version surfaces
+    crashes; the argmax convention ties to the EARLIEST day.
+
+    All-integer: cumulative cents, running max (day-ordered window over
+    the CALENDAR-bounded day grain), drawdown differences; dollar
+    outputs are final divisions. Scale: day-grain agg then day-grain
+    windows — never data-sized."""
+    e = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)").alias("di"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    day = e.groupBy("di").agg(F.sum("cents").alias("y"))
+    wcum = W.orderBy("di").rowsBetween(W.unboundedPreceding, 0)
+    cum = day.select("di", F.sum("y").over(wcum).alias("cum"))
+    cur = cum.select(
+        "di", "cum", F.max("cum").over(wcum).alias("peak")
+    ).withColumn("dd", F.col("peak") - F.col("cum"))
+    worst = cur.orderBy(F.desc("dd"), F.asc("di")).limit(1)
+    last = cur.orderBy(F.desc("di")).limit(1)
+    return (
+        worst.selectExpr(
+            "di AS trough_day_index",
+            "dd AS worst_dd_cents",
+            "round(CAST(dd AS DOUBLE) / 100.0, 2) AS worst_drawdown_dollars",
+            "round(CAST(peak AS DOUBLE) / 100.0, 2) AS peak_cum_dollars",
+        )
+        .join(
+            last.selectExpr(
+                "round(CAST(dd AS DOUBLE) / 100.0, 2) AS current_drawdown_dollars"
+            )
+        )
+        .drop("worst_dd_cents")
+    )
+
+
+def _oracle_drawdown() -> str:
+    return """
+WITH day AS (
+  SELECT (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS di,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT di,
+    CAST(sum(y) OVER (ORDER BY di ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM day
+), cur AS (
+  SELECT di, cum,
+    CAST(max(cum) OVER (ORDER BY di ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS peak
+  FROM cum
+), dd AS (SELECT di, cum, peak, peak - cum AS dd FROM cur),
+worst AS (
+  SELECT * FROM dd ORDER BY dd DESC, di ASC LIMIT 1
+), lastrow AS (
+  SELECT * FROM dd ORDER BY di DESC LIMIT 1
+)
+SELECT w.di AS trough_day_index,
+  round(CAST(w.dd AS DOUBLE) / 100.0, 2) AS worst_drawdown_dollars,
+  round(CAST(w.peak AS DOUBLE) / 100.0, 2) AS peak_cum_dollars,
+  round(CAST(l.dd AS DOUBLE) / 100.0, 2) AS current_drawdown_dollars
+FROM worst w, lastrow l
+"""
+
+
+# -------------------------------------------------------- feature-hash sweep
+FH_SWEEP_DIMS = (256, 1024, 4096)
+
+
+def ml_feature_hash_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing dimension sweep — the table that picks FH_DIM:
+    for each candidate width, how many buckets the vocabulary actually
+    occupies, the share of distinct tokens that collide (land in a
+    bucket with another token), and the worst bucket's token count.
+    The collision share is the accuracy-loss proxy the hashing-trick
+    literature bounds; doubling D below the knee is free model quality,
+    above it is wasted width.
+
+    All-integer (md5-prefix folds, counts). Scale: the token
+    VOCABULARY relation (distinct tokens — vocabulary-bounded, not
+    corpus-bounded) is built once and each width is one D-bounded agg
+    over it."""
+    from .dedup import tokenized_docs_staging
+
+    vocab = (
+        tokenized_docs_staging(spark, sf_dir)
+        .select(F.explode("toks").alias("w"))
+        .distinct()
+        .selectExpr("w", "md5(w) AS hx")
+        .selectExpr(f"{dl.hex_prefix_uint(dl.SPARK, 'hx', 8)} AS h8")
+    )
+    outs = []
+    for d_ in FH_SWEEP_DIMS:
+        per = vocab.selectExpr(f"pmod(h8, {d_}) AS feat").groupBy("feat").agg(
+            F.count(F.lit(1)).alias("n_tokens")
+        )
+        collide = dl.round_ratio(dl.SPARK, "colliding", "n_vocab")
+        outs.append(
+            per.agg(
+                F.count(F.lit(1)).alias("buckets_used"),
+                F.sum("n_tokens").alias("n_vocab"),
+                F.sum(
+                    F.when(F.col("n_tokens") > 1, F.col("n_tokens")).otherwise(0)
+                ).alias("colliding"),
+                F.max("n_tokens").alias("max_bucket_tokens"),
+            ).selectExpr(
+                f"CAST({d_} AS INT) AS dim",
+                "n_vocab",
+                "buckets_used",
+                f"{collide} AS collision_share",
+                "max_bucket_tokens",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("dim")
+
+
+def _oracle_fh_tradeoff() -> str:
+    d = dl.DUCK
+    parts = []
+    for d_ in FH_SWEEP_DIMS:
+        collide = dl.round_ratio(d, "colliding", "n_vocab")
+        parts.append(
+            f"""
+  SELECT CAST({d_} AS INT) AS dim, n_vocab, buckets_used,
+    {collide} AS collision_share, max_bucket_tokens
+  FROM (
+    SELECT count(*) AS buckets_used,
+      CAST(sum(n_tokens) AS BIGINT) AS n_vocab,
+      CAST(sum(CASE WHEN n_tokens > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+        AS colliding,
+      max(n_tokens) AS max_bucket_tokens
+    FROM (
+      SELECT ({dl.hex_prefix_uint(d, 'hx', 8)}) % {d_} AS feat,
+        count(*) AS n_tokens
+      FROM (
+        SELECT md5(w) AS hx FROM (
+          SELECT DISTINCT {dl.unnest(d, dl.split_ws(d, 'text'))} AS w
+          FROM documents
+        )
+      ) GROUP BY 1
+    )
+  )"""
+        )
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+SELECT * FROM (
+{union}
+) ORDER BY dim
+"""
+
+
 # ---------------------------------------------------------------------- ITS
 def events_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interrupted time-series readout: fit OLS daily-revenue trends
@@ -2296,6 +2456,8 @@ QUERIES = {
     "events_holt_winters": events_holt_winters,
     "events_interrupted_time_series": events_interrupted_time_series,
     "events_ingest_gap_audit": events_ingest_gap_audit,
+    "orders_revenue_drawdown": orders_revenue_drawdown,
+    "ml_feature_hash_tradeoff": ml_feature_hash_tradeoff,
 }
 
 ORACLES = {
@@ -2323,4 +2485,6 @@ ORACLES = {
     "events_holt_winters": _oracle_holt_winters(),
     "events_interrupted_time_series": _oracle_its(),
     "events_ingest_gap_audit": _oracle_ingest_gaps(),
+    "orders_revenue_drawdown": _oracle_drawdown(),
+    "ml_feature_hash_tradeoff": _oracle_fh_tradeoff(),
 }

@@ -50,6 +50,9 @@ CARTESIAN_OK = {
     "events_interrupted_time_series": "the derived split-day scalar rides "
     "a 1-row broadcast against the calendar-bounded day series "
     "(scalar-aggregate pattern)",
+    "orders_revenue_drawdown": "the 1-row worst-drawdown readout joins "
+    "the 1-row end-of-series drawdown (scalar-aggregate pattern, both "
+    "sides single rows)",
     "events_markov_stationary": "the empirical-total denominator rides a "
     "1-row broadcast next to the K-row stationary vector "
     "(scalar-aggregate pattern)",

@@ -1058,3 +1058,56 @@ def test_ingest_gap_audit_matches_pandas(spark):
         for r in events_ingest_gap_audit(spark, SF).collect()
     ]
     assert got == ref
+
+
+def test_drawdown_matches_pandas_running_peak(spark):
+    """Worst drawdown, its trough day, and the end-of-series drawdown
+    equal the pandas cummax recomputation."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        orders_revenue_drawdown,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")
+    pdf = pdf.assign(
+        di=_day_index(pdf["o_orderdate"]),
+        cents=np.round(pdf["o_totalprice"] * 100).astype("int64"),
+    )
+    day = pdf.groupby("di")["cents"].sum().sort_index()
+    cum = day.cumsum()
+    peak = cum.cummax()
+    dd = peak - cum
+    worst_di = dd[dd == dd.max()].index.min()
+    row = orders_revenue_drawdown(spark, SF).collect()[0]
+    assert row["trough_day_index"] == worst_di
+    assert abs(row["worst_drawdown_dollars"] - round(dd.max() / 100, 2)) <= 0.011
+    assert abs(row["peak_cum_dollars"] - round(peak[worst_di] / 100, 2)) <= 0.011
+    assert abs(row["current_drawdown_dollars"] - round(dd.iloc[-1] / 100, 2)) <= 0.011
+
+
+def test_fh_tradeoff_matches_python_and_is_monotone(spark):
+    """Collision shares per dimension match a python recomputation and
+    decrease as the width grows."""
+    import hashlib
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        FH_SWEEP_DIMS,
+        ml_feature_hash_tradeoff,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    vocab = {w for text in docs["text"] for w in text.split()}
+    h8s = [int(hashlib.md5(w.encode()).hexdigest()[:8], 16) for w in vocab]
+    got = {r["dim"]: r for r in ml_feature_hash_tradeoff(spark, SF).collect()}
+    assert set(got) == set(FH_SWEEP_DIMS)
+    shares = []
+    for d in FH_SWEEP_DIMS:
+        counts: dict[int, int] = {}
+        for h in h8s:
+            counts[h % d] = counts.get(h % d, 0) + 1
+        colliding = sum(c for c in counts.values() if c > 1)
+        row = got[d]
+        assert row["n_vocab"] == len(vocab)
+        assert row["buckets_used"] == len(counts)
+        assert row["max_bucket_tokens"] == max(counts.values())
+        assert abs(row["collision_share"] - round(colliding / len(vocab), 4)) <= 1e-4
+        shares.append(row["collision_share"])
+    assert shares == sorted(shares, reverse=True)
