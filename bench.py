@@ -259,6 +259,8 @@ HEADLINE = [
     "events_ingest_gap_audit",
     "orders_revenue_drawdown",
     "ml_feature_hash_tradeoff",
+    "events_session_depth_dist",
+    "sim_mmr_diversity_eval",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

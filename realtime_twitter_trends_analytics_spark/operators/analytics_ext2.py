@@ -1958,6 +1958,86 @@ FROM piv ORDER BY event_type
 """
 
 
+# ------------------------------------------------------------- session depth
+SESSION_GAP_MIN = 30  # inactivity minutes that close a session
+
+
+def events_session_depth_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth histogram: sessionize each user's stream with the
+    standard 30-minute inactivity rule (the window_session_per_user
+    grain) and report how many events a session contains — count,
+    share, and the single-event-session ("bounce") share readable off
+    the first row. The engagement-depth readout next to
+    events_stickiness_dau_mau's frequency one, and the direct input to
+    sizing session-state stores (p-max depth bounds the state a
+    streaming sessionizer holds per key).
+
+    All-integer: epoch seconds, gap breaks, session ids via cumulative
+    sum, depth counts, half-up share ratios. Scale: one user-partitioned
+    lag/cumsum window over the raw scan, then session-grain and
+    depth-grain aggs — each strictly smaller than the last."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("sec"),
+    )
+    w = W.partitionBy("user_id").orderBy("sec", "event_id")
+    brk = F.when(
+        F.lag("sec").over(w).isNull()
+        | (F.col("sec") - F.lag("sec").over(w) > SESSION_GAP_MIN * 60),
+        1,
+    ).otherwise(0)
+    sess = e.select(
+        "user_id",
+        F.sum(brk)
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    depth = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("depth")
+    )
+    share = dl.round_ratio(dl.SPARK, "n_sessions", "tot")
+    return (
+        depth.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .selectExpr("depth", "n_sessions", "sum(n_sessions) OVER () AS tot")
+        .selectExpr("depth", "n_sessions", f"{share} AS session_share")
+        .orderBy("depth")
+    )
+
+
+def _oracle_session_depth() -> str:
+    share = dl.round_ratio(dl.DUCK, "n_sessions", "tot")
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), brk AS (
+  SELECT user_id, sec, event_id,
+    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+              IS NULL
+      OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+         > {SESSION_GAP_MIN * 60}
+      THEN 1 ELSE 0 END AS b
+  FROM e
+), sess AS (
+  SELECT user_id,
+    sum(b) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM brk
+), depth AS (
+  SELECT user_id, session_id, count(*) AS depth FROM sess GROUP BY 1, 2
+), g AS (
+  SELECT depth, count(*) AS n_sessions FROM depth GROUP BY 1
+), w AS (
+  SELECT *, CAST(sum(n_sessions) OVER () AS BIGINT) AS tot FROM g
+)
+SELECT depth, n_sessions, {share} AS session_share
+FROM w ORDER BY depth
+"""
+
+
 # ------------------------------------------------------------------ drawdown
 def orders_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown of cumulative daily revenue momentum — the
@@ -2458,6 +2538,7 @@ QUERIES = {
     "events_ingest_gap_audit": events_ingest_gap_audit,
     "orders_revenue_drawdown": orders_revenue_drawdown,
     "ml_feature_hash_tradeoff": ml_feature_hash_tradeoff,
+    "events_session_depth_dist": events_session_depth_dist,
 }
 
 ORACLES = {
@@ -2487,4 +2568,5 @@ ORACLES = {
     "events_ingest_gap_audit": _oracle_ingest_gaps(),
     "orders_revenue_drawdown": _oracle_drawdown(),
     "ml_feature_hash_tradeoff": _oracle_fh_tradeoff(),
+    "events_session_depth_dist": _oracle_session_depth(),
 }

@@ -2303,6 +2303,109 @@ FROM agg
 
 
 
+def sim_mmr_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does MMR actually diversify? — the eval that closes the loop on
+    sim_mmr_topk's promise: for each query, the mean pairwise
+    intra-set cosine of the MMR-selected top-K versus the plain
+    relevance top-K (sim_topk_bruteforce), plus how many picks the two
+    sets share. MMR spends relevance to buy diversity; this is the
+    receipt (lower intra-set cosine at partial overlap), reported per
+    method as one auditable row.
+
+    Determinism: pair cosines floor-quantize at MMR_SCALE (the
+    _quant_cos convention) BEFORE the sums, so no float accumulation
+    can order-drift; counts are exact. Scale: both selections are
+    (queries x K)-bounded relations; the pair fan-out is K^2/2 per
+    query — constants — joined back to vectors by id (equi-joins)."""
+    mmr = sim_mmr_topk(spark, sf_dir).select("query_id", "cand_id")
+    # cut the relevance baseline to the SAME set size (MMR returns MMR_K
+    # per query; unequal sizes would bias the intra-set cosine)
+    brute = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("rnk") <= MMR_K)
+        .select("query_id", "cand_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("v")
+    )
+
+    def intra(sel: DataFrame, method: str) -> DataFrame:
+        withv = sel.join(emb, "cand_id")
+        a = withv.selectExpr("query_id", "cand_id AS ia", "v AS va")
+        b = withv.selectExpr("query_id", "cand_id AS ib", "v AS vb")
+        qcos = _quant_cos(dl.SPARK, cosine_sql(dl.SPARK, "va", "vb"))
+        pairs = a.join(b, "query_id").filter(F.col("ia") < F.col("ib")).selectExpr(
+            "query_id", f"{qcos} AS qc"
+        )
+        per_q = pairs.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_pairs"), F.sum("qc").alias("sqc")
+        )
+        mean_cos = f"(CAST(sum_sqc AS DOUBLE) / sum_pairs / {MMR_SCALE})"
+        return per_q.groupBy().agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("n_pairs").alias("sum_pairs"),
+            F.sum("sqc").alias("sum_sqc"),
+        ).selectExpr(
+            f"'{method}' AS method",
+            "n_queries",
+            "sum_pairs",
+            f"round({mean_cos}, 4) AS mean_intra_cosine",
+        )
+
+    overlap = (
+        mmr.join(brute, ["query_id", "cand_id"])
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = intra(mmr, "mmr").unionByName(intra(brute, "relevance_topk"))
+    return (
+        out.join(F.broadcast(overlap))
+        .selectExpr(
+            "method", "n_queries", "sum_pairs", "mean_intra_cosine", "shared"
+        )
+        .orderBy("method")
+    )
+
+
+def _oracle_mmr_diversity() -> str:
+    d = dl.DUCK
+    mmr_inner = _oracle_mmr()
+    brute_inner = _oracle_bruteforce()
+    qcos = _quant_cos(d, cosine_sql(d, "ea.embedding", "eb.embedding"))
+    parts = []
+    for method, src in (("mmr", "mmr_sel"), ("relevance_topk", "brute_sel")):
+        parts.append(
+            f"""
+  SELECT '{method}' AS method, count(DISTINCT p.query_id) AS n_queries,
+    count(*) AS sum_pairs,
+    round(CAST(sum(p.qc) AS DOUBLE) / count(*) / {MMR_SCALE}, 4)
+      AS mean_intra_cosine
+  FROM (
+    SELECT a.query_id, {qcos} AS qc
+    FROM {src} a JOIN {src} b
+      ON a.query_id = b.query_id AND a.cand_id < b.cand_id
+    JOIN embeddings ea ON ea.vec_id = a.cand_id
+    JOIN embeddings eb ON eb.vec_id = b.cand_id
+  ) p"""
+        )
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+WITH mmr_sel AS (
+  SELECT query_id, cand_id FROM ({mmr_inner}) m
+), brute_sel AS (
+  SELECT query_id, cand_id FROM ({brute_inner}) b WHERE rnk <= {MMR_K}
+), ov AS (
+  SELECT count(*) AS shared
+  FROM mmr_sel JOIN brute_sel USING (query_id, cand_id)
+), per AS (
+{union}
+)
+SELECT method, n_queries, sum_pairs, mean_intra_cosine, shared
+FROM per, ov ORDER BY method
+"""
+
+
+
 QUERIES = {
     "docs_cluster_keywords": docs_cluster_keywords,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
@@ -2317,6 +2420,7 @@ QUERIES = {
     "sim_knn_label_probe": sim_knn_label_probe,
     "sim_knn_label_probe_ivf": sim_knn_label_probe_ivf,
     "ml_calibration_brier": ml_calibration_brier,
+    "sim_mmr_diversity_eval": sim_mmr_diversity_eval,
     "ml_knn_calibration": ml_knn_calibration,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_ann": sim_lsh_ann,
@@ -2340,6 +2444,7 @@ ORACLES = {
     "sim_knn_label_probe_ivf": _oracle_knn_probe_ivf(),
     "ml_knn_calibration": _oracle_knn_calibration(),
     "ml_calibration_brier": _oracle_brier(),
+    "sim_mmr_diversity_eval": _oracle_mmr_diversity(),
     "sim_topk_bruteforce": _oracle_bruteforce(),
     "sim_mmr_topk": _oracle_mmr(),
     "sim_kcenter_select": _oracle_kcenter(),

@@ -140,6 +140,10 @@ CARTESIAN_OK = {
     "ml_calibration_brier": "consumes ml_knn_calibration's bucket "
     "relation verbatim (same broadcast eval-set x candidate scan, one "
     "more K-row agg); same IVF production fallback",
+    "sim_mmr_diversity_eval": "composes sim_mmr_topk and "
+    "sim_topk_bruteforce (both already-whitelisted broadcast query-set "
+    "x candidate evals); the diversity pairs are K^2/2-per-query "
+    "constants joined by id",
     "decontaminate_semantic": "broadcast eval-set x corpus scan — the eval "
     "suite is tiny by design; IVF-cell blocking is the documented fallback "
     "if it outgrows broadcast (see sim_knn_label_probe_ivf)",

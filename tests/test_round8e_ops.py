@@ -1111,3 +1111,51 @@ def test_fh_tradeoff_matches_python_and_is_monotone(spark):
         assert abs(row["collision_share"] - round(colliding / len(vocab), 4)) <= 1e-4
         shares.append(row["collision_share"])
     assert shares == sorted(shares, reverse=True)
+
+
+def test_session_depth_matches_pandas_sessionizer(spark):
+    """Depth histogram equals a pandas 30-minute-gap sessionizer."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        SESSION_GAP_MIN,
+        events_session_depth_dist,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    ts = pdf["ts"]
+    secs = (
+        ts // 1_000_000_000
+        if ts.dtype.kind in "iu"
+        else ts.astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    )
+    pdf = pdf.assign(sec=secs).sort_values(["user_id", "sec", "event_id"])
+    depths: dict[int, int] = {}
+    for _, sub in pdf.groupby("user_id"):
+        gap = sub["sec"].diff()
+        new = (gap.isna()) | (gap > SESSION_GAP_MIN * 60)
+        sid = new.cumsum()
+        for d in sub.groupby(sid).size():
+            depths[d] = depths.get(d, 0) + 1
+    got = {r["depth"]: r for r in events_session_depth_dist(spark, SF).collect()}
+    assert {k: v for k, v in depths.items()} == {
+        k: r["n_sessions"] for k, r in got.items()
+    }
+    tot = sum(depths.values())
+    for d, r in got.items():
+        assert abs(r["session_share"] - round(depths[d] / tot, 4)) <= 1e-9
+
+
+def test_mmr_diversity_eval_shows_diversification(spark):
+    """MMR's intra-set cosine must not exceed the relevance top-k's (the
+    property the operator exists to buy), pair counts equal K*(K-1)/2
+    per query, and the shared-picks count is below the full overlap."""
+    from realtime_twitter_trends_analytics_spark.operators.similarity import (
+        sim_mmr_diversity_eval,
+    )
+
+    rows = {r["method"]: r for r in sim_mmr_diversity_eval(spark, SF).collect()}
+    assert set(rows) == {"mmr", "relevance_topk"}
+    m, t = rows["mmr"], rows["relevance_topk"]
+    assert m["n_queries"] == t["n_queries"]
+    assert m["sum_pairs"] == t["sum_pairs"]
+    assert m["mean_intra_cosine"] <= t["mean_intra_cosine"] + 1e-9
+    assert 0 < m["shared"] <= m["n_queries"] * (m["sum_pairs"] // m["n_queries"])
