@@ -261,6 +261,8 @@ HEADLINE = [
     "ml_feature_hash_tradeoff",
     "events_session_depth_dist",
     "sim_mmr_diversity_eval",
+    "textstats_heaps_law",
+    "graph_rich_club",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

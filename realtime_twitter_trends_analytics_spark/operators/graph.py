@@ -1093,6 +1093,112 @@ FROM tot, sq, ncomm
 
 
 
+RICH_CLUB_PCT = 10  # the "rich" set = top decile by degree
+
+
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-occurrence graph — do the
+    highest-degree nodes preferentially connect to EACH OTHER?
+    phi = actual edges among the top-decile-by-degree nodes / possible
+    edges among them, reported against the whole graph's density (the
+    null expectation): phi >> density is the rich-club (hub oligarchy —
+    the structure that makes hub-keyed joins hot TOGETHER, not just
+    individually; assortativity r is the correlation view, this is the
+    subgraph-density view of the same risk).
+
+    The degree cut is found on the DEGREE-VALUE DOMAIN (cumulative
+    counts over distinct degree values, bounded), never a node sort:
+    the threshold is the smallest degree d where |{deg >= d}| <=
+    RICH_CLUB_PCT% of nodes — all integer comparisons, ties resolved
+    identically in both engines by the cum definition. Scale: degree
+    agg (vocab-sized), value-domain window, one edge semi-join against
+    the rich set."""
+    edges = _cooc_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("tok_a").alias("node")
+    ).union(edges.select(F.col("tok_b").alias("node")))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    from pyspark.sql.window import Window as W
+
+    dd = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("c"))
+    wge = W.orderBy(F.desc("deg")).rowsBetween(W.unboundedPreceding, 0)
+    nn = deg.count()  # scalar model-state (node count)
+    cut_rel = (
+        dd.select("deg", F.sum("c").over(wge).alias("n_ge"))
+        .filter(F.col("n_ge") * 100 <= nn * RICH_CLUB_PCT)
+        .agg(F.min("deg").alias("cut"))
+    )
+    rich = deg.join(F.broadcast(cut_rel)).filter(
+        F.col("deg") >= F.col("cut")
+    ).select("node", "cut")
+    e_rich = (
+        edges.join(rich.selectExpr("node AS tok_a"), "tok_a")
+        .join(rich.selectExpr("node AS tok_b"), "tok_b")
+        .agg(F.count(F.lit(1)).alias("e_r"))
+    )
+    sizes = rich.agg(F.count(F.lit(1)).alias("n_r"), F.max("cut").alias("cut"))
+    tot = edges.agg(F.count(F.lit(1)).alias("e_all"))
+    # a small or degree-regular graph can leave the decile cut empty or
+    # a single node (no degree value has <=10% of nodes at-or-above it);
+    # phi is undefined below 2 members — report 0 and a -1 cut there
+    phi = dl.round_ratio(dl.SPARK, "2 * e_r", "n_r * (n_r - 1)")
+    dens = dl.round_ratio(dl.SPARK, "2 * e_all", f"{nn} * ({nn} - 1)")
+    return (
+        sizes.join(F.broadcast(e_rich))
+        .join(F.broadcast(tot))
+        .selectExpr(
+            f"CAST({nn} AS BIGINT) AS n_nodes",
+            "n_r AS n_rich",
+            "coalesce(cut, -1) AS degree_cut",
+            "e_r AS rich_edges",
+            f"CASE WHEN n_r >= 2 THEN {phi} ELSE CAST(0.0 AS DOUBLE) END "
+            "AS rich_club_phi",
+            f"{dens} AS graph_density",
+        )
+    )
+
+
+def _oracle_rich_club() -> str:
+    phi = dl.round_ratio(dl.DUCK, "2 * e_r", "n_r * (n_r - 1)")
+    dens = dl.round_ratio(dl.DUCK, "2 * e_all", "nn * (nn - 1)")
+    return f"""
+WITH {_ORACLE_EDGE_CTES},
+und AS (
+  SELECT tok_a AS node FROM edges
+  UNION ALL
+  SELECT tok_b AS node FROM edges
+), deg AS (
+  SELECT node, count(*) AS deg FROM und GROUP BY node
+), nn_t AS (SELECT count(*) AS nn FROM deg),
+dd AS (
+  SELECT deg, count(*) AS c FROM deg GROUP BY deg
+), cum AS (
+  SELECT deg,
+    CAST(sum(c) OVER (ORDER BY deg DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS n_ge
+  FROM dd
+), cut_t AS (
+  SELECT min(deg) AS cut FROM cum, nn_t
+  WHERE n_ge * 100 <= nn * {RICH_CLUB_PCT}
+), rich AS (
+  SELECT node FROM deg, cut_t WHERE deg >= cut
+), er_t AS (
+  SELECT count(*) AS e_r FROM edges
+  WHERE tok_a IN (SELECT node FROM rich)
+    AND tok_b IN (SELECT node FROM rich)
+), tot AS (SELECT count(*) AS e_all FROM edges)
+SELECT CAST(nn AS BIGINT) AS n_nodes,
+  (SELECT count(*) FROM rich) AS n_rich,
+  coalesce(cut, -1) AS degree_cut,
+  CAST(e_r AS BIGINT) AS rich_edges,
+  (SELECT CASE WHEN n_r >= 2 THEN {phi} ELSE CAST(0.0 AS DOUBLE) END
+     FROM er_t, (SELECT count(*) AS n_r FROM rich)) AS rich_club_phi,
+  {dens} AS graph_density
+FROM nn_t, cut_t, er_t, tot
+"""
+
+
+
 QUERIES = {
     "graph_link_prediction": graph_link_prediction,
     "graph_degree_stats": graph_degree_stats,
@@ -1103,6 +1209,7 @@ QUERIES = {
     "graph_bfs_frontiers": graph_bfs_frontiers,
     "graph_degree_assortativity": graph_degree_assortativity,
     "graph_modularity": graph_modularity,
+    "graph_rich_club": graph_rich_club,
 }
 
 ORACLES = {
@@ -1115,4 +1222,5 @@ ORACLES = {
     "graph_bfs_frontiers": _oracle_bfs(),
     "graph_degree_assortativity": _oracle_assortativity(),
     "graph_modularity": _oracle_modularity(),
+    "graph_rich_club": _oracle_rich_club(),
 }

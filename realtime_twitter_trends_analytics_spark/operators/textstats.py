@@ -1820,7 +1820,134 @@ FROM cells GROUP BY 1 ORDER BY source
 """
 
 
+
+HEAPS_POINTS = 10   # geometric corpus-prefix checkpoints for the fit
+HEAPS_Q = 10**9     # per-point log-term quantization
+
+
+def textstats_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit — how fast the vocabulary grows with the corpus:
+    V(N) ~ k * N^beta, fitted by log-log OLS over HEAPS_POINTS
+    geometric corpus-prefix checkpoints (prefix = the first n docs in
+    doc_id order, so the "growth curve" is deterministic and
+    re-runnable). beta ~0.5 is typical natural text; beta near 1 means
+    near-unbounded novelty (OCR noise, ids), near 0 a closed
+    vocabulary — the one-number answer to "will the BPE vocab / hash
+    width we sized still fit at 10x the corpus", which is exactly the
+    ml_feature_hash_tradeoff question projected forward.
+
+    Exactness: each token's FIRST document (min doc_id) is exact; a
+    checkpoint's vocab count is a plain filter-count; token totals per
+    prefix likewise. The log-log OLS runs over HEAPS_POINTS exact
+    (ln N, ln V) pairs with per-point terms quantized to 1e-9 before
+    the sums (ln is libm but is evaluated on identical exact integers
+    in both engines — same convention as the JSD/MI quantizations).
+
+    Scale: one tokenize pass (shared staging), one token-grain min-agg,
+    then everything is checkpoint-grain (10 rows)."""
+    from .dedup import tokenized_docs_staging
+
+    toks = tokenized_docs_staging(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("w")
+    )
+    n_docs = toks.agg(F.max("doc_id")).first()[0] + 1  # scalar model-state
+    # INTEGER linear grid (nd*i DIV 10): derivable by the same exact
+    # arithmetic inside the oracle SQL — a pow()-based geometric grid
+    # would hinge on libm rounding at the driver/duck boundary
+    checkpoints = sorted(
+        {max(1, (n_docs * i) // HEAPS_POINTS) for i in range(1, HEAPS_POINTS + 1)}
+    )
+    first = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    tok_per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    outs = []
+    for cp in checkpoints:
+        v = first.filter(F.col("first_doc") < cp).agg(
+            F.count(F.lit(1)).alias("vocab")
+        )
+        n = tok_per_doc.filter(F.col("doc_id") < cp).agg(
+            F.sum("nt").alias("n_tokens")
+        )
+        outs.append(
+            v.join(F.broadcast(n)).selectExpr(
+                f"CAST({cp} AS BIGINT) AS prefix_docs", "vocab", "n_tokens"
+            )
+        )
+    pts = outs[0]
+    for o in outs[1:]:
+        pts = pts.unionByName(o)
+    pts = pts.filter(F.col("n_tokens") > 0).selectExpr(
+        "prefix_docs",
+        "vocab",
+        "n_tokens",
+        f"CAST(round(ln(CAST(n_tokens AS DOUBLE)) * {HEAPS_Q}) AS BIGINT) AS lx",
+        f"CAST(round(ln(CAST(vocab AS DOUBLE)) * {HEAPS_Q}) AS BIGINT) AS ly",
+    )
+    fit = pts.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.expr("CAST(lx AS DOUBLE) * ly")).alias("sxy"),
+        F.sum(F.expr("CAST(lx AS DOUBLE) * lx")).alias("sxx"),
+    )
+    beta = (
+        "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+        "/ (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+    )
+    k = f"exp((CAST(sy AS DOUBLE) - {beta} * sx) / n / {HEAPS_Q})"
+    return fit.selectExpr(
+        "n AS n_points",
+        f"round({beta}, 4) AS heaps_beta",
+        f"round({k}, 4) AS heaps_k",
+    )
+
+
+def _oracle_heaps() -> str:
+    beta = (
+        "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) "
+        "/ (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+    )
+    k = f"exp((CAST(sy AS DOUBLE) - {beta} * sx) / n / {HEAPS_Q})"
+    return f"""
+WITH nd AS (SELECT max(doc_id) + 1 AS n FROM documents),
+cps AS (
+  SELECT DISTINCT greatest(1, (nd.n * i) // {HEAPS_POINTS}) AS cp
+  FROM nd, (SELECT unnest(generate_series(1, {HEAPS_POINTS})) AS i)
+), tokd AS (
+  SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS w FROM tokd
+), first AS (
+  SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w
+), tpd AS (
+  SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id
+), pts AS (
+  SELECT c.cp AS prefix_docs,
+    (SELECT count(*) FROM first f WHERE f.first_doc < c.cp) AS vocab,
+    (SELECT coalesce(CAST(sum(nt) AS BIGINT), 0) FROM tpd t
+       WHERE t.doc_id < c.cp) AS n_tokens
+  FROM cps c
+), lg AS (
+  SELECT prefix_docs, vocab, n_tokens,
+    CAST(round(ln(CAST(n_tokens AS DOUBLE)) * {HEAPS_Q}) AS BIGINT) AS lx,
+    CAST(round(ln(CAST(vocab AS DOUBLE)) * {HEAPS_Q}) AS BIGINT) AS ly
+  FROM pts WHERE n_tokens > 0
+), fit AS (
+  SELECT count(*) AS n,
+    CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+    sum(CAST(lx AS DOUBLE) * ly) AS sxy,
+    sum(CAST(lx AS DOUBLE) * lx) AS sxx
+  FROM lg
+)
+SELECT n AS n_points,
+  round({beta}, 4) AS heaps_beta,
+  round({k}, 4) AS heaps_k
+FROM fit
+"""
+
+
+
 QUERIES = {
+    "textstats_heaps_law": textstats_heaps_law,
     "textstats_rake_keyphrases": textstats_rake_keyphrases,
     "textstats_burstiness": textstats_burstiness,
     "textstats_collocation_pmi": textstats_collocation_pmi,
@@ -1850,6 +1977,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "textstats_heaps_law": _oracle_heaps(),
     "textstats_rake_keyphrases": _oracle_rake(),
     "textstats_burstiness": _oracle_burstiness(),
     "textstats_collocation_pmi": _oracle_collocation_pmi(),

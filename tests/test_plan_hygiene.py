@@ -53,6 +53,12 @@ CARTESIAN_OK = {
     "orders_revenue_drawdown": "the 1-row worst-drawdown readout joins "
     "the 1-row end-of-series drawdown (scalar-aggregate pattern, both "
     "sides single rows)",
+    "graph_rich_club": "the 1-row degree-cut / rich-edge-count / "
+    "edge-total scalars join the 1-row size readout (scalar-aggregate "
+    "pattern)",
+    "textstats_heaps_law": "per-checkpoint 1-row vocab x token-total "
+    "scalar joins (scalar-aggregate pattern, checkpoint count is a "
+    "constant)",
     "events_markov_stationary": "the empirical-total denominator rides a "
     "1-row broadcast next to the K-row stationary vector "
     "(scalar-aggregate pattern)",

@@ -1159,3 +1159,85 @@ def test_mmr_diversity_eval_shows_diversification(spark):
     assert m["sum_pairs"] == t["sum_pairs"]
     assert m["mean_intra_cosine"] <= t["mean_intra_cosine"] + 1e-9
     assert 0 < m["shared"] <= m["n_queries"] * (m["sum_pairs"] // m["n_queries"])
+
+
+def test_heaps_law_matches_python_loglog_fit(spark):
+    """beta and k equal a python recomputation of the same checkpoint
+    grid, first-occurrence vocab counts, and quantized log-log OLS."""
+    import math
+    from realtime_twitter_trends_analytics_spark.operators.textstats import (
+        HEAPS_POINTS,
+        HEAPS_Q,
+        textstats_heaps_law,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    n_docs = int(docs["doc_id"].max()) + 1
+    cps = sorted({max(1, (n_docs * i) // HEAPS_POINTS) for i in range(1, HEAPS_POINTS + 1)})
+    first: dict[str, int] = {}
+    ntok: dict[int, int] = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        ws = text.split()
+        ntok[did] = len(ws)
+        for w in ws:
+            if w not in first:
+                first[w] = did
+    pts = []
+    for cp in cps:
+        v = sum(1 for d in first.values() if d < cp)
+        n = sum(c for d, c in ntok.items() if d < cp)
+        if n > 0:
+            pts.append((round(math.log(n) * HEAPS_Q), round(math.log(v) * HEAPS_Q)))
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(float(p[0]) * p[1] for p in pts)
+    sxx = sum(float(p[0]) * p[0] for p in pts)
+    beta = (n * sxy - float(sx) * sy) / (n * sxx - float(sx) * sx)
+    k = math.exp((sy - beta * sx) / n / HEAPS_Q)
+    row = textstats_heaps_law(spark, SF).collect()[0]
+    assert row["n_points"] == n
+    assert abs(row["heaps_beta"] - round(beta, 4)) <= 1e-3
+    assert abs(row["heaps_k"] - round(k, 4)) <= max(1e-3, 0.01 * k)
+    # the synthetic corpus draws from a CLOSED vocabulary, so V(N)
+    # saturates within the first checkpoint and beta ~ 0 — the
+    # "closed vocabulary" reading the docstring documents; natural text
+    # would sit near 0.5
+    assert 0 <= row["heaps_beta"] < 1.5
+
+
+def test_rich_club_matches_python_subgraph_density(spark):
+    """phi and the decile cut equal a python recomputation over the
+    collected edge list."""
+    from realtime_twitter_trends_analytics_spark.operators.graph import (
+        RICH_CLUB_PCT,
+        _cooc_edges,
+        graph_rich_club,
+    )
+
+    edges = [(r["tok_a"], r["tok_b"]) for r in _cooc_edges(spark, SF).collect()]
+    deg: dict[str, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    nn = len(deg)
+    cands = sorted(
+        d for d in set(deg.values())
+        if sum(1 for x in deg.values() if x >= d) * 100 <= nn * RICH_CLUB_PCT
+    )
+    row = graph_rich_club(spark, SF).collect()[0]
+    assert row["n_nodes"] == nn
+    if not cands:
+        assert row["n_rich"] == 0 and row["degree_cut"] == -1
+        assert row["rich_club_phi"] == 0.0
+        return
+    cut = cands[0]
+    rich = {v for v, d in deg.items() if d >= cut}
+    e_r = sum(1 for a, b in edges if a in rich and b in rich)
+    assert row["degree_cut"] == cut and row["n_rich"] == len(rich)
+    assert row["rich_edges"] == e_r
+    if len(rich) >= 2:
+        phi = 2 * e_r / (len(rich) * (len(rich) - 1))
+        assert abs(row["rich_club_phi"] - round(phi, 4)) <= 1e-4
+    dens = 2 * len(edges) / (nn * (nn - 1))
+    assert abs(row["graph_density"] - round(dens, 4)) <= 1e-4
