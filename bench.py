@@ -263,6 +263,8 @@ HEADLINE = [
     "sim_mmr_diversity_eval",
     "textstats_heaps_law",
     "graph_rich_club",
+    "stats_skew_kurtosis",
+    "docs_length_lognormal",
     # round-7: production sketch-only twins of the oracle-gated eval
     # forms (registry.all_bench_only — benched, not correctness-gated):
     # the eval forms carry in-plan bound checks (second scan + verify

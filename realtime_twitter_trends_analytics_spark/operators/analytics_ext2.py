@@ -1958,6 +1958,174 @@ FROM piv ORDER BY event_type
 """
 
 
+# ------------------------------------------------------- skewness / kurtosis
+def stats_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third and fourth standardized moments per event type — sample
+    skewness g1 and excess kurtosis g2 from raw power sums, the
+    distribution-shape profile that tells a modeler whether the value
+    column needs a transform before anything Gaussian-assuming touches
+    it (the ANOVA/t/z family above all quietly assume g1 ~ 0).
+
+    Exactness: s1/s2 power sums stay BIGINT; s3/s4 sums run in
+    DECIMAL(38,0) — cents^4 alone can reach ~8e17, so a BIGINT SUM
+    would overflow within 10 rows (the ml_embedding_dim_variance
+    precedent, one moment order further). DECIMAL(38,0) holds s4
+    exactly to ~1e20 total; both engines then convert the identical
+    exact integer to the identical IEEE double, and g1/g2 are each one
+    shared expression over the five exact sums. Central moments expand
+    as m2 = s2/n - mu^2, m3 = s3/n - 3 mu s2/n + 2 mu^3,
+    m4 = s4/n - 4 mu s3/n + 6 mu^2 s2/n - 3 mu^4.
+
+    Scale: one (type) hash agg; constant readout."""
+    e = load_table(spark, sf_dir, "events")
+    g = (
+        e.select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            F.sum(
+                F.expr("CAST(c AS DECIMAL(38,0)) * c * c")
+            ).alias("s3"),
+            F.sum(
+                F.expr("CAST(c AS DECIMAL(38,0)) * c * c * c")
+            ).alias("s4"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    mu = "(CAST(s1 AS DOUBLE) / n)"
+    m2 = f"(CAST(s2 AS DOUBLE) / n - {mu} * {mu})"
+    m3 = (
+        f"(CAST(s3 AS DOUBLE) / n - 3 * {mu} * CAST(s2 AS DOUBLE) / n "
+        f"+ 2 * {mu} * {mu} * {mu})"
+    )
+    m4 = (
+        f"(CAST(s4 AS DOUBLE) / n - 4 * {mu} * CAST(s3 AS DOUBLE) / n "
+        f"+ 6 * {mu} * {mu} * CAST(s2 AS DOUBLE) / n "
+        f"- 3 * {mu} * {mu} * {mu} * {mu})"
+    )
+    g1 = f"({m3} / ({m2} * sqrt({m2})))"  # not pow(x,1.5): sqrt is correctly rounded, libm pow is not
+    g2 = f"({m4} / ({m2} * {m2}) - 3.0)"
+    return g.selectExpr(
+        "event_type",
+        "n",
+        f"round({mu} / 100, 4) AS mean_dollars",
+        f"round({g1}, 4) AS skewness_g1",
+        f"round({g2}, 4) AS excess_kurtosis_g2",
+    ).orderBy("event_type")
+
+
+def _oracle_skew_kurt() -> str:
+    mu = "(CAST(s1 AS DOUBLE) / n)"
+    m2 = f"(CAST(s2 AS DOUBLE) / n - {mu} * {mu})"
+    m3 = (
+        f"(CAST(s3 AS DOUBLE) / n - 3 * {mu} * CAST(s2 AS DOUBLE) / n "
+        f"+ 2 * {mu} * {mu} * {mu})"
+    )
+    m4 = (
+        f"(CAST(s4 AS DOUBLE) / n - 4 * {mu} * CAST(s3 AS DOUBLE) / n "
+        f"+ 6 * {mu} * {mu} * CAST(s2 AS DOUBLE) / n "
+        f"- 3 * {mu} * {mu} * {mu} * {mu})"
+    )
+    g1 = f"({m3} / ({m2} * sqrt({m2})))"  # not pow(x,1.5): sqrt is correctly rounded, libm pow is not
+    g2 = f"({m4} / ({m2} * {m2}) - 3.0)"
+    return f"""
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+    sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+    sum(CAST(round(value * 100) AS BIGINT)
+        * CAST(round(value * 100) AS BIGINT)) AS s2,
+    sum(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))
+        * CAST(round(value * 100) AS BIGINT)
+        * CAST(round(value * 100) AS BIGINT)) AS s3,
+    sum(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))
+        * CAST(round(value * 100) AS BIGINT)
+        * CAST(round(value * 100) AS BIGINT)
+        * CAST(round(value * 100) AS BIGINT)) AS s4
+  FROM events GROUP BY 1
+  HAVING count(*) >= 3
+)
+SELECT event_type, n,
+  round({mu} / 100, 4) AS mean_dollars,
+  round({g1}, 4) AS skewness_g1,
+  round({g2}, 4) AS excess_kurtosis_g2
+FROM g ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------ doc-length lognormal
+LOGNORM_Q = 10**9  # per-doc log-term quantization
+
+
+def docs_length_lognormal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal fit of document length per source — natural-text
+    lengths are canonically log-normal, so the (mu, sigma) of
+    ln(n_chars) per source IS the compact length model: it feeds
+    chunk-size planning (docs_chunking), packing-bin sizing
+    (docs_pack_bins), and the quick outlier rule (beyond mu +/- 3
+    sigma in log space). Reported with the implied median exp(mu) and
+    the p99-over-median ratio exp(2.33 sigma) — the numbers a corpus
+    card publishes.
+
+    Float discipline: per-doc ln(n_chars) quantizes to 1e-9 BEFORE the
+    sums (ln on identical exact integers — the JSD/MI convention);
+    mu/sigma/derived readouts are shared IEEE expressions over the two
+    exact quantized sums. Scale: one (source) hash agg over the raw
+    scan."""
+    d = load_table(spark, sf_dir, "documents")
+    lq = f"CAST(round(ln(CAST(n_chars AS DOUBLE)) * {LOGNORM_Q}) AS BIGINT)"
+    g = (
+        d.filter(F.col("n_chars") > 0)
+        .selectExpr("source", f"{lq} AS l")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l").alias("s1"),
+            F.sum(F.expr("CAST(l AS DOUBLE) * l")).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    mu = f"(CAST(s1 AS DOUBLE) / n / {LOGNORM_Q})"
+    sigma = (
+        f"sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) / {LOGNORM_Q}"
+    )
+    return g.selectExpr(
+        "source",
+        "n AS n_docs",
+        f"round({mu}, 4) AS mu_log",
+        f"round({sigma}, 4) AS sigma_log",
+        f"round(exp({mu}), 2) AS implied_median_chars",
+        f"round(exp(2.326348 * {sigma}), 4) AS p99_over_median",
+    ).orderBy("source")
+
+
+def _oracle_lognormal() -> str:
+    lq = f"CAST(round(ln(CAST(n_chars AS DOUBLE)) * {LOGNORM_Q}) AS BIGINT)"
+    mu = f"(CAST(s1 AS DOUBLE) / n / {LOGNORM_Q})"
+    sigma = f"sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) / {LOGNORM_Q}"
+    return f"""
+WITH g AS (
+  SELECT source, count(*) AS n,
+    CAST(sum(l) AS BIGINT) AS s1,
+    sum(CAST(l AS DOUBLE) * l) AS s2
+  FROM (
+    SELECT source, {lq} AS l FROM documents WHERE n_chars > 0
+  ) GROUP BY 1
+  HAVING count(*) >= 2
+)
+SELECT source, n AS n_docs,
+  round({mu}, 4) AS mu_log,
+  round({sigma}, 4) AS sigma_log,
+  round(exp({mu}), 2) AS implied_median_chars,
+  round(exp(2.326348 * {sigma}), 4) AS p99_over_median
+FROM g ORDER BY source
+"""
+
+
 # ------------------------------------------------------------- session depth
 SESSION_GAP_MIN = 30  # inactivity minutes that close a session
 
@@ -2539,6 +2707,8 @@ QUERIES = {
     "orders_revenue_drawdown": orders_revenue_drawdown,
     "ml_feature_hash_tradeoff": ml_feature_hash_tradeoff,
     "events_session_depth_dist": events_session_depth_dist,
+    "stats_skew_kurtosis": stats_skew_kurtosis,
+    "docs_length_lognormal": docs_length_lognormal,
 }
 
 ORACLES = {
@@ -2569,4 +2739,6 @@ ORACLES = {
     "orders_revenue_drawdown": _oracle_drawdown(),
     "ml_feature_hash_tradeoff": _oracle_fh_tradeoff(),
     "events_session_depth_dist": _oracle_session_depth(),
+    "stats_skew_kurtosis": _oracle_skew_kurt(),
+    "docs_length_lognormal": _oracle_lognormal(),
 }

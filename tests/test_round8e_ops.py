@@ -1241,3 +1241,56 @@ def test_rich_club_matches_python_subgraph_density(spark):
         assert abs(row["rich_club_phi"] - round(phi, 4)) <= 1e-4
     dens = 2 * len(edges) / (nn * (nn - 1))
     assert abs(row["graph_density"] - round(dens, 4)) <= 1e-4
+
+
+def test_skew_kurtosis_matches_scipy_free_moments(spark):
+    """g1/g2 per type equal numpy central-moment recomputation."""
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        stats_skew_kurtosis,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf = pdf.assign(c=np.round(pdf["value"] * 100).astype("int64"))
+    got = {r["event_type"]: r for r in stats_skew_kurtosis(spark, SF).collect()}
+    for et, sub in pdf.groupby("event_type"):
+        x = sub["c"].to_numpy(dtype=np.float64)
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        g1 = m3 / m2**1.5
+        g2 = m4 / m2**2 - 3
+        row = got[et]
+        assert row["n"] == len(x)
+        assert abs(row["skewness_g1"] - round(float(g1), 4)) <= 2e-3
+        assert abs(row["excess_kurtosis_g2"] - round(float(g2), 4)) <= 2e-3
+
+
+def test_lognormal_fit_matches_numpy(spark):
+    """mu/sigma of ln(n_chars) per source equal numpy (ddof=1), and the
+    implied median matches exp(mu)."""
+    import math
+    from realtime_twitter_trends_analytics_spark.operators.analytics_ext2 import (
+        LOGNORM_Q,
+        docs_length_lognormal,
+    )
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    pdf = pdf[pdf["n_chars"] > 0]
+    got = {r["source"]: r for r in docs_length_lognormal(spark, SF).collect()}
+    for src, sub in pdf.groupby("source"):
+        if len(sub) < 2:
+            assert src not in got
+            continue
+        ls = np.array(
+            [round(math.log(int(v)) * LOGNORM_Q) for v in sub["n_chars"]],
+            dtype=np.float64,
+        ) / LOGNORM_Q
+        mu, sd = ls.mean(), ls.std(ddof=1)
+        row = got[src]
+        assert row["n_docs"] == len(sub)
+        assert abs(row["mu_log"] - round(float(mu), 4)) <= 1e-3
+        assert abs(row["sigma_log"] - round(float(sd), 4)) <= 1e-3
+        assert abs(row["implied_median_chars"] - round(math.exp(mu), 2)) <= max(
+            0.02, 0.001 * math.exp(mu)
+        )
