@@ -10,6 +10,7 @@ order-insensitive values. Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -71,6 +72,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write per-query {spark_sec, duck_sec, ratio, status} to this path "
+        "(the Spark-vs-DuckDB wall ratio is the external perf anchor: DuckDB "
+        "runs the identical relational plan on the identical parquet, so a "
+        "ratio far above the JVM-startup-amortized norm flags a Spark plan "
+        "worth auditing)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("verify-local")
@@ -84,6 +94,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = args.only or sorted(queries)
     n_pass = n_fail = n_rows_only = 0
+    wall: dict[str, dict] = {}
     for name in names:
         # run contract (ADVICE r3): intra-query caches (shingle relations,
         # LSH buckets) are owned by the query that built them; the harness
@@ -95,28 +106,72 @@ def main() -> int:
             spark_pdf = sdf.toPandas()
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            wall[name] = {"status": "spark_error"}
             n_fail += 1
             continue
+        spark_sec = time.time() - t0
         if name not in oracles:
-            print(f"rows {name}: {len(spark_pdf)} rows (rows-only, {time.time()-t0:.1f}s)")
+            print(f"rows {name}: {len(spark_pdf)} rows (rows-only, {spark_sec:.1f}s)")
+            wall[name] = {"status": "rows_only", "spark_sec": round(spark_sec, 3)}
             n_rows_only += 1
             continue
+        t1 = time.time()
         try:
             duck_pdf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            wall[name] = {"status": "duck_error", "spark_sec": round(spark_sec, 3)}
             n_fail += 1
             continue
+        duck_sec = time.time() - t1
+        ratio = spark_sec / duck_sec if duck_sec > 0 else float("inf")
+        wall[name] = {
+            "spark_sec": round(spark_sec, 3),
+            "duck_sec": round(duck_sec, 3),
+            "ratio": round(ratio, 2),
+        }
         problems = compare(spark_pdf, duck_pdf)
         if problems:
-            print(f"FAIL {name} ({time.time()-t0:.1f}s):")
+            print(f"FAIL {name} (spark {spark_sec:.1f}s, duck {duck_sec:.1f}s):")
             for p in problems:
                 print(f"   {p}")
+            wall[name]["status"] = "fail"
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            print(
+                f"PASS {name}: {len(spark_pdf)} rows "
+                f"(spark {spark_sec:.1f}s, duck {duck_sec:.1f}s, ratio {ratio:.1f}x)"
+            )
+            wall[name]["status"] = "pass"
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    # Spark's fixed per-query cost (plan + schedule + Arrow collect) is
+    # ~0.5-1.5 s regardless of data size, so for sub-second DuckDB queries a
+    # raw >5x ratio is pure overhead, not a plan problem; the actionable flag
+    # is ratio>5 AND spark wall large enough that data work dominates.  The
+    # JSON artifact still records every ratio unfiltered.
+    flagged = sorted(
+        (
+            (name, rec["ratio"], rec["spark_sec"])
+            for name, rec in wall.items()
+            if rec.get("status") == "pass"
+            and rec.get("ratio", 0) > 5.0
+            and rec.get("spark_sec", 0) >= 2.0
+        ),
+        key=lambda kv: -kv[1],
+    )
+    if flagged:
+        print(
+            f"\nwall-ratio >5x with spark_sec>=2s — {len(flagged)} queries "
+            "flagged for plan review (sub-2s spark queries are fixed-overhead "
+            "dominated; all ratios are in the JSON artifact):"
+        )
+        for name, r, s in flagged:
+            print(f"   {r:7.1f}x  spark {s:6.1f}s  {name}")
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump({"sf": args.sf, "queries": wall}, fh, indent=1, sort_keys=True)
+        print(f"\nwall-ratio artifact written to {args.json}")
     spark.stop()
     return 1 if n_fail else 0
 
