@@ -105,6 +105,7 @@ HEADLINE = [
     "ml_normal_equations",
     "events_markov_transitions",
     "textstats_bpe_merges",
+    "textstats_bpe_induction",
     "textstats_winnowing",
     "docs_tokenize_to_ids",
     # warehouse maintenance / ordering
@@ -412,6 +413,84 @@ def streaming_throughput(spark, sql_sentiment: bool = False, joined: bool = Fals
         shutil.rmtree(work, ignore_errors=True)
 
 
+DEDUP_STREAM_ROWS = 16_000
+DEDUP_STREAM_FILES = 8
+
+
+def streaming_dedup_throughput(spark) -> dict:
+    """Streaming near-dup ingest throughput (round 9): a bounded document
+    replay drained through run_streaming_dedup — per micro-batch MinHash
+    signing, banded probe of the growing survivor index, within-batch
+    self-dedup, and idempotent parquet appends. 10% of docs are planted
+    one-token-changed near-dups of earlier docs, so the probe path does
+    real work every batch. rows/s = documents ingested / wall."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from realtime_twitter_trends_analytics_spark.streaming.dedup_stream import (
+        run_streaming_dedup,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_sdedup_")
+    src = f"{work}/src"
+    os.makedirs(src)
+    per_file = DEDUP_STREAM_ROWS // DEDUP_STREAM_FILES
+
+    def text_of(i: int) -> str:
+        # ~24 tokens, disjoint shingles across distinct docs (unique w/t mix)
+        return " ".join(
+            f"w{i}x{j} token{(i * 31 + j * 7) % 9973}" for j in range(12)
+        )
+
+    for f_idx in range(DEDUP_STREAM_FILES):
+        with open(f"{src}/b{f_idx}.json", "w") as fh:
+            for i in range(per_file):
+                doc_id = f_idx * per_file + i
+                if doc_id % 10 == 9 and doc_id >= per_file:
+                    # near-dup of a doc one file earlier (cross-batch probe hit)
+                    base = doc_id - per_file
+                    text = text_of(base).replace(f"w{base}x5", "wDUPx5")
+                else:
+                    text = text_of(doc_id)
+                fh.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # same per-stream sizing rule as the trends paths: the per-batch
+        # joins are batch-sized (2k docs x 4 bands), so 8 shuffle
+        # partitions keeps cores busy without paying 32 tiny tasks per
+        # join stage per micro-batch
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        results: list[dict] = []
+        t0 = time.time()
+        finished = run_streaming_dedup(
+            spark,
+            src,
+            work,
+            max_files_per_trigger=DEDUP_STREAM_FILES // 4,
+            results=results,
+            timeout_sec=600,
+        )
+        dt = time.time() - t0
+        if not finished:
+            return {
+                "input_rows": DEDUP_STREAM_ROWS,
+                "elapsed_sec": None,
+                "rows_per_sec": None,
+                "timeout": True,
+            }
+        n_dropped = sum(r["n_dropped_cross"] + r["n_dropped_within"] for r in results)
+        return {
+            "input_rows": DEDUP_STREAM_ROWS,
+            "elapsed_sec": round(dt, 3),
+            "rows_per_sec": round(DEDUP_STREAM_ROWS / dt, 1),
+            "n_near_dups_dropped": n_dropped,
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -536,6 +615,15 @@ def main() -> None:
         streaming_throughput(spark, sql_sentiment=True, joined=True)
         stream_joined = _best_of_two(sql_sentiment=True, joined=True)
 
+    if "stream" in skip:
+        stream_dedup = None
+    else:
+        # streaming near-dup ingest (round 9): warm-up + best-of-two, same
+        # policy as the other paths
+        streaming_dedup_throughput(spark)
+        a, b = streaming_dedup_throughput(spark), streaming_dedup_throughput(spark)
+        stream_dedup = a if (a["rows_per_sec"] or 0) >= (b["rows_per_sec"] or 0) else b
+
     full = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -550,6 +638,7 @@ def main() -> None:
         "streaming_pipeline": stream,
         "streaming_pipeline_sql_sentiment": stream_sql,
         "streaming_pipeline_joined": stream_joined,
+        "streaming_dedup": stream_dedup,
     }
     # The driver captures only a fixed-size TAIL of stdout and json-parses
     # the last line. Round 3's single full-payload line outgrew that buffer
@@ -573,6 +662,7 @@ def main() -> None:
         "streaming_pipeline": stream,
         "streaming_pipeline_sql_sentiment": stream_sql,
         "streaming_pipeline_joined": stream_joined,
+        "streaming_dedup": stream_dedup,
         # slowest 10 only — the full 66-entry map is what overflowed the
         # driver tail in r3; complete map: line 1 above / bench_full.json
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),

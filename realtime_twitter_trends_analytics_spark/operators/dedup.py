@@ -237,6 +237,47 @@ def _oracle_sig_ctes() -> str:
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+def minhash_signatures_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{K-1}) signatures for an ARBITRARY (doc_id, text)
+    slice — the generic form of minhash_signatures used by the streaming
+    ingest path, where the batch is a micro-batch DataFrame rather than a
+    corpus directory. Same template as the staged build: tokenize-once
+    projection, distinct shingles, one md5 per shingle, K affine
+    permutations folded into the groupBy mins."""
+    src = (
+        shingle_rel(docs)
+        .select("doc_id", F.md5("sh").alias("mhx"))
+        .select("doc_id", F.expr(_minhash_src_sql(dl.SPARK)).alias("mh32"))
+    )
+    aggs = [F.expr(_minhash_agg_sql(dl.SPARK, k)).alias(f"h{k}") for k in range(MINHASH_K)]
+    return src.groupBy("doc_id").agg(*aggs)
+
+
+def banded_rel(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH band rows from a signature
+    relation — the 3-column narrow shape that rides every banded shuffle
+    (the wide K-hash rows re-join on doc_id only for surviving
+    candidates). Shared by the batch self-join, the incremental probe,
+    and the streaming ingest index."""
+    hash_cols = [f"h{k}" for k in range(MINHASH_K)]
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *hash_cols[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]))
+            for b in range(BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
+
+
+def signature_match_count(prefix_a: str = "a", prefix_b: str = "b") -> F.Column:
+    """sum over K of [a_hk == b_hk] — the estimated-Jaccard numerator for
+    a candidate pair whose two signatures were re-joined side by side."""
+    return sum(
+        F.when(F.col(f"{prefix_a}_h{k}") == F.col(f"{prefix_b}_h{k}"), 1).otherwise(0)
+        for k in range(MINHASH_K)
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups by full-content hash; reports each group's
     canonical keeper (min doc_id) and size, only for real dup groups."""
@@ -338,13 +379,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return memo
     sig = minhash_signatures_staging(spark, sf_dir)
     hash_cols = [f"h{k}" for k in range(MINHASH_K)]
-    band_keys = F.array(
-        *[
-            F.md5(F.concat_ws("|", *hash_cols[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]))
-            for b in range(BANDS)
-        ]
-    )
-    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
+    banded = banded_rel(sig)
     left = banded.select(F.col("doc_id").alias("a"), "band_id", "band_key")
     right = banded.select(F.col("doc_id").alias("b"), "band_id", "band_key")
     cand = (
@@ -355,9 +390,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sig.select(F.col("doc_id").alias("a"), *[F.col(h).alias(f"a_{h}") for h in hash_cols])
     sb = sig.select(F.col("doc_id").alias("b"), *[F.col(h).alias(f"b_{h}") for h in hash_cols])
-    matches = sum(
-        F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0) for h in hash_cols
-    )
+    matches = signature_match_count("a", "b")
     out = (
         cand.join(sa, "a")
         .join(sb, "b")
@@ -1312,13 +1345,7 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (emitted as is_dup = false, n_candidates = 0)."""
     sig = minhash_signatures_staging(spark, sf_dir)
     hash_cols = [f"h{k}" for k in range(MINHASH_K)]
-    band_keys = F.array(
-        *[
-            F.md5(F.concat_ws("|", *hash_cols[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]))
-            for b in range(BANDS)
-        ]
-    )
-    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
+    banded = banded_rel(sig)
     corpus_idx = banded.filter(F.col("doc_id") % INC_FOLD != 0).select(
         F.col("doc_id").alias("c"), "band_id", "band_key"
     )
@@ -1328,9 +1355,7 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probe.join(corpus_idx, ["band_id", "band_key"]).select("n", "c").distinct()
     sa = sig.select(F.col("doc_id").alias("n"), *[F.col(h).alias(f"a_{h}") for h in hash_cols])
     sb = sig.select(F.col("doc_id").alias("c"), *[F.col(h).alias(f"b_{h}") for h in hash_cols])
-    matches = sum(
-        F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0) for h in hash_cols
-    )
+    matches = signature_match_count("a", "b")
     scored = (
         cand.join(sa, "n")
         .join(sb, "c")

@@ -899,6 +899,141 @@ LIMIT {BPE_TOP_MERGES}
 """
 
 
+BPE_INDUCT_ROUNDS = 5
+
+
+def textstats_bpe_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE tokenizer induction (round 9, VERDICT r8 item 6 —
+    unrolls textstats_bpe_merges past one merge): BPE_INDUCT_ROUNDS
+    iterations of [count adjacent symbol pairs over the word-frequency
+    vocabulary -> take the most frequent pair -> merge it everywhere],
+    with the vocabulary's symbol sequences UPDATED between rounds — the
+    actual Sennrich et al. training loop, not just its first step.
+    Returns the learned merge table (merge_round, sym_a, sym_b, freq).
+
+    Scale shape: the corpus reduces once to the (word, count) type table
+    (hash agg on a uniform key); every round's pair count and merge then
+    run over the vocabulary — bounded by type count x word length, never
+    corpus tokens — exactly how production BPE trainers iterate. Each
+    round is: one pair-explode agg (shuffle on the pair key), a 1-row
+    top-1 (TakeOrderedAndProject), a broadcast of that single row, and a
+    map-side fold that rewrites each word's symbol array. The vocabulary
+    is re-materialized per round (localCheckpoint) because two plans
+    consume it (this round's pair count, next round's input) — the same
+    fan-out rule as the kmeans/kcenter loops.
+
+    The merge applies LEFT-TO-RIGHT NON-OVERLAPPING, BPE's exact pass
+    semantics, via an array fold: append each symbol unless the
+    accumulator's last element is sym_a and the incoming symbol is sym_b,
+    in which case replace the last element with the concatenation. A
+    just-merged symbol can never re-merge as the pair's left side within
+    the same round (a||b = a requires an empty symbol), so no flag is
+    needed — [a,a,a,a,a] with pair (a,a) folds to [aa,aa,a], matching the
+    scanning definition. The DuckDB oracle runs the identical fold
+    (list_reduce over singleton lists) through chained MATERIALIZED CTEs,
+    one pair-count/best/vocab triple per round."""
+    docs = load_table(spark, sf_dir, "documents")
+    syms0 = dl.transform(
+        dl.SPARK, dl.seq(dl.SPARK, "1", "length(word)"), "i", "substr(word, i, 1)"
+    )
+    cur = (
+        docs.select(F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(F.expr(syms0).alias("syms"), "wc")
+        .localCheckpoint()
+    )
+    fold = (
+        "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+        "IF(size(acc) > 0 AND element_at(acc, -1) = a AND x = b, "
+        "concat(slice(acc, 1, size(acc) - 1), array(a || b)), "
+        "concat(acc, array(x))))"
+    )
+    pair_structs = (
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
+    )
+    merges = []  # (round, a, b, freq) — K driver rows, the model itself
+    for r in range(1, BPE_INDUCT_ROUNDS + 1):
+        # the winning pair is a 1-ROW sufficient statistic (the kcenter/
+        # kmeans discipline): collect it instead of checkpoint+broadcast —
+        # one TakeOrderedAndProject job per round instead of two jobs plus
+        # a crossJoin stage
+        top = (
+            cur.filter(F.size("syms") >= 2)
+            .select(F.explode(F.expr(pair_structs)).alias("p"), "wc")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged (tiny corpora)
+        a_val, b_val, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
+        merges.append((r, a_val, b_val, freq))
+        if r < BPE_INDUCT_ROUNDS:
+            # inject the pair as typed literal COLUMNS (F.lit — no SQL
+            # string splicing, symbols may contain quotes); the fold is
+            # map-side, re-materialized per round because next round's
+            # pair count and fold both consume it
+            cur = (
+                cur.withColumn("a", F.lit(a_val))
+                .withColumn("b", F.lit(b_val))
+                .select(F.expr(fold).alias("syms"), "wc")
+                .localCheckpoint()
+            )
+    return spark.createDataFrame(
+        merges, "merge_round int, sym_a string, sym_b string, freq bigint"
+    ).orderBy("merge_round")
+
+
+def _oracle_bpe_induction() -> str:
+    syms0 = dl.transform(
+        dl.DUCK, dl.seq(dl.DUCK, "1", "length(word)"), "i", "substr(word, i, 1)"
+    )
+    fold = (
+        "list_reduce(list_transform(syms, s -> [s]), (acc, x) -> "
+        "CASE WHEN acc[-1] = a AND x[1] = b "
+        "THEN list_concat(acc[1:len(acc)-1], [a || b]) "
+        "ELSE list_concat(acc, x) END)"
+    )
+    struct_body = "{'a': syms[i], 'b': syms[i + 1]}"
+    pair_structs = dl.transform(
+        dl.DUCK, dl.seq(dl.DUCK, "1", "len(syms) - 1"), "i", struct_body
+    )
+    ctes = [
+        f"""vocab0 AS MATERIALIZED (
+  SELECT {syms0} AS syms, wc FROM (
+    SELECT word, count(*) AS wc FROM (
+      SELECT unnest({dl.split_ws(dl.DUCK, 'text')}) AS word FROM documents
+    ) GROUP BY word
+  )
+)"""
+    ]
+    for r in range(1, BPE_INDUCT_ROUNDS + 1):
+        ctes.append(
+            f"""pairs{r} AS (
+  SELECT u.a AS a, u.b AS b, CAST(sum(wc) AS BIGINT) AS freq FROM (
+    SELECT unnest({pair_structs}) AS u, wc FROM vocab{r - 1} WHERE len(syms) >= 2
+  ) GROUP BY 1, 2
+), best{r} AS MATERIALIZED (
+  SELECT a, b, freq FROM pairs{r} ORDER BY freq DESC, a ASC, b ASC LIMIT 1
+)"""
+        )
+        if r < BPE_INDUCT_ROUNDS:
+            ctes.append(
+                f"""vocab{r} AS MATERIALIZED (
+  SELECT {fold} AS syms, wc FROM vocab{r - 1}, best{r}
+)"""
+            )
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, a AS sym_a, b AS sym_b, freq FROM best{r}"
+        for r in range(1, BPE_INDUCT_ROUNDS + 1)
+    )
+    return f"WITH {', '.join(ctes)}\n{finals}\nORDER BY merge_round"
+
+
 CCNET_BUCKETS = 3  # head / middle / tail
 
 
@@ -1958,6 +2093,7 @@ QUERIES = {
     "docs_ngram_novelty": docs_ngram_novelty,
     "textstats_lm_score": textstats_lm_score,
     "textstats_bpe_merges": textstats_bpe_merges,
+    "textstats_bpe_induction": textstats_bpe_induction,
     "textstats_winnowing": textstats_winnowing,
     "docs_tokenize_to_ids": docs_tokenize_to_ids,
     "textstats_bigrams": textstats_bigrams,
@@ -1988,6 +2124,7 @@ ORACLES = {
     "docs_ngram_novelty": _oracle_ngram_novelty(),
     "textstats_lm_score": _oracle_lm_score(),
     "textstats_bpe_merges": _oracle_bpe_merges(),
+    "textstats_bpe_induction": _oracle_bpe_induction(),
     "textstats_winnowing": _oracle_winnowing(),
     "docs_tokenize_to_ids": _oracle_tokenize_ids(),
     "textstats_bigrams": _oracle_bigrams(),
