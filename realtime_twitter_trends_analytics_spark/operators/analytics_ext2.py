@@ -572,9 +572,17 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     state frequency — the mismatch IS the non-stationarity signal.
 
     Scale: the transition counts come from one user-partitioned lag
-    window + a K^2 hash agg (K = event types, a handful); every
-    iteration joins K-row against K^2-row relations — driver-scale
-    state, the ml.py model-iteration pattern, data touched once."""
+    window + a K^2 hash agg (K = event types, a handful) — that is the
+    only data-sized work. The power iteration itself runs on the DRIVER
+    over the collected K^2 quantized matrix (round 9): it is model
+    state by the ml.py discipline (kmeans centroids, kcenter rounds),
+    and the previous in-plan unrolling paid 30 shuffle-stage schedules
+    to move K rows — the bench's deepest line (5.7-6.9 s warm at
+    sf0.1) for arithmetic a driver does instantly; measured 6.4 -> 2.0 s
+    (the residual is the window+agg that builds the matrix).
+    Python int // = the same floor DIV both engines quantize with, and
+    integer sums are order-free, so the masses stay bit-identical to
+    the oracle's unrolled-CTE iteration."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     trans = (
@@ -586,27 +594,27 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..audit import audit_plan
 
     tot = trans.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    # no checkpoint: the matrix is consumed exactly once, by the collect
     tm = audit_plan(
         "markov_tm",
         trans.join(tot, "src").select(
             "src", "dst", F.expr("(cnt * 1000000) DIV tot").alias("p6")
         ),
-    ).localCheckpoint()
-    states = tm.select(F.col("src").alias("state")).distinct()
-    k = states.count()  # K-row driver scalar (model-state collect pattern)
-    v = states.select(
-        "state", F.lit(MARKOV_SCALE // k).cast("bigint").alias("mass")
     )
+    tm_rows = tm.collect()  # K^2 rows — the model (see docstring)
+    states = sorted({r["src"] for r in tm_rows})
+    k = len(states)
+    mass = {s: MARKOV_SCALE // k for s in states}
     for _ in range(MARKOV_ITERS):
-        v = (
-            tm.join(v.withColumnRenamed("state", "src"), "src")
-            .select(
-                F.col("dst").alias("state"),
-                F.expr("(mass * p6) DIV 1000000").alias("m"),
-            )
-            .groupBy("state")
-            .agg(F.sum("m").alias("mass"))
-        )
+        nxt: dict[str, int] = {}
+        for r in tm_rows:
+            m = mass.get(r["src"])
+            if m is not None:
+                nxt[r["dst"]] = nxt.get(r["dst"], 0) + (m * r["p6"]) // 1_000_000
+        mass = nxt
+    v = spark.createDataFrame(
+        sorted(mass.items()), "state string, mass bigint"
+    )
     emp = (
         e.groupBy(F.col("event_type").alias("state"))
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -783,12 +783,24 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count_distinct rides the same shuffle (it is the eval harness —
     production keeps only the sketch)."""
     l = load_table(spark, sf_dir, "lineitem")
-    g = l.groupBy("l_returnflag").agg(
+    # The sketch and the exact side run as SEPARATE aggregations joined on
+    # the 3-row group key (round 9, wall-ratio flag): mixing
+    # count_distinct with approx_count_distinct in ONE agg makes Spark's
+    # distinct-Expand rewrite key the FIRST aggregate on
+    # (flag, partkey, orderkey, gid) — so the partial HLL buffer (~6 KB,
+    # 768 words at rsd=0.02) is maintained and SHUFFLED per fine-grain
+    # group instead of per flag: ~4 GB of exchange at sf0.1, measured
+    # 24 s warm vs 1.3 s split. Split, the HLL agg is a 3-group map-side
+    # partial and the exact agg's Expand carries 8-byte count state.
+    approx = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+    )
+    exact = l.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
     )
+    g = exact.join(F.broadcast(approx), "l_returnflag")
     within = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) * 100 <= 10 * F.col(e)
     )
