@@ -1,0 +1,175 @@
+"""Streaming ANN serve path (round 9): the ONLINE face of the LSH index.
+
+The batch ANN operators (similarity.py sim_lsh_ann and friends) answer
+"top-k for every corpus vector" as one job. A deployed retrieval system
+instead builds the bucketed index ONCE at ingest and serves a STREAM of
+query vectors against it — the write-once / join-many contract the IVF
+and band-index designs already document, realized here for queries:
+
+- build_ann_index materializes the corpus side pre-exploded to
+  (t, bucket, cand_id, cv): one row per vector per LSH table, exactly the
+  shape the batch candidate join streams through. On a cluster this
+  table is bucketed by (t, bucket) so a probe shuffles ONLY the query
+  side; vectors ride through the equi-join just like the batch plan
+  (similarity.py:491-498 — the dedup shuffle carries scored triples,
+  never vectors).
+- streaming_ann_writer: per micro-batch, explode each query to its
+  TABLES x PROBES Hamming<=1 bucket probes (the multi-probe trick,
+  identical constants), broadcast the probe rows (a micro-batch of
+  queries is small by definition), equi-join the index, cosine on the
+  join output, collapse multi-table duplicates with max(), rank top-k
+  per query. Results land under an overwrite-by-batch-id path — the same
+  epoch-replay idempotence contract as the streaming dedup store.
+
+Parity: with queries drawn from the corpus and exclude_self=True, the
+served results are asserted EQUAL to batch sim_lsh_ann's rows for those
+query ids (tests/test_streaming_ann.py) — the streaming face is the same
+operator, not an approximation of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..audit import audit_plan
+from ..functions import dialect as dl
+from ..operators.similarity import (
+    ANN_LSH_TABLES,
+    LSH_PROBE_MASKS,
+    TOP_K,
+    cosine_sql,
+    lsh_bucket_sql,
+)
+from ..sources.loaders import load_table
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """One-time index build: (t, bucket, cand_id, cv) — per-table bucket
+    rows with the vector carried alongside (see module docstring)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(ANN_LSH_TABLES)
+                ]
+            )
+        ).alias("p"),
+    ).select(F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"), "cand_id", "cv")
+    audit_plan("stream_ann_index_build", rows).write.mode("overwrite").parquet(
+        index_dir
+    )
+
+
+def streaming_ann_writer(
+    spark: SparkSession,
+    index_dir: str,
+    results_dir: str,
+    k: int = TOP_K,
+    exclude_self: bool = False,
+    metrics: list | None = None,
+):
+    """foreachBatch sink_writer: serve each micro-batch of (query_id,
+    embedding) rows against the persisted index; write the per-query
+    top-k to results_dir/batch=<id> (idempotent on epoch replay).
+    exclude_self drops cand_id == query_id matches — set it when queries
+    are corpus members, mirroring batch sim_lsh_ann's semantics."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        idx = spark.read.parquet(index_dir)
+        probes = batch_df.select(
+            F.col("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t))
+                            .bitwiseXOR(F.lit(m))
+                            .alias("bucket"),
+                        )
+                        for t in range(ANN_LSH_TABLES)
+                        for m in LSH_PROBE_MASKS
+                    ]
+                )
+            ).alias("p"),
+        ).select("query_id", "qv", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
+        joined = F.broadcast(probes).join(idx, ["t", "bucket"])
+        if exclude_self:
+            joined = joined.filter(F.col("query_id") != F.col("cand_id"))
+        scored = (
+            joined.select(
+                "query_id",
+                "cand_id",
+                F.expr(cosine_sql(dl.SPARK, "qv", "cv")).alias("cosine"),
+            )
+            .groupBy("query_id", "cand_id")
+            .agg(F.max("cosine").alias("cosine"))
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+        topk = audit_plan(
+            "stream_ann_serve",
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "cand_id", F.round("cosine", 4).alias("cosine"), "rnk"),
+        )
+        topk.write.mode("overwrite").parquet(f"{results_dir}/batch={batch_id}")
+        if metrics is not None:
+            served = batch_df.count()
+            metrics.append({"batch_id": batch_id, "n_queries": served})
+
+    return write
+
+
+def read_query_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Bounded-replay query stream: JSON lines {query_id, embedding} with
+    a pinned schema (floats arrive as doubles — cosine_sql casts both
+    sides to double, so parity with the float-typed corpus is exact)."""
+    reader = spark.readStream.schema("query_id long, embedding array<double>")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(source_dir)
+
+
+def run_streaming_ann(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    sf_dir: str,
+    k: int = TOP_K,
+    exclude_self: bool = False,
+    max_files_per_trigger: int | None = None,
+    metrics: list | None = None,
+    timeout_sec: int = 300,
+) -> bool:
+    """Build the index (once), then drain the query stream through the
+    production foreachBatch entry. Returns awaitTermination's verdict."""
+    import os
+
+    from .pipeline import write_with_first_batch_setup
+
+    index_dir = os.path.join(work_dir, "ann_index")
+    results_dir = os.path.join(work_dir, "results")
+    build_ann_index(spark, sf_dir, index_dir)
+    q = write_with_first_batch_setup(
+        read_query_stream(spark, source_dir, max_files_per_trigger),
+        checkpoint_dir=os.path.join(work_dir, "ckpt"),
+        sink_writer=streaming_ann_writer(
+            spark, index_dir, results_dir, k=k, exclude_self=exclude_self,
+            metrics=metrics,
+        ),
+        output_mode="append",
+    )
+    return q.awaitTermination(timeout_sec)
