@@ -115,58 +115,54 @@ def streaming_dedup_writer(
         )
         est = (signature_match_count("a", "b") / F.lit(MINHASH_K)).alias("est_jaccard")
 
-        # ---- within-batch: banded self-join, drop the larger id of each
-        # verified pair (greedy keeper-by-min-id, see module docstring)
+        # ---- ONE candidate join for both drop reasons (round-9 second
+        # pass: the separate within-batch self-join and index-probe join
+        # cost a join stage each; uniting the right side halves the join
+        # stages per batch). The right side is the batch's own band rows
+        # tagged 'within' plus — when the index exists — the persisted
+        # band rows tagged 'cross'; doc_ids are globally unique across
+        # the stream (the dedup identity contract), so the union sides
+        # cannot collide. Within-pairs keep only c < n (greedy
+        # keeper-by-min-id, module docstring); cross-pairs keep all.
         left = bands.select(F.col("doc_id").alias("n"), "band_id", "band_key")
-        right = bands.select(F.col("doc_id").alias("c"), "band_id", "band_key")
-        wcand = (
-            left.join(right, ["band_id", "band_key"])
-            .filter(F.col("c") < F.col("n"))
-            .select("n", "c")
-            .distinct()
+        cand_right = bands.select(
+            F.col("doc_id").alias("c"), "band_id", "band_key",
+            F.lit("within").alias("why"),
         )
-        sb_batch = sig.select(
+        sb = sig.select(
             F.col("doc_id").alias("c"), *[F.col(h).alias(f"b_{h}") for h in _SIG_COLS]
         )
-        within_dup = (
-            wcand.join(sa, "n")
-            .join(sb_batch, "c")
-            .select("n", est)
-            .filter(F.col("est_jaccard") >= threshold)
-            .select(F.col("n").alias("doc_id"), F.lit("within").alias("why"))
+        if _has_parquet(bands_dir):
+            cand_right = cand_right.union(
+                spark.read.parquet(bands_dir).select(
+                    F.col("doc_id").alias("c"), "band_id", "band_key",
+                    F.lit("cross").alias("why"),
+                )
+            )
+            sb = sb.union(
+                spark.read.parquet(sigs_dir).select(
+                    F.col("doc_id").alias("c"),
+                    *[F.col(h).alias(f"b_{h}") for h in _SIG_COLS],
+                )
+            )
+        cand = (
+            left.join(cand_right, ["band_id", "band_key"])
+            .filter((F.col("why") == "cross") | (F.col("c") < F.col("n")))
+            .select("n", "c", "why")
+            .distinct()
         )
 
-        # ---- cross-batch: probe the persisted index (absent on batch 0)
-        if _has_parquet(bands_dir):
-            idx_bands = spark.read.parquet(bands_dir).select(
-                F.col("doc_id").alias("c"), "band_id", "band_key"
-            )
-            idx_sigs = spark.read.parquet(sigs_dir).select(
-                F.col("doc_id").alias("c"), *[F.col(h).alias(f"b_{h}") for h in _SIG_COLS]
-            )
-            cand = (
-                bands.select(F.col("doc_id").alias("n"), "band_id", "band_key")
-                .join(idx_bands, ["band_id", "band_key"])
-                .select("n", "c")
-                .distinct()
-            )
-            cross_dup = (
-                cand.join(sa, "n")
-                .join(idx_sigs, "c")
-                .select("n", est)
-                .filter(F.col("est_jaccard") >= threshold)
-                .select(F.col("n").alias("doc_id"), F.lit("cross").alias("why"))
-            )
-            dropped_src = cross_dup.union(within_dup)
-        else:
-            dropped_src = within_dup
-
         # ONE distributed job materializes the whole drop set (cross +
-        # within verified in the same union plan); "cross" < "within", so
-        # a doc caught by both is attributed to the index hit
+        # within verified in the same plan); "cross" < "within", so a doc
+        # caught by both is attributed to the index hit
         dropped = audit_plan(
             "stream_dedup_drop_set",
-            dropped_src.groupBy("doc_id").agg(F.min("why").alias("why")),
+            cand.join(sa, "n")
+            .join(sb, "c")
+            .select("n", est, "why")
+            .filter(F.col("est_jaccard") >= threshold)
+            .groupBy(F.col("n").alias("doc_id"))
+            .agg(F.min("why").alias("why")),
         ).localCheckpoint()
         drop_ids = dropped.select("doc_id")
 
@@ -174,12 +170,17 @@ def streaming_dedup_writer(
         # docs, which never appear in `sig` and can never be dropped);
         # keep_sig is a cheap anti-join of two checkpointed relations, so
         # it is recomputed for the two index writes instead of paying a
-        # third materialization
+        # third materialization. Writes coalesce to a few files: each is
+        # micro-batch-sized (a deployment sizes this to batch volume).
         survivors = batch_df.join(drop_ids, "doc_id", "left_anti")
-        survivors.write.mode("overwrite").parquet(f"{surv_dir}/batch={batch_id}")
+        survivors.coalesce(2).write.mode("overwrite").parquet(
+            f"{surv_dir}/batch={batch_id}"
+        )
         keep_sig = sig.join(drop_ids, "doc_id", "left_anti")
-        keep_sig.write.mode("overwrite").parquet(f"{sigs_dir}/batch={batch_id}")
-        banded_rel(keep_sig).write.mode("overwrite").parquet(
+        keep_sig.coalesce(2).write.mode("overwrite").parquet(
+            f"{sigs_dir}/batch={batch_id}"
+        )
+        banded_rel(keep_sig).coalesce(2).write.mode("overwrite").parquet(
             f"{bands_dir}/batch={batch_id}"
         )
 
