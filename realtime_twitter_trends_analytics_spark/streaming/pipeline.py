@@ -302,6 +302,25 @@ def jdbc_sink_writer(url: str, table: str, properties: dict | None = None, parti
     return write
 
 
+def idempotent_store_writer(base_dir: str, partitions: int | None = None):
+    """S6's store append hardened to exactly-once (round 9): foreachBatch
+    guarantees at-least-once epoch delivery — after a failure the same
+    batch_id replays with the same data — so a plain append sink
+    double-applies on recovery. This writer lands each epoch under
+    ``base_dir/batch=<batch_id>`` with mode('overwrite'): a replay
+    overwrites its own output instead of appending beside it, and a
+    partition-discovery read of ``base_dir`` sees exactly-once content.
+    The same contract the streaming dedup/ANN stores use, offered as the
+    drop-in sink_writer for the trends store (proven by the A5
+    restart-equality test, tests/test_streaming_infra.py)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.repartition(partitions) if partitions else batch_df
+        out.write.mode("overwrite").parquet(f"{base_dir}/batch={batch_id}")
+
+    return write
+
+
 PSI_ALARM_THRESHOLD = 0.25  # the standard "distribution has shifted" PSI cut
 
 
