@@ -106,6 +106,7 @@ HEADLINE = [
     "events_markov_transitions",
     "textstats_bpe_merges",
     "textstats_bpe_induction",
+    "textstats_bpe_apply",
     "textstats_winnowing",
     "docs_tokenize_to_ids",
     # warehouse maintenance / ordering

@@ -1034,6 +1034,130 @@ def _oracle_bpe_induction() -> str:
     return f"WITH {', '.join(ctes)}\n{finals}\nORDER BY merge_round"
 
 
+# The learned merge table is MODEL state (a handful of driver rows) shared
+# by the apply/fertility readout — memoized per (application, sf_dir) like
+# the kmeans codebook, so consumers price application, not re-training.
+_BPE_MERGES_MEMO: dict[tuple[str, str], list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _BPE_MERGES_MEMO.get(key)
+    if memo is None:
+        memo = [
+            (r["sym_a"], r["sym_b"])
+            for r in textstats_bpe_induction(spark, sf_dir).collect()
+        ]
+        _BPE_MERGES_MEMO[key] = memo
+    return memo
+
+
+def textstats_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to the corpus — the tokenizer
+    FERTILITY readout that closes the trainer loop (round 9): per source,
+    word instances, characters, post-merge symbol count, and the two
+    ratios a tokenizer team actually tracks (symbols/word = fertility,
+    chars/symbol = compression).
+
+    The merges come from textstats_bpe_induction (driver model state — it
+    already returns a K-row driver-built table; collecting it is free).
+    Application is vocabulary-bounded like training: per distinct
+    (source, word), the BPE_INDUCT_ROUNDS merge folds nest as ONE
+    map-side projection (each fold is the same left-to-right
+    non-overlapping array fold, with the round's pair inlined as SQL
+    literals — quotes doubled for both engines, backslashes escaped for
+    Spark's C-style literal parser), then instance counts weight the agg.
+    The oracle recomputes the merges in its own chained CTEs (the
+    induction parity already gate-proven) and cross-joins the five 1-row
+    best tables into the same nested fold."""
+    merges = _bpe_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source", F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+    def lit_sql(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    expr = dl.transform(
+        dl.SPARK, dl.seq(dl.SPARK, "1", "length(word)"), "i", "substr(word, i, 1)"
+    )
+    for a, b in merges:
+        la, lb = lit_sql(a), lit_sql(b)
+        expr = (
+            f"aggregate({expr}, cast(array() as array<string>), (acc, x) -> "
+            f"IF(size(acc) > 0 AND element_at(acc, -1) = {la} AND x = {lb}, "
+            f"concat(slice(acc, 1, size(acc) - 1), array({la} || {lb})), "
+            f"concat(acc, array(x))))"
+        )
+    per_word = vocab.select(
+        "source",
+        "wc",
+        F.length("word").alias("chars"),
+        F.size(F.expr(expr)).alias("n_sym"),
+    )
+    spw = dl.round_ratio(dl.SPARK, "n_symbols", "n_words")
+    cps = dl.round_ratio(dl.SPARK, "n_chars", "n_symbols")
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.sum("wc").alias("n_words"),
+            F.sum(F.col("chars") * F.col("wc")).alias("n_chars"),
+            F.sum(F.col("n_sym") * F.col("wc")).alias("n_symbols"),
+        )
+        .selectExpr(
+            "source",
+            "n_words",
+            "n_chars",
+            "n_symbols",
+            f"{spw} AS symbols_per_word",
+            f"{cps} AS chars_per_symbol",
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_bpe_apply() -> str:
+    induction = _oracle_bpe_induction()
+    # reuse the induction's WITH chain: strip its final SELECT, keep CTEs
+    ctes = induction[len("WITH ") : induction.index("\nSELECT 1 AS merge_round")]
+    d = dl.DUCK
+    expr = dl.transform(d, dl.seq(d, "1", "length(word)"), "i", "substr(word, i, 1)")
+    for r in range(1, BPE_INDUCT_ROUNDS + 1):
+        a, b = f"b{r}.a", f"b{r}.b"
+        expr = (
+            f"list_reduce(list_transform({expr}, s -> [s]), (acc, x) -> "
+            f"CASE WHEN acc[-1] = {a} AND x[1] = {b} "
+            f"THEN list_concat(acc[1:len(acc)-1], [{a} || {b}]) "
+            f"ELSE list_concat(acc, x) END)"
+        )
+    crosses = ", ".join(f"best{r} AS b{r}" for r in range(1, BPE_INDUCT_ROUNDS + 1))
+    spw = dl.round_ratio(d, "n_symbols", "n_words")
+    cps = dl.round_ratio(d, "n_chars", "n_symbols")
+    return f"""WITH {ctes},
+svocab AS (
+  SELECT source, word, count(*) AS wc FROM (
+    SELECT source, unnest({dl.split_ws(d, 'text')}) AS word FROM documents
+  ) GROUP BY 1, 2
+), applied AS (
+  SELECT source, wc, length(word) AS chars, len({expr}) AS n_sym
+  FROM svocab, {crosses}
+), agged AS (
+  SELECT source, CAST(sum(wc) AS BIGINT) AS n_words,
+    CAST(sum(chars * wc) AS BIGINT) AS n_chars,
+    CAST(sum(n_sym * wc) AS BIGINT) AS n_symbols
+  FROM applied GROUP BY source
+)
+SELECT source, n_words, n_chars, n_symbols,
+  {spw} AS symbols_per_word, {cps} AS chars_per_symbol
+FROM agged ORDER BY source
+"""
+
+
 CCNET_BUCKETS = 3  # head / middle / tail
 
 
@@ -2094,6 +2218,7 @@ QUERIES = {
     "textstats_lm_score": textstats_lm_score,
     "textstats_bpe_merges": textstats_bpe_merges,
     "textstats_bpe_induction": textstats_bpe_induction,
+    "textstats_bpe_apply": textstats_bpe_apply,
     "textstats_winnowing": textstats_winnowing,
     "docs_tokenize_to_ids": docs_tokenize_to_ids,
     "textstats_bigrams": textstats_bigrams,
@@ -2125,6 +2250,7 @@ ORACLES = {
     "textstats_lm_score": _oracle_lm_score(),
     "textstats_bpe_merges": _oracle_bpe_merges(),
     "textstats_bpe_induction": _oracle_bpe_induction(),
+    "textstats_bpe_apply": _oracle_bpe_apply(),
     "textstats_winnowing": _oracle_winnowing(),
     "docs_tokenize_to_ids": _oracle_tokenize_ids(),
     "textstats_bigrams": _oracle_bigrams(),

@@ -162,6 +162,7 @@ def clear_staging_memos() -> None:
         ml._PQ_CENT_MEMO,
         similarity._CELL_ASSIGN_MEMO,
         textstats._BIGRAM_MEMO,
+        textstats._BPE_MERGES_MEMO,
         cleaning._DSIR_INST_MEMO,
     ):
         memo.clear()
