@@ -449,8 +449,12 @@ def streaming_dedup_throughput(spark) -> dict:
             for i in range(per_file):
                 doc_id = f_idx * per_file + i
                 if doc_id % 10 == 9 and doc_id >= per_file:
-                    # near-dup of a doc one file earlier (cross-batch probe hit)
-                    base = doc_id - per_file
+                    # near-dup of a PRISTINE doc one file earlier (base%10==0,
+                    # never itself a planted dup — a dup-of-a-dup's text
+                    # derives from a doc that was never written, so the
+                    # chain would break and batches past the second would
+                    # carry no catchable dups; caught in round 9's x3 probe)
+                    base = doc_id - per_file + 1
                     text = text_of(base).replace(f"w{base}x5", "wDUPx5")
                 else:
                     text = text_of(doc_id)

@@ -50,8 +50,11 @@ KWARGS = {
 # micro-batch index probe + 3 idempotent parquet appends, so per-doc cost
 # is ~30x the tweet transform paths. Recorded band on this box (2026-08):
 # 1395-1745 rows/s with the sf0.1 oracle gate running concurrently,
-# 1758-2098 quiet, best-of-run samples across 2 sessions. Floor 1000 =
-# 0.72x the slowest recorded steady state (1395), same margin rule.
+# 1758-2098 quiet on the original fixture; 1341-1562 quiet after the
+# fixture fix that made every planted dup actually catchable (8.4% of
+# the corpus now drops, so verification does more real work). Floor
+# 1000 = 0.75x the slowest recorded steady state (1341), same margin
+# rule.
 DEDUP_FLOOR = 1_000
 
 
