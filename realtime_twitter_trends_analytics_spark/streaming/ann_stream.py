@@ -70,6 +70,52 @@ def build_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     )
 
 
+def _serve_topk(
+    idx: DataFrame, queries: DataFrame, k: int, exclude_self: bool
+) -> DataFrame:
+    """The serve plan shared by the write-once and maintained-index faces:
+    explode each query to its TABLES x PROBES Hamming<=1 bucket probes,
+    broadcast the probe rows, equi-join the index, cosine, collapse
+    multi-table duplicates with max(), rank top-k per query."""
+    probes = queries.select(
+        F.col("query_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t))
+                        .bitwiseXOR(F.lit(m))
+                        .alias("bucket"),
+                    )
+                    for t in range(ANN_LSH_TABLES)
+                    for m in LSH_PROBE_MASKS
+                ]
+            )
+        ).alias("p"),
+    ).select("query_id", "qv", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
+    joined = F.broadcast(probes).join(idx, ["t", "bucket"])
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("cand_id"))
+    scored = (
+        joined.select(
+            "query_id",
+            "cand_id",
+            F.expr(cosine_sql(dl.SPARK, "qv", "cv")).alias("cosine"),
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return audit_plan(
+        "stream_ann_serve",
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", F.round("cosine", 4).alias("cosine"), "rnk"),
+    )
+
+
 def streaming_ann_writer(
     spark: SparkSession,
     index_dir: str,
@@ -86,49 +132,156 @@ def streaming_ann_writer(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         idx = spark.read.parquet(index_dir)
-        probes = batch_df.select(
-            F.col("query_id"),
-            F.col("embedding").alias("qv"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("t"),
-                            F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t))
-                            .bitwiseXOR(F.lit(m))
-                            .alias("bucket"),
-                        )
-                        for t in range(ANN_LSH_TABLES)
-                        for m in LSH_PROBE_MASKS
-                    ]
-                )
-            ).alias("p"),
-        ).select("query_id", "qv", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
-        joined = F.broadcast(probes).join(idx, ["t", "bucket"])
-        if exclude_self:
-            joined = joined.filter(F.col("query_id") != F.col("cand_id"))
-        scored = (
-            joined.select(
-                "query_id",
-                "cand_id",
-                F.expr(cosine_sql(dl.SPARK, "qv", "cv")).alias("cosine"),
-            )
-            .groupBy("query_id", "cand_id")
-            .agg(F.max("cosine").alias("cosine"))
-        )
-        w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-        topk = audit_plan(
-            "stream_ann_serve",
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("query_id", "cand_id", F.round("cosine", 4).alias("cosine"), "rnk"),
-        )
+        topk = _serve_topk(idx, batch_df, k, exclude_self)
         topk.write.mode("overwrite").parquet(f"{results_dir}/batch={batch_id}")
         if metrics is not None:
             served = batch_df.count()
             metrics.append({"batch_id": batch_id, "n_queries": served})
 
     return write
+
+
+def streaming_ann_maintain_reset(index_dir: str, results_dir: str):
+    """First-batch reset (the S8 pattern) for the maintained-index
+    topology: drop index + results so a from-scratch stream starts empty;
+    an epoch-0 replay re-runs it and the epoch-0 writes rebuild the same
+    state."""
+    import shutil
+
+    def setup(_bdf: DataFrame) -> None:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(results_dir, ignore_errors=True)
+
+    return setup
+
+
+def streaming_ann_maintain_writer(
+    spark: SparkSession,
+    index_dir: str,
+    results_dir: str,
+    k: int = TOP_K,
+    exclude_self: bool = False,
+    metrics: list | None = None,
+):
+    """Ingest + serve on ONE index (round 10, VERDICT r9 item 3 — the last
+    un-built face of the retrieval story): each micro-batch row carries
+    kind='ingest' (a new corpus vector) or kind='query'. Per batch:
+
+    1. the batch's ingest vectors explode to (t, bucket, cand_id, cv) —
+       the exact shape build_ann_index materializes — and land under
+       index_dir/batch=<id> (overwrite-by-batch-id epochs, so a replayed
+       epoch overwrites its own rows instead of double-appending);
+    2. the batch's queries probe the FULL index — every earlier batch's
+       vectors plus this batch's own ingests — through the same broadcast
+       multi-probe plan as the write-once serve face (_serve_topk).
+
+    Unlike the dedup stream, including the current epoch in the index
+    read is CORRECT here: a replay re-overwrites batch=<id> with the
+    identical rows before serving, so the served results are
+    deterministic either way (no self-match hazard — serving is a read,
+    not a drop decision). Per-batch cost is O(batch + matched buckets):
+    the ingest write never reads the index, and the serve side broadcasts
+    only the micro-batch's probe rows."""
+    from .dedup_stream import _has_parquet
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        ing = batch_df.filter(F.col("kind") == "ingest").select(
+            F.col("id").alias("cand_id"), F.col("embedding")
+        )
+        rows = ing.select(
+            "cand_id",
+            F.col("embedding").alias("cv"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t)).alias(
+                                "bucket"
+                            ),
+                        )
+                        for t in range(ANN_LSH_TABLES)
+                    ]
+                )
+            ).alias("p"),
+        ).select(
+            F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"), "cand_id", "cv"
+        )
+        rows.coalesce(2).write.mode("overwrite").parquet(
+            f"{index_dir}/batch={batch_id}"
+        )
+        queries = batch_df.filter(F.col("kind") == "query").select(
+            F.col("id").alias("query_id"), "embedding"
+        )
+        if _has_parquet(index_dir):
+            topk = _serve_topk(
+                spark.read.parquet(index_dir), queries, k, exclude_self
+            )
+        else:
+            # nothing ingested yet anywhere in the stream: an all-query
+            # first batch serves the empty result with the pinned schema
+            topk = spark.createDataFrame(
+                [], "query_id long, cand_id long, cosine double, rnk int"
+            )
+        topk.write.mode("overwrite").parquet(f"{results_dir}/batch={batch_id}")
+        if metrics is not None:
+            n_ing = ing.count()
+            metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "n_ingest": n_ing,
+                    "n_queries": batch_df.count() - n_ing,
+                }
+            )
+
+    return write
+
+
+def read_upsert_query_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Bounded-replay mixed stream for the maintained index: JSON lines
+    {kind: 'ingest'|'query', id, embedding} with a pinned schema."""
+    reader = spark.readStream.schema("kind string, id long, embedding array<double>")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(source_dir)
+
+
+def run_streaming_ann_maintain(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    k: int = TOP_K,
+    exclude_self: bool = False,
+    max_files_per_trigger: int | None = None,
+    metrics: list | None = None,
+    timeout_sec: int = 300,
+) -> bool:
+    """Drain a mixed ingest/query stream through the maintained-index
+    writer (batch-0 reset + checkpointing). Returns awaitTermination's
+    verdict; on timeout the query is stopped and drained first."""
+    import os
+
+    from .pipeline import write_with_first_batch_setup
+
+    index_dir = os.path.join(work_dir, "ann_index")
+    results_dir = os.path.join(work_dir, "results")
+    q = write_with_first_batch_setup(
+        read_upsert_query_stream(spark, source_dir, max_files_per_trigger),
+        checkpoint_dir=os.path.join(work_dir, "ckpt"),
+        sink_writer=streaming_ann_maintain_writer(
+            spark, index_dir, results_dir, k=k, exclude_self=exclude_self,
+            metrics=metrics,
+        ),
+        first_batch_setup=streaming_ann_maintain_reset(index_dir, results_dir),
+        output_mode="append",
+    )
+    done = q.awaitTermination(timeout_sec)
+    if not done:
+        q.stop()
+        q.awaitTermination()
+    return done
 
 
 def read_query_stream(
@@ -172,4 +325,11 @@ def run_streaming_ann(
         ),
         output_mode="append",
     )
-    return q.awaitTermination(timeout_sec)
+    done = q.awaitTermination(timeout_sec)
+    if not done:
+        # timeout: stop + drain before returning so callers can tear down
+        # the work dir without racing a still-running query (bench.py's
+        # pre-existing streaming path does the same)
+        q.stop()
+        q.awaitTermination()
+    return done

@@ -101,7 +101,7 @@ def streaming_dedup_writer(
     (batch_id, n_in, n_dropped_cross, n_dropped_within, n_kept)."""
     bands_dir, sigs_dir, surv_dir = _index_paths(index_dir)
 
-    def write(batch_df: DataFrame, batch_id: int) -> None:
+    def write(batch_df: DataFrame, batch_id: int) -> DataFrame:
         # one distributed signature build per batch; localCheckpoint so the
         # band explode, the two probes and the survivor anti-join all read
         # the materialized K-hash rows instead of re-shingling the text
@@ -133,21 +133,40 @@ def streaming_dedup_writer(
             F.col("doc_id").alias("c"), *[F.col(h).alias(f"b_{h}") for h in _SIG_COLS]
         )
         if _has_parquet(bands_dir):
+            # Epoch-replay safety: if this batch committed its batch=<id>
+            # index writes but died before the checkpoint commit, the replay
+            # re-enters here with its OWN stale rows already on disk under
+            # batch=<id>. Reading them back would make every sig-bearing doc
+            # a 1.0-Jaccard "cross" dup of itself and corrupt the survivor
+            # store. The batch=<id> layout surfaces `batch` as a partition
+            # column, so excluding the current epoch is a partition-pruned
+            # filter — the replay sees exactly the index state the first
+            # attempt saw.
             cand_right = cand_right.union(
-                spark.read.parquet(bands_dir).select(
+                spark.read.parquet(bands_dir)
+                .filter(F.col("batch") != F.lit(batch_id))
+                .select(
                     F.col("doc_id").alias("c"), "band_id", "band_key",
                     F.lit("cross").alias("why"),
                 )
             )
             sb = sb.union(
-                spark.read.parquet(sigs_dir).select(
+                spark.read.parquet(sigs_dir)
+                .filter(F.col("batch") != F.lit(batch_id))
+                .select(
                     F.col("doc_id").alias("c"),
                     *[F.col(h).alias(f"b_{h}") for h in _SIG_COLS],
                 )
             )
+        # c != n on cross pairs is belt-and-braces for the same replay
+        # hazard (doc_ids are globally unique across the stream, so a
+        # legitimate cross pair can never have c == n)
         cand = (
             left.join(cand_right, ["band_id", "band_key"])
-            .filter((F.col("why") == "cross") | (F.col("c") < F.col("n")))
+            .filter(
+                ((F.col("why") == "cross") & (F.col("c") != F.col("n")))
+                | (F.col("c") < F.col("n"))
+            )
             .select("n", "c", "why")
             .distinct()
         )
@@ -197,6 +216,10 @@ def streaming_dedup_writer(
                     "n_kept": n_in - n_dropped,
                 }
             )
+        # foreachBatch ignores the return value; composed topologies
+        # (corpus_stream) reuse the survivor frame without re-reading the
+        # just-written parquet (whose partition may be empty)
+        return survivors
 
     return write
 
@@ -237,4 +260,11 @@ def run_streaming_dedup(
         first_batch_setup=lambda _bdf: streaming_dedup_reset(index_dir),
         output_mode="append",
     )
-    return q.awaitTermination(timeout_sec)
+    done = q.awaitTermination(timeout_sec)
+    if not done:
+        # timeout verdict: stop and drain before returning so the caller can
+        # safely tear down source/checkpoint/store directories (a leaked
+        # running query would race the cleanup with background failures)
+        q.stop()
+        q.awaitTermination()
+    return done

@@ -137,6 +137,44 @@ def test_streaming_dedup_short_docs_never_indexed(spark, tmp_path):
     assert sig_ids == {2}
 
 
+def test_streaming_dedup_epoch_replay_is_idempotent(spark, tmp_path):
+    """Deterministic epoch-replay regression (round-10 ADVICE, high): the
+    failure window where a batch's three batch=<id> index writes all
+    committed but the stream died BEFORE the checkpoint commit. The replay
+    re-runs the same epoch with its own stale rows already on disk — if
+    the probe read them back, every sig-bearing doc would match itself at
+    est_jaccard 1.0 as a 'cross' dup, emptying the survivor epoch and the
+    index partition. The restart test above only kills in a narrow window
+    and cannot reliably reach this interleaving, so we drive the writer
+    directly."""
+    work = tmp_path / "work"
+    index_dir = f"{work}/dedup_store"
+    streaming_dedup_reset(index_dir)
+    results: list[dict] = []
+    write = streaming_dedup_writer(spark, index_dir, results=results)
+
+    b0 = spark.createDataFrame(
+        [(1, BASE + " alpha edition"), (2, _fill(2))], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(11, BASE + " beta edition"), (12, _fill(12)), (13, "tiny doc")],
+        "doc_id long, text string",
+    )
+    write(b0, 0)
+    write(b1, 1)
+    first = results[-1]
+    assert first == {
+        "batch_id": 1, "n_in": 3, "n_dropped_cross": 1,
+        "n_dropped_within": 0, "n_kept": 2,
+    }
+    # the replay: same epoch, same rows, stale batch=1 index state on disk
+    write(b1, 1)
+    assert results[-1] == first, f"replay diverged: {results[-1]} != {first}"
+    assert _survivor_ids(spark, work) == [1, 2, 12, 13]
+    sigs = spark.read.parquet(f"{index_dir}/sigs")
+    assert sorted(r[0] for r in sigs.select("doc_id").collect()) == [1, 2, 12]
+
+
 def test_streaming_dedup_restart_equals_uninterrupted(spark, tmp_path):
     """Failure injection: stop after the first committed batch, restart
     from the checkpoint, final store must equal the uninterrupted run."""
