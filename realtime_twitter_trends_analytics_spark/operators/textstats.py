@@ -899,28 +899,36 @@ LIMIT {BPE_TOP_MERGES}
 """
 
 
-BPE_INDUCT_ROUNDS = 5
+BPE_INDUCT_ROUNDS = 32
 
 
 def textstats_bpe_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-round BPE tokenizer induction (round 9, VERDICT r8 item 6 —
-    unrolls textstats_bpe_merges past one merge): BPE_INDUCT_ROUNDS
-    iterations of [count adjacent symbol pairs over the word-frequency
-    vocabulary -> take the most frequent pair -> merge it everywhere],
-    with the vocabulary's symbol sequences UPDATED between rounds — the
-    actual Sennrich et al. training loop, not just its first step.
-    Returns the learned merge table (merge_round, sym_a, sym_b, freq).
+    """Multi-round BPE tokenizer induction (round 9 item 6, extended to a
+    realistic merge count in round 10): BPE_INDUCT_ROUNDS iterations of
+    [count adjacent symbol pairs over the word-frequency vocabulary ->
+    take the most frequent pair -> merge it everywhere], with the
+    vocabulary's symbol sequences UPDATED between rounds — the actual
+    Sennrich et al. training loop, not just its first step. Returns the
+    learned merge table (merge_round, sym_a, sym_b, freq).
 
-    Scale shape: the corpus reduces once to the (word, count) type table
-    (hash agg on a uniform key); every round's pair count and merge then
-    run over the vocabulary — bounded by type count x word length, never
-    corpus tokens — exactly how production BPE trainers iterate. Each
-    round is: one pair-explode agg (shuffle on the pair key), a 1-row
-    top-1 (TakeOrderedAndProject), a broadcast of that single row, and a
-    map-side fold that rewrites each word's symbol array. The vocabulary
-    is re-materialized per round (localCheckpoint) because two plans
-    consume it (this round's pair count, next round's input) — the same
-    fan-out rule as the kmeans/kcenter loops.
+    Scale shape — SUB-LINEAR in rounds x vocab (round 10): the corpus
+    reduces once to the (word, count) type table (hash agg on a uniform
+    key) and the pair counts are built by ONE full vocabulary explode up
+    front; after that they are maintained INCREMENTALLY, exactly how
+    production BPE trainers iterate. The pair-count table is a
+    sufficient statistic of model scale — alphabet^2-bounded plus ~1 new
+    symbol per merge round (a few thousand rows) — so like the markov K^2
+    matrix it lives on the driver, and the per-round top-1 is a dict min,
+    not a Spark job. Each round's distributed work touches ONLY the
+    AFFECTED words (those containing the winning pair): their old pairs
+    enter the delta negatively, their folded pairs positively — an exact
+    integer update, bit-equal to a full recount (the DuckDB oracle IS the
+    full per-round recount, so the gate proves the equivalence). Per
+    round, TWO jobs over the checkpointed vocabulary: collect the
+    pair-count delta (affected-words-sized explode, not vocab-sized) and
+    rewrite the vocabulary with ONE conditional map-side projection
+    IF(has_pair, fold, syms) — constant partition count by construction
+    (see the in-loop comment on why not a union).
 
     The merge applies LEFT-TO-RIGHT NON-OVERLAPPING, BPE's exact pass
     semantics, via an array fold: append each symbol unless the
@@ -953,34 +961,73 @@ def textstats_bpe_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(syms) - 1), "
         "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
     )
-    merges = []  # (round, a, b, freq) — K driver rows, the model itself
-    for r in range(1, BPE_INDUCT_ROUNDS + 1):
-        # the winning pair is a 1-ROW sufficient statistic (the kcenter/
-        # kmeans discipline): collect it instead of checkpoint+broadcast —
-        # one TakeOrderedAndProject job per round instead of two jobs plus
-        # a crossJoin stage
-        top = (
+    # CASE guard, not AND: sequence(1, 0) is the DESCENDING [1, 0] in
+    # Spark, and ANSI element_at(syms, 0) would throw for 1-symbol words
+    has_pair = (
+        "CASE WHEN size(syms) >= 2 THEN exists(sequence(1, size(syms) - 1), "
+        "i -> element_at(syms, i) = a AND element_at(syms, i + 1) = b) "
+        "ELSE false END"
+    )
+    # ---- one full explode builds the initial pair counts; from here the
+    # table is driver model state, updated by affected-word deltas only
+    counts: dict[tuple[str, str], int] = {
+        (row["a"], row["b"]): int(row["freq"])
+        for row in (
             cur.filter(F.size("syms") >= 2)
             .select(F.explode(F.expr(pair_structs)).alias("p"), "wc")
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("wc").alias("freq"))
-            .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
-            .limit(1)
             .collect()
         )
-        if not top:
+    }
+    merges = []  # (round, a, b, freq) — K driver rows, the model itself
+    for r in range(1, BPE_INDUCT_ROUNDS + 1):
+        if not counts:
             break  # vocabulary fully merged (tiny corpora)
-        a_val, b_val, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
+        # top-1 = dict min on (-freq, a, b) — same tie-break as the
+        # oracle's ORDER BY freq DESC, a ASC, b ASC; zero Spark jobs
+        (a_val, b_val), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
         merges.append((r, a_val, b_val, freq))
         if r < BPE_INDUCT_ROUNDS:
             # inject the pair as typed literal COLUMNS (F.lit — no SQL
-            # string splicing, symbols may contain quotes); the fold is
-            # map-side, re-materialized per round because next round's
-            # pair count and fold both consume it
+            # string splicing, symbols may contain quotes)
+            tagged = cur.withColumn("a", F.lit(a_val)).withColumn("b", F.lit(b_val))
+            # exact pair-count delta: affected words' pairs out, their
+            # folded pairs in — affected-sized explode, never vocab-sized.
+            # The fold here is re-evaluated by the cur rewrite below, but
+            # only over the (small) affected set; the alternative — a
+            # materialized folded relation unioned back in — DOUBLES the
+            # partition count every round (2^r growth: both union sides
+            # inherit cur's partitioning), which is a task-count explosion
+            # by round ~15. One conditional projection keeps partitioning
+            # constant across all rounds.
+            aff = tagged.filter(F.expr(has_pair))
+            delta = (
+                aff.select("syms", (-F.col("wc")).alias("d"))
+                .union(
+                    aff.select(F.expr(fold).alias("syms"), "wc")
+                    .filter(F.size("syms") >= 2)
+                    .select("syms", F.col("wc").alias("d"))
+                )
+                .select(F.explode(F.expr(pair_structs)).alias("p"), "d")
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("d").alias("d"))
+                .filter(F.col("d") != 0)
+                .collect()
+            )
+            for row in delta:
+                k = (row["a"], row["b"])
+                nv = counts.get(k, 0) + int(row["d"])
+                if nv > 0:
+                    counts[k] = nv
+                else:
+                    counts.pop(k, None)
             cur = (
-                cur.withColumn("a", F.lit(a_val))
-                .withColumn("b", F.lit(b_val))
-                .select(F.expr(fold).alias("syms"), "wc")
+                tagged.select(
+                    F.expr(f"IF({has_pair}, {fold}, syms)").alias("syms"), "wc"
+                )
                 .localCheckpoint()
             )
     return spark.createDataFrame(
@@ -1068,8 +1115,13 @@ def textstats_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals — quotes doubled for both engines, backslashes escaped for
     Spark's C-style literal parser), then instance counts weight the agg.
     The oracle recomputes the merges in its own chained CTEs (the
-    induction parity already gate-proven) and cross-joins the five 1-row
-    best tables into the same nested fold."""
+    induction parity already gate-proven) and LEFT-JOINs the
+    BPE_INDUCT_ROUNDS 1-row best tables into the same nested fold — LEFT
+    JOIN ON TRUE, not a cross join, so a corpus that exhausts merges in
+    fewer rounds leaves the trailing best{r} empty and their folds become
+    no-ops (acc[-1] = NULL is never true), exactly matching the Spark
+    side, which applies only the merges actually learned (round-10
+    ADVICE: a cross join would empty the whole relation instead)."""
     merges = _bpe_merges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
@@ -1135,7 +1187,11 @@ def _oracle_bpe_apply() -> str:
             f"THEN list_concat(acc[1:len(acc)-1], [{a} || {b}]) "
             f"ELSE list_concat(acc, x) END)"
         )
-    crosses = ", ".join(f"best{r} AS b{r}" for r in range(1, BPE_INDUCT_ROUNDS + 1))
+    # LEFT JOIN ON TRUE (see textstats_bpe_apply docstring): an empty
+    # best{r} must be a no-op fold (NULL a/b), not an empty result
+    joins = " ".join(
+        f"LEFT JOIN best{r} b{r} ON TRUE" for r in range(1, BPE_INDUCT_ROUNDS + 1)
+    )
     spw = dl.round_ratio(d, "n_symbols", "n_words")
     cps = dl.round_ratio(d, "n_chars", "n_symbols")
     return f"""WITH {ctes},
@@ -1145,7 +1201,7 @@ svocab AS (
   ) GROUP BY 1, 2
 ), applied AS (
   SELECT source, wc, length(word) AS chars, len({expr}) AS n_sym
-  FROM svocab, {crosses}
+  FROM svocab {joins}
 ), agged AS (
   SELECT source, CAST(sum(wc) AS BIGINT) AS n_words,
     CAST(sum(chars * wc) AS BIGINT) AS n_chars,

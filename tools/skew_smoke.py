@@ -5,7 +5,7 @@ through round 8 SCALE_SMOKE had no HOT-KEY fixture — the disjoint-shard
 scale-ups deliberately add shards, not hot keys, so nothing measured that
 the salt actually flattens a straggler. This tool plants one:
 
-Fixture: N rows (default 5M, ~x10 of the bench token volume) with a
+Fixture: N rows (default 40M, ~x80 of the bench token volume) with a
 power-law key column — ONE key carries 35% of all rows, the rest spread
 uniformly over 9,999 cold keys — and a per-row-unique value column.
 Deterministic (id-derived, no rand()), written once to parquet.
@@ -40,7 +40,7 @@ on the unsalted run and max ~ p50 on the salted one — and asserts the
 salted results EQUAL the unsalted ones (salting must be invisible in
 results, the same invariant tests/test_skew_blocking.py pins at sf0.01).
 
-Usage: python tools/skew_smoke.py [--rows 5000000] [--append SCALE_SMOKE.md]
+Usage: python tools/skew_smoke.py [--rows 40000000] [--append SCALE_SMOKE.md]
 """
 
 from __future__ import annotations
