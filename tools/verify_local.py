@@ -5,6 +5,17 @@ Runs every __spark_entry__.queries() entry and its oracle_sql() counterpart
 order-insensitive values. Usage:
 
     python tools/verify_local.py [--sf /root/testdata/sf0.001] [--only name ...]
+
+Timing (round 10, VERDICT r9 item 1): the recorded spark_sec is the MIN of
+--times runs (default 2) after one session warm-up scan. The r9 artifact
+ran every query single-shot in sorted name order, so the alphabetically
+first agg_* family absorbed the JVM/codegen/parquet-footer cold start
+(agg_approx_distinct read 7.8 s in the gate vs 1.8 s warm) and every
+flagged list needed manual cold-start adjudication. Run 1 feeds the
+correctness comparison AND serves as the per-query warm-up; run 2 is the
+recorded wall — same min-of-N policy as bench.py. DuckDB stays single-shot:
+it is in-process (no JVM/codegen ramp) and reads parquet the Spark run just
+pulled through the OS page cache.
 """
 
 from __future__ import annotations
@@ -73,6 +84,14 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument(
+        "--times",
+        type=int,
+        default=2,
+        help="spark timing runs per query; recorded spark_sec = min over runs "
+        "(run 1 also feeds the correctness compare). 1 restores the r9 "
+        "single-shot behavior for quick correctness-only passes.",
+    )
+    ap.add_argument(
         "--json",
         default=None,
         help="write per-query {spark_sec, duck_sec, ratio, status} to this path "
@@ -89,6 +108,14 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
+
+    # session warm-up (see module docstring): absorb JVM JIT + codegen +
+    # parquet-footer reads with plain scans so the alphabetically-first
+    # queries don't carry the cold start into the wall-ratio artifact
+    from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
+
+    for t in ("documents", "embeddings", "lineitem"):
+        load_table(spark, args.sf, t).write.format("noop").mode("overwrite").save()
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -110,6 +137,15 @@ def main() -> int:
             n_fail += 1
             continue
         spark_sec = time.time() - t0
+        # min-of-N warm timing (module docstring): run 1 above produced the
+        # pandas frame for the compare and warmed the plan; later runs only
+        # re-execute and re-collect (clearCache keeps the per-query cache
+        # contract; memoized staging stays warm, same basis as bench.py)
+        for _ in range(max(args.times, 1) - 1):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            queries[name](spark, args.sf).toPandas()
+            spark_sec = min(spark_sec, time.time() - t0)
         if name not in oracles:
             print(f"rows {name}: {len(spark_pdf)} rows (rows-only, {spark_sec:.1f}s)")
             wall[name] = {"status": "rows_only", "spark_sec": round(spark_sec, 3)}
