@@ -134,6 +134,10 @@ def all_bench_only() -> dict[str, QueryFn]:
         # tests/test_rrf_composition.py; the oracle-gated fusion keeps the
         # brute-force dense baseline)
         "retrieval_rrf_fusion_ann": similarity.retrieval_rrf_fusion_ann,
+        # r10: the JVM window form of the applyInPandas grouped-map surface
+        # demo (equality pinned in tests/test_prod_twins.py) — prices the
+        # Arrow boundary + per-group pandas overhead explicitly
+        "grouped_zscore_prod": grouped_pandas.grouped_zscore_prod,
     }
 
 
