@@ -284,6 +284,10 @@ HEADLINE = [
     "customers_rfm_segments_prod",
     "layout_range_splits_prod",
     "retrieval_rrf_fusion_ann",
+    # round-10: JVM window twin of the applyInPandas grouped-map surface
+    # demo (the one remaining >2x-vs-oracle plan in r9) — bench-only,
+    # equality pinned in tests/test_prod_twins.py
+    "grouped_zscore_prod",
 ]
 
 
@@ -496,6 +500,196 @@ def streaming_dedup_throughput(spark) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+CORPUS_STREAM_ROWS = 16_000
+CORPUS_STREAM_FILES = 8
+_B26 = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _tok26(n: int) -> str:
+    # 5-letter base-26 token (letters only): unique per n, and a uniform
+    # 5-char token length keeps every doc inside the quality gate's
+    # 3..6 avg-token-length band
+    s = ""
+    for _ in range(5):
+        s = _B26[n % 26] + s
+        n //= 26
+    return s
+
+
+def streaming_corpus_throughput(spark) -> dict:
+    """End-to-end streaming corpus pipeline throughput (round 10): gate ->
+    near-dup dedup -> accounting in one topology (corpus_stream.py). The
+    fixture plants 10% one-token-changed near-dups of pristine docs one
+    file earlier (the dedup-bench chain discipline: a dup of a dup would
+    be uncatchable) and 10% too-short docs so the GATE also drops real
+    rows every batch. rows/s = documents ingested / wall."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from realtime_twitter_trends_analytics_spark.streaming.corpus_stream import (
+        run_streaming_corpus_pipeline,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_scorpus_")
+    src = f"{work}/src"
+    os.makedirs(src)
+    per_file = CORPUS_STREAM_ROWS // CORPUS_STREAM_FILES
+
+    def text_of(i: int) -> str:
+        # 20 unique 5-letter tokens per doc, disjoint across docs
+        return " ".join(_tok26(i * 20 + j) for j in range(20))
+
+    langs = ("en", "fr", "de")
+    sources = ("s0", "s1")
+    for f_idx in range(CORPUS_STREAM_FILES):
+        with open(f"{src}/b{f_idx}.json", "w") as fh:
+            for i in range(per_file):
+                doc_id = f_idx * per_file + i
+                if doc_id % 10 == 8:
+                    text = "tiny doc"  # gated out (too_short)
+                elif doc_id % 10 == 9 and doc_id >= per_file:
+                    base = doc_id - per_file + 1  # pristine (base%10==0)
+                    text = text_of(base).replace(_tok26(base * 20 + 10), "zzzzz")
+                else:
+                    text = text_of(doc_id)
+                fh.write(
+                    _json.dumps(
+                        {
+                            "doc_id": doc_id,
+                            "text": text,
+                            "lang": langs[doc_id % 3],
+                            "source": sources[doc_id % 2],
+                        }
+                    )
+                    + "\n"
+                )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # per-batch joins are batch-sized — same sizing rule as the
+        # dedup stream path
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        results: list[dict] = []
+        t0 = time.time()
+        finished = run_streaming_corpus_pipeline(
+            spark,
+            src,
+            work,
+            max_files_per_trigger=CORPUS_STREAM_FILES // 4,
+            results=results,
+            timeout_sec=600,
+        )
+        dt = time.time() - t0
+        if not finished:
+            return {
+                "input_rows": CORPUS_STREAM_ROWS,
+                "elapsed_sec": None,
+                "rows_per_sec": None,
+                "timeout": True,
+            }
+        n_gated = sum(r.get("n_gated_out", 0) for r in results)
+        n_dropped = sum(r["n_dropped_cross"] + r["n_dropped_within"] for r in results)
+        return {
+            "input_rows": CORPUS_STREAM_ROWS,
+            "elapsed_sec": round(dt, 3),
+            "rows_per_sec": round(CORPUS_STREAM_ROWS / dt, 1),
+            "n_gated_out": n_gated,
+            "n_near_dups_dropped": n_dropped,
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+ANN_STREAM_FILES = 8
+ANN_INGEST_PER_FILE = 750
+ANN_QUERY_PER_FILE = 250
+ANN_STREAM_ROWS = ANN_STREAM_FILES * (ANN_INGEST_PER_FILE + ANN_QUERY_PER_FILE)
+
+
+def streaming_ann_maintain_throughput(spark) -> dict:
+    """Maintained-ANN-index topology throughput (round 10): per micro-batch,
+    ingest vectors append their (t, bucket, cand_id, cv) rows to the index
+    and query vectors probe the FULL index grown so far
+    (ann_stream.streaming_ann_maintain_writer). Every query copies a vector
+    ingested ~one file earlier, so serves hit real, growing bucket
+    populations and return a guaranteed 1.0-cosine top hit.
+    rows/s = (ingest + query) rows / wall."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from realtime_twitter_trends_analytics_spark.streaming.ann_stream import (
+        run_streaming_ann_maintain,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_sann_")
+    src = f"{work}/src"
+    os.makedirs(src)
+
+    def vec_of(i: int) -> list:
+        # deterministic, spread across buckets (64-dim, [-0.5, 0.5))
+        return [
+            ((i * 131 + d * 17 + (i * d) % 7) % 1000) / 1000.0 - 0.5
+            for d in range(64)
+        ]
+
+    for f_idx in range(ANN_STREAM_FILES):
+        with open(f"{src}/b{f_idx}.json", "w") as fh:
+            for i in range(ANN_INGEST_PER_FILE):
+                vid = f_idx * ANN_INGEST_PER_FILE + i
+                fh.write(
+                    _json.dumps(
+                        {"kind": "ingest", "id": vid, "embedding": vec_of(vid)}
+                    )
+                    + "\n"
+                )
+            for i in range(ANN_QUERY_PER_FILE):
+                # query an earlier-file ingest (file 0 queries its own batch)
+                target = max(0, f_idx - 1) * ANN_INGEST_PER_FILE + i
+                fh.write(
+                    _json.dumps(
+                        {
+                            "kind": "query",
+                            "id": 10_000_000 + f_idx * ANN_QUERY_PER_FILE + i,
+                            "embedding": vec_of(target),
+                        }
+                    )
+                    + "\n"
+                )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        metrics: list[dict] = []
+        t0 = time.time()
+        finished = run_streaming_ann_maintain(
+            spark,
+            src,
+            work,
+            max_files_per_trigger=ANN_STREAM_FILES // 4,
+            metrics=metrics,
+            timeout_sec=600,
+        )
+        dt = time.time() - t0
+        if not finished:
+            return {
+                "input_rows": ANN_STREAM_ROWS,
+                "elapsed_sec": None,
+                "rows_per_sec": None,
+                "timeout": True,
+            }
+        return {
+            "input_rows": ANN_STREAM_ROWS,
+            "elapsed_sec": round(dt, 3),
+            "rows_per_sec": round(ANN_STREAM_ROWS / dt, 1),
+            "n_ingested": sum(m["n_ingest"] for m in metrics),
+            "n_served": sum(m["n_queries"] for m in metrics),
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -621,13 +815,24 @@ def main() -> None:
         stream_joined = _best_of_two(sql_sentiment=True, joined=True)
 
     if "stream" in skip:
-        stream_dedup = None
+        stream_dedup = stream_corpus = stream_ann = None
     else:
         # streaming near-dup ingest (round 9): warm-up + best-of-two, same
         # policy as the other paths
         streaming_dedup_throughput(spark)
         a, b = streaming_dedup_throughput(spark), streaming_dedup_throughput(spark)
         stream_dedup = a if (a["rows_per_sec"] or 0) >= (b["rows_per_sec"] or 0) else b
+        # round 10: end-to-end corpus pipeline + maintained ANN index —
+        # same warm-up + best-of-two policy
+        streaming_corpus_throughput(spark)
+        a, b = streaming_corpus_throughput(spark), streaming_corpus_throughput(spark)
+        stream_corpus = a if (a["rows_per_sec"] or 0) >= (b["rows_per_sec"] or 0) else b
+        streaming_ann_maintain_throughput(spark)
+        a, b = (
+            streaming_ann_maintain_throughput(spark),
+            streaming_ann_maintain_throughput(spark),
+        )
+        stream_ann = a if (a["rows_per_sec"] or 0) >= (b["rows_per_sec"] or 0) else b
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -644,6 +849,8 @@ def main() -> None:
         "streaming_pipeline_sql_sentiment": stream_sql,
         "streaming_pipeline_joined": stream_joined,
         "streaming_dedup": stream_dedup,
+        "streaming_corpus_pipeline": stream_corpus,
+        "streaming_ann_maintain": stream_ann,
     }
     # The driver captures only a fixed-size TAIL of stdout and json-parses
     # the last line. Round 3's single full-payload line outgrew that buffer
@@ -668,6 +875,10 @@ def main() -> None:
         "streaming_pipeline_sql_sentiment": stream_sql,
         "streaming_pipeline_joined": stream_joined,
         "streaming_dedup": stream_dedup,
+        # round-10 paths: rows/s only in the compact line (full dicts ride
+        # in bench_full.json / line 1) — the 1500-byte tail cap is real
+        "streaming_corpus_rps": (stream_corpus or {}).get("rows_per_sec"),
+        "streaming_ann_maintain_rps": (stream_ann or {}).get("rows_per_sec"),
         # slowest 10 only — the full 66-entry map is what overflowed the
         # driver tail in r3; complete map: line 1 above / bench_full.json
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
