@@ -38,8 +38,9 @@ from ..operators.similarity import (
     ANN_LSH_TABLES,
     LSH_PROBE_MASKS,
     TOP_K,
-    cosine_sql,
+    dot_sql,
     lsh_bucket_sql,
+    norm_sql,
 )
 from ..sources.loaders import load_table
 
@@ -74,27 +75,57 @@ def _serve_topk(
     idx: DataFrame, queries: DataFrame, k: int, exclude_self: bool
 ) -> DataFrame:
     """The serve plan shared by the write-once and maintained-index faces:
-    explode each query to its TABLES x PROBES Hamming<=1 bucket probes,
+    explode each query to its TABLES x PROBES Hamming<=2 bucket probes,
     broadcast the probe rows, equi-join the index, cosine, collapse
-    multi-table duplicates with max(), rank top-k per query."""
-    probes = queries.select(
+    multi-table duplicates with max(), rank top-k per query.
+
+    The probe fan-out is TWO chained explodes — base bucket per table
+    first (TABLES copies of the 6-plane projection expression), then the
+    XOR masks (pure integer ops) — NOT one TABLES x MASKS array: inlining
+    the bucket expression 88 times made Catalyst analysis + codegen the
+    dominant PER-MICRO-BATCH cost (measured round 10: the maintained-index
+    topology served at ~120 rows/s with the fused form vs ~190 after
+    the split; a batch job pays that compile once, a stream pays it every
+    trigger).
+
+    Norms are PRE-COMPUTED per side before the candidate join — the
+    sim_topk_bruteforce discipline: per matched pair the work is ONE dot
+    product, not dot + two norms (3x the array arithmetic on the
+    dominant O(pairs x d) term). Same doubles, same expression order, so
+    the scores are bit-equal to cosine_sql's."""
+    base = queries.select(
         F.col("query_id"),
         F.col("embedding").alias("qv"),
+        F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t))
-                        .bitwiseXOR(F.lit(m))
-                        .alias("bucket"),
+                        F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t)).alias("b0"),
                     )
                     for t in range(ANN_LSH_TABLES)
-                    for m in LSH_PROBE_MASKS
                 ]
             )
         ).alias("p"),
-    ).select("query_id", "qv", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
+    ).select(
+        "query_id", "qv", "qnorm", F.col("p.t").alias("t"), F.col("p.b0").alias("b0")
+    )
+    probes = base.select(
+        "query_id",
+        "qv",
+        "qnorm",
+        "t",
+        "b0",
+        F.explode(F.array(*[F.lit(m) for m in LSH_PROBE_MASKS])).alias("m"),
+    ).select(
+        "query_id",
+        "qv",
+        "qnorm",
+        "t",
+        F.col("b0").bitwiseXOR(F.col("m")).alias("bucket"),
+    )
+    idx = idx.withColumn("cnorm", F.expr(norm_sql(dl.SPARK, "cv")))
     joined = F.broadcast(probes).join(idx, ["t", "bucket"])
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("cand_id"))
@@ -102,7 +133,11 @@ def _serve_topk(
         joined.select(
             "query_id",
             "cand_id",
-            F.expr(cosine_sql(dl.SPARK, "qv", "cv")).alias("cosine"),
+            # identical multiplication order to cosine_sql(qv, cv)
+            (
+                F.expr(dot_sql(dl.SPARK, "qv", "cv"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cosine"),
         )
         .groupBy("query_id", "cand_id")
         .agg(F.max("cosine").alias("cosine"))

@@ -32,7 +32,12 @@ sys.path.insert(0, "/root/repo")
 
 import pytest
 
-from bench import streaming_dedup_throughput, streaming_throughput  # noqa: E402
+from bench import (  # noqa: E402
+    streaming_ann_maintain_throughput,
+    streaming_corpus_throughput,
+    streaming_dedup_throughput,
+    streaming_throughput,
+)
 
 FLOORS = {
     "arrow": 40_000,
@@ -65,6 +70,46 @@ def test_streaming_dedup_throughput_floor(spark):
     )
     assert best >= DEDUP_FLOOR, (
         f"streaming dedup: best-of-three {best:.0f} rows/s < floor {DEDUP_FLOOR}"
+    )
+
+
+# End-to-end corpus pipeline (round 10): gate + near-dup dedup + accounting
+# in one topology — the accounting/gate stages add ~8% over the bare dedup
+# stream on the same volume. Recorded band on this box (2026-08-15, quiet):
+# 1251-1345 rows/s over 3 warm runs. Floor 900 = 0.72x the slowest.
+CORPUS_FLOOR = 900
+
+
+def test_streaming_corpus_throughput_floor(spark):
+    streaming_corpus_throughput(spark)  # warm-up
+    best = max(
+        streaming_corpus_throughput(spark)["rows_per_sec"] or 0 for _ in range(3)
+    )
+    assert best >= CORPUS_FLOOR, (
+        f"streaming corpus: best-of-three {best:.0f} rows/s < floor {CORPUS_FLOOR}"
+    )
+
+
+# Maintained ANN index (round 10): ingest+serve rows through one topology.
+# Every batch serves 250 queries x ~2k candidate pairs against the grown
+# index (the uniform-vector fixture is near the worst case for bucket
+# occupancy). Recorded band on this box (2026-08-15, quiet): 370-396
+# rows/s over 3 warm runs AFTER the probe-split + pre-normed-dot fixes
+# (121 before — the fused probe array paid Catalyst codegen per trigger,
+# and cosine_sql paid dot + 2 norms per pair). Floor 280 = 0.76x the
+# slowest recorded steady state.
+ANN_MAINTAIN_FLOOR = 280
+
+
+def test_streaming_ann_maintain_throughput_floor(spark):
+    streaming_ann_maintain_throughput(spark)  # warm-up
+    best = max(
+        streaming_ann_maintain_throughput(spark)["rows_per_sec"] or 0
+        for _ in range(3)
+    )
+    assert best >= ANN_MAINTAIN_FLOOR, (
+        f"streaming ann maintain: best-of-three {best:.0f} rows/s "
+        f"< floor {ANN_MAINTAIN_FLOOR}"
     )
 
 
