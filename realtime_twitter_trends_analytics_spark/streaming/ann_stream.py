@@ -217,9 +217,12 @@ def streaming_ann_maintain_writer(
     not a drop decision). Per-batch cost is O(batch + matched buckets):
     the ingest write never reads the index, and the serve side broadcasts
     only the micro-batch's probe rows."""
+    import time as _time
+
     from .dedup_stream import _has_parquet
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = _time.time()
         ing = batch_df.filter(F.col("kind") == "ingest").select(
             F.col("id").alias("cand_id"), F.col("embedding")
         )
@@ -266,6 +269,7 @@ def streaming_ann_maintain_writer(
                     "batch_id": batch_id,
                     "n_ingest": n_ing,
                     "n_queries": batch_df.count() - n_ing,
+                    "batch_sec": round(_time.time() - t0, 3),
                 }
             )
 

@@ -74,10 +74,10 @@ def test_maintain_found_later_and_empty_first_batch(spark, tmp_path):
         spark, str(src), str(tmp_path / "work"), max_files_per_trigger=1,
         metrics=metrics,
     )
-    by_batch = {m["batch_id"]: m for m in metrics}
-    assert by_batch[0] == {"batch_id": 0, "n_ingest": 0, "n_queries": 1}
-    assert by_batch[1] == {"batch_id": 1, "n_ingest": 2, "n_queries": 0}
-    assert by_batch[2] == {"batch_id": 2, "n_ingest": 0, "n_queries": 1}
+    by_batch = {
+        m["batch_id"]: (m["n_ingest"], m["n_queries"]) for m in metrics
+    }
+    assert by_batch == {0: (0, 1), 1: (2, 0), 2: (0, 1)}
 
     res = spark.read.parquet(f"{tmp_path}/work/results")
     # pre-ingest query: served against the empty index -> no rows
