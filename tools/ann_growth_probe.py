@@ -39,7 +39,7 @@ from realtime_twitter_trends_analytics_spark.streaming.ann_stream import (  # no
     run_streaming_ann_maintain,
 )
 
-INGEST_PER_FILE = 750
+INGEST_PER_FILE = 750  # override with --ingest-per-file
 QUERY_PER_FILE = 250
 
 
@@ -49,18 +49,18 @@ def vec_of(i: int) -> list:
     ]
 
 
-def build_source(src: str, files: int) -> None:
+def build_source(src: str, files: int, ingest_per_file: int) -> None:
     os.makedirs(src)
     for f_idx in range(files):
         with open(f"{src}/b{f_idx:03d}.json", "w") as fh:
-            for i in range(INGEST_PER_FILE):
-                vid = f_idx * INGEST_PER_FILE + i
+            for i in range(ingest_per_file):
+                vid = f_idx * ingest_per_file + i
                 fh.write(
                     json.dumps({"kind": "ingest", "id": vid, "embedding": vec_of(vid)})
                     + "\n"
                 )
             for i in range(QUERY_PER_FILE):
-                target = max(0, f_idx - 1) * INGEST_PER_FILE + i
+                target = max(0, f_idx - 1) * ingest_per_file + i
                 fh.write(
                     json.dumps(
                         {
@@ -76,6 +76,7 @@ def build_source(src: str, files: int) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=12)
+    ap.add_argument("--ingest-per-file", type=int, default=INGEST_PER_FILE)
     ap.add_argument("--append", default=None)
     args = ap.parse_args()
 
@@ -84,7 +85,7 @@ def main() -> int:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     work = tempfile.mkdtemp(prefix="ann_growth_")
     try:
-        build_source(f"{work}/src", args.files)
+        build_source(f"{work}/src", args.files, args.ingest_per_file)
         metrics: list[dict] = []
         ok = run_streaming_ann_maintain(
             spark,
@@ -97,12 +98,17 @@ def main() -> int:
         if not ok:
             print("TIMEOUT — no numbers recorded")
             return 1
-        lines = ["", "### Maintained-ANN serve cost vs index growth (round 10)", ""]
+        lines = [
+            "",
+            f"### Maintained-ANN serve cost vs index growth "
+            f"(round 10, {args.ingest_per_file} ingests/batch)",
+            "",
+        ]
         lines.append("| batch | index rows before serve | queries | batch_sec |")
         lines.append("|---|---|---|---|")
         xs, ys = [], []
         for m in sorted(metrics, key=lambda m: m["batch_id"]):
-            idx_rows = (m["batch_id"] + 1) * INGEST_PER_FILE  # incl. own batch
+            idx_rows = (m["batch_id"] + 1) * args.ingest_per_file  # incl. own batch
             lines.append(
                 f"| {m['batch_id']} | {idx_rows} | {m['n_queries']} | {m['batch_sec']} |"
             )
@@ -116,13 +122,19 @@ def main() -> int:
         )
         lines.append("")
         lines.append(
-            f"Fitted slope {slope * 1000:.3f} s per 1k ingested vectors "
+            f"Fitted slope {slope * 1000:+.3f} s per 1k ingested vectors "
             f"(batches 1..{args.files - 1}; batch 0 excluded — it pays "
-            "checkpoint + codegen setup). Linear growth is EXPECTED at fixed "
-            "LSH_BITS: per-table bucket occupancy = corpus/64, so candidates "
-            "per query grow with the corpus. Production levers at scale: more "
-            "bits per code, more tables with fewer probes, or the IVF path "
-            "whose nprobe caps candidates per query (see module docstring)."
+            "checkpoint + codegen setup). Interpretation: candidates per "
+            "query grow linearly with the corpus at fixed LSH_BITS (bucket "
+            "occupancy = corpus/64 per table), so the ARITHMETIC term is "
+            "linear in index size — but per-trigger fixed cost (scheduling, "
+            "plan analysis, state commits) dominates until occupancy is "
+            "large, so a ~zero/negative slope at small volume means the "
+            "fixed term is masking the linear one (JIT still warming), not "
+            "that serve is free. Production levers when the linear term "
+            "surfaces: more bits per code, more tables with fewer probes, "
+            "or the IVF path whose nprobe caps candidates per query (see "
+            "module docstring)."
         )
         report = "\n".join(lines) + "\n"
         print(report)
