@@ -288,6 +288,9 @@ HEADLINE = [
     # demo (the one remaining >2x-vs-oracle plan in r9) — bench-only,
     # equality pinned in tests/test_prod_twins.py
     "grouped_zscore_prod",
+    # round-10: batch twin of the streaming corpus topology — gate ->
+    # near-dup dedup -> accounting (oracle-gated)
+    "corpus_pipeline_neardup",
 ]
 
 

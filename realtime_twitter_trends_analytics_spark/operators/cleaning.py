@@ -278,6 +278,93 @@ FROM survivors GROUP BY 1, 2
 """
 
 
+def corpus_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the ROUND-10 STREAMING corpus topology
+    (streaming/corpus_stream.py): quality gate -> banded-MinHash NEAR-dup
+    dedup -> per-(lang, source) accounting, as one oracle-gated plan.
+    corpus_pipeline_flagship keeps its exact-hash dedup stage; this is the
+    near-dup generalization a real ingest runs, with the greedy
+    smaller-id keeper rule the streaming face applies (a doc is dropped
+    iff it has a verified match with a smaller doc_id — NOT connected
+    components; that canonicalization is dedup_clusters' contract).
+
+    Plan shape: codegen'd verdict filter (no shuffle) -> the
+    dedup_minhash_pairs template over the KEPT slice (one banded
+    self-join shuffling 3-column band rows, signatures re-joined for
+    surviving candidates only) -> left_anti on the dropped ids -> one agg
+    shuffle on (lang, source). The signature relation is localCheckpointed
+    because three plan branches consume it (banded, sa, sb) — the
+    union-fan-out rule."""
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        MINHASH_K,
+        banded_rel,
+        minhash_signatures_for,
+        signature_match_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.expr(_verdict_sql(dl.SPARK)) == "kept")
+    sig = minhash_signatures_for(kept.select("doc_id", "text")).localCheckpoint()
+    banded = banded_rel(sig)
+    cand = (
+        banded.select(F.col("doc_id").alias("a"), "band_id", "band_key")
+        .join(
+            banded.select(F.col("doc_id").alias("b"), "band_id", "band_key"),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    hash_cols = [f"h{k}" for k in range(MINHASH_K)]
+    sa = sig.select(
+        F.col("doc_id").alias("a"), *[F.col(h).alias(f"a_{h}") for h in hash_cols]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b"), *[F.col(h).alias(f"b_{h}") for h in hash_cols]
+    )
+    est = F.round(signature_match_count("a", "b") / F.lit(MINHASH_K), 4)
+    dropped = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = kept.join(dropped, "doc_id", "left_anti")
+    n_tok = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
+    return (
+        survivors.select("lang", "source", n_tok.alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def _oracle_corpus_neardup() -> str:
+    from .dedup import _oracle_pairs_ctes
+
+    v = _verdict_sql(dl.DUCK)
+    n = f"len({dl.split_ws(dl.DUCK, 'text')})"
+    return f"""
+WITH kept AS (
+  SELECT * FROM documents WHERE {v} = 'kept'
+), {_oracle_pairs_ctes("kept")},
+dropped AS (
+  SELECT DISTINCT b AS doc_id FROM dup_pairs
+), survivors AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+SELECT lang, source, count(*) AS n_docs,
+  CAST(sum({n}) AS BIGINT) AS n_tokens
+FROM survivors GROUP BY lang, source
+"""
+
+
 # Unicode-lite normalization: ONE translate map shared verbatim by both
 # engines (not DuckDB strip_accents vs a Spark reimplementation — identical
 # construction, so parity is by shared text, not by hoping two folding
@@ -848,6 +935,7 @@ QUERIES = {
     "docs_token_budget_select": docs_token_budget_select,
     "docs_dsir_weights": docs_dsir_weights,
     "corpus_pipeline_v3": corpus_pipeline_v3,
+    "corpus_pipeline_neardup": corpus_pipeline_neardup,
 }
 
 ORACLES = {
@@ -861,4 +949,5 @@ ORACLES = {
     "docs_token_budget_select": _oracle_token_budget(),
     "docs_dsir_weights": _oracle_dsir(),
     "corpus_pipeline_v3": _oracle_corpus_v3(),
+    "corpus_pipeline_neardup": _oracle_corpus_neardup(),
 }

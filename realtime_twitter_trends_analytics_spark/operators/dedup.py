@@ -173,10 +173,12 @@ def capped_shingle_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _oracle_shingle_ctes() -> str:
-    """The matching DuckDB CTE pair (tokd -> sh)."""
+def _oracle_shingle_ctes(src: str = "documents") -> str:
+    """The matching DuckDB CTE pair (tokd -> sh). ``src`` lets composed
+    oracles (corpus_pipeline_neardup) shingle a filtered relation instead
+    of the whole table."""
     return f"""tokd AS (
-  SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM documents
+  SELECT doc_id, {dl.split_ws(dl.DUCK, 'text')} AS toks FROM {src}
 ), sh AS (
   SELECT DISTINCT doc_id, unnest({shingles_sql(dl.DUCK, 'toks')}) AS sh FROM tokd
 )"""
@@ -404,9 +406,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _oracle_pairs_ctes() -> str:
+def _oracle_pairs_ctes(src: str = "documents") -> str:
     """CTE chain ending in ``dup_pairs(a, b)`` — the thresholded MinHash
-    near-dup pairs, shared by the pairs oracle and the clusters oracle."""
+    near-dup pairs, shared by the pairs oracle, the clusters oracle, and
+    (with src='kept') the composed corpus_pipeline_neardup oracle."""
     hash_cols = [f"h{k}" for k in range(MINHASH_K)]
     band_selects = []
     for b in range(BANDS):
@@ -419,7 +422,7 @@ def _oracle_pairs_ctes() -> str:
     match_expr = " + ".join(
         f"(CASE WHEN sa.{h} = sb.{h} THEN 1 ELSE 0 END)" for h in hash_cols
     )
-    return f"""{_oracle_shingle_ctes()}, {_oracle_sig_ctes()}, banded AS ({bands}),
+    return f"""{_oracle_shingle_ctes(src)}, {_oracle_sig_ctes()}, banded AS ({bands}),
 cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
   FROM banded l JOIN banded r
