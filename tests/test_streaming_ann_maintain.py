@@ -184,3 +184,46 @@ def test_maintain_restart_equals_uninterrupted(spark, tmp_path):
     # no double-applied index rows
     idx = spark.read.parquet(index_dir)
     assert idx.count() == idx.select("t", "bucket", "cand_id").distinct().count()
+
+
+def test_maintain_epoch_replay_is_idempotent(spark, tmp_path):
+    """Deterministic epoch-replay check (the dedup stream's double-invoke
+    discipline): re-running an epoch whose index/results writes already
+    committed must leave index and served results byte-identical. Unlike
+    the dedup stream there is no self-match hazard here — serving is a
+    read, not a drop decision — so including the current epoch in the
+    index read is correct; this test pins that the overwrite-by-batch-id
+    epochs actually make the replay a no-op."""
+    work = tmp_path / "work"
+    index_dir = f"{work}/ann_index"
+    results_dir = f"{work}/results"
+    metrics: list[dict] = []
+    write = streaming_ann_maintain_writer(
+        spark, index_dir, results_dir, metrics=metrics
+    )
+    by_id = _collect_emb(spark, [42, 43])
+    schema = "kind string, id long, embedding array<double>"
+    b0 = spark.createDataFrame([("ingest", 42, by_id[42])], schema)
+    b1 = spark.createDataFrame(
+        [("ingest", 43, by_id[43]), ("query", 900, by_id[42])], schema
+    )
+    write(b0, 0)
+    write(b1, 1)
+
+    def snapshot():
+        idx = sorted(
+            tuple(r)
+            for r in spark.read.parquet(index_dir)
+            .select("t", "bucket", "cand_id")
+            .collect()
+        )
+        res = sorted(tuple(r) for r in spark.read.parquet(results_dir).collect())
+        return idx, res
+
+    before = snapshot()
+    write(b1, 1)  # the replay: same epoch, stale batch=1 rows on disk
+    assert snapshot() == before
+    assert (metrics[1]["n_ingest"], metrics[1]["n_queries"]) == (
+        metrics[2]["n_ingest"],
+        metrics[2]["n_queries"],
+    )
