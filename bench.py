@@ -693,6 +693,63 @@ def streaming_ann_maintain_throughput(spark) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def host_canary(spark) -> dict:
+    """Host-speed canary (VERDICT r10 item 3): three FIXED-SHAPE pure-CPU
+    probes over synthetic inputs (spark.range — no parquet, no staging, no
+    dependence on SF or on anything this repo's operators do), each timed
+    min-of-3 through the same noop sink as the query loop.
+
+    The probe shapes are FROZEN ACROSS ROUNDS — the canary measures the
+    HOST, not the tree, so tools/bench_diff.py can divide a
+    round-over-round ratio by the canary ratio and separate host-state
+    drift (this shared box re-measures the SAME tree 1.2-1.9x across
+    sessions — adjudicated manually in BENCH_DIFF_r04/r08/r09/r10) from
+    real plan changes. Editing a shape re-bases every historical
+    comparison; add a NEW probe key instead if another axis is ever
+    needed. Probes cover the three cost centers bench lines are made of:
+    codegen arithmetic, a shuffle hash-agg, and string/regex work."""
+    from pyspark.sql import functions as F
+
+    def _cpu_hash(df):
+        # the % bounds the sum far below BIGINT overflow under ANSI mode
+        return df.select((F.xxhash64("id") % 1000003).alias("h")).agg(F.sum("h"))
+
+    def _shuffle_agg(df):
+        return (
+            df.select((F.col("id") % 262144).alias("k"))
+            .groupBy("k")
+            .count()
+            .agg(F.sum("count"), F.max("count"))
+        )
+
+    def _string_regex(df):
+        s = F.md5(F.concat(F.lit("canary-"), F.col("id").cast("string")))
+        return df.select(
+            F.regexp_replace(s, "[0-9]", "").alias("t")
+        ).agg(F.sum(F.length("t")))
+
+    probes = {
+        # (builder, row count) — range slice count pinned at 16 so task
+        # granularity is identical regardless of SPARK_GRAFT_CPUS
+        "cpu_hash": (_cpu_hash, 30_000_000),
+        "shuffle_agg": (_shuffle_agg, 6_000_000),
+        "string_regex": (_string_regex, 1_500_000),
+    }
+    out: dict[str, float] = {}
+    for name, (fn, n) in probes.items():
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark.range(0, n, 1, 16)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    out["sec"] = round(sum(v for k, v in out.items() if k != "sec"), 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -711,6 +768,13 @@ def main() -> None:
     skip = set(os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(","))
     spark = get_spark("rtta-bench")
     queries = {**all_queries(), **all_bench_only()}
+
+    # Host-speed canary at the very START of the run (before any staging or
+    # warm-up, but on a JIT-warming JVM — min-of-3 absorbs the first-run
+    # compile); repeated at the very END so a mid-run host-state shift is
+    # visible as start/end disagreement. canary_sec = min(start, end),
+    # matching the min-keeping policy of every other line.
+    canary_start = host_canary(spark)
 
     # Staging-relation builds FIRST, each as its own named line (VERDICT
     # r5 item 3): these are memoized per application, so whichever query
@@ -837,10 +901,18 @@ def main() -> None:
         )
         stream_ann = a if (a["rows_per_sec"] or 0) >= (b["rows_per_sec"] or 0) else b
 
+    canary_end = host_canary(spark)
+    canary_sec = min(canary_start["sec"], canary_end["sec"])
+
     full = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        # fixed-shape host-speed probes (see host_canary): BENCH_DIFF
+        # divides round-over-round ratios by the canary ratio so host-state
+        # drift stops needing a manual interleaved adjudication
+        "canary_sec": canary_sec,
+        "canary": {"start": canary_start, "end": canary_end},
         # staging:* build lines ride in the queries map so
         # tools/bench_diff.py tracks them round-over-round like any query
         # (they are EXCLUDED from "value" — same basis as r5)
@@ -872,6 +944,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(timings),
+        "canary_sec": canary_sec,
         "staging_sec": round(sum(staging_timings.values()), 3),
         "ann_recall_at_10": recall,
         "streaming_pipeline": stream,

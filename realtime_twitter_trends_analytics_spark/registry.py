@@ -107,6 +107,9 @@ def all_staging() -> dict[str, QueryFn]:
         "kmeans_cells": similarity.kmeans_cell_assignment,
         "bigram_instances": textstats.bigram_instance_staging,
         "dsir_instances": cleaning.dsir_instance_staging,
+        # r11: the per-doc log-weight relation — the bucket-split top-K
+        # reads it twice per job and corpus_pipeline_v3 reads it again
+        "dsir_perdoc": cleaning.dsir_perdoc_staging,
         "pq_codebook": lambda s, d: ml.pq_trained(s, d)[1],
     }
 
@@ -168,6 +171,7 @@ def clear_staging_memos() -> None:
         textstats._BIGRAM_MEMO,
         textstats._BPE_MERGES_MEMO,
         cleaning._DSIR_INST_MEMO,
+        cleaning._DSIR_PERDOC_MEMO,
     ):
         memo.clear()
 

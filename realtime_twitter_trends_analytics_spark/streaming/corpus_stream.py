@@ -72,7 +72,16 @@ def streaming_corpus_writer(
     )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        gated = batch_df.filter(F.expr(_verdict_sql(dl.SPARK)) == "kept")
+        # The raw-batch count rides an Observation on the gate's input, so
+        # it is computed DURING the dedup stage's own first action over the
+        # gated frame instead of by a second source scan per micro-batch
+        # (ADVICE r10: the old `batch_df.count()` here re-read the source
+        # purely for metrics).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = batch_df.observe(obs, F.count(F.lit(1)).alias("n_raw"))
+        gated = observed.filter(F.expr(_verdict_sql(dl.SPARK)) == "kept")
         survivors = dedup_write(gated, batch_id)
         n_tok = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
         delta = (
@@ -87,10 +96,12 @@ def streaming_corpus_writer(
             f"{acct_dir}/batch={batch_id}"
         )
         if results is not None and results:
-            # annotate the dedup stage's record with the gate's drop count
+            # annotate the dedup stage's record with the gate's drop count;
+            # obs.get blocks until the first action over the observed plan
+            # (the dedup stage's signature build) has fired — no extra scan
             rec = results[-1]
             if rec.get("batch_id") == batch_id and "n_gated_out" not in rec:
-                rec["n_gated_out"] = batch_df.count() - rec["n_in"]
+                rec["n_gated_out"] = int(obs.get["n_raw"]) - rec["n_in"]
 
     return write
 

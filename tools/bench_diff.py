@@ -24,34 +24,43 @@ import re
 import sys
 
 
-def load_queries(path: str) -> dict[str, float]:
+def load_payload(path: str) -> tuple[dict[str, float], float | None]:
+    """(per-query seconds, canary_sec or None if the file predates r11)."""
     with open(path) as fh:
         doc = json.load(fh)
     # driver artifact: prefer parsed payload, fall back to scraping the tail
     if "parsed" in doc or "tail" in doc:
         parsed = doc.get("parsed")
         if parsed and parsed.get("queries"):
-            return dict(parsed["queries"])
+            return dict(parsed["queries"]), parsed.get("canary_sec")
         # tail scrape: the per-query map may be truncated at its head —
         # recover every complete "name": seconds pair that survived
         tail = doc.get("tail", "")
         pairs = re.findall(r'"([a-zA-Z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail)
-        known_scalars = {"value", "sf", "elapsed_sec", "rows_per_sec"}
+        known_scalars = {"value", "sf", "elapsed_sec", "rows_per_sec", "canary_sec"}
         got = {
             k: float(v)
             for k, v in pairs
             if k not in known_scalars and not k.startswith("q_")
         }
-        # recall/streaming sub-keys leak into the scrape; drop them
-        for noise in ("lsh", "ivf", "ivf_kmeans", "pq_adc", "input_rows"):
+        # recall/streaming/canary sub-keys leak into the scrape; drop them
+        for noise in (
+            "lsh", "ivf", "ivf_kmeans", "pq_adc", "input_rows",
+            "cpu_hash", "shuffle_agg", "string_regex", "sec",
+        ):
             got.pop(noise, None)
         if not got:
             raise SystemExit(f"{path}: no usable per-query data (parsed null, tail empty)")
-        return got
+        m = re.search(r'"canary_sec":\s*([0-9.]+)', tail)
+        return got, (float(m.group(1)) if m else None)
     # raw payload
     if "queries" in doc:
-        return dict(doc["queries"])
+        return dict(doc["queries"]), doc.get("canary_sec")
     raise SystemExit(f"{path}: unrecognized bench file format")
+
+
+def load_queries(path: str) -> dict[str, float]:
+    return load_payload(path)[0]
 
 
 def main() -> int:
@@ -68,7 +77,27 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    old, new = load_queries(args.old), load_queries(args.new)
+    (old, c_old), (new, c_new) = load_payload(args.old), load_payload(args.new)
+    # Host-speed normalization (r11, VERDICT r10 item 3): when BOTH sides
+    # carry the fixed-shape canary, divide every ratio by the host ratio —
+    # the mechanical form of the interleaved same-box adjudication every
+    # round since r4 has re-paid by hand. A canary ratio outside [1/3, 3]
+    # means the probes themselves misbehaved (or the host changed class);
+    # fall back to raw ratios and say so.
+    host = 1.0
+    if c_old and c_new:
+        host = c_new / c_old
+        if not (1 / 3 <= host <= 3):
+            print(f"canary ratio {host:.3f}x outside sanity band — NOT normalizing")
+            host = 1.0
+        else:
+            print(
+                f"host canary: old={c_old:.3f}s new={c_new:.3f}s "
+                f"ratio={host:.3f}x — per-query/total ratios below are "
+                f"host-normalized (raw ratio / {host:.3f})"
+            )
+    else:
+        print("host canary: absent on one side (pre-r11 artifact) — raw ratios")
     common = sorted(set(old) & set(new))
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
@@ -78,12 +107,12 @@ def main() -> int:
 
     total_old = sum(old[k] for k in common)
     total_new = sum(new[k] for k in common)
-    total_ratio = total_new / total_old if total_old else float("inf")
+    total_ratio = (total_new / total_old if total_old else float("inf")) / host
 
     rows = []
     failures = []
     for k in common:
-        ratio = new[k] / old[k] if old[k] else float("inf")
+        ratio = (new[k] / old[k] if old[k] else float("inf")) / host
         flag = ""
         if ratio > args.per_query_max and max(old[k], new[k]) >= args.min_sec:
             flag = "REGRESSION"

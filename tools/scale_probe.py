@@ -63,9 +63,26 @@ OFFSET_COLS = {
 }
 
 
-def build_fixture() -> str:
-    if os.path.exists(f"{WORK}/_OK"):
-        return WORK
+def _base_fingerprint() -> str:
+    """(size, mtime_ns) of every base parquet — cheap and sufficient to
+    notice a regenerated/changed sf0.1 (ADVICE r10: the bare _OK marker
+    silently reused a stale fixture after a base refresh)."""
+    parts = []
+    for f in sorted(os.listdir(BASE)):
+        if f.endswith(".parquet"):
+            st = os.stat(f"{BASE}/{f}")
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return "\n".join(parts) + "\n"
+
+
+def build_fixture(rebuild: bool = False) -> str:
+    fp = _base_fingerprint()
+    ok = f"{WORK}/_OK"
+    if not rebuild and os.path.exists(ok):
+        with open(ok) as fh:
+            if fh.read() == fp:
+                return WORK
+        print("base dataset changed since the cached fixture — rebuilding")
     shutil.rmtree(WORK, ignore_errors=True)
     os.makedirs(WORK, exist_ok=True)
     for t in COPY_ONLY:
@@ -99,7 +116,7 @@ def build_fixture() -> str:
         pq.write_table(pa.concat_tables(shards), f"{WORK}/{t}.parquet")
         print(f"built {t}: {tab.num_rows} -> {tab.num_rows * K} rows")
     with open(f"{WORK}/_OK", "w") as fh:
-        fh.write("ok\n")
+        fh.write(fp)
     return WORK
 
 
@@ -123,9 +140,13 @@ def main() -> int:
     ap.add_argument("--from-json", default="WALL_RATIO_r09_sf01.json")
     ap.add_argument("--out", default="VERIFY_SCALE_PROBE_r10.txt")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument(
+        "--rebuild", action="store_true",
+        help="force fixture rebuild even if the fingerprint matches",
+    )
     args = ap.parse_args()
 
-    sf_dir = build_fixture()
+    sf_dir = build_fixture(rebuild=args.rebuild)
     names = args.only or heaviest(args.from_json, args.top)
     print(f"probing {len(names)} heaviest gate queries at {sf_dir}:")
     print("  " + " ".join(names))
