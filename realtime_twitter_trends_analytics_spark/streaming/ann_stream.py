@@ -176,18 +176,113 @@ def streaming_ann_writer(
     return write
 
 
-def streaming_ann_maintain_reset(index_dir: str, results_dir: str):
+def streaming_ann_maintain_reset(
+    index_dir: str, results_dir: str, compact_dir: str | None = None
+):
     """First-batch reset (the S8 pattern) for the maintained-index
-    topology: drop index + results so a from-scratch stream starts empty;
-    an epoch-0 replay re-runs it and the epoch-0 writes rebuild the same
-    state."""
+    topology: drop index + results (and any compacted base from a prior
+    incarnation — a fresh stream serving a stale base would resurrect
+    vectors the new stream never ingested) so a from-scratch stream starts
+    empty; an epoch-0 replay re-runs it and the epoch-0 writes rebuild the
+    same state."""
     import shutil
 
     def setup(_bdf: DataFrame) -> None:
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.rmtree(results_dir, ignore_errors=True)
+        if compact_dir is not None:
+            shutil.rmtree(compact_dir, ignore_errors=True)
 
     return setup
+
+
+COMPACT_MANIFEST = "_ANN_COMPACT_MANIFEST.json"  # "_"-prefixed: Spark's
+# file index treats it as hidden, so reading compact_dir as parquet skips it
+
+
+def _epoch_dirs(index_dir: str) -> "list[tuple[int, str]]":
+    """(batch_id, path) of every epoch partition under the maintained
+    index, sorted by batch id; tolerates non-epoch junk dirs."""
+    import glob
+    import os
+
+    out = []
+    for p in glob.glob(os.path.join(index_dir, "batch=*")):
+        try:
+            out.append((int(os.path.basename(p).split("=", 1)[1]), p))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def _read_compact_manifest(compact_dir: str | None) -> dict | None:
+    import json
+    import os
+
+    if compact_dir is None:
+        return None
+    mpath = os.path.join(compact_dir, COMPACT_MANIFEST)
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as fh:
+        return json.load(fh)
+
+
+def read_maintained_index(
+    spark: SparkSession, index_dir: str, compact_dir: str | None = None
+) -> DataFrame | None:
+    """The ONE reader of the maintained index's logical content (round 11,
+    VERDICT r10 item 4): base+delta composition over a compacted layout.
+
+    - No compaction yet (no manifest under compact_dir, or compact_dir is
+      None): the index is the union of the epoch partitions — plain
+      ``spark.read.parquet(index_dir)``, the round-10 behavior.
+    - After ``compact_ann_index``: the index is the compacted BASE plus
+      every epoch with batch_id > the manifest's ``absorbed_through`` —
+      the LSM base+delta read. Epochs <= absorbed_through are IGNORED even
+      if present on disk: their rows already live in the base, so a
+      checkpoint replay that re-overwrites an absorbed epoch (identical
+      rows by the overwrite-by-batch-id contract) cannot double-count, and
+      ``prune_absorbed_epochs`` may delete them at leisure.
+
+    Returns None when the index holds no rows anywhere (the caller serves
+    the pinned empty schema)."""
+    from .dedup_stream import _has_parquet
+
+    cols = ["t", "bucket", "cand_id", "cv"]
+    manifest = _read_compact_manifest(compact_dir)
+    if manifest is None:
+        if not _has_parquet(index_dir):
+            return None
+        return spark.read.parquet(index_dir).select(*cols)
+    base = spark.read.parquet(compact_dir).select(*cols)
+    deltas = [
+        p
+        for b, p in _epoch_dirs(index_dir)
+        if b > manifest["absorbed_through"] and _has_parquet(p)
+    ]
+    if not deltas:
+        return base
+    return base.unionByName(spark.read.parquet(*deltas).select(*cols))
+
+
+def prune_absorbed_epochs(index_dir: str, compact_dir: str) -> dict:
+    """Delete epoch partitions the compacted base already contains
+    (batch_id <= the manifest's absorbed_through). Safe at any point after
+    compaction: ``read_maintained_index`` never reads absorbed epochs, and
+    a later checkpoint replay that recreates one is equally invisible.
+    Run it between triggers, like compaction itself."""
+    import shutil
+
+    manifest = _read_compact_manifest(compact_dir)
+    if manifest is None:
+        raise ValueError(f"no {COMPACT_MANIFEST} under {compact_dir}")
+    pruned = []
+    for b, p in _epoch_dirs(index_dir):
+        if b <= manifest["absorbed_through"]:
+            shutil.rmtree(p)
+            pruned.append(b)
+    return {"pruned_epochs": pruned, "absorbed_through": manifest["absorbed_through"]}
 
 
 def streaming_ann_maintain_writer(
@@ -197,6 +292,7 @@ def streaming_ann_maintain_writer(
     k: int = TOP_K,
     exclude_self: bool = False,
     metrics: list | None = None,
+    compact_dir: str | None = None,
 ):
     """Ingest + serve on ONE index (round 10, VERDICT r9 item 3 — the last
     un-built face of the retrieval story): each micro-batch row carries
@@ -216,10 +312,15 @@ def streaming_ann_maintain_writer(
     deterministic either way (no self-match hazard — serving is a read,
     not a drop decision). Per-batch cost is O(batch + matched buckets):
     the ingest write never reads the index, and the serve side broadcasts
-    only the micro-batch's probe rows."""
-    import time as _time
+    only the micro-batch's probe rows.
 
-    from .dedup_stream import _has_parquet
+    ``compact_dir`` (round 11) makes the serve face base+delta-aware:
+    the index read goes through ``read_maintained_index``, so after a
+    between-triggers ``compact_ann_index`` the stream serves
+    [compacted base ∪ epochs since compaction] — the LSM discipline the
+    compaction docstring promises. Ingest is UNCHANGED: new epochs keep
+    landing beside the base under index_dir/batch=<id>."""
+    import time as _time
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.time()
@@ -251,10 +352,9 @@ def streaming_ann_maintain_writer(
         queries = batch_df.filter(F.col("kind") == "query").select(
             F.col("id").alias("query_id"), "embedding"
         )
-        if _has_parquet(index_dir):
-            topk = _serve_topk(
-                spark.read.parquet(index_dir), queries, k, exclude_self
-            )
+        idx = read_maintained_index(spark, index_dir, compact_dir)
+        if idx is not None:
+            topk = _serve_topk(idx, queries, k, exclude_self)
         else:
             # nothing ingested yet anywhere in the stream: an all-query
             # first batch serves the empty result with the pinned schema
@@ -281,6 +381,7 @@ def compact_ann_index(
     index_dir: str,
     compact_dir: str,
     n_partitions: int = 8,
+    base_compact_dir: str | None = None,
 ) -> dict:
     """Index MAINTENANCE companion (round 10): the streaming ingest leaves
     one batch=<id> partition per epoch — thousands of small files after a
@@ -309,16 +410,40 @@ def compact_ann_index(
     files_after reduction, not on a local wall-time claim.
 
     Run it between triggers (the stream owns the epoch dir; compaction
-    owns its output), then point the serve face at compact_dir and keep
-    appending NEW epochs beside it — the same base+delta discipline every
-    LSM-ish store uses. Returns {files_before, files_after, rows}."""
+    owns its output). The output carries a ``_ANN_COMPACT_MANIFEST.json``
+    recording the max epoch id absorbed; pass the SAME compact_dir to
+    ``streaming_ann_maintain_writer`` / ``run_streaming_ann_maintain`` and
+    the serve face reads [compacted base ∪ epochs since compaction]
+    through ``read_maintained_index`` — the base+delta discipline every
+    LSM-ish store uses, wired end-to-end (round 11; the round-10 docstring
+    promised it but nothing served the union). Absorbed epochs become dead
+    weight, removable with ``prune_absorbed_epochs``.
+
+    Re-compaction (generation n+1): pass ``base_compact_dir`` = the
+    previous compact_dir and a FRESH ``compact_dir`` — the input is then
+    [old base ∪ epochs since the old manifest], i.e. exactly what serving
+    sees; writing over a directory being read is not a thing parquet can
+    do atomically, hence the fresh output per generation.
+
+    Returns {files_before, files_after, rows, absorbed_through,
+    n_epochs_absorbed}."""
     import glob
+    import json
     import os
 
     def _count_files(d: str) -> int:
         return len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
 
-    idx = spark.read.parquet(index_dir)
+    prev = _read_compact_manifest(base_compact_dir)
+    prev_through = prev["absorbed_through"] if prev else -1
+    epochs = _epoch_dirs(index_dir)
+    # epochs may have been pruned since the previous generation — the new
+    # watermark can never move backwards past what the old base absorbed
+    absorbed_through = max([prev_through] + [b for b, _ in epochs])
+    n_new = len([b for b, _ in epochs if b > prev_through])
+    idx = read_maintained_index(spark, index_dir, base_compact_dir)
+    if idx is None:
+        raise ValueError(f"nothing to compact under {index_dir}")
     rows = idx.select("t", "bucket", "cand_id", "cv")
     (
         rows.repartition(n_partitions, "t", "bucket")
@@ -326,10 +451,18 @@ def compact_ann_index(
         .write.mode("overwrite")
         .parquet(compact_dir)
     )
+    manifest = {
+        "absorbed_through": absorbed_through,
+        "n_epochs_absorbed": n_new,
+        "generation": (prev["generation"] + 1) if prev else 1,
+    }
+    with open(os.path.join(compact_dir, COMPACT_MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
     return {
         "files_before": _count_files(index_dir),
         "files_after": _count_files(compact_dir),
         "rows": spark.read.parquet(compact_dir).count(),
+        **manifest,
     }
 
 
@@ -356,21 +489,30 @@ def run_streaming_ann_maintain(
 ) -> bool:
     """Drain a mixed ingest/query stream through the maintained-index
     writer (batch-0 reset + checkpointing). Returns awaitTermination's
-    verdict; on timeout the query is stopped and drained first."""
+    verdict; on timeout the query is stopped and drained first.
+
+    The serve face is base+delta-aware by default: compact the index
+    between runs with ``compact_ann_index(spark, work_dir/ann_index,
+    work_dir/ann_compact)`` and a resumed drain (same work_dir, same
+    checkpoint) serves the compacted base plus post-compaction epochs.
+    A FRESH stream's batch-0 reset clears the base along with the index."""
     import os
 
     from .pipeline import write_with_first_batch_setup
 
     index_dir = os.path.join(work_dir, "ann_index")
     results_dir = os.path.join(work_dir, "results")
+    compact_dir = os.path.join(work_dir, "ann_compact")
     q = write_with_first_batch_setup(
         read_upsert_query_stream(spark, source_dir, max_files_per_trigger),
         checkpoint_dir=os.path.join(work_dir, "ckpt"),
         sink_writer=streaming_ann_maintain_writer(
             spark, index_dir, results_dir, k=k, exclude_self=exclude_self,
-            metrics=metrics,
+            metrics=metrics, compact_dir=compact_dir,
         ),
-        first_batch_setup=streaming_ann_maintain_reset(index_dir, results_dir),
+        first_batch_setup=streaming_ann_maintain_reset(
+            index_dir, results_dir, compact_dir
+        ),
         output_mode="append",
     )
     done = q.awaitTermination(timeout_sec)

@@ -49,9 +49,11 @@ def vec_of(i: int) -> list:
     ]
 
 
-def build_source(src: str, files: int, ingest_per_file: int) -> None:
-    os.makedirs(src)
-    for f_idx in range(files):
+def build_source(
+    src: str, files: int, ingest_per_file: int, first: int = 0
+) -> None:
+    os.makedirs(src, exist_ok=True)
+    for f_idx in range(first, files):
         with open(f"{src}/b{f_idx:03d}.json", "w") as fh:
             for i in range(ingest_per_file):
                 vid = f_idx * ingest_per_file + i
@@ -78,6 +80,14 @@ def main() -> int:
     ap.add_argument("--files", type=int, default=12)
     ap.add_argument("--ingest-per-file", type=int, default=INGEST_PER_FILE)
     ap.add_argument("--append", default=None)
+    ap.add_argument(
+        "--compact-at",
+        type=int,
+        default=None,
+        help="drain this many files, compact+prune the index (base+delta "
+        "serving), then continue with the remaining files through the same "
+        "checkpoint — the compact-then-continue probe (round 11)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("ann-growth-probe")
@@ -85,8 +95,32 @@ def main() -> int:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     work = tempfile.mkdtemp(prefix="ann_growth_")
     try:
-        build_source(f"{work}/src", args.files, args.ingest_per_file)
         metrics: list[dict] = []
+        compact_stats = None
+        if args.compact_at is not None:
+            from realtime_twitter_trends_analytics_spark.streaming.ann_stream import (
+                compact_ann_index,
+                prune_absorbed_epochs,
+            )
+
+            build_source(f"{work}/src", args.compact_at, args.ingest_per_file)
+            ok = run_streaming_ann_maintain(
+                spark, f"{work}/src", work, max_files_per_trigger=1,
+                metrics=metrics, timeout_sec=1200,
+            )
+            if not ok:
+                print("TIMEOUT in phase 1 — no numbers recorded")
+                return 1
+            compact_stats = compact_ann_index(
+                spark, f"{work}/ann_index", f"{work}/ann_compact"
+            )
+            prune_absorbed_epochs(f"{work}/ann_index", f"{work}/ann_compact")
+            build_source(
+                f"{work}/src", args.files, args.ingest_per_file,
+                first=args.compact_at,
+            )
+        else:
+            build_source(f"{work}/src", args.files, args.ingest_per_file)
         ok = run_streaming_ann_maintain(
             spark,
             f"{work}/src",
@@ -98,19 +132,33 @@ def main() -> int:
         if not ok:
             print("TIMEOUT — no numbers recorded")
             return 1
-        lines = [
-            "",
+        title = (
             f"### Maintained-ANN serve cost vs index growth "
-            f"(round 10, {args.ingest_per_file} ingests/batch)",
-            "",
-        ]
+            f"(round 10, {args.ingest_per_file} ingests/batch)"
+        )
+        if compact_stats is not None:
+            title = (
+                f"### Maintained-ANN compact-then-continue probe (round 11, "
+                f"{args.ingest_per_file} ingests/batch; compacted+pruned "
+                f"after batch {args.compact_at - 1}: "
+                f"{compact_stats['files_before']} epoch files -> "
+                f"{compact_stats['files_after']} base files, "
+                f"{compact_stats['rows']} rows)"
+            )
+        lines = ["", title, ""]
         lines.append("| batch | index rows before serve | queries | batch_sec |")
         lines.append("|---|---|---|---|")
         xs, ys = [], []
         for m in sorted(metrics, key=lambda m: m["batch_id"]):
             idx_rows = (m["batch_id"] + 1) * args.ingest_per_file  # incl. own batch
+            mark = (
+                " (first post-compaction)"
+                if compact_stats is not None and m["batch_id"] == args.compact_at
+                else ""
+            )
             lines.append(
-                f"| {m['batch_id']} | {idx_rows} | {m['n_queries']} | {m['batch_sec']} |"
+                f"| {m['batch_id']}{mark} | {idx_rows} | {m['n_queries']} "
+                f"| {m['batch_sec']} |"
             )
             if m["batch_id"] >= 1:  # batch 0 pays checkpoint/codegen setup
                 xs.append(idx_rows)
