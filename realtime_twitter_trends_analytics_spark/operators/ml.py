@@ -268,34 +268,38 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_oracle_ctes() -> tuple[str, str]:
+def kmeans_oracle_ctes(prefix: str = "") -> tuple[str, str]:
     """DuckDB CTE chain mirroring kmeans_assignment; returns (cte_block,
-    final_assignment_name). Reused by the IVF-kmeans oracle."""
+    final_assignment_name). Reused by the IVF-kmeans oracle. ``prefix``
+    namespaces every CTE (q/c{i}/a{i}) so the chain can compose with
+    pq_oracle_ctes in one WITH — both would otherwise define q/c0/a1
+    (the IVF-PQ oracle passes 'km_')."""
     d = dl.DUCK
     quant = _quant_sql(d, "embedding")
     dist2 = _dist2_sql(d, "q.qe", "c.c")
     fdiv = _FLOOR_DIV.format(s="sum(x)", n="count(*)")
+    p = prefix
     ctes = [
-        f"q AS (SELECT vec_id, {quant} AS qe FROM embeddings)",
-        f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster, qe AS c FROM q WHERE vec_id < {K_CLUSTERS})",
+        f"{p}q AS (SELECT vec_id, {quant} AS qe FROM embeddings)",
+        f"{p}c0 AS (SELECT CAST(vec_id AS INT) AS cluster, qe AS c FROM {p}q WHERE vec_id < {K_CLUSTERS})",
     ]
     for i in range(KMEANS_ITERS + 1):
         ctes.append(
-            f"a{i + 1} AS (SELECT vec_id, qe, cluster, d2 FROM ("
+            f"{p}a{i + 1} AS (SELECT vec_id, qe, cluster, d2 FROM ("
             f"SELECT q.vec_id, q.qe, c.cluster, {dist2} AS d2, "
             f"row_number() OVER (PARTITION BY q.vec_id "
             f"ORDER BY {dist2}, c.cluster) AS rnk "
-            f"FROM q, c{i} c) WHERE rnk = 1)"
+            f"FROM {p}q q, {p}c{i} c) WHERE rnk = 1)"
         )
         if i < KMEANS_ITERS:
             ctes.append(
-                f"c{i + 1} AS (SELECT cluster, list(cv ORDER BY dim) AS c FROM ("
+                f"{p}c{i + 1} AS (SELECT cluster, list(cv ORDER BY dim) AS c FROM ("
                 f"SELECT cluster, dim, {fdiv} AS cv FROM ("
                 f"SELECT cluster, unnest(generate_series(1, len(qe))) AS dim, "
-                f"unnest(qe) AS x FROM a{i + 1}) GROUP BY cluster, dim"
+                f"unnest(qe) AS x FROM {p}a{i + 1}) GROUP BY cluster, dim"
                 f") GROUP BY cluster)"
             )
-    return ",\n".join(ctes), f"a{KMEANS_ITERS + 1}"
+    return ",\n".join(ctes), f"{p}a{KMEANS_ITERS + 1}"
 
 
 def _oracle_kmeans() -> str:

@@ -914,6 +914,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> dict:
         ("ivf", sim_ivf_ann),
         ("ivf_kmeans", sim_ivf_kmeans_ann),
         ("pq_adc", sim_pq_adc_ann),
+        ("ivfpq", sim_ivfpq_ann),
     ):
         got = pairs(fn(spark, sf_dir))
         out[name] = round(len(got & truth) / len(truth), 4)
@@ -1140,6 +1141,175 @@ rer AS (
   JOIN embeddings ce ON ce.vec_id = p.cand_id
 )
 SELECT query_id, cand_id, adc_d2, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM rer
+) WHERE rnk <= {TOP_K}
+"""
+
+
+IVFPQ_NPROBE = 3  # coarse cells probed per query (matches IVFK_NPROBE's
+# measured recall point); candidates per query = nprobe x occupancy, so
+# with K derived from N (ml.k_for_corpus) the ADC scan is CONSTANT per
+# query — the corpus-independent serve cost SCALE.md promises.
+
+
+def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (round 11): the FAISS IndexIVFPQ composition — the
+    billion-vector production shape this repo's ADC and IVF docstrings
+    keep deferring to, now a first-class operator instead of prose.
+
+    sim_pq_adc_ann scans EVERY candidate's codes per query (linear in N
+    per query — fine at bench SF, the measured wall in SCALE_SMOKE.md's
+    density section); sim_ivf_kmeans_ann bounds candidates by coarse cell
+    but pays full-precision cosine per candidate. This composes both
+    bounds: the query probes its IVFPQ_NPROBE nearest k-means cells
+    (map-side literal centroid ranking, exact BIGINT), candidates are the
+    probed cells' members ONLY, their distance is the 8-lookup ADC sum
+    against the query's broadcast LUT, and the top-PQ_RERANK pool is
+    re-ranked by exact cosine (the refine stage). Per query the scan
+    touches nprobe/K of the corpus as 8-byte codes and PQ_RERANK rows of
+    full vectors — with K ~ N/TARGET_CELL_SIZE both terms are constant.
+
+    Plan: one vec-grain equi-join stamps each code row with its cell
+    (both sides are the shared staging relations — codes from pq_trained,
+    cells from kmeans_cell_assignment); the |Q| x nprobe probe relation
+    and the |Q| x BLOCKS x PQ_K LUT broadcast; ADC is one hash agg keyed
+    (query, cand); no full-precision vector moves before the rerank join.
+    Exact BIGINT ADC + the shared sequential-double cosine -> the ranking
+    is deterministic and the oracle hash-matches."""
+    from .ml import (
+        PQ_BLOCKS,
+        _pq_assign,
+        _quant_sql,
+        centroid_topn_sql,
+        kmeans_centroid_rows,
+        pq_trained,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_cell_assignment(spark, sf_dir)
+    rows = kmeans_centroid_rows(spark, sf_dir)
+    blocks, cent = pq_trained(spark, sf_dir)
+    codes = _pq_assign(blocks, cent).select("vec_id", "block", "code")
+    cellcodes = codes.join(asg.select("vec_id", "cell"), "vec_id")
+    qlut = (
+        blocks.filter(F.col("vec_id") < N_QUERY_VECS)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cent), "block")
+        .select(
+            "query_id", "block", "code",
+            F.expr(
+                "aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("d2"),
+        )
+    )
+    probe = (
+        asg.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.expr(
+                    centroid_topn_sql(
+                        rows, IVFPQ_NPROBE, _quant_sql(dl.SPARK, "embedding")
+                    )
+                )
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p.cl").alias("cell"))
+    )
+    adc = (
+        cellcodes.join(F.broadcast(probe), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(qlut), ["query_id", "block", "code"])
+        .groupBy("query_id", "cell", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d2").alias("adc_d2"), F.count(F.lit(1)).alias("n_blocks"))
+    )
+    w_adc = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("cand_id"))
+    pool = (
+        adc.filter(F.col("n_blocks") == PQ_BLOCKS)
+        .withColumn("adc_rnk", F.row_number().over(w_adc))
+        .filter(F.col("adc_rnk") <= PQ_RERANK)
+        .select("query_id", "cell", "cand_id", "adc_d2")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cv = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    rer = (
+        pool.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .withColumn("cosine", F.expr(cosine_sql(dl.SPARK, "qv", "cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "cell", "cand_id", "adc_d2",
+            F.round("cosine", 4).alias("cosine"), "rnk",
+        )
+    )
+
+
+def _oracle_ivfpq() -> str:
+    from .ml import (
+        KMEANS_ITERS,
+        PQ_BLOCKS,
+        _dist2_sql,
+        kmeans_oracle_ctes,
+        pq_oracle_ctes,
+    )
+
+    km_ctes, km_final = kmeans_oracle_ctes(prefix="km_")
+    pq_ctes, pq_final, cbook = pq_oracle_ctes()
+    cell_dist2 = _dist2_sql(dl.DUCK, "q.qe", "c.c")
+    rerank_cos = cosine_sql(dl.DUCK, "qe2.embedding", "ce.embedding")
+    lut_d2 = (
+        "list_sum(list_transform(generate_series(1, len(qb.sub)), i -> "
+        "(list_extract(qb.sub, i) - list_extract(c.c, i)) * "
+        "(list_extract(qb.sub, i) - list_extract(c.c, i))))"
+    )
+    return f"""
+WITH {km_ctes},
+{pq_ctes},
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cluster AS cell,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY {cell_dist2}, c.cluster) AS arnk
+    FROM km_q q, km_c{KMEANS_ITERS} c WHERE q.vec_id < {N_QUERY_VECS}
+  ) WHERE arnk <= {IVFPQ_NPROBE}
+),
+qlut AS (
+  SELECT qb.vec_id AS query_id, qb.block, c.code,
+    CAST({lut_d2} AS BIGINT) AS d2
+  FROM blocks qb JOIN {cbook} c ON c.block = qb.block
+  WHERE qb.vec_id < {N_QUERY_VECS}
+),
+adc AS (
+  SELECT p.query_id, p.cell, cd.vec_id AS cand_id,
+    CAST(sum(l.d2) AS BIGINT) AS adc_d2, count(*) AS n_blocks
+  FROM probe p
+  JOIN {km_final} asg ON asg.cluster = p.cell AND asg.vec_id <> p.query_id
+  JOIN (SELECT vec_id, block, code FROM {pq_final}) cd ON cd.vec_id = asg.vec_id
+  JOIN qlut l ON l.query_id = p.query_id AND l.block = cd.block AND l.code = cd.code
+  GROUP BY 1, 2, 3
+),
+pool AS (
+  SELECT query_id, cell, cand_id, adc_d2 FROM (
+    SELECT query_id, cell, cand_id, adc_d2,
+      row_number() OVER (PARTITION BY query_id ORDER BY adc_d2 ASC, cand_id ASC) AS adc_rnk
+    FROM adc WHERE n_blocks = {PQ_BLOCKS}
+  ) WHERE adc_rnk <= {PQ_RERANK}
+),
+rer AS (
+  SELECT p.query_id, p.cell, p.cand_id, p.adc_d2, {rerank_cos} AS cosine
+  FROM pool p
+  JOIN embeddings qe2 ON qe2.vec_id = p.query_id
+  JOIN embeddings ce ON ce.vec_id = p.cand_id
+)
+SELECT query_id, cell, cand_id, adc_d2, round(cosine, 4) AS cosine, CAST(rnk AS INT) AS rnk FROM (
   SELECT *,
     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
   FROM rer
@@ -2438,6 +2608,7 @@ QUERIES = {
     "sim_kcenter_select": sim_kcenter_select,
     "sim_ivf_kmeans_ann": sim_ivf_kmeans_ann,
     "sim_pq_adc_ann": sim_pq_adc_ann,
+    "sim_ivfpq_ann": sim_ivfpq_ann,
     "sim_knn_label_probe": sim_knn_label_probe,
     "sim_knn_label_probe_ivf": sim_knn_label_probe_ivf,
     "ml_calibration_brier": ml_calibration_brier,
@@ -2461,6 +2632,7 @@ ORACLES = {
     "dedup_semantic_cells": _oracle_semdedup(),
     "sim_ivf_kmeans_ann": _oracle_ivf_kmeans(),
     "sim_pq_adc_ann": _oracle_pq_adc(),
+    "sim_ivfpq_ann": _oracle_ivfpq(),
     "sim_knn_label_probe": _oracle_knn_probe(),
     "sim_knn_label_probe_ivf": _oracle_knn_probe_ivf(),
     "ml_knn_calibration": _oracle_knn_calibration(),

@@ -45,11 +45,16 @@ def test_recall_snapshot_vs_bruteforce(spark, sf_dir):
     # lsh 0.67 -> 0.98 (Hamming<=2 multiprobe, 0.74 -> 0.96 at sf0.1)
     # r6: ivf_kmeans 0.72 -> 0.88 (IVFK_NPROBE 1 -> 3 over the staged
     # inverted lists; 0.79 -> 0.87 at sf0.1 — the r5 >=0.85 ask)
+    # r11: + ivfpq (IVF-blocked ADC + exact rerank) at 0.88 (0.80 at
+    # sf0.1) — the same candidate bound as ivf_kmeans (nprobe cells),
+    # ADC ordering inside it costs a little recall vs full-precision
+    # cosine, the PQ_RERANK refine recovers most
     assert got == {
         "lsh": 0.98,
         "ivf": 0.88,
         "ivf_kmeans": 0.88,
         "pq_adc": 0.98,
+        "ivfpq": 0.88,
     }
 
 
