@@ -122,17 +122,26 @@ def _plane_component(table: int, b: int, j: int) -> float:
     return nib - 7.5
 
 
-def lsh_bucket_sql(d: str, vec: str, table: int = 0) -> str:
-    """LSH_BITS-bit signed-projection bucket id of ``vec`` for one table.
+def lsh_bucket_sql(d: str, vec: str, table: int = 0, n_bits: int | None = None) -> str:
+    """``n_bits``-bit signed-projection bucket id of ``vec`` for one table
+    (default LSH_BITS — every gate query and oracle pins that constant).
 
     The hyperplanes are CONSTANTS: they are materialized driver-side
     (_plane_component) and inlined as literal arrays, so per row the
-    engines do LSH_BITS fused dot products over the vector — zero md5
+    engines do n_bits fused dot products over the vector — zero md5
     calls in the scan (the previous formulation hashed
     rows x dims x bits x tables times; constant-folding md5 inside a
-    lambda is something neither engine does)."""
+    lambda is something neither engine does).
+
+    Growing n_bits REFINES buckets: bit b contributes 2^b and the plane
+    family is indexed by (table, b), so an (n+d)-bit bucket mod 2^n is
+    the n-bit bucket. That property is what makes the maintained ANN
+    index's rebucket maintenance job (streaming/ann_stream.py
+    rebucket_ann_index — the 'more bits per code' density lever made
+    executable) a pure refinement: identical vectors stay co-bucketed at
+    any width."""
     bits = []
-    for b in range(LSH_BITS):
+    for b in range(LSH_BITS if n_bits is None else n_bits):
         plane = ", ".join(f"{_plane_component(table, b, j):.1f}" for j in range(1, EMB_DIM + 1))
         if d == dl.SPARK:
             # zip_with form: bit-identical to the indexed form (see
@@ -415,11 +424,19 @@ ANN_LSH_TABLES = 4  # search path: more tables than the dedup path (LSH_TABLES=2
 # explodes to TABLES rows, so the extra cost is just more matched pairs.
 # Measured at sf0.1: recall@10 0.74 -> 0.96 for 1.3 s -> 2.2 s warm — the
 # standard LSH recall/candidate trade, re-tuned in round 5.
-LSH_PROBE_MASKS = (
-    [0]
-    + [2**b for b in range(LSH_BITS)]
-    + [2**a | 2**b for a in range(LSH_BITS) for b in range(a + 1, LSH_BITS)]
-)
+def lsh_probe_masks(n_bits: int = LSH_BITS) -> list[int]:
+    """Hamming<=2 multiprobe XOR masks for an ``n_bits`` bucket space:
+    the identity, every 1-bit flip, every 2-bit flip — 1 + n + C(n,2)
+    probes per table. Parametric for the rebucket maintenance path; the
+    gate constant below is this function at LSH_BITS."""
+    return (
+        [0]
+        + [2**b for b in range(n_bits)]
+        + [2**a | 2**b for a in range(n_bits) for b in range(a + 1, n_bits)]
+    )
+
+
+LSH_PROBE_MASKS = lsh_probe_masks()
 
 
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

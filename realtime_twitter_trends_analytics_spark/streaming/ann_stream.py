@@ -36,10 +36,12 @@ from ..audit import audit_plan
 from ..functions import dialect as dl
 from ..operators.similarity import (
     ANN_LSH_TABLES,
+    LSH_BITS,
     LSH_PROBE_MASKS,
     TOP_K,
     dot_sql,
     lsh_bucket_sql,
+    lsh_probe_masks,
     norm_sql,
 )
 from ..sources.loaders import load_table
@@ -72,7 +74,11 @@ def build_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
 
 
 def _serve_topk(
-    idx: DataFrame, queries: DataFrame, k: int, exclude_self: bool
+    idx: DataFrame,
+    queries: DataFrame,
+    k: int,
+    exclude_self: bool,
+    n_bits: int | None = None,
 ) -> DataFrame:
     """The serve plan shared by the write-once and maintained-index faces:
     explode each query to its TABLES x PROBES Hamming<=2 bucket probes,
@@ -92,7 +98,12 @@ def _serve_topk(
     sim_topk_bruteforce discipline: per matched pair the work is ONE dot
     product, not dot + two norms (3x the array arithmetic on the
     dominant O(pairs x d) term). Same doubles, same expression order, so
-    the scores are bit-equal to cosine_sql's."""
+    the scores are bit-equal to cosine_sql's.
+
+    ``n_bits`` (round 11): the bucket width the index was built at —
+    None is the gate constant; a rebucketed index's manifest supplies a
+    wider code (see rebucket_ann_index) and probes must match it."""
+    masks = LSH_PROBE_MASKS if n_bits is None else lsh_probe_masks(n_bits)
     base = queries.select(
         F.col("query_id"),
         F.col("embedding").alias("qv"),
@@ -102,7 +113,9 @@ def _serve_topk(
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t)).alias("b0"),
+                        F.expr(
+                            lsh_bucket_sql(dl.SPARK, "embedding", t, n_bits)
+                        ).alias("b0"),
                     )
                     for t in range(ANN_LSH_TABLES)
                 ]
@@ -117,7 +130,7 @@ def _serve_topk(
         "qnorm",
         "t",
         "b0",
-        F.explode(F.array(*[F.lit(m) for m in LSH_PROBE_MASKS])).alias("m"),
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"),
     ).select(
         "query_id",
         "qv",
@@ -324,6 +337,11 @@ def streaming_ann_maintain_writer(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.time()
+        # the index's CURRENT bucket width: a rebucket maintenance job may
+        # have widened the code between triggers — new epochs must be
+        # written, and probes issued, at the manifest's width
+        manifest = _read_compact_manifest(compact_dir)
+        n_bits = manifest.get("lsh_bits", LSH_BITS) if manifest else LSH_BITS
         ing = batch_df.filter(F.col("kind") == "ingest").select(
             F.col("id").alias("cand_id"), F.col("embedding")
         )
@@ -335,9 +353,9 @@ def streaming_ann_maintain_writer(
                     *[
                         F.struct(
                             F.lit(t).alias("t"),
-                            F.expr(lsh_bucket_sql(dl.SPARK, "embedding", t)).alias(
-                                "bucket"
-                            ),
+                            F.expr(
+                                lsh_bucket_sql(dl.SPARK, "embedding", t, n_bits)
+                            ).alias("bucket"),
                         )
                         for t in range(ANN_LSH_TABLES)
                     ]
@@ -354,7 +372,7 @@ def streaming_ann_maintain_writer(
         )
         idx = read_maintained_index(spark, index_dir, compact_dir)
         if idx is not None:
-            topk = _serve_topk(idx, queries, k, exclude_self)
+            topk = _serve_topk(idx, queries, k, exclude_self, n_bits=n_bits)
         else:
             # nothing ingested yet anywhere in the stream: an all-query
             # first batch serves the empty result with the pinned schema
@@ -382,6 +400,7 @@ def compact_ann_index(
     compact_dir: str,
     n_partitions: int = 8,
     base_compact_dir: str | None = None,
+    new_bits: int | None = None,
 ) -> dict:
     """Index MAINTENANCE companion (round 10): the streaming ingest leaves
     one batch=<id> partition per epoch — thousands of small files after a
@@ -425,8 +444,11 @@ def compact_ann_index(
     sees; writing over a directory being read is not a thing parquet can
     do atomically, hence the fresh output per generation.
 
+    ``new_bits`` widens the bucket code during the rewrite — see
+    rebucket_ann_index, the named entry point for that maintenance job.
+
     Returns {files_before, files_after, rows, absorbed_through,
-    n_epochs_absorbed}."""
+    n_epochs_absorbed, generation, lsh_bits}."""
     import glob
     import json
     import os
@@ -444,6 +466,26 @@ def compact_ann_index(
     idx = read_maintained_index(spark, index_dir, base_compact_dir)
     if idx is None:
         raise ValueError(f"nothing to compact under {index_dir}")
+    prev_bits = prev.get("lsh_bits", LSH_BITS) if prev else LSH_BITS
+    if new_bits is not None and new_bits < prev_bits:
+        raise ValueError(f"cannot narrow the code: {prev_bits} -> {new_bits}")
+    out_bits = new_bits if new_bits is not None else prev_bits
+    if out_bits != prev_bits:
+        # REBUCKET during the rewrite (the 'more bits per code' density
+        # lever, executable): the index rows carry the vectors, so the
+        # wider bucket is recomputed from cv per row — bit b's hyperplane
+        # depends only on (table, b), making this a pure REFINEMENT
+        # (new_bucket mod 2^old_bits == old_bucket; identical vectors stay
+        # co-bucketed at any width). Mean occupancy drops 2x per added
+        # bit, which is the whole point: the maintained-serve growth curve
+        # resets without touching recall for exact matches.
+        bucket_by_t = "element_at(array({}), t + 1)".format(
+            ", ".join(
+                lsh_bucket_sql(dl.SPARK, "cv", t, out_bits)
+                for t in range(ANN_LSH_TABLES)
+            )
+        )
+        idx = idx.withColumn("bucket", F.expr(bucket_by_t))
     rows = idx.select("t", "bucket", "cand_id", "cv")
     (
         rows.repartition(n_partitions, "t", "bucket")
@@ -455,6 +497,7 @@ def compact_ann_index(
         "absorbed_through": absorbed_through,
         "n_epochs_absorbed": n_new,
         "generation": (prev["generation"] + 1) if prev else 1,
+        "lsh_bits": out_bits,
     }
     with open(os.path.join(compact_dir, COMPACT_MANIFEST), "w") as fh:
         json.dump(manifest, fh)
@@ -464,6 +507,40 @@ def compact_ann_index(
         "rows": spark.read.parquet(compact_dir).count(),
         **manifest,
     }
+
+
+def rebucket_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    compact_dir: str,
+    new_bits: int,
+    base_compact_dir: str | None = None,
+    n_partitions: int = 8,
+) -> dict:
+    """The 'more bits per code' maintenance job (round 11): every growth
+    probe in SCALE_SMOKE.md ends with 'the production lever is more bits
+    per code' — this makes the lever executable instead of prose. A
+    compaction pass that simultaneously WIDENS the bucket code: rows are
+    re-hashed from their carried vectors to ``new_bits`` (a pure
+    refinement — see lsh_bucket_sql — so identical vectors remain
+    co-bucketed and an exact-match query is found at any width), the
+    manifest records the new width, and the maintained writer picks it up
+    on its next trigger: post-rebucket epochs are WRITTEN at the new
+    width and probes are issued with lsh_probe_masks(new_bits).
+
+    Cost/benefit at the growth wall: per-table occupancy ~ N / 2^bits, so
+    +2 bits cuts ADC candidates per query ~4x at the price of
+    1+n+C(n,2) probes per table (22 -> 37 masks for 6 -> 8). Run it,
+    like compaction, between triggers; narrowing is refused (it would
+    merge buckets the probes could then overshoot)."""
+    return compact_ann_index(
+        spark,
+        index_dir,
+        compact_dir,
+        n_partitions=n_partitions,
+        base_compact_dir=base_compact_dir,
+        new_bits=new_bits,
+    )
 
 
 def read_upsert_query_stream(

@@ -26,9 +26,9 @@ density:
   levers documented in SCALE.md.)
 
 Volumes: x1 (sf0.1, 2000 vectors), x3 (the scale-probe fixture), and a
-DENSE x30 embeddings-only fixture (60k vectors) — at x3 the pair term is
+DENSE x10 embeddings-only fixture (20k vectors) — at x3 the pair term is
 still dwarfed by per-query fixed cost (the ANN growth probe's lesson), so
-the x30 layer exists to make the quadratic term, and its collapse under
+the x10 layer exists to make the quadratic term, and its collapse under
 derived K, visible in WALL SECONDS and not only in the exact
 candidate-pair counts.
 
@@ -47,16 +47,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASE = "/root/testdata/sf0.1"
-DENSE = "/tmp/density_probe/x30"
-DENSE_COPIES = 30
+DENSE = "/tmp/density_probe/x10"
+DENSE_COPIES = 10
 
 
 def build_dense_fixture() -> str:
-    """x30 embeddings-only fixture: every sf0.1 vector replicated with
+    """x10 embeddings-only fixture: every sf0.1 vector replicated with
     offset vec_ids and a tiny deterministic per-copy perturbation (exact
     duplicate vectors would make every copy-set a clique at any threshold;
     the perturbation keeps the density realistic while cell populations
-    grow exactly 30x)."""
+    grow exactly DENSE_COPIES x)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -97,11 +97,15 @@ def build_dense_fixture() -> str:
     return DENSE
 
 
-def wall(fn, runs: int) -> float:
+def wall(df, runs: int) -> float:
+    """Warm min-of-N wall of FULLY computing df — noop write, not count():
+    count() on the report's final left join lets Catalyst eliminate the
+    join against the aggregate's unique keys and skip the entire pair
+    subtree (measured: 25M-pair scans 'completing' in 0.1 s)."""
     best = float("inf")
     for _ in range(runs):
         t0 = time.time()
-        fn()
+        df.write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
     return best
 
@@ -126,12 +130,12 @@ def main() -> int:
 
     spark = get_spark("density-probe")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
         dense = build_dense_fixture()
         rows_out = []
         sem = {}
-        for tag, sf in [("x1", BASE), ("x3", fx), ("x30", dense)]:
+        for tag, sf in [("x1", BASE), ("x3", fx), ("x10", dense)]:
             n = load_table(spark, sf, "embeddings").count()
             k_default = ml.K_CLUSTERS
             k_derived = ml.k_for_corpus(n)
@@ -145,7 +149,7 @@ def main() -> int:
                 ml.kmeans_centroid_rows(spark, sf, k)
                 t_train = time.time() - t0
                 rep = _semantic_cells_report(spark, sf, k if arm != "fixed K" else None)
-                w = wall(lambda r=rep: r.count(), args.runs)
+                w = wall(rep, args.runs)
                 cells = rep.collect()
                 cand = sum(r["n_vectors"] * (r["n_vectors"] - 1) // 2 for r in cells)
                 occ_max = max(r["n_vectors"] for r in cells)
@@ -161,7 +165,7 @@ def main() -> int:
             t0 = time.time()
             ml.pq_trained(spark, sf)
             t_train = time.time() - t0
-            w = wall(lambda: sim_pq_adc_ann(spark, sf).count(), args.runs)
+            w = wall(sim_pq_adc_ann(spark, sf), args.runs)
             sem[(tag, "pq")] = (w, n * 10 * 8)
             rows_out.append(
                 f"| sim_pq_adc_ann | {tag} | n/a (linear by shape) | {n} | "
@@ -182,20 +186,20 @@ def main() -> int:
             *rows_out,
             "",
             f"dedup_semantic_cells: fixed K candidate pairs grow x"
-            f"{sem[('x30', 'fixed K')][1] / sem[('x1', 'fixed K')][1]:.0f} "
-            f"for x30 data (the quadratic term) and the wall follows at x"
-            f"{ratio(('x30', 'fixed K'), ('x1', 'fixed K')):.1f}; with "
+            f"{sem[('x10', 'fixed K')][1] / sem[('x1', 'fixed K')][1]:.0f} "
+            f"for x10 data (the quadratic term) and the wall follows at x"
+            f"{ratio(('x10', 'fixed K'), ('x1', 'fixed K')):.1f}; with "
             f"derived K (ml.k_for_corpus: occupancy pinned ~TARGET_CELL_SIZE="
             f"{ml.TARGET_CELL_SIZE}) pairs grow only x"
-            f"{sem[('x30', 'derived K')][1] / sem[('x1', 'fixed K')][1]:.0f} "
+            f"{sem[('x10', 'derived K')][1] / sem[('x1', 'fixed K')][1]:.0f} "
             f"and the wall x"
-            f"{ratio(('x30', 'derived K'), ('x1', 'fixed K')):.1f} — "
+            f"{ratio(('x10', 'derived K'), ('x1', 'fixed K')):.1f} — "
             "~linear, the defense measured. At x3 both arms are inside the "
             "per-query fixed cost (the ANN growth probe's masking regime); "
             "the exact pair counts above still show the x9 vs x3 split.",
             f"sim_pq_adc_ann: warm wall x"
             f"{ratio(('x3', 'pq'), ('x1', 'pq')):.1f} at x3 and x"
-            f"{ratio(('x30', 'pq'), ('x1', 'pq')):.1f} at x30 — ~linear as "
+            f"{ratio(('x10', 'pq'), ('x1', 'pq')):.1f} at x10 — ~linear as "
             "the candidate shape predicts (|Q| x N x PQ_BLOCKS: every "
             "(block,code) bucket holds exactly |Q| LUT rows, so there is no "
             "occupancy-squared term); the r10 scale probe's 9.6x was cold "
