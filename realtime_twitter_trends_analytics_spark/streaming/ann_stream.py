@@ -457,6 +457,15 @@ def compact_ann_index(
         return len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
 
     prev = _read_compact_manifest(base_compact_dir)
+    if prev is None and _read_compact_manifest(compact_dir) is not None:
+        # Data-loss guard: compact_dir already holds a generation. Building
+        # a new one from the EPOCHS ALONE would silently drop every row
+        # whose epoch was pruned after the earlier compaction (and parquet
+        # cannot atomically overwrite a directory being read anyway).
+        raise ValueError(
+            f"{compact_dir} already holds a compacted generation; pass it "
+            "as base_compact_dir and write generation n+1 to a fresh dir"
+        )
     prev_through = prev["absorbed_through"] if prev else -1
     epochs = _epoch_dirs(index_dir)
     # epochs may have been pruned since the previous generation — the new

@@ -224,3 +224,27 @@ def test_second_compaction_generation(spark, tmp_path):
     )
     assert via_gen2 == via_gen1_union
     assert len({q for q, *_ in via_gen2}) == len(items)
+
+
+def test_recompact_into_existing_base_without_lineage_is_refused(spark, tmp_path):
+    """Data-loss guard: once compact_dir holds a generation, building a new
+    one there from the epochs alone would drop every pruned epoch's rows —
+    the call must name the old base as base_compact_dir and use a fresh
+    output dir."""
+    work = tmp_path / "work"
+    index_dir = f"{work}/ann_index"
+    results_dir = f"{work}/results"
+    gen1 = f"{work}/gen1"
+    by_id = _collect_emb(spark, range(3))
+    items = sorted(by_id.items())
+    schema = "kind string, id long, embedding array<double>"
+    write = streaming_ann_maintain_writer(
+        spark, index_dir, results_dir, compact_dir=gen1
+    )
+    write(spark.createDataFrame([("ingest", i, v) for i, v in items], schema), 0)
+    compact_ann_index(spark, index_dir, gen1, n_partitions=2)
+    try:
+        compact_ann_index(spark, index_dir, gen1, n_partitions=2)
+        raise AssertionError("re-compaction without lineage must be refused")
+    except ValueError as e:
+        assert "base_compact_dir" in str(e)
