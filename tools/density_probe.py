@@ -194,9 +194,10 @@ def main() -> int:
             f"{sem[('x10', 'derived K')][1] / sem[('x1', 'fixed K')][1]:.0f} "
             f"and the wall x"
             f"{ratio(('x10', 'derived K'), ('x1', 'fixed K')):.1f} — "
-            "~linear, the defense measured. At x3 both arms are inside the "
-            "per-query fixed cost (the ANN growth probe's masking regime); "
-            "the exact pair counts above still show the x9 vs x3 split.",
+            "~linear, the defense measured. Already visible at x3: fixed K "
+            f"x{ratio(('x3', 'fixed K'), ('x1', 'fixed K')):.1f} vs derived "
+            f"K x{ratio(('x3', 'derived K'), ('x1', 'fixed K')):.1f} "
+            "(matching the x9 vs x3 pair split).",
             f"sim_pq_adc_ann: warm wall x"
             f"{ratio(('x3', 'pq'), ('x1', 'pq')):.1f} at x3 and x"
             f"{ratio(('x10', 'pq'), ('x1', 'pq')):.1f} at x10 — ~linear as "
