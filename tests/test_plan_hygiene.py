@@ -59,6 +59,10 @@ CARTESIAN_OK = {
     "textstats_heaps_law": "per-checkpoint 1-row vocab x token-total "
     "scalar joins (scalar-aggregate pattern, checkpoint count is a "
     "constant)",
+    "docs_vocab_coverage_curve": "the vocab-size/total-occurrences "
+    "denominators ride a 1-row broadcast beside the top-max(CUTS) readout "
+    "(scalar-aggregate pattern; the r11 rewrite that replaced the "
+    "full-vocabulary unpartitioned window — see test_bounded_windows.py)",
     "events_markov_stationary": "the empirical-total denominator rides a "
     "1-row broadcast next to the K-row stationary vector "
     "(scalar-aggregate pattern)",

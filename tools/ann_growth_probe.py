@@ -88,6 +88,15 @@ def main() -> int:
         "serving), then continue with the remaining files through the same "
         "checkpoint — the compact-then-continue probe (round 11)",
     )
+    ap.add_argument(
+        "--rebucket-bits",
+        type=int,
+        default=None,
+        help="with --compact-at: WIDEN the LSH code to this many bits "
+        "during the boundary compaction (rebucket_ann_index) — the 'more "
+        "bits per code' lever; post-boundary batches serve against the "
+        "wider bucket space and the per-batch wall slope resets",
+    )
     args = ap.parse_args()
 
     spark = get_spark("ann-growth-probe")
@@ -111,9 +120,19 @@ def main() -> int:
             if not ok:
                 print("TIMEOUT in phase 1 — no numbers recorded")
                 return 1
-            compact_stats = compact_ann_index(
-                spark, f"{work}/ann_index", f"{work}/ann_compact"
-            )
+            if args.rebucket_bits is not None:
+                from realtime_twitter_trends_analytics_spark.streaming.ann_stream import (
+                    rebucket_ann_index,
+                )
+
+                compact_stats = rebucket_ann_index(
+                    spark, f"{work}/ann_index", f"{work}/ann_compact",
+                    args.rebucket_bits,
+                )
+            else:
+                compact_stats = compact_ann_index(
+                    spark, f"{work}/ann_index", f"{work}/ann_compact"
+                )
             prune_absorbed_epochs(f"{work}/ann_index", f"{work}/ann_compact")
             build_source(
                 f"{work}/src", args.files, args.ingest_per_file,
@@ -137,9 +156,14 @@ def main() -> int:
             f"(round 10, {args.ingest_per_file} ingests/batch)"
         )
         if compact_stats is not None:
+            verb = (
+                f"rebucketed to {args.rebucket_bits} bits"
+                if args.rebucket_bits is not None
+                else "compacted"
+            )
             title = (
-                f"### Maintained-ANN compact-then-continue probe (round 11, "
-                f"{args.ingest_per_file} ingests/batch; compacted+pruned "
+                f"### Maintained-ANN {verb}-then-continue probe (round 11, "
+                f"{args.ingest_per_file} ingests/batch; {verb}+pruned "
                 f"after batch {args.compact_at - 1}: "
                 f"{compact_stats['files_before']} epoch files -> "
                 f"{compact_stats['files_after']} base files, "
