@@ -77,6 +77,7 @@ HEADLINE = [
     "sim_ivf_ann",
     "sim_ivf_kmeans_ann",
     "sim_pq_adc_ann",
+    "sim_ivfpq_ann",
     "sim_knn_label_probe",
     "textstats_quality",
     "textstats_tfidf",
