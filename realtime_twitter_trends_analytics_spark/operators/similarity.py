@@ -813,6 +813,23 @@ def _semantic_cells_report(
     )
 
 
+def dedup_semantic_cells_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production sizing face of dedup_semantic_cells (round 11,
+    bench-only per the registry convention): K comes from the corpus
+    through ml.k_for_corpus (K ~= N / TARGET_CELL_SIZE) instead of the
+    oracle-pinned constant, so per-cell occupancy — hence the
+    O(sum cell^2) pair term — is bounded at any N. At the bench SF the
+    rule REPRODUCES the gate constant (2000/250 = K_CLUSTERS), so this
+    face is row-identical to the oracle-gated query there (pinned in
+    tests/test_density_rule.py); at 10x density it is the ~linear arm of
+    the measured defense (SCALE_SMOKE.md: fixed-K wall x104.6 vs derived-K
+    x9.9 for x10 data)."""
+    from .ml import k_for_corpus
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return _semantic_cells_report(spark, sf_dir, k_for_corpus(n))
+
+
 def _oracle_semdedup() -> str:
     from .ml import kmeans_oracle_ctes
 

@@ -141,6 +141,12 @@ def all_bench_only() -> dict[str, QueryFn]:
         # demo (equality pinned in tests/test_prod_twins.py) — prices the
         # Arrow boundary + per-group pandas overhead explicitly
         "grouped_zscore_prod": grouped_pandas.grouped_zscore_prod,
+        # r11: the density-rule face of the SemDeDup report — K derived
+        # from corpus size (ml.k_for_corpus) instead of the oracle-pinned
+        # constant; row-identical to the gate query at bench SF (pinned in
+        # tests/test_density_rule.py), ~linear at 10x density
+        # (SCALE_SMOKE.md density section)
+        "dedup_semantic_cells_prod": similarity.dedup_semantic_cells_prod,
     }
 
 

@@ -59,3 +59,19 @@ def test_raised_k_trains_and_partitions(spark):
 
     base = dedup_semantic_cells(spark, SF).collect()
     assert cand(rep) < cand(base)
+
+
+def test_prod_twin_equals_gate_query_at_bench_sf(spark):
+    """The registered bench face (dedup_semantic_cells_prod) IS the gate
+    query wherever the rule derives the gate constant — row-identical at
+    the test SFs, so the bench line prices the same plan the oracle
+    checks."""
+    from realtime_twitter_trends_analytics_spark.operators.similarity import (
+        dedup_semantic_cells_prod,
+    )
+    from realtime_twitter_trends_analytics_spark.registry import all_bench_only
+
+    assert all_bench_only()["dedup_semantic_cells_prod"] is dedup_semantic_cells_prod
+    got = sorted(tuple(r) for r in dedup_semantic_cells_prod(spark, SF).collect())
+    want = sorted(tuple(r) for r in dedup_semantic_cells(spark, SF).collect())
+    assert got == want
