@@ -292,9 +292,10 @@ HEADLINE = [
     # round-10: batch twin of the streaming corpus topology — gate ->
     # near-dup dedup -> accounting (oracle-gated)
     "corpus_pipeline_neardup",
-    # round-11: the density-rule face of the SemDeDup report (bench-only;
-    # equality at bench SF pinned in tests/test_density_rule.py)
+    # round-11: the density-rule faces (bench-only; equality at bench SF
+    # pinned in tests/test_density_rule.py)
     "dedup_semantic_cells_prod",
+    "sim_ivfpq_ann_prod",
 ]
 
 

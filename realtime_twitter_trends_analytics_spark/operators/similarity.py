@@ -1212,6 +1212,14 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, cand); no full-precision vector moves before the rerank join.
     Exact BIGINT ADC + the shared sequential-double cosine -> the ranking
     is deterministic and the oracle hash-matches."""
+    return _ivfpq_report(spark, sf_dir, None)
+
+
+def _ivfpq_report(spark: SparkSession, sf_dir: str, k: int | None) -> DataFrame:
+    """sim_ivfpq_ann body, parametric in the coarse-cell count: k=None is
+    the oracle-pinned gate constant; the _prod face and the density probe
+    pass ml.k_for_corpus(N), which bounds candidates per query at
+    nprobe x TARGET_CELL_SIZE independent of corpus size."""
     from .ml import (
         PQ_BLOCKS,
         _pq_assign,
@@ -1222,8 +1230,12 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    asg = kmeans_cell_assignment(spark, sf_dir)
-    rows = kmeans_centroid_rows(spark, sf_dir)
+    asg = kmeans_cell_assignment(spark, sf_dir, k)
+    rows = (
+        kmeans_centroid_rows(spark, sf_dir)
+        if k is None
+        else kmeans_centroid_rows(spark, sf_dir, k)
+    )
     blocks, cent = pq_trained(spark, sf_dir)
     codes = _pq_assign(blocks, cent).select("vec_id", "block", "code")
     cellcodes = codes.join(asg.select("vec_id", "cell"), "vec_id")
@@ -1285,6 +1297,22 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 4).alias("cosine"), "rnk",
         )
     )
+
+
+def sim_ivfpq_ann_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production sizing face of sim_ivfpq_ann (round 11, bench-only per
+    the registry convention): the coarse quantizer's K comes from
+    ml.k_for_corpus, so ADC candidates per query are bounded at
+    IVFPQ_NPROBE x TARGET_CELL_SIZE whatever the corpus size — the
+    corpus-INDEPENDENT serve cost the IVF-PQ design exists to buy. At the
+    bench SF the rule reproduces the gate constant, so this face is
+    row-identical to the oracle-gated query there (pinned in
+    tests/test_density_rule.py); the density probe measures the
+    fixed-vs-derived walls at 10x density (SCALE_SMOKE.md)."""
+    from .ml import k_for_corpus
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return _ivfpq_report(spark, sf_dir, k_for_corpus(n))
 
 
 def _oracle_ivfpq() -> str:

@@ -147,6 +147,7 @@ def all_bench_only() -> dict[str, QueryFn]:
         # tests/test_density_rule.py), ~linear at 10x density
         # (SCALE_SMOKE.md density section)
         "dedup_semantic_cells_prod": similarity.dedup_semantic_cells_prod,
+        "sim_ivfpq_ann_prod": similarity.sim_ivfpq_ann_prod,
     }
 
 

@@ -75,3 +75,16 @@ def test_prod_twin_equals_gate_query_at_bench_sf(spark):
     got = sorted(tuple(r) for r in dedup_semantic_cells_prod(spark, SF).collect())
     want = sorted(tuple(r) for r in dedup_semantic_cells(spark, SF).collect())
     assert got == want
+
+
+def test_ivfpq_prod_twin_equals_gate_query_at_bench_sf(spark):
+    from realtime_twitter_trends_analytics_spark.operators.similarity import (
+        sim_ivfpq_ann,
+        sim_ivfpq_ann_prod,
+    )
+    from realtime_twitter_trends_analytics_spark.registry import all_bench_only
+
+    assert all_bench_only()["sim_ivfpq_ann_prod"] is sim_ivfpq_ann_prod
+    got = sorted(tuple(r) for r in sim_ivfpq_ann_prod(spark, SF).collect())
+    want = sorted(tuple(r) for r in sim_ivfpq_ann(spark, SF).collect())
+    assert got == want
