@@ -226,15 +226,17 @@ def main() -> int:
             "codebook training + first-plan codegen riding on the query "
             "wall, decomposed here into the train column. The 1B-vector "
             "lever remains IVF (nprobe bounds candidates per query).",
-            f"sim_ivfpq_ann (the lever, measured): at x10 the fixed-K face "
-            f"walls x"
-            f"{ratio(('x10', 'ivfpq fixed K'), ('x1', 'ivfpq fixed K')):.1f} "
-            f"(occupancy grows with N, candidates ~ nprobe x N/K) while "
-            f"derived K holds x"
+            f"sim_ivfpq_ann: fixed K x"
+            f"{ratio(('x10', 'ivfpq fixed K'), ('x1', 'ivfpq fixed K')):.1f}"
+            f" vs derived K x"
             f"{ratio(('x10', 'ivfpq derived K'), ('x1', 'ivfpq fixed K')):.1f}"
-            " — candidates pinned at nprobe x TARGET_CELL_SIZE, the "
-            "corpus-independent serve cost. Registered as "
-            "sim_ivfpq_ann_prod (bench-only, equality-pinned at bench SF).",
+            " wall at x10 — at this volume BOTH faces are inside the "
+            "per-query fixed cost (plan + LUT build + rank windows), so "
+            "the 10x candidate reduction the derived-K column shows "
+            "(nprobe x N/K code rows -> nprobe x TARGET_CELL_SIZE) is not "
+            "yet wall-visible; it is the term that dominates at 10^8+ "
+            "codes. Registered as sim_ivfpq_ann_prod (bench-only, "
+            "equality-pinned at bench SF).",
         ]
         report = "\n".join(lines) + "\n"
         print(report)
