@@ -201,9 +201,20 @@ def streaming_ann_maintain_reset(
     import shutil
 
     def setup(_bdf: DataFrame) -> None:
+        import os
+
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.rmtree(results_dir, ignore_errors=True)
         if compact_dir is not None:
+            # a promoted generation lives behind the _CURRENT pointer —
+            # clear it too, or the fresh stream would serve the old base
+            target = _resolve_compact_dir(compact_dir)
+            if target is not None and target != compact_dir:
+                shutil.rmtree(target, ignore_errors=True)
+            try:
+                os.remove(compact_dir + "_CURRENT")
+            except FileNotFoundError:
+                pass
             shutil.rmtree(compact_dir, ignore_errors=True)
 
     return setup
@@ -241,6 +252,48 @@ def _read_compact_manifest(compact_dir: str | None) -> dict | None:
         return json.load(fh)
 
 
+def _resolve_compact_dir(compact_dir: str | None) -> str | None:
+    """Follow the ``<compact_dir>_CURRENT`` pointer when present — the
+    LSM superblock: generation n+1 compactions write to a FRESH directory
+    (parquet cannot atomically overwrite a directory being read), and
+    ``promote_compacted_generation`` flips this pointer so a RUNNING
+    maintained stream picks the new base up on its next trigger without
+    re-wiring the writer. No pointer = the directory itself (generation 1
+    compacts in place relative to the runner's default)."""
+    import os
+
+    if compact_dir is None:
+        return None
+    ptr = compact_dir + "_CURRENT"
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            target = fh.read().strip()
+        if target:
+            return target
+    return compact_dir
+
+
+def promote_compacted_generation(compact_dir: str, new_dir: str) -> None:
+    """Atomically point the maintained topology's serve base at a freshly
+    written generation: write ``<compact_dir>_CURRENT`` (tmp + rename, so
+    a reader never sees a partial pointer) naming ``new_dir``. Call it
+    after ``compact_ann_index``/``rebucket_ann_index`` finished writing
+    ``new_dir`` with ``base_compact_dir`` = the previous generation; the
+    next trigger's manifest read, bucket width, and base+delta union all
+    follow the pointer. The superseded generation's directory stays on
+    disk (a concurrently planning trigger may still read it) — delete it
+    once the stream has moved on, like pruned epochs."""
+    import os
+
+    if _read_compact_manifest(new_dir) is None:
+        raise ValueError(f"{new_dir} holds no {COMPACT_MANIFEST}; compact first")
+    ptr = compact_dir + "_CURRENT"
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(new_dir)
+    os.replace(tmp, ptr)
+
+
 def read_maintained_index(
     spark: SparkSession, index_dir: str, compact_dir: str | None = None
 ) -> DataFrame | None:
@@ -259,10 +312,12 @@ def read_maintained_index(
       ``prune_absorbed_epochs`` may delete them at leisure.
 
     Returns None when the index holds no rows anywhere (the caller serves
-    the pinned empty schema)."""
+    the pinned empty schema). ``compact_dir`` is pointer-aware: a
+    ``_CURRENT`` file beside it redirects to the promoted generation."""
     from .dedup_stream import _has_parquet
 
     cols = ["t", "bucket", "cand_id", "cv"]
+    compact_dir = _resolve_compact_dir(compact_dir)
     manifest = _read_compact_manifest(compact_dir)
     if manifest is None:
         if not _has_parquet(index_dir):
@@ -284,10 +339,12 @@ def prune_absorbed_epochs(index_dir: str, compact_dir: str) -> dict:
     (batch_id <= the manifest's absorbed_through). Safe at any point after
     compaction: ``read_maintained_index`` never reads absorbed epochs, and
     a later checkpoint replay that recreates one is equally invisible.
-    Run it between triggers, like compaction itself."""
+    Run it between triggers, like compaction itself. Pointer-aware: the
+    watermark comes from the PROMOTED generation when a ``_CURRENT``
+    pointer redirects."""
     import shutil
 
-    manifest = _read_compact_manifest(compact_dir)
+    manifest = _read_compact_manifest(_resolve_compact_dir(compact_dir))
     if manifest is None:
         raise ValueError(f"no {COMPACT_MANIFEST} under {compact_dir}")
     pruned = []
@@ -339,8 +396,9 @@ def streaming_ann_maintain_writer(
         t0 = _time.time()
         # the index's CURRENT bucket width: a rebucket maintenance job may
         # have widened the code between triggers — new epochs must be
-        # written, and probes issued, at the manifest's width
-        manifest = _read_compact_manifest(compact_dir)
+        # written, and probes issued, at the manifest's width (the
+        # _CURRENT pointer redirects to a promoted generation n+1)
+        manifest = _read_compact_manifest(_resolve_compact_dir(compact_dir))
         n_bits = manifest.get("lsh_bits", LSH_BITS) if manifest else LSH_BITS
         ing = batch_df.filter(F.col("kind") == "ingest").select(
             F.col("id").alias("cand_id"), F.col("embedding")
@@ -442,7 +500,11 @@ def compact_ann_index(
     previous compact_dir and a FRESH ``compact_dir`` — the input is then
     [old base ∪ epochs since the old manifest], i.e. exactly what serving
     sees; writing over a directory being read is not a thing parquet can
-    do atomically, hence the fresh output per generation.
+    do atomically, hence the fresh output per generation. To hand the new
+    generation to a RUNNING maintained stream, follow with
+    ``promote_compacted_generation(<runner's compact_dir>, <fresh dir>)``
+    — the writer follows the ``_CURRENT`` pointer per trigger
+    (``base_compact_dir`` may itself be a pointer; it is resolved).
 
     ``new_bits`` widens the bucket code during the rewrite — see
     rebucket_ann_index, the named entry point for that maintenance job.
@@ -456,8 +518,11 @@ def compact_ann_index(
     def _count_files(d: str) -> int:
         return len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
 
+    base_compact_dir = _resolve_compact_dir(base_compact_dir)
     prev = _read_compact_manifest(base_compact_dir)
-    if prev is None and _read_compact_manifest(compact_dir) is not None:
+    if prev is None and _read_compact_manifest(
+        _resolve_compact_dir(compact_dir)
+    ) is not None:
         # Data-loss guard: compact_dir already holds a generation. Building
         # a new one from the EPOCHS ALONE would silently drop every row
         # whose epoch was pruned after the earlier compaction (and parquet

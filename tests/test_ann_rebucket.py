@@ -187,3 +187,95 @@ def test_narrowing_is_refused(spark, tmp_path):
     # plain re-compaction of a rebucketed base KEEPS the wide code
     s = compact_ann_index(spark, index_dir, gen2, base_compact_dir=gen1)
     assert s["lsh_bits"] == NEW_BITS
+
+
+def test_promoted_generation_serves_through_running_stream(spark, tmp_path):
+    """The LSM superblock (round 11): generation n+1 compacts to a FRESH
+    dir and promote_compacted_generation flips the _CURRENT pointer — the
+    SAME maintained stream (same checkpoint, same writer wiring) serves
+    the new base on its next trigger. Combined with rebucket: gen2 widens
+    the code, so the post-promotion epoch must be written at the new
+    width and queries must find vectors from every phase."""
+    from realtime_twitter_trends_analytics_spark.streaming.ann_stream import (
+        promote_compacted_generation,
+        prune_absorbed_epochs,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    items = _corpus(spark, 12)
+    work = tmp_path / "work"
+    index_dir = f"{work}/ann_index"
+    compact_dir = f"{work}/ann_compact"  # the runner's fixed default
+
+    # phase 1: ingest, drain, gen1 compaction IN PLACE (no pointer yet)
+    _write_rows(src / "b0.json", [("ingest", i, v) for i, v in items[:4]])
+    _pin_mtimes(src, ["b0.json"], base_offset=-180)
+    assert run_streaming_ann_maintain(
+        spark, str(src), str(work), max_files_per_trigger=1
+    )
+    compact_ann_index(spark, index_dir, compact_dir, n_partitions=2)
+    prune_absorbed_epochs(index_dir, compact_dir)
+
+    # phase 2: more ingest through the same checkpoint (delta epochs)
+    _write_rows(src / "b1.json", [("ingest", i, v) for i, v in items[4:8]])
+    _pin_mtimes(src, ["b1.json"], base_offset=-120)
+    assert run_streaming_ann_maintain(
+        spark, str(src), str(work), max_files_per_trigger=1
+    )
+
+    # gen2: rebucket [gen1 base + delta] into a fresh dir, promote
+    gen2 = f"{work}/ann_compact_gen2"
+    stats = rebucket_ann_index(
+        spark, index_dir, gen2, NEW_BITS, base_compact_dir=compact_dir
+    )
+    assert (stats["generation"], stats["lsh_bits"]) == (2, NEW_BITS)
+    promote_compacted_generation(compact_dir, gen2)
+    prune_absorbed_epochs(index_dir, compact_dir)  # pointer-resolved
+
+    # phase 3: the SAME stream continues — ingest at the promoted width,
+    # then query one vector from each phase
+    _write_rows(src / "b2.json", [("ingest", i, v) for i, v in items[8:]])
+    _write_rows(
+        src / "b3.json",
+        [
+            ("query", 900, items[0][1]),
+            ("query", 901, items[4][1]),
+            ("query", 902, items[8][1]),
+        ],
+    )
+    _pin_mtimes(src, ["b2.json", "b3.json"], base_offset=-30)
+    assert run_streaming_ann_maintain(
+        spark, str(src), str(work), max_files_per_trigger=1
+    )
+
+    res = spark.read.parquet(f"{work}/results")
+    for qid, want in [(900, items[0][0]), (901, items[4][0]), (902, items[8][0])]:
+        top = res.filter(f"query_id = {qid} AND rnk = 1").collect()
+        assert len(top) == 1, (qid, top)
+        assert top[0]["cand_id"] == want, (qid, top)
+        assert abs(top[0]["cosine"] - 1.0) < 1e-9, (qid, top)
+
+    # the post-promotion epoch really is at the promoted width
+    delta = spark.read.parquet(f"{index_dir}/batch=2").collect()
+    assert any(r["bucket"] >= 2**LSH_BITS for r in delta), delta
+    # absorbed epochs were pruned through the pointer; batch=2 survives
+    assert not os.path.exists(f"{index_dir}/batch=1")
+    assert os.path.exists(f"{index_dir}/batch=2")
+
+    # a FRESH stream (new checkpoint/work dir reset) must not resurrect
+    # the promoted base: batch-0 reset clears pointer + target
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    _write_rows(src2 / "b0.json", [("query", 950, items[0][1])])
+    _pin_mtimes(src2, ["b0.json"])
+    import shutil
+
+    shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    assert run_streaming_ann_maintain(
+        spark, str(src2), str(work), max_files_per_trigger=1
+    )
+    res2 = spark.read.parquet(f"{work}/results")
+    assert res2.filter("query_id = 950").count() == 0  # empty index again
+    assert not os.path.exists(gen2)
+    assert not os.path.exists(compact_dir + "_CURRENT")
