@@ -298,6 +298,17 @@ HEADLINE = [
     "sim_ivfpq_ann_prod",
 ]
 
+# DELIBERATE surface demos (round 12, VERDICT r11 item 7): queries kept in
+# the suite to PRICE a boundary (grouped_zscore = the applyInPandas
+# grouped-map Arrow round-trip, ~120x its 0.5 s JVM twin by design —
+# see grouped_pandas.py). They are timed and reported under a "demo:"
+# prefix so round-over-round diffs still track them, but they are EXCLUDED
+# from the headline total: the total should price what ships, not what the
+# API-surface demos deliberately pay.
+DEMO = [
+    "grouped_zscore",
+]
+
 
 STREAM_ROWS = 200_000
 # 64 source files drained 32-per-trigger = 2 micro-batches of 32 input
@@ -833,6 +844,7 @@ def main() -> None:
     # eagerly-materialized rounds during construction and must be counted.
     MIN3 = {"multimodal_feature_summary", "sim_mmr_topk", "ml_pca_power_iteration"}
     timings: dict[str, float] = {}
+    demo_timings: dict[str, float] = {}
     for pass_n in range(3):
         for name in headline if pass_n < 2 else [n for n in headline if n in MIN3]:
             t0 = time.time()
@@ -841,6 +853,19 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             spark.catalog.clearCache()
+        # demo tier: min-of-2 (first run doubles as warm-up), separate
+        # namespace (excluded from `total` — see DEMO's comment); skipped
+        # on diagnostic subset runs
+        if pass_n < 2 and not only:
+            for name in DEMO:
+                t0 = time.time()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.time() - t0, 3)
+                key = f"demo:{name}"
+                demo_timings[key] = min(demo_timings.get(key, dt), dt)
+                spark.catalog.clearCache()
             # NO System.gc() here. Round 3 added one "to stabilize" and it
             # was the round's self-inflicted bench regression: a forced
             # full GC after every query made the NEXT timed query ~1.5x
@@ -918,10 +943,11 @@ def main() -> None:
         # drift stops needing a manual interleaved adjudication
         "canary_sec": canary_sec,
         "canary": {"start": canary_start, "end": canary_end},
-        # staging:* build lines ride in the queries map so
-        # tools/bench_diff.py tracks them round-over-round like any query
-        # (they are EXCLUDED from "value" — same basis as r5)
-        "queries": {**timings, **staging_timings},
+        # staging:* build lines and demo:* surface-demo lines ride in the
+        # queries map so tools/bench_diff.py tracks them round-over-round
+        # like any query (both are EXCLUDED from "value" — same basis as
+        # r5 staging / r12 demo tier)
+        "queries": {**timings, **staging_timings, **demo_timings},
         "staging_sec": round(sum(staging_timings.values()), 3),
         "sf": float(sf),
         "ann_recall_at_10": recall,

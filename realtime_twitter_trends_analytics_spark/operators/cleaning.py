@@ -298,7 +298,10 @@ def corpus_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     precisely so the equality test is well-defined; exact equality on
     chained corpora would require the stream to index dropped docs' bands
     too, which the survivors-only index deliberately avoids (it keeps the
-    cross-batch state survivor-bounded).
+    cross-batch state survivor-bounded). The divergence itself is PINNED
+    EXECUTABLE (round 12): tests/test_corpus_chain_divergence.py plants a
+    real a~b, b~c, a!~c chain through the actual MinHash machinery and
+    asserts batch survivors {a} vs stream survivors {a, c}.
 
     Plan shape: codegen'd verdict filter (no shuffle) -> the
     dedup_minhash_pairs template over the KEPT slice (one banded

@@ -74,6 +74,29 @@ def _dist2_sql(d: str, a: str, b: str) -> str:
 _FLOOR_DIV = "CAST(floor(CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE)) AS BIGINT)"
 
 
+# Ceiling on the literal-centroid design (ADVICE r11): the inlined
+# argmin/topn expression is O(K * D) literals — past a few thousand
+# centroids the expression itself stops planning (Catalyst tree size,
+# codegen limits), and the 64 KiB constant-pool class limit is the hard
+# wall. k_for_corpus crosses this at N ~ K_LITERAL_CEILING *
+# TARGET_CELL_SIZE (~1M vectors): beyond it the coarse quantizer must be a
+# BROADCAST-JOIN centroid RELATION (crossJoin(broadcast(centroids)) +
+# min(struct) per vector — the pre-r9 shape this design replaced, which
+# costs a broadcast + hash-agg but has no expression-size wall). The guard
+# refuses loudly instead of letting Catalyst fail opaque.
+K_LITERAL_CEILING = 4096
+
+
+def _check_literal_k(n_rows: int) -> None:
+    if n_rows > K_LITERAL_CEILING:
+        raise ValueError(
+            f"{n_rows} centroids exceeds K_LITERAL_CEILING={K_LITERAL_CEILING} "
+            "for the inlined literal-centroid expression; switch the coarse "
+            "quantizer to a broadcast-join centroid relation "
+            "(crossJoin(broadcast(centroids)) + min(struct)) at this scale"
+        )
+
+
 def centroid_argmin_sql(rows: "list[tuple[int, list[int]]]", qe_expr: str = "qe") -> str:
     """Spark SQL struct ``(d2, cl)`` = nearest centroid of ``qe_expr``
     against LITERAL centroid rows — assignment as a MAP-SIDE expression.
@@ -91,6 +114,7 @@ def centroid_argmin_sql(rows: "list[tuple[int, list[int]]]", qe_expr: str = "qe"
     input vector are each bound ONCE via the single-element-array transform
     idiom (Spark has no let); distances use the compact zip_with form (the
     indexed form costs seconds of codegen — see _dist2_sql)."""
+    _check_literal_k(len(rows))
     ordered = sorted(rows)
     cents = ", ".join(
         "array(" + ",".join(f"{int(v)}L" for v in c) + ")" for _, c in ordered
@@ -117,6 +141,7 @@ def centroid_topn_sql(
     for ``qe_expr`` — the multi-probe generalization of
     ``centroid_argmin_sql`` (same literal-centroid map-side design; same
     tie order: array_sort ascending on (d2, cl) == ORDER BY d2, cluster)."""
+    _check_literal_k(len(rows))
     ordered = sorted(rows)
     cents = ", ".join(
         "array(" + ",".join(f"{int(v)}L" for v in c) + ")" for _, c in ordered

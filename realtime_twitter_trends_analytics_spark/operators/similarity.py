@@ -706,9 +706,13 @@ def kmeans_cell_assignment(
     exact BIGINT distances), materialized once per (application, sf_dir, k).
     ``k=None`` trains at the gate constant K_CLUSTERS; the density probe
     passes ``ml.k_for_corpus(N)`` so occupancy stays bounded as N grows."""
-    from .ml import _quant_sql, centroid_argmin_sql, kmeans_centroid_rows
+    from .ml import K_CLUSTERS, _quant_sql, centroid_argmin_sql, kmeans_centroid_rows
 
-    key = (spark.sparkContext.applicationId, sf_dir, k)
+    # k=None trains at the gate constant, so it produces the IDENTICAL
+    # assignment as an explicit k=K_CLUSTERS — normalize the memo key or
+    # the _prod twins at bench SF (k_for_corpus -> K_CLUSTERS) would
+    # re-materialize a duplicate eager staging table of the same relation
+    key = (spark.sparkContext.applicationId, sf_dir, K_CLUSTERS if k is None else k)
     memo = _CELL_ASSIGN_MEMO.get(key)
     if memo is not None:
         return memo
@@ -823,11 +827,15 @@ def dedup_semantic_cells_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     face is row-identical to the oracle-gated query there (pinned in
     tests/test_density_rule.py); at 10x density it is the ~linear arm of
     the measured defense (SCALE_SMOKE.md: fixed-K wall x104.6 vs derived-K
-    x9.9 for x10 data)."""
+    x9.9 for x10 data). N comes from the parquet footer
+    (loaders.table_row_count — the CBO table-stats lookup, zero Spark
+    jobs), not an eager full-scan count() per invocation (ADVICE r11)."""
+    from ..sources.loaders import table_row_count
     from .ml import k_for_corpus
 
-    n = load_table(spark, sf_dir, "embeddings").count()
-    return _semantic_cells_report(spark, sf_dir, k_for_corpus(n))
+    return _semantic_cells_report(
+        spark, sf_dir, k_for_corpus(table_row_count(sf_dir, "embeddings"))
+    )
 
 
 def _oracle_semdedup() -> str:
@@ -1215,11 +1223,23 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_report(spark, sf_dir, None)
 
 
-def _ivfpq_report(spark: SparkSession, sf_dir: str, k: int | None) -> DataFrame:
+def _ivfpq_report(
+    spark: SparkSession, sf_dir: str, k: int | None, adc_observation=None
+) -> DataFrame:
     """sim_ivfpq_ann body, parametric in the coarse-cell count: k=None is
     the oracle-pinned gate constant; the _prod face and the density probe
     pass ml.k_for_corpus(N), which bounds candidates per query at
-    nprobe x TARGET_CELL_SIZE independent of corpus size."""
+    nprobe x TARGET_CELL_SIZE independent of corpus size.
+
+    ``adc_observation`` (round 12, VERDICT r11 item 1): a
+    ``pyspark.sql.Observation`` attached to the rows ENTERING the ADC
+    aggregate — the unit the derived-K defense is denominated in
+    (candidate code rows per query = nprobe x occupancy x PQ_BLOCKS).
+    The sandbox walls can hide the reduction in seconds (per-query fixed
+    cost dominates at probe volume); the observed row count cannot. Free
+    when None; when set, the count rides the job's existing pass
+    (AggregatingAccumulator) — no second scan. See ivfpq_observed /
+    tools/density_probe.py / tests/test_ivfpq_candidates.py."""
     from .ml import (
         PQ_BLOCKS,
         _pq_assign,
@@ -1265,13 +1285,18 @@ def _ivfpq_report(spark: SparkSession, sf_dir: str, k: int | None) -> DataFrame:
         )
         .select("query_id", F.col("p.cl").alias("cell"))
     )
-    adc = (
+    adc_input = (
         cellcodes.join(F.broadcast(probe), "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
         .join(F.broadcast(qlut), ["query_id", "block", "code"])
-        .groupBy("query_id", "cell", F.col("vec_id").alias("cand_id"))
-        .agg(F.sum("d2").alias("adc_d2"), F.count(F.lit(1)).alias("n_blocks"))
     )
+    if adc_observation is not None:
+        adc_input = adc_input.observe(
+            adc_observation, F.count(F.lit(1)).alias("adc_candidate_rows")
+        )
+    adc = adc_input.groupBy(
+        "query_id", "cell", F.col("vec_id").alias("cand_id")
+    ).agg(F.sum("d2").alias("adc_d2"), F.count(F.lit(1)).alias("n_blocks"))
     w_adc = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("cand_id"))
     pool = (
         adc.filter(F.col("n_blocks") == PQ_BLOCKS)
@@ -1308,11 +1333,33 @@ def sim_ivfpq_ann_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench SF the rule reproduces the gate constant, so this face is
     row-identical to the oracle-gated query there (pinned in
     tests/test_density_rule.py); the density probe measures the
-    fixed-vs-derived walls at 10x density (SCALE_SMOKE.md)."""
+    fixed-vs-derived walls at 10x density (SCALE_SMOKE.md). N comes from
+    the parquet footer (loaders.table_row_count), not an eager count()."""
+    from ..sources.loaders import table_row_count
     from .ml import k_for_corpus
 
-    n = load_table(spark, sf_dir, "embeddings").count()
-    return _ivfpq_report(spark, sf_dir, k_for_corpus(n))
+    return _ivfpq_report(
+        spark, sf_dir, k_for_corpus(table_row_count(sf_dir, "embeddings"))
+    )
+
+
+def ivfpq_observed(spark: SparkSession, sf_dir: str, k: int | None):
+    """(report_df, Observation) — the IVF-PQ face with the ADC-input row
+    counter attached (round 12, VERDICT r11 item 1). After any action on
+    the report, ``obs.get["adc_candidate_rows"]`` is the EXACT number of
+    candidate code rows the ADC aggregate consumed — the derived-K
+    defense measured in the unit the sandbox cannot hide:
+    sum over queries of sum over probed cells of (|cell| - [q in cell])
+    x PQ_BLOCKS. Fixed K: occupancy ~ N/K grows linearly with the corpus,
+    so the count does too. Derived K (ml.k_for_corpus): occupancy pinned
+    ~TARGET_CELL_SIZE, count flat at |Q| x nprobe x TARGET_CELL_SIZE x
+    PQ_BLOCKS whatever N is. tools/density_probe.py records both arms at
+    x1/x3/x10; tests/test_ivfpq_candidates.py pins the count against the
+    closed form AND the bound on the prod face."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ivfpq_adc")
+    return _ivfpq_report(spark, sf_dir, k, adc_observation=obs), obs
 
 
 def _oracle_ivfpq() -> str:

@@ -53,6 +53,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (path, mtime_ns, size) -> rows; keyed on the file stat so a regenerated
+# fixture invalidates naturally (the scale_probe fingerprint lesson)
+_ROW_COUNT_MEMO: dict[tuple[str, int, int], int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Row count from the parquet FOOTER (pyarrow metadata read — zero
+    Spark jobs, no data pages touched). The production-sizing faces
+    (k_for_corpus callers) need N per invocation; an eager full-scan
+    count() per call was the ADVICE r11 fix — on a real warehouse this is
+    the table-stats lookup every CBO already does."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    n = _ROW_COUNT_MEMO.get(key)
+    if n is None:
+        n = pq.ParquetFile(path).metadata.num_rows
+        _ROW_COUNT_MEMO[key] = n
+    return n
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -519,6 +519,24 @@ def compact_ann_index(
         return len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
 
     base_compact_dir = _resolve_compact_dir(base_compact_dir)
+    # Self-overwrite guards (ADVICE r11): (a) writing the generation into
+    # the directory its own lazy base read comes from is parquet's opaque
+    # 'cannot overwrite a path being read from' failure — refuse with the
+    # real reason; (b) a compact_dir that carries a _CURRENT pointer is a
+    # RUNNER'S pointer root — writing a generation directly there would
+    # land rows the pointer never names (silently never served; promote
+    # into it instead).
+    if base_compact_dir == compact_dir:
+        raise ValueError(
+            f"base_compact_dir resolves to the output dir {compact_dir}; "
+            "generation n+1 must be written to a FRESH directory"
+        )
+    if os.path.exists(compact_dir + "_CURRENT"):
+        raise ValueError(
+            f"{compact_dir} has a _CURRENT pointer (it is a runner's "
+            "pointer root); write the new generation to a fresh dir and "
+            "promote_compacted_generation into it"
+        )
     prev = _read_compact_manifest(base_compact_dir)
     if prev is None and _read_compact_manifest(
         _resolve_compact_dir(compact_dir)

@@ -112,21 +112,24 @@ def main() -> int:
     rows = []
     failures = []
     for k in common:
-        ratio = (new[k] / old[k] if old[k] else float("inf")) / host
+        raw = new[k] / old[k] if old[k] else float("inf")
+        ratio = raw / host
         flag = ""
         if ratio > args.per_query_max and max(old[k], new[k]) >= args.min_sec:
             flag = "REGRESSION"
             failures.append(k)
         elif ratio < 1 / args.per_query_max:
             flag = "improved"
-        rows.append((ratio, k, old[k], new[k], flag))
+        rows.append((ratio, raw, k, old[k], new[k], flag))
 
     print(f"common set: {len(common)} queries   old={total_old:.3f}s   "
-          f"new={total_new:.3f}s   ratio={total_ratio:.3f}x "
-          f"(gate {args.total_max}x)")
-    for ratio, k, o, n, flag in sorted(rows, reverse=True):
+          f"new={total_new:.3f}s   raw={total_ratio * host:.3f}x   "
+          f"normalized={total_ratio:.3f}x (gate {args.total_max}x)")
+    if host != 1.0:
+        print("  norm      raw  query" + " " * 37 + "old    ->  new")
+    for ratio, raw, k, o, n, flag in sorted(rows, reverse=True):
         if flag or ratio > 1.1:
-            print(f"  {ratio:5.2f}x  {k:40s} {o:7.3f} -> {n:7.3f}  {flag}")
+            print(f"  {ratio:5.2f}x {raw:5.2f}x  {k:40s} {o:7.3f} -> {n:7.3f}  {flag}")
     if only_old:
         print(f"dropped from new ({len(only_old)}): {', '.join(only_old)}")
     if only_new:
