@@ -223,6 +223,53 @@ def streaming_ann_maintain_reset(
 COMPACT_MANIFEST = "_ANN_COMPACT_MANIFEST.json"  # "_"-prefixed: Spark's
 # file index treats it as hidden, so reading compact_dir as parquet skips it
 
+EPOCH_META = "_EPOCH_META.json"  # per-epoch sidecar (also "_"-hidden):
+# records the lsh_bits the epoch's rows were WRITTEN at. Closes the
+# ADVICE r12 mixed-width hazard: an epoch committed between a rebucket's
+# snapshot and its _CURRENT promotion is written at the OLD width but has
+# batch_id > the new base's absorbed_through — without the stamp, the
+# base+delta union would probe it at the NEW width and its vectors would
+# be silently unfindable.
+
+
+def _write_epoch_meta(epoch_dir: str, lsh_bits: int) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(epoch_dir, EPOCH_META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"lsh_bits": int(lsh_bits)}, fh)
+    os.replace(tmp, os.path.join(epoch_dir, EPOCH_META))
+
+
+def _read_epoch_meta(epoch_dir: str) -> "int | None":
+    """The stamped write width, or None (pre-stamp epoch, or a replay
+    died between the parquet overwrite — which clears the dir, stamp
+    included — and the re-stamp). None means UNTRUSTED, not LSH_BITS:
+    the reader rehashes unstamped deltas from their carried vectors
+    whenever it cannot prove they match the serve width."""
+    import json
+    import os
+
+    p = os.path.join(epoch_dir, EPOCH_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(json.load(fh).get("lsh_bits"))
+
+
+def _bucket_rehash_expr(out_bits: int) -> str:
+    """Recompute the per-table bucket from the carried vector at
+    ``out_bits`` — bit b's hyperplane depends only on (table, b), so this
+    is a pure refinement/widening, shared by the compaction rebucket and
+    the mixed-width delta repair."""
+    return "element_at(array({}), t + 1)".format(
+        ", ".join(
+            lsh_bucket_sql(dl.SPARK, "cv", t, out_bits)
+            for t in range(ANN_LSH_TABLES)
+        )
+    )
+
 
 def _epoch_dirs(index_dir: str) -> "list[tuple[int, str]]":
     """(batch_id, path) of every epoch partition under the maintained
@@ -313,7 +360,18 @@ def read_maintained_index(
 
     Returns None when the index holds no rows anywhere (the caller serves
     the pinned empty schema). ``compact_dir`` is pointer-aware: a
-    ``_CURRENT`` file beside it redirects to the promoted generation."""
+    ``_CURRENT`` file beside it redirects to the promoted generation.
+
+    Mixed-width deltas (round 12, the ADVICE r11 medium item): every
+    delta epoch must carry the BASE's bucket width or its vectors are
+    unfindable at serve time (probes are issued at the manifest's width).
+    An epoch stamped at a DIFFERENT width — committed between a
+    rebucket's epoch snapshot and its ``_CURRENT`` promotion — or an
+    epoch with no stamp at all (pre-stamp layout, or a replay that died
+    between the parquet overwrite and the re-stamp) is REHASHED map-side
+    from its carried vectors (``_bucket_rehash_expr``; cost: one
+    projection over the small delta only). Stamped-and-matching deltas
+    pass through untouched, so the steady-state plan is unchanged."""
     from .dedup_stream import _has_parquet
 
     cols = ["t", "bucket", "cand_id", "cv"]
@@ -322,7 +380,32 @@ def read_maintained_index(
     if manifest is None:
         if not _has_parquet(index_dir):
             return None
-        return spark.read.parquet(index_dir).select(*cols)
+        # no base: serve width is the gate constant; repair any epoch not
+        # provably written at it (a rebucket CANNOT have run — it would
+        # have left a manifest — but a foreign/legacy epoch still must
+        # not be silently unfindable)
+        serve_bits = LSH_BITS
+        epochs = [p for _b, p in _epoch_dirs(index_dir) if _has_parquet(p)]
+        if not epochs:
+            # non-epoch layout (a write-once index dir): the round-10
+            # behavior, read whole-dir at the gate width
+            return spark.read.parquet(index_dir).select(*cols)
+        ok = [p for p in epochs if _read_epoch_meta(p) == serve_bits]
+        fix = [p for p in epochs if p not in ok]
+        parts = []
+        if ok:
+            parts.append(spark.read.parquet(*ok).select(*cols))
+        if fix:
+            parts.append(
+                spark.read.parquet(*fix)
+                .withColumn("bucket", F.expr(_bucket_rehash_expr(serve_bits)))
+                .select(*cols)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    serve_bits = manifest.get("lsh_bits", LSH_BITS)
     base = spark.read.parquet(compact_dir).select(*cols)
     deltas = [
         p
@@ -331,7 +414,17 @@ def read_maintained_index(
     ]
     if not deltas:
         return base
-    return base.unionByName(spark.read.parquet(*deltas).select(*cols))
+    ok = [p for p in deltas if _read_epoch_meta(p) == serve_bits]
+    fix = [p for p in deltas if p not in ok]
+    if ok:
+        base = base.unionByName(spark.read.parquet(*ok).select(*cols))
+    if fix:
+        base = base.unionByName(
+            spark.read.parquet(*fix)
+            .withColumn("bucket", F.expr(_bucket_rehash_expr(serve_bits)))
+            .select(*cols)
+        )
+    return base
 
 
 def prune_absorbed_epochs(index_dir: str, compact_dir: str) -> dict:
@@ -425,6 +518,10 @@ def streaming_ann_maintain_writer(
         rows.coalesce(2).write.mode("overwrite").parquet(
             f"{index_dir}/batch={batch_id}"
         )
+        # stamp the width the rows were written at (AFTER the overwrite —
+        # Spark's overwrite clears the dir, stamp included); the reader
+        # rehashes any delta it cannot prove matches the serve width
+        _write_epoch_meta(f"{index_dir}/batch={batch_id}", n_bits)
         queries = batch_df.filter(F.col("kind") == "query").select(
             F.col("id").alias("query_id"), "embedding"
         )
@@ -571,13 +668,7 @@ def compact_ann_index(
         # co-bucketed at any width). Mean occupancy drops 2x per added
         # bit, which is the whole point: the maintained-serve growth curve
         # resets without touching recall for exact matches.
-        bucket_by_t = "element_at(array({}), t + 1)".format(
-            ", ".join(
-                lsh_bucket_sql(dl.SPARK, "cv", t, out_bits)
-                for t in range(ANN_LSH_TABLES)
-            )
-        )
-        idx = idx.withColumn("bucket", F.expr(bucket_by_t))
+        idx = idx.withColumn("bucket", F.expr(_bucket_rehash_expr(out_bits)))
     rows = idx.select("t", "bucket", "cand_id", "cv")
     (
         rows.repartition(n_partitions, "t", "bucket")
