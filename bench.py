@@ -713,6 +713,88 @@ def streaming_ann_maintain_throughput(spark) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def streaming_ivfpq_maintain_throughput(spark) -> dict:
+    """Maintained IVF-PQ topology throughput (round 12, VERDICT r11 item
+    2): same mixed ingest/query workload as the LSH maintained line, but
+    ingest encodes (cell + 8 PQ codes, map-side literal model) and serve
+    runs the probe->ADC->rerank chain over base+delta
+    (ivfpq_stream.streaming_ivfpq_maintain_writer). Reported next to
+    streaming_ann_maintain so the two production index shapes price
+    against each other every round."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from realtime_twitter_trends_analytics_spark.streaming.ivfpq_stream import (
+        run_streaming_ivfpq_maintain,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_sivfpq_")
+    src = f"{work}/src"
+    os.makedirs(src)
+
+    def vec_of(i: int) -> list:
+        return [
+            ((i * 131 + d * 17 + (i * d) % 7) % 1000) / 1000.0 - 0.5
+            for d in range(64)
+        ]
+
+    for f_idx in range(ANN_STREAM_FILES):
+        with open(f"{src}/b{f_idx}.json", "w") as fh:
+            for i in range(ANN_INGEST_PER_FILE):
+                vid = f_idx * ANN_INGEST_PER_FILE + i
+                fh.write(
+                    _json.dumps(
+                        {"kind": "ingest", "id": vid, "embedding": vec_of(vid)}
+                    )
+                    + "\n"
+                )
+            for i in range(ANN_QUERY_PER_FILE):
+                target = max(0, f_idx - 1) * ANN_INGEST_PER_FILE + i
+                fh.write(
+                    _json.dumps(
+                        {
+                            "kind": "query",
+                            "id": 10_000_000 + f_idx * ANN_QUERY_PER_FILE + i,
+                            "embedding": vec_of(target),
+                        }
+                    )
+                    + "\n"
+                )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        metrics: list[dict] = []
+        t0 = time.time()
+        finished = run_streaming_ivfpq_maintain(
+            spark,
+            src,
+            work,
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            max_files_per_trigger=ANN_STREAM_FILES // 4,
+            metrics=metrics,
+            timeout_sec=600,
+        )
+        dt = time.time() - t0
+        if not finished:
+            return {
+                "input_rows": ANN_STREAM_ROWS,
+                "elapsed_sec": None,
+                "rows_per_sec": None,
+                "timeout": True,
+            }
+        return {
+            "input_rows": ANN_STREAM_ROWS,
+            "elapsed_sec": round(dt, 3),
+            "rows_per_sec": round(ANN_STREAM_ROWS / dt, 1),
+            "n_ingested": sum(m["n_ingest"] for m in metrics),
+            "n_served": sum(m["n_queries"] for m in metrics),
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def host_canary(spark) -> dict:
     """Host-speed canary (VERDICT r10 item 3): three FIXED-SHAPE pure-CPU
     probes over synthetic inputs (spark.range — no parquet, no staging, no
@@ -935,6 +1017,19 @@ def main() -> None:
         )
         stream_ann = a if (a["rows_per_sec"] or 0) >= (b["rows_per_sec"] or 0) else b
 
+    if "stream" in skip:
+        stream_ivfpq = None
+    else:
+        # round 12: the maintained IVF-PQ twin, same warm-up + best-of-two
+        streaming_ivfpq_maintain_throughput(spark)
+        a, b = (
+            streaming_ivfpq_maintain_throughput(spark),
+            streaming_ivfpq_maintain_throughput(spark),
+        )
+        stream_ivfpq = (
+            a if (a["rows_per_sec"] or 0) >= (b["rows_per_sec"] or 0) else b
+        )
+
     canary_end = host_canary(spark)
     canary_sec = min(canary_start["sec"], canary_end["sec"])
 
@@ -961,6 +1056,7 @@ def main() -> None:
         "streaming_dedup": stream_dedup,
         "streaming_corpus_pipeline": stream_corpus,
         "streaming_ann_maintain": stream_ann,
+        "streaming_ivfpq_maintain": stream_ivfpq,
     }
     # The driver captures only a fixed-size TAIL of stdout and json-parses
     # the last line. Round 3's single full-payload line outgrew that buffer
@@ -990,6 +1086,7 @@ def main() -> None:
         # in bench_full.json / line 1) — the 1500-byte tail cap is real
         "streaming_corpus_rps": (stream_corpus or {}).get("rows_per_sec"),
         "streaming_ann_maintain_rps": (stream_ann or {}).get("rows_per_sec"),
+        "streaming_ivfpq_maintain_rps": (stream_ivfpq or {}).get("rows_per_sec"),
         # slowest 10 only — the full 66-entry map is what overflowed the
         # driver tail in r3; complete map: line 1 above / bench_full.json
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),

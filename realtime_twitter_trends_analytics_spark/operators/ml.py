@@ -513,6 +513,135 @@ def pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return blocks, spark.createDataFrame(rows, "block int, code int, c array<bigint>")
 
 
+def _cbs_literal(codebook_rows: "list[tuple[int, int, list[int]]]") -> str:
+    """The trained PQ codebook as ONE nested array literal
+    (blocks x codes x dims BIGINTs — 1024 ints at the gate constants):
+    element_at(element_at(cbs, block + 1), code + 1) = the codeword."""
+    by_block: dict[int, dict[int, list[int]]] = {}
+    for b, c, vec in codebook_rows:
+        by_block.setdefault(int(b), {})[int(c)] = [int(v) for v in vec]
+    blocks = []
+    for b in range(PQ_BLOCKS):
+        codes = by_block.get(b, {})
+        entries = []
+        for c in range(PQ_K):
+            vec = codes.get(c)
+            if vec is None:
+                # a dead codeword (cluster emptied during training): pin
+                # it infinitely far so the argmin/LUT can never pick it
+                vec = [1 << 40] * PQ_SUB_DIM
+            entries.append("array(" + ",".join(f"{v}L" for v in vec) + ")")
+        blocks.append("array(" + ",".join(entries) + ")")
+    return "array(" + ",".join(blocks) + ")"
+
+
+def pq_codes_sql(
+    codebook_rows: "list[tuple[int, int, list[int]]]", qe_expr: str = "qe"
+) -> str:
+    """Spark SQL ``array<int>`` of the PQ_BLOCKS nearest-codeword codes of
+    ``qe_expr`` against LITERAL codebook rows — PQ ENCODING as a map-side
+    expression, the _pq_assign join+agg collapsed into the scan (the
+    centroid_argmin_sql move applied to the subquantizers). Exact BIGINT
+    distances; ties -> lowest code (array_min on struct(d2, code)), the
+    identical order to _pq_assign's min(struct(d2, code)) agg, so the
+    codes are bit-equal to the batch trainer's."""
+    d2 = (
+        f"aggregate(zip_with(slice(qe0, b * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}), "
+        "element_at(element_at(cbs0, b + 1), k + 1), (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    inner = (
+        f"transform(sequence(0, {PQ_BLOCKS - 1}), b -> "
+        f"(array_min(transform(sequence(0, {PQ_K - 1}), k -> "
+        f"struct({d2} AS d2, CAST(k AS INT) AS code)))).code)"
+    )
+    return (
+        f"transform(array({qe_expr}), qe0 -> "
+        f"transform(array({_cbs_literal(codebook_rows)}), cbs0 -> {inner})[0])[0]"
+    )
+
+
+def pq_lut_sql(
+    codebook_rows: "list[tuple[int, int, list[int]]]", qe_expr: str = "qe"
+) -> str:
+    """Spark SQL ``array<array<bigint>>`` — the per-query ADC lookup
+    table: LUT[block][code] = exact BIGINT d2 between the query's
+    subvector and that codeword, computed map-side from the literal
+    codebook (the FAISS per-query LUT build as one projection; the
+    serve-side ADC is then 8 array lookups per candidate, no join)."""
+    d2 = (
+        f"aggregate(zip_with(slice(qe0, b * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}), "
+        "element_at(element_at(cbs0, b + 1), k + 1), (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    inner = (
+        f"transform(sequence(0, {PQ_BLOCKS - 1}), b -> "
+        f"transform(sequence(0, {PQ_K - 1}), k -> {d2}))"
+    )
+    return (
+        f"transform(array({qe_expr}), qe0 -> "
+        f"transform(array({_cbs_literal(codebook_rows)}), cbs0 -> {inner})[0])[0]"
+    )
+
+
+def train_kmeans_rows_from(
+    vecs: DataFrame, k: int
+) -> "list[tuple[int, list[int]]]":
+    """kmeans_centroid_rows generalized to ANY (vec_id, embedding) frame —
+    the RETRAIN path of the maintained IVF-PQ index (codebooks re-learned
+    from the accumulated corpus at compaction). Seeds are the k
+    lowest-vec_id vectors relabeled 0..k-1 (the sf-table trainer's
+    vec_id < k rule, made id-agnostic); same Lloyd rounds, same exact
+    fixed-point arithmetic, centroids as driver rows."""
+    q = vecs.select("vec_id", F.expr(_quant_sql(dl.SPARK, "embedding")).alias("qe"))
+    seeds = q.orderBy("vec_id").limit(k).collect()
+    rows = [(i, [int(v) for v in r.qe]) for i, r in enumerate(seeds)]
+    for _ in range(KMEANS_ITERS):
+        assigned = q.select("qe", F.expr(centroid_argmin_sql(rows)).alias("m")).select(
+            F.col("m.cl").alias("cluster"), "qe"
+        )
+        collected = audit_plan("kmeans_update_round", _update(assigned)).collect()
+        rows = [(int(r.cluster), [int(v) for v in r.c]) for r in collected]
+    return rows
+
+
+def train_pq_rows_from(vecs: DataFrame) -> "list[tuple[int, int, list[int]]]":
+    """pq_trained generalized to ANY (vec_id, embedding) frame (see
+    train_kmeans_rows_from): seeds = the PQ_K lowest-vec_id vectors'
+    subvectors, PQ_ITERS Lloyd rounds over (vec, block) grain, codebook
+    as driver rows."""
+    spark = vecs.sparkSession
+    q = vecs.select("vec_id", F.expr(_quant_sql(dl.SPARK, "embedding")).alias("qe"))
+    blocks = audit_plan("pq_blocks_from", _pq_blocks(q)).localCheckpoint()
+    seed_ids = [
+        int(r.vec_id)
+        for r in blocks.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K).collect()
+    ]
+    code_of = {vid: i for i, vid in enumerate(seed_ids)}
+    cent = spark.createDataFrame(
+        [
+            (int(r.block), code_of[int(r.vec_id)], [int(v) for v in r.sub])
+            for r in blocks.filter(F.col("vec_id").isin(seed_ids)).collect()
+        ],
+        "block int, code int, c array<bigint>",
+    )
+    rows: list[tuple[int, int, list[int]]] = []
+    for _ in range(PQ_ITERS):
+        collected = audit_plan(
+            "pq_update_round", _pq_update(_pq_assign(blocks, cent))
+        ).collect()
+        rows = [(int(r.block), int(r.code), [int(v) for v in r.c]) for r in collected]
+        cent = spark.createDataFrame(rows, "block int, code int, c array<bigint>")
+    return rows
+
+
+def pq_codebook_rows(spark: SparkSession, sf_dir: str) -> "list[tuple[int, int, list[int]]]":
+    """The sf-table-trained PQ codebook as driver rows (memo-backed via
+    pq_trained) — the generation-1 model of the maintained IVF-PQ index."""
+    pq_trained(spark, sf_dir)
+    return _PQ_CENT_MEMO[sf_dir]
+
+
 def pq_oracle_ctes() -> tuple[str, str, str]:
     """DuckDB CTE chain mirroring PQ training; returns (cte_block,
     final_assignment_name, final_codebook_name). Reused by the ADC oracle."""

@@ -232,14 +232,29 @@ EPOCH_META = "_EPOCH_META.json"  # per-epoch sidecar (also "_"-hidden):
 # be silently unfindable.
 
 
-def _write_epoch_meta(epoch_dir: str, lsh_bits: int) -> None:
+def _write_epoch_meta_dict(epoch_dir: str, meta: dict) -> None:
     import json
     import os
 
     tmp = os.path.join(epoch_dir, EPOCH_META + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump({"lsh_bits": int(lsh_bits)}, fh)
+        json.dump(meta, fh)
     os.replace(tmp, os.path.join(epoch_dir, EPOCH_META))
+
+
+def _read_epoch_meta_dict(epoch_dir: str) -> "dict | None":
+    import json
+    import os
+
+    p = os.path.join(epoch_dir, EPOCH_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _write_epoch_meta(epoch_dir: str, lsh_bits: int) -> None:
+    _write_epoch_meta_dict(epoch_dir, {"lsh_bits": int(lsh_bits)})
 
 
 def _read_epoch_meta(epoch_dir: str) -> "int | None":
@@ -248,14 +263,10 @@ def _read_epoch_meta(epoch_dir: str) -> "int | None":
     included — and the re-stamp). None means UNTRUSTED, not LSH_BITS:
     the reader rehashes unstamped deltas from their carried vectors
     whenever it cannot prove they match the serve width."""
-    import json
-    import os
-
-    p = os.path.join(epoch_dir, EPOCH_META)
-    if not os.path.exists(p):
+    meta = _read_epoch_meta_dict(epoch_dir)
+    if meta is None or "lsh_bits" not in meta:
         return None
-    with open(p) as fh:
-        return int(json.load(fh).get("lsh_bits"))
+    return int(meta["lsh_bits"])
 
 
 def _bucket_rehash_expr(out_bits: int) -> str:

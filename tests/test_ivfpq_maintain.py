@@ -1,0 +1,384 @@
+"""Maintained IVF-PQ index lifecycle (round 12, VERDICT r11 item 2): the
+production ANN composition (sim_ivfpq_ann) gets the ingest / serve /
+compact / retrain discipline the sign-LSH index has had since r10/r11.
+
+Pinned here:
+- converges-to-batch: ingest the whole sf corpus through the REAL stream,
+  query the batch face's query set with exclude_self — the served rows
+  EQUAL batch sim_ivfpq_ann's (same model, same exact BIGINT ADC, same
+  tie-breaks).
+- found-later: a vector ingested in batch 0 is served at rank 1 /
+  cosine 1.0 by a query in a later batch — including ACROSS a compaction
+  boundary through a resumed stream (base+delta).
+- restart-equality: draining the same source in two runs through the same
+  checkpoint yields the same results as one run.
+- compaction: serving the compacted base equals serving the epoch layout;
+  the manifest carries watermark + generation + model_generation.
+- RETRAIN at compaction: centroids re-learned at k_for_corpus(N) from the
+  accumulated vectors, rows re-encoded, generation bumped — and the
+  refinement is REFUSED (measured, not structural) when a candidate model
+  would drop recall@10 vs exact brute force.
+- stranded-generation repair: an epoch stamped at an older model
+  generation (or unstamped) is re-encoded from its carried vectors at
+  serve time and its vectors stay findable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from realtime_twitter_trends_analytics_spark.operators.similarity import (
+    N_QUERY_VECS,
+    TOP_K,
+    sim_ivfpq_ann,
+)
+from realtime_twitter_trends_analytics_spark.sources.loaders import load_table
+from realtime_twitter_trends_analytics_spark.streaming.ann_stream import (
+    EPOCH_META,
+    _read_compact_manifest,
+    _read_epoch_meta_dict,
+    promote_compacted_generation,
+    prune_absorbed_epochs,
+)
+from realtime_twitter_trends_analytics_spark.streaming.ivfpq_stream import (
+    _serve_ivfpq_topk,
+    build_ivfpq_model,
+    compact_ivfpq_index,
+    read_ivfpq_model,
+    read_maintained_ivfpq,
+    run_streaming_ivfpq_maintain,
+    write_ivfpq_model,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_rows(path, rows) -> None:
+    with open(path, "w") as fh:
+        for kind, rid, emb in rows:
+            fh.write(json.dumps({"kind": kind, "id": rid, "embedding": emb}) + "\n")
+
+
+def _pin(src, names, base_offset=-180) -> None:
+    now = time.time()
+    for i, name in enumerate(names):
+        t = now + base_offset + i * 10
+        os.utime(src / name, (t, t))
+
+
+def _corpus(spark, n=None):
+    emb = load_table(spark, SF, "embeddings")
+    if n is not None:
+        emb = emb.filter(emb.vec_id < n)
+    rows = emb.collect()
+    return sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    )
+
+
+def test_stream_converges_to_batch_sim_ivfpq_ann(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    items = _corpus(spark)
+    half = len(items) // 2
+    _write_rows(src / "b0.json", [("ingest", i, v) for i, v in items[:half]])
+    _write_rows(src / "b1.json", [("ingest", i, v) for i, v in items[half:]])
+    _write_rows(
+        src / "b2.json",
+        [("query", i, v) for i, v in items if i < N_QUERY_VECS],
+    )
+    _pin(src, ["b0.json", "b1.json", "b2.json"])
+    work = tmp_path / "work"
+    metrics: list[dict] = []
+    assert run_streaming_ivfpq_maintain(
+        spark, str(src), str(work), SF, exclude_self=True,
+        max_files_per_trigger=1, metrics=metrics,
+    )
+    assert [m["batch_id"] for m in metrics] == [0, 1, 2]
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{work}/results/batch=2").collect())
+    )
+    want = sorted(map(tuple, sim_ivfpq_ann(spark, SF).collect()))
+    assert len(got) == len(want) == N_QUERY_VECS * TOP_K
+    assert got == want
+
+
+def test_found_later_and_restart_equality(spark, tmp_path):
+    items = _corpus(spark, 12)
+    q_old = ("query", 900, items[0][1])
+    q_new = ("query", 901, items[8][1])
+
+    # ONE uninterrupted drain
+    src1 = tmp_path / "src1"
+    src1.mkdir()
+    _write_rows(src1 / "b0.json", [("ingest", i, v) for i, v in items[:8]])
+    _write_rows(src1 / "b1.json", [("ingest", i, v) for i, v in items[8:]])
+    _write_rows(src1 / "b2.json", [q_old, q_new])
+    _pin(src1, ["b0.json", "b1.json", "b2.json"])
+    w1 = tmp_path / "w1"
+    assert run_streaming_ivfpq_maintain(
+        spark, str(src1), str(w1), SF, max_files_per_trigger=1
+    )
+
+    # the SAME source drained in TWO runs through one checkpoint
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    _write_rows(src2 / "b0.json", [("ingest", i, v) for i, v in items[:8]])
+    _pin(src2, ["b0.json"], base_offset=-300)
+    w2 = tmp_path / "w2"
+    assert run_streaming_ivfpq_maintain(
+        spark, str(src2), str(w2), SF, max_files_per_trigger=1
+    )
+    _write_rows(src2 / "b1.json", [("ingest", i, v) for i, v in items[8:]])
+    _write_rows(src2 / "b2.json", [q_old, q_new])
+    _pin(src2, ["b1.json", "b2.json"], base_offset=-60)
+    assert run_streaming_ivfpq_maintain(
+        spark, str(src2), str(w2), SF, max_files_per_trigger=1
+    )
+
+    res1 = sorted(
+        map(tuple, spark.read.parquet(f"{w1}/results/batch=2").collect())
+    )
+    res2 = sorted(
+        map(tuple, spark.read.parquet(f"{w2}/results/batch=2").collect())
+    )
+    assert res1 == res2  # restart equality
+    # found-later: batch-0 vector AND batch-1 vector at rank 1 / cos 1.0
+    by_q = {
+        r[0]: r
+        for r in spark.read.parquet(f"{w1}/results/batch=2")
+        .filter("rnk = 1")
+        .select("query_id", "cand_id", "cosine")
+        .collect()
+    }
+    assert by_q[900]["cand_id"] == items[0][0]
+    assert by_q[901]["cand_id"] == items[8][0]
+    assert abs(by_q[900]["cosine"] - 1.0) < 1e-9
+    assert abs(by_q[901]["cosine"] - 1.0) < 1e-9
+
+
+def test_compaction_equality_and_found_across_boundary(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    items = _corpus(spark, 16)
+    _write_rows(src / "b0.json", [("ingest", i, v) for i, v in items[:8]])
+    _pin(src, ["b0.json"], base_offset=-300)
+    work = tmp_path / "work"
+    assert run_streaming_ivfpq_maintain(
+        spark, str(src), str(work), SF, max_files_per_trigger=1
+    )
+    index_dir = f"{work}/ivfpq_index"
+    compact_dir = f"{work}/ivfpq_compact"
+    model_dir = f"{work}/ivfpq_model"
+    model = read_ivfpq_model(model_dir)
+
+    queries = spark.createDataFrame(
+        [(900, items[0][1])], "query_id long, embedding array<double>"
+    )
+    before = sorted(
+        map(
+            tuple,
+            _serve_ivfpq_topk(
+                read_maintained_ivfpq(spark, index_dir, model), queries, model,
+                10, False,
+            ).collect(),
+        )
+    )
+    stats = compact_ivfpq_index(spark, index_dir, compact_dir, model_dir)
+    assert stats["generation"] == 1 and stats["model_generation"] == 1
+    assert stats["rows"] == 8
+    after = sorted(
+        map(
+            tuple,
+            _serve_ivfpq_topk(
+                read_maintained_ivfpq(spark, index_dir, model, compact_dir),
+                queries, model, 10, False,
+            ).collect(),
+        )
+    )
+    assert before == after  # layout-independent serving
+    prune_absorbed_epochs(index_dir, compact_dir)
+
+    # continue the SAME stream across the boundary: new ingests become
+    # delta epochs; queries must find base AND delta vectors
+    _write_rows(src / "b1.json", [("ingest", i, v) for i, v in items[8:]])
+    _write_rows(
+        src / "b2.json",
+        [("query", 900, items[0][1]), ("query", 901, items[8][1])],
+    )
+    _pin(src, ["b1.json", "b2.json"], base_offset=-60)
+    assert run_streaming_ivfpq_maintain(
+        spark, str(src), str(work), SF, max_files_per_trigger=1
+    )
+    by_q = {
+        r[0]: r
+        for r in spark.read.parquet(f"{work}/results/batch=2")
+        .filter("rnk = 1")
+        .select("query_id", "cand_id", "cosine")
+        .collect()
+    }
+    assert by_q[900]["cand_id"] == items[0][0]  # from the compacted base
+    assert by_q[901]["cand_id"] == items[8][0]  # from a delta epoch
+    assert abs(by_q[900]["cosine"] - 1.0) < 1e-9
+    assert abs(by_q[901]["cosine"] - 1.0) < 1e-9
+
+
+def test_retrain_bumps_generation_and_stream_follows(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    items = _corpus(spark, 40)
+    _write_rows(src / "b0.json", [("ingest", i, v) for i, v in items[:20]])
+    _write_rows(src / "b1.json", [("ingest", i, v) for i, v in items[20:]])
+    _pin(src, ["b0.json", "b1.json"], base_offset=-300)
+    work = tmp_path / "work"
+    assert run_streaming_ivfpq_maintain(
+        spark, str(src), str(work), SF, max_files_per_trigger=1
+    )
+    index_dir = f"{work}/ivfpq_index"
+    compact_dir = f"{work}/ivfpq_compact"
+    model_dir = f"{work}/ivfpq_model"
+
+    stats = compact_ivfpq_index(
+        spark, index_dir, compact_dir, model_dir, retrain=True
+    )
+    assert stats["model_generation"] == 2
+    assert stats["recall"]["new"] >= stats["recall"]["old"]
+    model2 = read_ivfpq_model(model_dir)
+    assert model2["generation"] == 2
+    prune_absorbed_epochs(index_dir, compact_dir)
+
+    # the RUNNING stream picks the new model up next trigger: post-retrain
+    # epochs are stamped generation 2, and queries still find everything
+    _write_rows(
+        src / "b2.json",
+        [("ingest", 800, items[0][1]), ("query", 900, items[5][1])],
+    )
+    _pin(src, ["b2.json"], base_offset=-30)
+    metrics: list[dict] = []
+    assert run_streaming_ivfpq_maintain(
+        spark, str(src), str(work), SF, max_files_per_trigger=1,
+        metrics=metrics,
+    )
+    assert metrics[-1]["model_generation"] == 2
+    assert _read_epoch_meta_dict(f"{index_dir}/batch=2") == {
+        "model_generation": 2
+    }
+    top = (
+        spark.read.parquet(f"{work}/results/batch=2")
+        .filter("query_id = 900 AND rnk = 1")
+        .collect()
+    )
+    assert top[0]["cand_id"] == items[5][0]
+    assert abs(top[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_retrain_refused_when_recall_drops(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    items = _corpus(spark)  # the full 500: the pool bound must bind
+    _write_rows(src / "b0.json", [("ingest", i, v) for i, v in items])
+    _pin(src, ["b0.json"])
+    work = tmp_path / "work"
+    assert run_streaming_ivfpq_maintain(
+        spark, str(src), str(work), SF, max_files_per_trigger=1
+    )
+    model_dir = f"{work}/ivfpq_model"
+    model = read_ivfpq_model(model_dir)
+    # a degenerate candidate: identical centroids collapse every vector
+    # into one cell (candidates > PQ_RERANK, so the pool bound binds) and
+    # identical codewords make ADC distances carry no signal — the pool
+    # fills by cand_id and recall collapses
+    bad = {
+        "generation": model["generation"],
+        "k": model["k"],
+        "centroids": [[cl, [0] * 64] for cl, _c in model["centroids"]],
+        "codebook": [[b, c, [0] * 8] for b, c, _v in model["codebook"]],
+    }
+    try:
+        compact_ivfpq_index(
+            spark, f"{work}/ivfpq_index", f"{work}/ivfpq_compact", model_dir,
+            _retrain_model_override=bad,
+        )
+        raise AssertionError("degenerate retrain must be refused")
+    except ValueError as e:
+        assert "retrain refused" in str(e)
+    # nothing was committed: model unchanged, no manifest
+    assert read_ivfpq_model(model_dir) == model
+    assert _read_compact_manifest(f"{work}/ivfpq_compact") is None
+
+
+def test_stranded_generation_epoch_repaired_at_serve(spark, tmp_path):
+    """The mixed-generation hazard, IVF-PQ flavor: an epoch committed
+    between a retrain's snapshot and its promotion carries generation-1
+    codes; after the new generation is promoted, the reader re-encodes it
+    from the carried vectors — and the unstamped variant likewise."""
+    src = tmp_path / "src"
+    src.mkdir()
+    items = _corpus(spark, 40)
+    _write_rows(src / "b0.json", [("ingest", i, v) for i, v in items[:20]])
+    _pin(src, ["b0.json"], base_offset=-300)
+    work = tmp_path / "work"
+    assert run_streaming_ivfpq_maintain(
+        spark, str(src), str(work), SF, max_files_per_trigger=1
+    )
+    index_dir = f"{work}/ivfpq_index"
+    model_dir = f"{work}/ivfpq_model"
+    root = f"{work}/ivfpq_compact"  # the runner's pointer root
+    gen_dir = f"{work}/ivfpq_compact_gen1"
+
+    # retrain into a FRESH dir (root untouched) — the in-between window
+    stats = compact_ivfpq_index(
+        spark, index_dir, gen_dir, model_dir, retrain=True
+    )
+    assert stats["model_generation"] == 2
+
+    # ...but the stranded epoch was written BEFORE the retrain landed:
+    # simulate by stamping batch=1 rows with the OLD model's codes
+    old_model = {**read_ivfpq_model(model_dir), "generation": 1}
+    # (build_ivfpq_model is deterministic: re-derive generation 1)
+    old_model = build_ivfpq_model(spark, SF)
+    from realtime_twitter_trends_analytics_spark.streaming.ivfpq_stream import (
+        encode_ivfpq_rows,
+    )
+    from realtime_twitter_trends_analytics_spark.streaming.ann_stream import (
+        _write_epoch_meta_dict,
+    )
+
+    stranded = spark.createDataFrame(
+        [(i, v) for i, v in items[20:]], "cand_id long, embedding array<double>"
+    )
+    epoch_dir = f"{index_dir}/batch=1"
+    encode_ivfpq_rows(stranded, old_model).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(epoch_dir)
+    _write_epoch_meta_dict(epoch_dir, {"model_generation": 1})
+
+    promote_compacted_generation(root, gen_dir)
+    model2 = read_ivfpq_model(model_dir)
+    queries = spark.createDataFrame(
+        [(900, items[0][1]), (901, items[20][1])],
+        "query_id long, embedding array<double>",
+    )
+    idx = read_maintained_ivfpq(spark, index_dir, model2, root)
+    got = {
+        r["query_id"]: r
+        for r in _serve_ivfpq_topk(idx, queries, model2, 10, False)
+        .filter("rnk = 1")
+        .collect()
+    }
+    assert got[900]["cand_id"] == items[0][0]  # retrained base
+    assert got[901]["cand_id"] == items[20][0]  # stranded gen-1 epoch
+    # unstamped variant: missing stamp -> untrusted -> same repair
+    os.remove(f"{epoch_dir}/{EPOCH_META}")
+    idx = read_maintained_ivfpq(spark, index_dir, model2, root)
+    got2 = {
+        r["query_id"]: r["cand_id"]
+        for r in _serve_ivfpq_topk(idx, queries, model2, 10, False)
+        .filter("rnk = 1")
+        .collect()
+    }
+    assert got2 == {900: items[0][0], 901: items[20][0]}

@@ -36,6 +36,7 @@ from bench import (  # noqa: E402
     streaming_ann_maintain_throughput,
     streaming_corpus_throughput,
     streaming_dedup_throughput,
+    streaming_ivfpq_maintain_throughput,
     streaming_throughput,
 )
 
@@ -114,6 +115,27 @@ def test_streaming_ann_maintain_throughput_floor(spark):
     assert best >= ANN_MAINTAIN_FLOOR, (
         f"streaming ann maintain: best-of-three {best:.0f} rows/s "
         f"< floor {ANN_MAINTAIN_FLOOR}"
+    )
+
+
+# Maintained IVF-PQ (round 12): same workload as the LSH maintained line;
+# quiet band on this box 690-710 rows/s (2026-08-16, warm best-of-2) —
+# ~2x the LSH face, as the nprobe-bounded candidates + 8-lookup ADC (no
+# per-pair norm arithmetic before the PQ_RERANK pool) predict. Floor 300
+# = ~0.43x the quiet band, the same loaded-box margin discipline as
+# ANN_MAINTAIN_FLOOR.
+IVFPQ_MAINTAIN_FLOOR = 300
+
+
+def test_streaming_ivfpq_maintain_throughput_floor(spark):
+    streaming_ivfpq_maintain_throughput(spark)  # warm-up
+    best = max(
+        streaming_ivfpq_maintain_throughput(spark)["rows_per_sec"] or 0
+        for _ in range(3)
+    )
+    assert best >= IVFPQ_MAINTAIN_FLOOR, (
+        f"streaming ivfpq maintain: best-of-three {best:.0f} rows/s "
+        f"< floor {IVFPQ_MAINTAIN_FLOOR}"
     )
 
 
