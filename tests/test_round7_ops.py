@@ -25,10 +25,12 @@ def test_bench_only_names_disjoint_from_gate():
     assert not (gate & extra)
     # every bench-only form must be the production variant of an
     # oracle-gated twin: _prod = sketch-only plan of an eval form,
-    # _ann (r8) = ANN-composed plan of a brute-force-baseline form
+    # _ann (r8) = ANN-composed plan of a brute-force-baseline form,
+    # _batched (r12) = distributed batched trainer pinned merge-equal to
+    # its sequential gate twin (tests/test_bpe_prod.py)
     for name in extra:
         base, _, suffix = name.rpartition("_")
-        assert suffix in ("prod", "ann") and base in gate, name
+        assert suffix in ("prod", "ann", "batched") and base in gate, name
 
 
 def test_hll_rollup_prod_matches_exact_within_bound(spark, sf_dir):
