@@ -292,6 +292,9 @@ HEADLINE = [
     # round-10: batch twin of the streaming corpus topology — gate ->
     # near-dup dedup -> accounting (oracle-gated)
     "corpus_pipeline_neardup",
+    # round-12: + the decontamination stage (oracle-gated; stream twin in
+    # tests/test_corpus_v4.py)
+    "corpus_pipeline_v4",
     # round-11: the density-rule faces (bench-only; equality at bench SF
     # pinned in tests/test_density_rule.py)
     "dedup_semantic_cells_prod",

@@ -380,6 +380,191 @@ FROM survivors GROUP BY lang, source
 """
 
 
+DECON_MAX_CONTAM = 0.5  # drop a feed doc when more than half its distinct
+# 3-grams appear in the eval split — at the test SFs this catches exactly
+# the near-copies of eval documents (the planted cross-split duplicates),
+# the contamination class a benchmark-hygiene pass exists to stop.
+
+
+def corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production ingest in ONE plan (round 12): quality gate ->
+    DECONTAMINATION against the eval split -> banded-MinHash near-dup
+    dedup -> per-(lang, source) accounting with per-stage drop counts.
+    corpus_pipeline_neardup is this pipeline minus the decontamination
+    stage; v4 adds the step every serious pretraining ingest runs between
+    gating and dedup: never train on documents that leak the eval set
+    (GPT-3 appendix C / Gopher section A.8 style n-gram overlap).
+
+    Semantics: the eval split is bucket 0 of the deterministic md5-nibble
+    assignment (dataset_split_assign's rule) and is EXTERNAL ground truth
+    — its documents do not flow through the pipeline and its shingle set
+    is NOT gated (a contaminated feed doc must be caught even when the
+    eval doc it copies is one the quality gate would reject). A gated feed
+    doc is dropped when > DECON_MAX_CONTAM of its distinct 3-grams appear
+    in the eval shingle set; near-dup dedup then runs among the CLEAN
+    docs only (greedy smaller-id keeper, corpus_pipeline_neardup's rule,
+    including its chain caveat — tests/test_corpus_chain_divergence.py).
+
+    Scale shape, stage by stage: gate is codegen'd column arithmetic (no
+    shuffle); decontamination reduces the eval side to DISTINCT shingles
+    before the join so each feed (doc, shingle) row matches at most once
+    — linear in feed shingles, no df^2 term, the decontaminate_ngram_
+    overlap design (at 100 TB the eval set is tiny and the distinct-
+    shingle relation broadcasts; here it rides a shuffle join on the
+    uniform md5-ish key); dedup is the banded self-join shuffling only
+    3-column band rows; accounting is ONE hash agg over the kept frame
+    with status flags — the drop counts ride the same pass instead of
+    per-stage joins against the output.
+
+    Output per (lang, source): n_docs / n_tokens (survivors),
+    n_contaminated, n_neardup_dropped."""
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        MINHASH_K,
+        banded_rel,
+        minhash_signatures_for,
+        shingles_sql,
+        signature_match_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(doc_id AS STRING)"))
+    eval_sh = (
+        docs.filter(bucket == 0)
+        .select(F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks"))
+        .select(
+            F.explode(
+                F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "toks")))
+            ).alias("sh")
+        )
+        .distinct()
+    )
+    kept = docs.filter(bucket != 0).filter(
+        F.expr(_verdict_sql(dl.SPARK)) == "kept"
+    )
+    ksh = kept.select(
+        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "toks")))
+        ).alias("sh"),
+    )
+    contam_ids = (
+        ksh.join(eval_sh.withColumn("hit", F.lit(1)), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.coalesce("hit", F.lit(0)))
+                / F.count(F.lit(1))
+            ).alias("frac")
+        )
+        .filter(F.col("frac") > DECON_MAX_CONTAM)
+        .select("doc_id")
+    )
+    # kept feeds three consumers (contam join, signature build via clean,
+    # final accounting) — the union-fan-out staging rule
+    flagged = kept.join(
+        contam_ids.withColumn("is_contam", F.lit(1)), "doc_id", "left"
+    ).localCheckpoint()
+    clean = flagged.filter(F.col("is_contam").isNull())
+    sig = minhash_signatures_for(clean.select("doc_id", "text")).localCheckpoint()
+    banded = banded_rel(sig)
+    cand = (
+        banded.select(F.col("doc_id").alias("a"), "band_id", "band_key")
+        .join(
+            banded.select(F.col("doc_id").alias("b"), "band_id", "band_key"),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    hash_cols = [f"h{k}" for k in range(MINHASH_K)]
+    sa = sig.select(
+        F.col("doc_id").alias("a"), *[F.col(h).alias(f"a_{h}") for h in hash_cols]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b"), *[F.col(h).alias(f"b_{h}") for h in hash_cols]
+    )
+    est = F.round(signature_match_count("a", "b") / F.lit(MINHASH_K), 4)
+    dup_ids = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    status = flagged.join(
+        dup_ids.withColumn("is_dup", F.lit(1)), "doc_id", "left"
+    )
+    n_tok = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
+    survivor = F.col("is_contam").isNull() & F.col("is_dup").isNull()
+    return (
+        status.select(
+            "lang",
+            "source",
+            survivor.cast("int").alias("surv"),
+            F.when(survivor, n_tok).otherwise(F.lit(0)).alias("n_tok"),
+            F.coalesce("is_contam", F.lit(0)).alias("contam"),
+            F.when(
+                F.col("is_contam").isNull(), F.coalesce("is_dup", F.lit(0))
+            ).otherwise(F.lit(0)).alias("dup"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("surv").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("contam").cast("bigint").alias("n_contaminated"),
+            F.sum("dup").cast("bigint").alias("n_neardup_dropped"),
+        )
+    )
+
+
+def _oracle_corpus_v4() -> str:
+    from .dedup import _oracle_pairs_ctes, shingles_sql
+
+    v = _verdict_sql(dl.DUCK)
+    b = dl.md5_prefix_nibble(dl.DUCK, "CAST(doc_id AS VARCHAR)")
+    toks = dl.split_ws(dl.DUCK, "text")
+    shing = shingles_sql(dl.DUCK, "toks")
+    n = f"len({dl.split_ws(dl.DUCK, 'text')})"
+    return f"""
+WITH eval_sh AS (
+  SELECT DISTINCT unnest({dl.arr_distinct(dl.DUCK, shing)}) AS sh
+  FROM (SELECT {toks} AS toks FROM documents WHERE ({b}) = 0)
+), kept AS (
+  SELECT * FROM documents WHERE ({b}) <> 0 AND {v} = 'kept'
+), ksh AS (
+  SELECT doc_id, unnest({dl.arr_distinct(dl.DUCK, shing)}) AS sh
+  FROM (SELECT doc_id, {toks} AS toks FROM kept)
+), contam_ids AS (
+  SELECT doc_id FROM (
+    SELECT k.doc_id,
+      sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS frac
+    FROM ksh k LEFT JOIN eval_sh e ON k.sh = e.sh GROUP BY k.doc_id
+  ) WHERE frac > {DECON_MAX_CONTAM}
+), clean AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contam_ids)
+), {_oracle_pairs_ctes("clean")},
+dup_ids AS (
+  SELECT DISTINCT b AS doc_id FROM dup_pairs
+), status AS (
+  SELECT k.lang, k.source, {n} AS n_tok,
+    (k.doc_id IN (SELECT doc_id FROM contam_ids)) AS is_contam,
+    (k.doc_id IN (SELECT doc_id FROM dup_ids)) AS is_dup
+  FROM kept k
+)
+SELECT lang, source,
+  CAST(sum(CASE WHEN NOT is_contam AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN NOT is_contam AND NOT is_dup THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN is_contam THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+  CAST(sum(CASE WHEN NOT is_contam AND is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_dropped
+FROM status GROUP BY lang, source
+"""
+
+
 # Unicode-lite normalization: ONE translate map shared verbatim by both
 # engines (not DuckDB strip_accents vs a Spark reimplementation — identical
 # construction, so parity is by shared text, not by hoping two folding
@@ -1043,6 +1228,7 @@ QUERIES = {
     "docs_dsir_weights": docs_dsir_weights,
     "corpus_pipeline_v3": corpus_pipeline_v3,
     "corpus_pipeline_neardup": corpus_pipeline_neardup,
+    "corpus_pipeline_v4": corpus_pipeline_v4,
 }
 
 ORACLES = {
@@ -1057,4 +1243,5 @@ ORACLES = {
     "docs_dsir_weights": _oracle_dsir(),
     "corpus_pipeline_v3": _oracle_corpus_v3(),
     "corpus_pipeline_neardup": _oracle_corpus_neardup(),
+    "corpus_pipeline_v4": _oracle_corpus_v4(),
 }

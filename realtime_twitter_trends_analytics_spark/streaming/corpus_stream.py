@@ -55,18 +55,50 @@ def streaming_corpus_reset(index_dir: str, acct_dir: str):
     return setup
 
 
+def eval_shingle_set(docs: DataFrame) -> DataFrame:
+    """The decontamination stage's static ground truth: DISTINCT 3-gram
+    shingles of the eval documents, as a 1-column relation the per-batch
+    contamination join probes. Build it ONCE (the runner localCheckpoints
+    it) — the eval set does not change while a stream runs; at 100 TB it
+    is tiny next to the feed and broadcasts."""
+    from ..operators.dedup import shingles_sql
+
+    return (
+        docs.select(F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks"))
+        .select(
+            F.explode(
+                F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "toks")))
+            ).alias("sh")
+        )
+        .distinct()
+    )
+
+
 def streaming_corpus_writer(
     spark: SparkSession,
     index_dir: str,
     acct_dir: str,
     results: list | None = None,
     threshold: float = JACCARD_THRESHOLD,
+    eval_shingles: DataFrame | None = None,
 ):
-    """foreachBatch sink_writer composing gate -> near-dup dedup ->
-    accounting (module docstring). ``batch_df`` must carry (doc_id, text,
-    lang, source); extra payload columns ride through to the survivor
-    store. ``results`` collects the dedup stage's per-batch metrics plus
-    the gate's drop count."""
+    """foreachBatch sink_writer composing gate -> [decontamination] ->
+    near-dup dedup -> accounting (module docstring). ``batch_df`` must
+    carry (doc_id, text, lang, source); extra payload columns ride through
+    to the survivor store. ``results`` collects the dedup stage's
+    per-batch metrics plus the gate's drop count.
+
+    ``eval_shingles`` (round 12, the corpus_pipeline_v4 stage) arms the
+    decontamination step: a gated doc whose distinct-3-gram overlap with
+    the eval set exceeds DECON_MAX_CONTAM is dropped BEFORE dedup (and
+    therefore never indexed — eval near-copies must not become the
+    survivor another copy dedups against). Stage cost is batch-local: the
+    batch's shingles join the static eval relation (stream-static join in
+    foreachBatch form); per-batch metric ``n_contaminated_out`` rides the
+    results list."""
+    from ..operators.cleaning import DECON_MAX_CONTAM
+    from ..operators.dedup import shingles_sql
+
     dedup_write = streaming_dedup_writer(
         spark, index_dir, results=results, threshold=threshold
     )
@@ -82,6 +114,31 @@ def streaming_corpus_writer(
         obs = Observation()
         observed = batch_df.observe(obs, F.count(F.lit(1)).alias("n_raw"))
         gated = observed.filter(F.expr(_verdict_sql(dl.SPARK)) == "kept")
+        n_contam = 0
+        if eval_shingles is not None:
+            ksh = gated.select(
+                "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
+            ).select(
+                "doc_id",
+                F.explode(
+                    F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "toks")))
+                ).alias("sh"),
+            )
+            contam_ids = (
+                ksh.join(eval_shingles.withColumn("hit", F.lit(1)), "sh", "left")
+                .groupBy("doc_id")
+                .agg(
+                    (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias(
+                        "frac"
+                    )
+                )
+                .filter(F.col("frac") > DECON_MAX_CONTAM)
+                .select("doc_id")
+            )
+            ids = [r["doc_id"] for r in contam_ids.collect()]  # batch-bounded
+            n_contam = len(ids)
+            if ids:
+                gated = gated.filter(~F.col("doc_id").isin(ids))
         survivors = dedup_write(gated, batch_id)
         n_tok = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
         delta = (
@@ -101,7 +158,10 @@ def streaming_corpus_writer(
             # (the dedup stage's signature build) has fired — no extra scan
             rec = results[-1]
             if rec.get("batch_id") == batch_id and "n_gated_out" not in rec:
-                rec["n_gated_out"] = int(obs.get["n_raw"]) - rec["n_in"]
+                rec["n_contaminated_out"] = n_contam
+                rec["n_gated_out"] = (
+                    int(obs.get["n_raw"]) - rec["n_in"] - n_contam
+                )
 
     return write
 
@@ -139,10 +199,17 @@ def run_streaming_corpus_pipeline(
     max_files_per_trigger: int | None = None,
     results: list | None = None,
     timeout_sec: int = 300,
+    eval_source_dir: str | None = None,
 ) -> bool:
     """Wire source -> composed writer through the production foreachBatch
     entry and drain with availableNow. Returns awaitTermination's verdict;
-    on timeout the query is stopped and drained before returning."""
+    on timeout the query is stopped and drained before returning.
+
+    ``eval_source_dir`` (round 12): a directory of eval documents (same
+    JSON schema as the feed); when given, their shingle set is built ONCE
+    (localCheckpoint — static ground truth for the whole run) and every
+    batch runs the decontamination stage against it, the streaming face of
+    corpus_pipeline_v4."""
     from .pipeline import write_with_first_batch_setup
 
     index_dir = os.path.join(work_dir, "dedup_store")
@@ -150,11 +217,17 @@ def run_streaming_corpus_pipeline(
     docs = read_corpus_docs_stream(
         spark, source_dir, max_files_per_trigger=max_files_per_trigger
     )
+    eval_sh = None
+    if eval_source_dir is not None:
+        eval_docs = spark.read.schema(
+            "doc_id long, text string, lang string, source string"
+        ).json(eval_source_dir)
+        eval_sh = eval_shingle_set(eval_docs).localCheckpoint()
     q = write_with_first_batch_setup(
         docs,
         checkpoint_dir=os.path.join(work_dir, "ckpt"),
         sink_writer=streaming_corpus_writer(
-            spark, index_dir, acct_dir, results=results
+            spark, index_dir, acct_dir, results=results, eval_shingles=eval_sh
         ),
         first_batch_setup=streaming_corpus_reset(index_dir, acct_dir),
         output_mode="append",
