@@ -409,9 +409,10 @@ def corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); decontamination reduces the eval side to DISTINCT shingles
     before the join so each feed (doc, shingle) row matches at most once
     — linear in feed shingles, no df^2 term, the decontaminate_ngram_
-    overlap design (at 100 TB the eval set is tiny and the distinct-
-    shingle relation broadcasts; here it rides a shuffle join on the
-    uniform md5-ish key); dedup is the banded self-join shuffling only
+    overlap design (the eval set is tiny by construction — one split
+    bucket distinct-reduced — so the shingle relation is broadcast-HINTED,
+    not left to AQE: plan-asserted in test_plans.py); dedup is the banded
+    self-join shuffling only
     3-column band rows; accounting is ONE hash agg over the kept frame
     with status flags — the drop counts ride the same pass instead of
     per-stage joins against the output.
@@ -451,7 +452,12 @@ def corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sh"),
     )
     contam_ids = (
-        ksh.join(eval_sh.withColumn("hit", F.lit(1)), "sh", "left")
+        # BROADCAST-HINTED (round 13, VERDICT r12 item 4): the eval side is
+        # small BY CONSTRUCTION (one split bucket reduced to DISTINCT
+        # shingles) — the hint makes the promised broadcast a plan fact
+        # instead of an AQE hope; test_plans.py asserts it in the executed
+        # plan at gate SFs
+        ksh.join(F.broadcast(eval_sh.withColumn("hit", F.lit(1))), "sh", "left")
         .groupBy("doc_id")
         .agg(
             (
@@ -463,9 +469,13 @@ def corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     # kept feeds three consumers (contam join, signature build via clean,
-    # final accounting) — the union-fan-out staging rule
-    flagged = kept.join(
-        contam_ids.withColumn("is_contam", F.lit(1)), "doc_id", "left"
+    # final accounting) — the union-fan-out staging rule. audit_plan: the
+    # decontamination join lives in THIS checkpointed build plan (the
+    # final plan hides it behind the checkpoint scan), so register it for
+    # the dragnet + the broadcast plan assertion in test_plans.py
+    flagged = audit_plan(
+        "v4_flagged_staging",
+        kept.join(contam_ids.withColumn("is_contam", F.lit(1)), "doc_id", "left"),
     ).localCheckpoint()
     clean = flagged.filter(F.col("is_contam").isNull())
     sig = minhash_signatures_for(clean.select("doc_id", "text")).localCheckpoint()

@@ -91,10 +91,136 @@ def _check_literal_k(n_rows: int) -> None:
     if n_rows > K_LITERAL_CEILING:
         raise ValueError(
             f"{n_rows} centroids exceeds K_LITERAL_CEILING={K_LITERAL_CEILING} "
-            "for the inlined literal-centroid expression; switch the coarse "
-            "quantizer to a broadcast-join centroid relation "
-            "(crossJoin(broadcast(centroids)) + min(struct)) at this scale"
+            "for the inlined literal-centroid expression; use the dispatched "
+            "faces nearest_centroid / nearest_centroids_topn, which switch to "
+            "the broadcast-join centroid relation "
+            "(crossJoin(broadcast(centroids)) + min(struct)) past the ceiling"
         )
+
+
+def _literal_ceiling() -> int:
+    """The ceiling via a late read of the module global — tests lower it
+    (monkeypatch) to drive the REAL prod faces through the relation
+    dispatch end-to-end at sandbox SFs."""
+    return K_LITERAL_CEILING
+
+
+def _use_relation(n_rows: int, force: "str | None") -> bool:
+    """Dispatch rule shared by nearest_centroid / nearest_centroids_topn.
+    ``force`` is a test/probe hook: "literal" still trips the ceiling guard
+    (an explicit literal request past the wall must refuse, not mis-plan);
+    "relation" exercises the join face below the ceiling (the equality
+    pins in tests/test_coarse_relation.py run both faces on the same K)."""
+    if force == "literal":
+        _check_literal_k(n_rows)
+        return False
+    if force == "relation":
+        return True
+    return n_rows > K_LITERAL_CEILING
+
+
+def _centroid_relation(spark: SparkSession, rows: "list[tuple[int, list[int]]]") -> DataFrame:
+    return spark.createDataFrame(
+        sorted((int(cl), [int(v) for v in c]) for cl, c in rows),
+        "cl int, c array<bigint>",
+    )
+
+
+def nearest_centroid(
+    df: DataFrame,
+    rows: "list[tuple[int, list[int]]]",
+    key_cols: "list[str]",
+    qe_expr: str = "qe",
+    out: str = "m",
+    carry: "list[str] | tuple[str, ...]" = (),
+    force: "str | None" = None,
+) -> DataFrame:
+    """Nearest-centroid struct ``(d2, cl)`` per row of ``df`` — THE coarse
+    quantizer, dispatched on K (round 13, VERDICT r12 item 1):
+
+    - K <= K_LITERAL_CEILING: the literal map-side expression
+      (centroid_argmin_sql) — centroids baked into the plan, zero
+      exchanges; the expression is O(K*D) literals, which is exactly why
+      it stops planning past the ceiling (64 KiB constant pool / Catalyst
+      tree size).
+    - K > K_LITERAL_CEILING: the centroids become DATA — a
+      crossJoin(broadcast(centroid relation)) + min(struct(d2, cl)) hash
+      agg keyed by the row key. min(struct) compares fields left-to-right,
+      so ties break to the lowest cl — the IDENTICAL order to the literal
+      face's array_min and the oracle's ORDER BY d2, cluster (equality
+      pinned below the ceiling in tests/test_coarse_relation.py). The agg
+      gets full map-side partial reduction (K candidate rows per vector
+      combine to 1 before any shuffle), so the exchange moves N rows, not
+      N*K. Broadcast payload = K*(D+1)*8 bytes: ~2 MB at K=4096, ~205 MB
+      at K=4e5 (the 100 TB design point of ml.k_for_corpus at N=1e8),
+      inside executor memory and the 8 GB broadcast cap. Past K~1e6 the
+      single broadcast is the NEXT wall — shard it with a two-level
+      quantizer (literal argmin over sqrt(K) super-cells, then an
+      equi-join on super_cell to its sub-centroids); the crossover is
+      measured in SCALE_SMOKE.md (tools/coarse_probe.py).
+
+    ``key_cols`` must be unique per row (every caller has a vector id) —
+    the relation face groups by it; ``carry`` columns ride through the agg
+    via any_value (exactly one row per (key, centroid) pair carries them).
+    Returns ``key_cols + carry + out`` in both faces."""
+    k = len(rows)
+    if not _use_relation(k, force):
+        _check_literal_k(k)
+        return df.select(
+            *key_cols, *carry, F.expr(centroid_argmin_sql(rows, qe_expr)).alias(out)
+        )
+    cent = _centroid_relation(df.sparkSession, rows)
+    pairs = df.select(
+        *key_cols, *carry, F.expr(qe_expr).alias("__qe")
+    ).crossJoin(F.broadcast(cent))
+    d2 = F.expr(_dist2_sql(dl.SPARK, "__qe", "c"))
+    agg = [F.min(F.struct(d2.alias("d2"), F.col("cl").alias("cl"))).alias(out)]
+    agg += [F.any_value(c).alias(c) for c in carry]
+    return pairs.groupBy(*key_cols).agg(*agg).select(*key_cols, *carry, out)
+
+
+def nearest_centroids_topn(
+    df: DataFrame,
+    rows: "list[tuple[int, list[int]]]",
+    n: int,
+    key_cols: "list[str]",
+    qe_expr: str = "qe",
+    out: str = "probes",
+    carry: "list[str] | tuple[str, ...]" = (),
+    force: "str | None" = None,
+) -> DataFrame:
+    """``n`` nearest centroid structs (ascending ``(d2, cl)``) per row —
+    the multi-probe face of nearest_centroid, same dispatch rule. The
+    relation face aggregates ``slice(array_sort(collect_list(struct)), 1,
+    n)``: collect_list buffers K structs per key with no map-side
+    reduction, so this face is reserved for the QUERY side — every caller
+    applies it to the bounded probe set (N_QUERY_VECS / one micro-batch of
+    queries), never the corpus (the corpus side always takes the argmin).
+    array_sort on struct(d2, cl) is a deterministic total order (cl breaks
+    d2 ties), identical to the literal face's ranking and the oracle's
+    ORDER BY d2, cluster. Returns ``key_cols + carry + out``."""
+    k = len(rows)
+    if not _use_relation(k, force):
+        _check_literal_k(k)
+        return df.select(
+            *key_cols, *carry, F.expr(centroid_topn_sql(rows, n, qe_expr)).alias(out)
+        )
+    cent = _centroid_relation(df.sparkSession, rows)
+    pairs = (
+        df.select(*key_cols, *carry, F.expr(qe_expr).alias("__qe"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            *key_cols,
+            *carry,
+            F.struct(
+                F.expr(_dist2_sql(dl.SPARK, "__qe", "c")).alias("d2"),
+                F.col("cl").alias("cl"),
+            ).alias("__dc"),
+        )
+    )
+    agg = [F.expr(f"slice(array_sort(collect_list(__dc)), 1, {int(n)})").alias(out)]
+    agg += [F.any_value(c).alias(c) for c in carry]
+    return pairs.groupBy(*key_cols).agg(*agg).select(*key_cols, *carry, out)
 
 
 def centroid_argmin_sql(rows: "list[tuple[int, list[int]]]", qe_expr: str = "qe") -> str:
@@ -261,9 +387,9 @@ def kmeans_centroid_rows(
             for r in q.filter(F.col("vec_id") < k).collect()
         ]
         for _ in range(KMEANS_ITERS):
-            assigned = q.select(
-                "qe", F.expr(centroid_argmin_sql(rows)).alias("m")
-            ).select(F.col("m.cl").alias("cluster"), "qe")
+            assigned = nearest_centroid(q, rows, ["vec_id"], carry=["qe"]).select(
+                F.col("m.cl").alias("cluster"), "qe"
+            )
             collected = audit_plan("kmeans_update_round", _update(assigned)).collect()
             rows = [(int(r.cluster), [int(v) for v in r.c]) for r in collected]
         _KMEANS_CENT_MEMO[(sf_dir, k)] = rows
@@ -277,9 +403,7 @@ def kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-ANNs that use the centroids as their codebook."""
     rows = kmeans_centroid_rows(spark, sf_dir)
     q = quantized_vectors(spark, sf_dir)
-    return q.select(
-        "vec_id", "qe", F.expr(centroid_argmin_sql(rows)).alias("m")
-    ).select(
+    return nearest_centroid(q, rows, ["vec_id"], carry=["qe"]).select(
         "vec_id", "qe", F.col("m.cl").alias("cluster"), F.col("m.d2").alias("d2")
     )
 
@@ -513,26 +637,43 @@ def pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return blocks, spark.createDataFrame(rows, "block int, code int, c array<bigint>")
 
 
-def _cbs_literal(codebook_rows: "list[tuple[int, int, list[int]]]") -> str:
-    """The trained PQ codebook as ONE nested array literal
-    (blocks x codes x dims BIGINTs — 1024 ints at the gate constants):
-    element_at(element_at(cbs, block + 1), code + 1) = the codeword."""
+# A DEAD codeword (cluster emptied during training) must never win the
+# encode argmin and must never poison the ADC sum. The pre-r13 design pinned
+# dead codewords "infinitely far" with a 1<<40 sentinel COORDINATE — but the
+# distance expression squares coordinates, and (x - 2^40)^2 ~ 2^80 overflows
+# BIGINT: under Spark 4's default ANSI mode every encode/LUT evaluation
+# would THROW the moment any cluster emptied (and with ANSI off it would
+# wrap negative and the dead code would WIN the argmin — silent corruption).
+# Fix (ADVICE r12, medium): dead codes are EXCLUDED from the encode
+# candidate list entirely — the exact semantics of the batch _pq_assign
+# equi-join, where a missing (block, code) row simply never joins — and the
+# dense LUT stores this CONSTANT for dead slots (stored, compared, summed —
+# never squared: 8 blocks x 2^40 < 2^43, far inside BIGINT, and far above
+# any real quantized d2, which is bounded by PQ_SUB_DIM * (2 * 8 *
+# KMEANS_SCALE)^2 ~ 2^31).
+DEAD_CODE_D2 = 1 << 40
+
+
+def _live_codebook(
+    codebook_rows: "list[tuple[int, int, list[int]]]",
+) -> "dict[int, dict[int, list[int]]]":
     by_block: dict[int, dict[int, list[int]]] = {}
     for b, c, vec in codebook_rows:
         by_block.setdefault(int(b), {})[int(c)] = [int(v) for v in vec]
-    blocks = []
     for b in range(PQ_BLOCKS):
-        codes = by_block.get(b, {})
-        entries = []
-        for c in range(PQ_K):
-            vec = codes.get(c)
-            if vec is None:
-                # a dead codeword (cluster emptied during training): pin
-                # it infinitely far so the argmin/LUT can never pick it
-                vec = [1 << 40] * PQ_SUB_DIM
-            entries.append("array(" + ",".join(f"{v}L" for v in vec) + ")")
-        blocks.append("array(" + ",".join(entries) + ")")
-    return "array(" + ",".join(blocks) + ")"
+        if not by_block.get(b):
+            raise ValueError(f"PQ block {b} has no live codewords")
+    return by_block
+
+
+def _pq_sub_d2(b: int, vec: "list[int]") -> str:
+    """Exact BIGINT d2 between qe0's block-b subvector and a literal
+    codeword (the compact zip_with form, see _dist2_sql)."""
+    lit = "array(" + ",".join(f"{int(v)}L" for v in vec) + ")"
+    return (
+        f"aggregate(zip_with(slice(qe0, {b * PQ_SUB_DIM + 1}, {PQ_SUB_DIM}), {lit}, "
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
 
 
 def pq_codes_sql(
@@ -544,20 +685,18 @@ def pq_codes_sql(
     centroid_argmin_sql move applied to the subquantizers). Exact BIGINT
     distances; ties -> lowest code (array_min on struct(d2, code)), the
     identical order to _pq_assign's min(struct(d2, code)) agg, so the
-    codes are bit-equal to the batch trainer's."""
-    d2 = (
-        f"aggregate(zip_with(slice(qe0, b * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}), "
-        "element_at(element_at(cbs0, b + 1), k + 1), (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
-    inner = (
-        f"transform(sequence(0, {PQ_BLOCKS - 1}), b -> "
-        f"(array_min(transform(sequence(0, {PQ_K - 1}), k -> "
-        f"struct({d2} AS d2, CAST(k AS INT) AS code)))).code)"
-    )
+    codes are bit-equal to the batch trainer's. Only LIVE codewords enter
+    the candidate array (see DEAD_CODE_D2) — the same semantics as the
+    batch equi-join, where a dead (block, code) row never joins."""
+    per_block = []
+    for b, codes in sorted(_live_codebook(codebook_rows).items()):
+        entries = ", ".join(
+            f"struct({_pq_sub_d2(b, vec)} AS d2, CAST({c} AS INT) AS code)"
+            for c, vec in sorted(codes.items())
+        )
+        per_block.append(f"(array_min(array({entries}))).code")
     return (
-        f"transform(array({qe_expr}), qe0 -> "
-        f"transform(array({_cbs_literal(codebook_rows)}), cbs0 -> {inner})[0])[0]"
+        f"transform(array({qe_expr}), qe0 -> array({','.join(per_block)}))[0]"
     )
 
 
@@ -568,19 +707,24 @@ def pq_lut_sql(
     table: LUT[block][code] = exact BIGINT d2 between the query's
     subvector and that codeword, computed map-side from the literal
     codebook (the FAISS per-query LUT build as one projection; the
-    serve-side ADC is then 8 array lookups per candidate, no join)."""
-    d2 = (
-        f"aggregate(zip_with(slice(qe0, b * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}), "
-        "element_at(element_at(cbs0, b + 1), k + 1), (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
-    inner = (
-        f"transform(sequence(0, {PQ_BLOCKS - 1}), b -> "
-        f"transform(sequence(0, {PQ_K - 1}), k -> {d2}))"
-    )
+    serve-side ADC is then 8 array lookups per candidate, no join). The
+    LUT stays DENSE (PQ_K entries per block — the serve side indexes it
+    by code id), but a dead code's slot holds the stored constant
+    DEAD_CODE_D2 instead of a computed distance: no candidate can carry a
+    dead code (pq_codes_sql never emits one), so the slot is unreachable
+    padding — and nothing ever squares it (the r12 sentinel overflowed
+    BIGINT under ANSI the moment a cluster emptied)."""
+    by_block = _live_codebook(codebook_rows)
+    blocks = []
+    for b in range(PQ_BLOCKS):
+        codes = by_block[b]
+        entries = ", ".join(
+            _pq_sub_d2(b, codes[k]) if k in codes else f"CAST({DEAD_CODE_D2} AS BIGINT)"
+            for k in range(PQ_K)
+        )
+        blocks.append(f"array({entries})")
     return (
-        f"transform(array({qe_expr}), qe0 -> "
-        f"transform(array({_cbs_literal(codebook_rows)}), cbs0 -> {inner})[0])[0]"
+        f"transform(array({qe_expr}), qe0 -> array({','.join(blocks)}))[0]"
     )
 
 
@@ -597,7 +741,7 @@ def train_kmeans_rows_from(
     seeds = q.orderBy("vec_id").limit(k).collect()
     rows = [(i, [int(v) for v in r.qe]) for i, r in enumerate(seeds)]
     for _ in range(KMEANS_ITERS):
-        assigned = q.select("qe", F.expr(centroid_argmin_sql(rows)).alias("m")).select(
+        assigned = nearest_centroid(q, rows, ["vec_id"], carry=["qe"]).select(
             F.col("m.cl").alias("cluster"), "qe"
         )
         collected = audit_plan("kmeans_update_round", _update(assigned)).collect()

@@ -614,9 +614,9 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     process across the three queries that share it."""
     from .ml import (
         _quant_sql,
-        centroid_argmin_sql,
-        centroid_topn_sql,
         kmeans_centroid_rows,
+        nearest_centroid,
+        nearest_centroids_topn,
         quantized_vectors,
     )
 
@@ -624,22 +624,23 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = kmeans_centroid_rows(spark, sf_dir)
     qq = quantized_vectors(spark, sf_dir).filter(F.col("vec_id") < N_QUERY_VECS)
     # both the query-side cell ranking and the candidate-side cell
-    # assignment are map-side literal-centroid expressions (see
-    # centroid_argmin_sql) — no crossJoin, no corpus shuffle, no window;
-    # the only exchange left in this query is the probe equi-join itself
-    probe = qq.select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(F.expr(centroid_topn_sql(rows, IVF_NPROBE))).alias("p"),
+    # assignment ride the dispatched coarse quantizer (ml.nearest_centroid*
+    # — map-side literal expressions at gate K, the broadcast centroid
+    # relation past K_LITERAL_CEILING); at gate K the only exchange in
+    # this query is the probe equi-join itself
+    probe = nearest_centroids_topn(qq, rows, IVF_NPROBE, ["vec_id"]).select(
+        F.col("vec_id").alias("query_id"), F.explode("probes").alias("p")
     ).select("query_id", F.col("p.cl").alias("cell"))
     qv = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    cand = emb.select(
+    cand = nearest_centroid(
+        emb, rows, ["vec_id"], qe_expr=_quant_sql(dl.SPARK, "embedding"),
+        carry=["embedding"],
+    ).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
-        F.expr(centroid_argmin_sql(rows, _quant_sql(dl.SPARK, "embedding")))
-        .getField("cl")
-        .alias("cell"),
+        F.col("m.cl").alias("cell"),
     )
     pairs = (
         F.broadcast(probe.join(qv, "query_id"))
@@ -695,24 +696,39 @@ SEMDEDUP_THRESHOLD = 0.3
 # (application, sf_dir), distributed) — at 100 TB this IS the IVF index
 # build: assign once, write (cell -> inverted list) to storage, point
 # search AND SemDeDup at it.
-_CELL_ASSIGN_MEMO: dict[tuple[str, str, int | None], DataFrame] = {}
+_CELL_ASSIGN_MEMO: dict[tuple[str, str, int | None, str | None], DataFrame] = {}
 
 
 def kmeans_cell_assignment(
-    spark: SparkSession, sf_dir: str, k: int | None = None
+    spark: SparkSession, sf_dir: str, k: int | None = None,
+    force: "str | None" = None,
 ) -> DataFrame:
     """(vec_id, label, embedding, nrm, cell): every vector with its
-    hoisted norm and learned-cell id (map-side literal-centroid argmin,
-    exact BIGINT distances), materialized once per (application, sf_dir, k).
+    hoisted norm and learned-cell id (the dispatched coarse quantizer —
+    ml.nearest_centroid: literal map-side argmin at gate K, broadcast
+    centroid relation past K_LITERAL_CEILING; exact BIGINT distances
+    either way), materialized once per (application, sf_dir, k, face).
     ``k=None`` trains at the gate constant K_CLUSTERS; the density probe
-    passes ``ml.k_for_corpus(N)`` so occupancy stays bounded as N grows."""
-    from .ml import K_CLUSTERS, _quant_sql, centroid_argmin_sql, kmeans_centroid_rows
+    passes ``ml.k_for_corpus(N)`` so occupancy stays bounded as N grows.
+    ``force="relation"`` pins the join face below the ceiling — the
+    oracle-gated dedup_semantic_cells_rel twin runs it so the relation
+    face is VALUE-oracled, not just pytest-pinned."""
+    from .ml import (
+        K_CLUSTERS,
+        _literal_ceiling,
+        _quant_sql,
+        kmeans_centroid_rows,
+        nearest_centroid,
+    )
 
     # k=None trains at the gate constant, so it produces the IDENTICAL
     # assignment as an explicit k=K_CLUSTERS — normalize the memo key or
     # the _prod twins at bench SF (k_for_corpus -> K_CLUSTERS) would
     # re-materialize a duplicate eager staging table of the same relation
-    key = (spark.sparkContext.applicationId, sf_dir, K_CLUSTERS if k is None else k)
+    key = (
+        spark.sparkContext.applicationId, sf_dir,
+        K_CLUSTERS if k is None else k, force,
+    )
     memo = _CELL_ASSIGN_MEMO.get(key)
     if memo is not None:
         return memo
@@ -722,16 +738,26 @@ def kmeans_cell_assignment(
         if k is None
         else kmeans_centroid_rows(spark, sf_dir, k)
     )
-    out = emb.select(
+    out = nearest_centroid(
+        emb, rows, ["vec_id"],
+        qe_expr=_quant_sql(dl.SPARK, "embedding"),
+        carry=["label", "embedding"], force=force,
+    ).select(
         "vec_id",
         "label",
         "embedding",
         F.expr(norm_sql(dl.SPARK, "embedding")).alias("nrm"),
-        F.expr(centroid_argmin_sql(rows, _quant_sql(dl.SPARK, "embedding")))
-        .getField("cl")
-        .alias("cell"),
+        F.col("m.cl").alias("cell"),
     )
-    out = audit_plan("semantic_cell_assignments", out).localCheckpoint()
+    # distinct audit label per face: the relation face's plan legitimately
+    # carries the broadcast centroid product (whitelisted by label in
+    # test_plan_hygiene.AUDIT_CARTESIAN_OK); the literal face must NOT
+    label = (
+        "semantic_cell_assignments_rel"
+        if force == "relation" or len(rows) > _literal_ceiling()
+        else "semantic_cell_assignments"
+    )
+    out = audit_plan(label, out).localCheckpoint()
     _CELL_ASSIGN_MEMO[key] = out
     return out
 
@@ -761,19 +787,21 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_cells_report(
-    spark: SparkSession, sf_dir: str, k: int | None
+    spark: SparkSession, sf_dir: str, k: int | None,
+    force: "str | None" = None,
 ) -> DataFrame:
     """dedup_semantic_cells body, parametric in the cell count: k=None is
     the oracle-pinned gate constant (K_CLUSTERS); the density probe passes
     ml.k_for_corpus(N) so per-cell occupancy — hence the O(sum cell^2)
-    pair term — stays bounded as the corpus grows."""
+    pair term — stays bounded as the corpus grows. ``force`` pins the
+    coarse-quantizer face (dedup_semantic_cells_rel)."""
     # EAGER materialization via the shared staging table: cells feeds both
     # self-join sides AND the sizes agg (3 consumers) — un-materialized,
     # the centroid-assignment scan executes once per consumer inside the
     # final job (the in-job union-fan-out hazard, see dedup_minhash_pairs;
     # 2.52s -> 2.00s at sf0.1 when first checkpointed). Now shared with
     # the IVF search/probe queries (kmeans_cell_assignment).
-    cells = kmeans_cell_assignment(spark, sf_dir, k).select(
+    cells = kmeans_cell_assignment(spark, sf_dir, k, force=force).select(
         "vec_id", "embedding", "nrm", "cell"
     )
     a = cells.select(
@@ -991,9 +1019,40 @@ def sim_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted lists. Candidate coverage doubles (2/K_CLUSTERS of the
     corpus per query), the candidate-side plan is unchanged. sim_ivf_ann
     remains the deeper nprobe=3 recall path."""
-    from .ml import _quant_sql, centroid_topn_sql, kmeans_centroid_rows
+    return _ivf_kmeans_report(spark, sf_dir, None)
 
-    asg = kmeans_cell_assignment(spark, sf_dir)
+
+def sim_ivf_kmeans_ann_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELATION face of sim_ivf_kmeans_ann (round 13, VERDICT r12
+    item 1): identical semantics, but the coarse quantizer — the
+    query-side cell ranking AND the corpus-side cell assignment — is
+    FORCED through the broadcast-join centroid relation
+    (ml.nearest_centroid*, the K > K_LITERAL_CEILING dispatch target), so
+    the scale-safe face is VALUE-ORACLED against the same DuckDB SQL as
+    the literal face, not just pytest-pinned. At gate K the two faces are
+    row-identical by the min(struct)/array_min tie-order argument in
+    ml.nearest_centroid's docstring; this query makes the hash gate
+    enforce it every round."""
+    return _ivf_kmeans_report(spark, sf_dir, "relation")
+
+
+def dedup_semantic_cells_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELATION face of dedup_semantic_cells (see
+    sim_ivf_kmeans_ann_rel): SemDeDup's cell assignment forced through the
+    broadcast-join coarse quantizer, oracle-gated against the identical
+    SQL as the literal face."""
+    return _semantic_cells_report(spark, sf_dir, None, force="relation")
+
+
+def _ivf_kmeans_report(
+    spark: SparkSession, sf_dir: str, force: "str | None"
+) -> DataFrame:
+    """sim_ivf_kmeans_ann body, parametric in the coarse-quantizer face
+    (None = dispatch on K — literal at the gate constant; "relation" =
+    the broadcast-join face, oracle-gated via sim_ivf_kmeans_ann_rel)."""
+    from .ml import _quant_sql, kmeans_centroid_rows, nearest_centroids_topn
+
+    asg = kmeans_cell_assignment(spark, sf_dir, force=force)
     rows = kmeans_centroid_rows(spark, sf_dir)
     qv = asg.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
@@ -1001,17 +1060,12 @@ def sim_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnorm"),
     )
     probe = (
-        asg.filter(F.col("vec_id") < N_QUERY_VECS)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.expr(
-                    centroid_topn_sql(
-                        rows, IVFK_NPROBE, _quant_sql(dl.SPARK, "embedding")
-                    )
-                )
-            ).alias("p"),
+        nearest_centroids_topn(
+            asg.filter(F.col("vec_id") < N_QUERY_VECS),
+            rows, IVFK_NPROBE, ["vec_id"],
+            qe_expr=_quant_sql(dl.SPARK, "embedding"), force=force,
         )
+        .select(F.col("vec_id").alias("query_id"), F.explode("probes").alias("p"))
         .select("query_id", F.col("p.cl").alias("cell"))
     )
     cand = asg.select(
@@ -1244,8 +1298,8 @@ def _ivfpq_report(
         PQ_BLOCKS,
         _pq_assign,
         _quant_sql,
-        centroid_topn_sql,
         kmeans_centroid_rows,
+        nearest_centroids_topn,
         pq_trained,
     )
 
@@ -1272,17 +1326,12 @@ def _ivfpq_report(
         )
     )
     probe = (
-        asg.filter(F.col("vec_id") < N_QUERY_VECS)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.expr(
-                    centroid_topn_sql(
-                        rows, IVFPQ_NPROBE, _quant_sql(dl.SPARK, "embedding")
-                    )
-                )
-            ).alias("p"),
+        nearest_centroids_topn(
+            asg.filter(F.col("vec_id") < N_QUERY_VECS),
+            rows, IVFPQ_NPROBE, ["vec_id"],
+            qe_expr=_quant_sql(dl.SPARK, "embedding"),
         )
+        .select(F.col("vec_id").alias("query_id"), F.explode("probes").alias("p"))
         .select("query_id", F.col("p.cl").alias("cell"))
     )
     adc_input = (
@@ -1531,13 +1580,12 @@ def sim_knn_label_probe_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same vote and accuracy semantics as the brute probe; differences in
     n_correct between the two ARE the eval signal for how much ANN
     candidate truncation costs on this embedding space."""
-    from .ml import centroid_topn_sql, kmeans_centroid_rows, quantized_vectors
+    from .ml import kmeans_centroid_rows, nearest_centroids_topn, quantized_vectors
 
     rows = kmeans_centroid_rows(spark, sf_dir)
     qq = quantized_vectors(spark, sf_dir).filter(F.col("vec_id") < KNN_EVAL_N)
-    probe = qq.select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(F.expr(centroid_topn_sql(rows, IVF_NPROBE))).alias("p"),
+    probe = nearest_centroids_topn(qq, rows, IVF_NPROBE, ["vec_id"]).select(
+        F.col("vec_id").alias("query_id"), F.explode("probes").alias("p")
     ).select("query_id", F.col("p.cl").alias("cell"))
     asg = kmeans_cell_assignment(spark, sf_dir)
     q = asg.filter(F.col("vec_id") < KNN_EVAL_N).select(
@@ -2716,6 +2764,7 @@ QUERIES = {
     "sim_mmr_topk": sim_mmr_topk,
     "sim_kcenter_select": sim_kcenter_select,
     "sim_ivf_kmeans_ann": sim_ivf_kmeans_ann,
+    "sim_ivf_kmeans_ann_rel": sim_ivf_kmeans_ann_rel,
     "sim_pq_adc_ann": sim_pq_adc_ann,
     "sim_ivfpq_ann": sim_ivfpq_ann,
     "sim_knn_label_probe": sim_knn_label_probe,
@@ -2729,6 +2778,7 @@ QUERIES = {
     "sim_label_centroids": sim_label_centroids,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic_cells": dedup_semantic_cells,
+    "dedup_semantic_cells_rel": dedup_semantic_cells_rel,
 }
 
 ORACLES = {
@@ -2739,7 +2789,9 @@ ORACLES = {
     "decontaminate_semantic": _oracle_decon_semantic(),
     "dedup_embedding_cosine": _oracle_embedding_cosine(),
     "dedup_semantic_cells": _oracle_semdedup(),
+    "dedup_semantic_cells_rel": _oracle_semdedup(),
     "sim_ivf_kmeans_ann": _oracle_ivf_kmeans(),
+    "sim_ivf_kmeans_ann_rel": _oracle_ivf_kmeans(),
     "sim_pq_adc_ann": _oracle_pq_adc(),
     "sim_ivfpq_ann": _oracle_ivfpq(),
     "sim_knn_label_probe": _oracle_knn_probe(),

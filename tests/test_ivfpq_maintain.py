@@ -277,6 +277,16 @@ def test_retrain_bumps_generation_and_stream_follows(spark, tmp_path):
 
 
 def test_retrain_refused_when_recall_drops(spark, tmp_path):
+    """The refusal gate, r13 contract: the degenerate candidate is refused
+    under EVERY probe seed (the de-biased hash-stratified sets, VERDICT
+    r12 item 2 — no id-layout corner to get lucky on), and the refusal no
+    longer forfeits the compaction (ADVICE r12): epochs are absorbed under
+    the INCUMBENT model, the stats carry retrain_refused + both recalls,
+    and the model file is untouched."""
+    from realtime_twitter_trends_analytics_spark.streaming.ivfpq_stream import (
+        _recall_at_k,
+    )
+
     src = tmp_path / "src"
     src.mkdir()
     items = _corpus(spark)  # the full 500: the pool bound must bind
@@ -298,17 +308,30 @@ def test_retrain_refused_when_recall_drops(spark, tmp_path):
         "centroids": [[cl, [0] * 64] for cl, _c in model["centroids"]],
         "codebook": [[b, c, [0] * 8] for b, c, _v in model["codebook"]],
     }
-    try:
-        compact_ivfpq_index(
-            spark, f"{work}/ivfpq_index", f"{work}/ivfpq_compact", model_dir,
-            _retrain_model_override=bad,
-        )
-        raise AssertionError("degenerate retrain must be refused")
-    except ValueError as e:
-        assert "retrain refused" in str(e)
-    # nothing was committed: model unchanged, no manifest
-    assert read_ivfpq_model(model_dir) == model
-    assert _read_compact_manifest(f"{work}/ivfpq_compact") is None
+    # per-seed refusal: the degenerate model loses on EVERY stratified
+    # probe set, not just on the gate's mean — including seeds OUTSIDE
+    # the gate's default tuple (the sample construction, not a lucky
+    # constant, carries the verdict)
+    vecs = spark.read.parquet(f"{work}/ivfpq_index").select(
+        "cand_id", F.col("cv").alias("embedding")
+    )
+    for seed in (0, 1, 2, 7, 13):
+        good_r = _recall_at_k(spark, vecs, model, seed=seed)
+        bad_r = _recall_at_k(spark, vecs, bad, seed=seed)
+        assert bad_r < good_r, f"seed {seed}: {bad_r} !< {good_r}"
+    stats = compact_ivfpq_index(
+        spark, f"{work}/ivfpq_index", f"{work}/ivfpq_compact", model_dir,
+        _retrain_model_override=bad,
+    )
+    # refused — but the compaction still happened under the incumbent
+    assert stats["retrain_refused"] is True
+    assert stats["recall"]["new"] < stats["recall"]["old"]
+    assert stats["model_generation"] == model["generation"]
+    assert stats["rows"] == len(items)
+    assert read_ivfpq_model(model_dir) == model  # incumbent untouched
+    manifest = _read_compact_manifest(f"{work}/ivfpq_compact")
+    assert manifest is not None  # epochs ABSORBED despite the refusal
+    assert manifest["model_generation"] == model["generation"]
 
 
 def test_stranded_generation_epoch_repaired_at_serve(spark, tmp_path):

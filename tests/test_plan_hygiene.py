@@ -140,6 +140,14 @@ CARTESIAN_OK = {
     "sim_ivf_ann": "multi-probe variant of sim_ivf_kmeans_ann: same K-row "
     "centroid broadcast product for cell ranking/assignment; candidate "
     "retrieval is an equi-join on cell id",
+    "sim_ivf_kmeans_ann_rel": "the RELATION face of the coarse quantizer "
+    "(round 13): the query-side cell ranking crossJoins the broadcast "
+    "K-row centroid relation BY DESIGN — the K > K_LITERAL_CEILING "
+    "dispatch target, oracle-gated below the ceiling; every data-sized "
+    "join stays a cell-id equi-join",
+    "dedup_semantic_cells_rel": "same relation-face centroid broadcast "
+    "as sim_ivf_kmeans_ann_rel (assignment side rides the checkpointed "
+    "staging relation; listed for the probe-free body's safety)",
     "ml_negative_samples": "anchors x broadcast NEG_POOL-row hash-selected "
     "pool is the sampling design — constant 64-row side, map-side product",
     "sim_knn_label_probe": "broadcast eval-set x candidate scan is the "
@@ -217,6 +225,13 @@ AUDIT_CARTESIAN_OK = {
     # side against the corpus scan (incremental max-sim update — the
     # kmeans driver-model pattern, one row instead of K)
     "kcenter_round": "1-row newest-pick broadcast x corpus scan",
+    # the RELATION face of the coarse quantizer (round 13): past
+    # K_LITERAL_CEILING the centroids become data and every-vector-vs-
+    # every-centroid IS the algorithm — crossJoin(broadcast(K-row centroid
+    # relation)) + min(struct) keyed argmin (the ml_kmeans_embeddings
+    # precedent with the centroids as a relation instead of literals)
+    "semantic_cell_assignments_rel": "broadcast centroid relation x vector "
+    "scan — the dispatched coarse quantizer past K_LITERAL_CEILING",
 }
 AUDIT_ROW_PYTHON_OK: dict[str, str] = {}
 

@@ -59,8 +59,27 @@ def load_payload(path: str) -> tuple[dict[str, float], float | None]:
     raise SystemExit(f"{path}: unrecognized bench file format")
 
 
+def canon_tiers(queries: "dict[str, float]") -> "dict[str, float]":
+    """Pair tier-renamed lines across rounds (ADVICE r12): a query demoted
+    to the 'demo:' tier keeps benching under 'demo:<name>', but a
+    previous round recorded it bare — exact-key pairing would drop it
+    from the common set for one round (reported dropped+added, untracked)
+    exactly when the rename happened. Strip the tier prefix when the bare
+    name is not also present on the same side (a collision would mean two
+    genuinely different lines; keep both untouched then). 'staging:' is
+    NOT stripped — staging lines are stable under that prefix on both
+    sides by construction."""
+    out = dict(queries)
+    for k in list(out):
+        if k.startswith("demo:"):
+            bare = k[len("demo:"):]
+            if bare not in out:
+                out[bare] = out.pop(k)
+    return out
+
+
 def load_queries(path: str) -> dict[str, float]:
-    return load_payload(path)[0]
+    return canon_tiers(load_payload(path)[0])
 
 
 def main() -> int:
@@ -78,6 +97,7 @@ def main() -> int:
     args = ap.parse_args()
 
     (old, c_old), (new, c_new) = load_payload(args.old), load_payload(args.new)
+    old, new = canon_tiers(old), canon_tiers(new)
     # Host-speed normalization (r11, VERDICT r10 item 3): when BOTH sides
     # carry the fixed-shape canary, divide every ratio by the host ratio —
     # the mechanical form of the interleaved same-box adjudication every

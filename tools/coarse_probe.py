@@ -1,0 +1,126 @@
+"""Literal-vs-relation coarse-quantizer crossover probe (round 13, VERDICT
+r12 item 1): measure BOTH faces of ml.nearest_centroid across K, through
+and past K_LITERAL_CEILING, and record where each face lives.
+
+What it shows:
+- below the ceiling the literal face (centroids baked into the plan, zero
+  exchanges) wins on per-call latency BUT pays O(K*D) expression size —
+  plan/codegen cost grows with K until Catalyst stops planning it;
+- the relation face (crossJoin(broadcast(K-row relation)) + min(struct)
+  keyed argmin) pays one broadcast + one keyed agg, with cost ~flat in K
+  on the plan side and N*K on the compute side — the SAME N*K distance
+  work the literal face does, just expressed as data instead of plan;
+- past the ceiling only the relation face runs (the literal face refuses
+  by design — the probe records the refusal), so the dispatch point IS
+  the crossover.
+
+Method: synthetic (vec_id, qe) corpus (N x 64-dim BIGINT, deterministic),
+warm min-of-2 noop-sink walls per (K, face); exact row-level equality of
+the two faces is asserted at every K where both run (the same pin as
+tests/test_coarse_relation.py, re-checked at probe volumes).
+
+Usage: python tools/coarse_probe.py [--n 2000] [--ks 8 512 2048 4096 8192 16384]
+                                    [--append SCALE_SMOKE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from realtime_twitter_trends_analytics_spark.operators.ml import (  # noqa: E402
+    EMB_DIM,
+    K_LITERAL_CEILING,
+    nearest_centroid,
+)
+from realtime_twitter_trends_analytics_spark.session import get_spark  # noqa: E402
+
+
+def _cents(k: int) -> list:
+    return [
+        (cl, [((cl * 131 + d * 17 + (cl * d) % 13) % 16001) - 8000 for d in range(EMB_DIM)])
+        for cl in range(k)
+    ]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2000)
+    ap.add_argument(
+        "--ks", type=int, nargs="*", default=[8, 512, 2048, 4096, 8192, 16384]
+    )
+    ap.add_argument("--append", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("coarse-probe")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    vecs = spark.createDataFrame(
+        [
+            (i, [((i * 29 + d * 7 + (i * d) % 11) % 16001) - 8000 for d in range(EMB_DIM)])
+            for i in range(args.n)
+        ],
+        "vec_id long, qe array<bigint>",
+    ).localCheckpoint()
+
+    def wall(df) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return best
+
+    lines = [
+        "",
+        f"### Coarse-quantizer crossover: literal vs broadcast-join relation "
+        f"(round 13; N={args.n} x {EMB_DIM}-dim, warm min-of-2 noop-sink; "
+        f"K_LITERAL_CEILING={K_LITERAL_CEILING})",
+        "",
+        "| K | literal face | relation face | broadcast payload | faces equal |",
+        "|---|---|---|---|---|",
+    ]
+    try:
+        for k in args.ks:
+            cents = _cents(k)
+            mb = k * (EMB_DIM + 1) * 8 / 1e6
+            rel = nearest_centroid(vecs, cents, ["vec_id"], force="relation")
+            t_rel = wall(rel)
+            if k <= K_LITERAL_CEILING:
+                lit = nearest_centroid(vecs, cents, ["vec_id"], force="literal")
+                t_lit = wall(lit)
+                flat = lambda df: sorted(  # noqa: E731
+                    (r["vec_id"], r["m"]["d2"], r["m"]["cl"]) for r in df.collect()
+                )
+                eq = "yes" if flat(lit) == flat(rel) else "NO — BUG"
+                lines.append(
+                    f"| {k} | {t_lit:.2f}s | {t_rel:.2f}s | {mb:.1f} MB | {eq} |"
+                )
+            else:
+                try:
+                    nearest_centroid(vecs, cents, ["vec_id"], force="literal")
+                    refusal = "DID NOT REFUSE — BUG"
+                except ValueError:
+                    refusal = "refused (by design)"
+                lines.append(
+                    f"| {k} | {refusal} | {t_rel:.2f}s | {mb:.1f} MB | n/a (relation only) |"
+                )
+            print(lines[-1])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    report = "\n".join(lines) + "\n"
+    if args.append:
+        with open(args.append, "a") as fh:
+            fh.write(report)
+        print(f"appended to {args.append}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -215,6 +215,14 @@ def main() -> int:
         "--skip-prod", action="store_true",
         help="skip the density-family prod-face section",
     )
+    ap.add_argument(
+        "--with-ivfpq-serve", action="store_true",
+        help="append the maintained-IVF-PQ serve-slope probe (round 13, "
+        "VERDICT r12 item 6): ann_growth_probe --ivfpq at ~sf0.3-equivalent "
+        "ingest volume (8 x 750 = 6000 vectors = 3x the sf0.1 corpus) with "
+        "a retrain boundary at file 5 — the serve slope is re-checked in "
+        "THIS artifact each round like the gate walls are",
+    )
     args = ap.parse_args()
 
     sf_dir = build_fixture(rebuild=args.rebuild)
@@ -235,6 +243,28 @@ def main() -> int:
     ]
     if not args.skip_prod:
         lines += prod_face_probe(sf_dir)
+    if args.with_ivfpq_serve:
+        p2 = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(__file__), "ann_growth_probe.py"),
+                "--ivfpq", "--files", "8", "--compact-at", "5",
+            ],
+            capture_output=True, text=True,
+        )
+        lines += [
+            "",
+            "# maintained-IVF-PQ serve slope at ~sf0.3-equivalent ingest "
+            "volume (ann_growth_probe --ivfpq --files 8 --compact-at 5; "
+            "slope should RESET across the retrain boundary):",
+        ] + [
+            ln
+            for ln in (p2.stdout + p2.stderr).splitlines()
+            if not any(
+                s in ln
+                for s in ("WARN", "Using Spark", "Setting default", "incubator")
+            )
+        ]
     report = (
         f"# Scale-dependent-correctness probe (~sf0.3 = 3 disjoint shards of sf0.1)\n"
         f"# fixture: {sf_dir}; queries = top {len(names)} by warm spark_sec "
