@@ -66,6 +66,11 @@ HEADLINE = [
     "dedup_containment",
     "dedup_embedding_cosine",
     "dedup_semantic_cells",
+    # r13: the broadcast-join coarse-quantizer face (the K>K_LITERAL_CEILING
+    # dispatch target), benched beside its literal twins so the relation
+    # path's cost is tracked round-over-round
+    "dedup_semantic_cells_rel",
+    "sim_ivf_kmeans_ann_rel",
     "decontaminate_ngram_overlap",
     "textstats_repetition",
     "textstats_bm25",

@@ -126,6 +126,29 @@ def _centroid_relation(spark: SparkSession, rows: "list[tuple[int, list[int]]]")
     )
 
 
+# Per-shard broadcast budget for the relation face: one centroid relation
+# broadcast must stay a comfortable fraction of executor memory (the 8 GB
+# hard cap is not the design point). K*(D+1)*8 bytes crosses this at
+# K ~ 5e5 for D=64 — past it the relation face SHARDS the centroid list
+# and takes the argmin of per-shard argmins (exact: min over a partition
+# of the candidate set is the min of per-part minima; same struct order).
+# Cost: ceil(K/K_shard) broadcasts + one final keyed agg over
+# n_shards x N rows — every step stays map-side or equi-keyed, no wall at
+# ANY K. Tests force a tiny budget to pin shard-vs-unsharded equality.
+BROADCAST_CENTROID_BYTES = 256 << 20
+
+
+def _centroid_shards(
+    rows: "list[tuple[int, list[int]]]",
+) -> "list[list[tuple[int, list[int]]]]":
+    ordered = sorted((int(cl), [int(v) for v in c]) for cl, c in rows)
+    dim = len(ordered[0][1])
+    bytes_total = len(ordered) * (dim + 1) * 8
+    n_shards = max(1, -(-bytes_total // BROADCAST_CENTROID_BYTES))
+    per = -(-len(ordered) // n_shards)
+    return [ordered[i : i + per] for i in range(0, len(ordered), per)]
+
+
 def nearest_centroid(
     df: DataFrame,
     rows: "list[tuple[int, list[int]]]",
@@ -152,12 +175,15 @@ def nearest_centroid(
       gets full map-side partial reduction (K candidate rows per vector
       combine to 1 before any shuffle), so the exchange moves N rows, not
       N*K. Broadcast payload = K*(D+1)*8 bytes: ~2 MB at K=4096, ~205 MB
-      at K=4e5 (the 100 TB design point of ml.k_for_corpus at N=1e8),
-      inside executor memory and the 8 GB broadcast cap. Past K~1e6 the
-      single broadcast is the NEXT wall — shard it with a two-level
-      quantizer (literal argmin over sqrt(K) super-cells, then an
-      equi-join on super_cell to its sub-centroids); the crossover is
-      measured in SCALE_SMOKE.md (tools/coarse_probe.py).
+      at K=4e5 (the 100 TB design point of ml.k_for_corpus at N=1e8).
+      Past BROADCAST_CENTROID_BYTES the centroid list SHARDS
+      automatically — per-shard broadcast argmin, then argmin of the
+      per-shard minima, exact because the min over a partition of the
+      candidate set is the min of per-part minima (same struct tie
+      order; equality pinned under a forced tiny budget in
+      tests/test_coarse_relation.py) — so NO K refuses at any scale.
+      The literal/relation crossover is measured in SCALE_SMOKE.md
+      (tools/coarse_probe.py).
 
     ``key_cols`` must be unique per row (every caller has a vector id) —
     the relation face groups by it; ``carry`` columns ride through the agg
@@ -169,14 +195,27 @@ def nearest_centroid(
         return df.select(
             *key_cols, *carry, F.expr(centroid_argmin_sql(rows, qe_expr)).alias(out)
         )
-    cent = _centroid_relation(df.sparkSession, rows)
-    pairs = df.select(
-        *key_cols, *carry, F.expr(qe_expr).alias("__qe")
-    ).crossJoin(F.broadcast(cent))
+    spark = df.sparkSession
+    slim = df.select(*key_cols, *carry, F.expr(qe_expr).alias("__qe"))
     d2 = F.expr(_dist2_sql(dl.SPARK, "__qe", "c"))
-    agg = [F.min(F.struct(d2.alias("d2"), F.col("cl").alias("cl"))).alias(out)]
-    agg += [F.any_value(c).alias(c) for c in carry]
-    return pairs.groupBy(*key_cols).agg(*agg).select(*key_cols, *carry, out)
+    parts = []
+    for shard in _centroid_shards(rows):
+        pairs = slim.crossJoin(F.broadcast(_centroid_relation(spark, shard)))
+        agg = [F.min(F.struct(d2.alias("d2"), F.col("cl").alias("cl"))).alias(out)]
+        agg += [F.any_value(c).alias(c) for c in carry]
+        parts.append(pairs.groupBy(*key_cols).agg(*agg))
+    if len(parts) == 1:
+        return parts[0].select(*key_cols, *carry, out)
+    # argmin of per-shard argmins — exact (min over a partition of the
+    # candidate set = min of per-part minima, same struct tie order).
+    # Each shard branch re-reads the input relation: callers in this
+    # regime (K > BROADCAST_CENTROID_BYTES worth of centroids) should
+    # hand in a materialized slim input (the staging-tier rule).
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = [F.min(out).alias(out)] + [F.any_value(c).alias(c) for c in carry]
+    return u.groupBy(*key_cols).agg(*agg).select(*key_cols, *carry, out)
 
 
 def nearest_centroids_topn(
@@ -205,11 +244,13 @@ def nearest_centroids_topn(
         return df.select(
             *key_cols, *carry, F.expr(centroid_topn_sql(rows, n, qe_expr)).alias(out)
         )
-    cent = _centroid_relation(df.sparkSession, rows)
-    pairs = (
-        df.select(*key_cols, *carry, F.expr(qe_expr).alias("__qe"))
-        .crossJoin(F.broadcast(cent))
-        .select(
+    spark = df.sparkSession
+    slim = df.select(*key_cols, *carry, F.expr(qe_expr).alias("__qe"))
+    parts = []
+    for shard in _centroid_shards(rows):
+        pairs = slim.crossJoin(
+            F.broadcast(_centroid_relation(spark, shard))
+        ).select(
             *key_cols,
             *carry,
             F.struct(
@@ -217,10 +258,25 @@ def nearest_centroids_topn(
                 F.col("cl").alias("cl"),
             ).alias("__dc"),
         )
-    )
-    agg = [F.expr(f"slice(array_sort(collect_list(__dc)), 1, {int(n)})").alias(out)]
+        agg = [
+            F.expr(f"slice(array_sort(collect_list(__dc)), 1, {int(n)})").alias(out)
+        ]
+        agg += [F.any_value(c).alias(c) for c in carry]
+        parts.append(pairs.groupBy(*key_cols).agg(*agg))
+    if len(parts) == 1:
+        return parts[0].select(*key_cols, *carry, out)
+    # global top-n = top-n of the per-shard top-n pools (each shard keeps
+    # its n best, so no global member can be lost); same struct sort order
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = [
+        F.expr(
+            f"slice(array_sort(flatten(collect_list({out}))), 1, {int(n)})"
+        ).alias(out)
+    ]
     agg += [F.any_value(c).alias(c) for c in carry]
-    return pairs.groupBy(*key_cols).agg(*agg).select(*key_cols, *carry, out)
+    return u.groupBy(*key_cols).agg(*agg).select(*key_cols, *carry, out)
 
 
 def centroid_argmin_sql(rows: "list[tuple[int, list[int]]]", qe_expr: str = "qe") -> str:

@@ -68,6 +68,14 @@ def cluster_conf(
     - shuffle.service + dynamicAllocation: executors scale with stage
       width, shuffle files survive executor loss (task retry, not stage
       retry, after preemption).
+    - streaming trigger bounds (source options, not session confs — set
+      maxOffsetsPerTrigger / maxFilesPerTrigger on the reader): bound the
+      QUERY volume per trigger of the maintained-ANN serve paths so the
+      per-query broadcast state stays inside the executor budget —
+      |Q|/trigger x nprobe x (LUT + query vector) bytes; the dispatch at
+      ivfpq_stream.IVFPQ_SERVE_BCAST_MAX_Q (1e5 queries ~ 0.5-6 GB
+      depending on PQ width) is the in-plan backstop when a caller
+      exceeds it anyway.
     """
     total_cores = executors * cores_per_executor
     by_cores = 2 * total_cores

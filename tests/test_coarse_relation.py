@@ -123,6 +123,42 @@ def test_relation_face_runs_past_real_ceiling_topn(spark):
         assert got[i] == _brute(cents, v, 3), f"vec {i}"
 
 
+# ------------------------------------------------ sharded broadcast face
+
+
+def test_sharded_relation_equals_unsharded(spark, monkeypatch):
+    """Past BROADCAST_CENTROID_BYTES the relation face shards the centroid
+    list (per-shard broadcast argmin -> argmin of minima). Force a tiny
+    budget so K=600 splits into many shards, and pin row equality to the
+    single-broadcast face AND the literal face — argmin and top-n."""
+    cents, vecs, df = _big_fixture(spark, 600, 40)
+    lit_arg = {
+        r["vec_id"]: (r["m"]["d2"], r["m"]["cl"])
+        for r in nearest_centroid(df, cents, ["vec_id"], force="literal").collect()
+    }
+    lit_top = {
+        r["vec_id"]: [(p["d2"], p["cl"]) for p in r["probes"]]
+        for r in nearest_centroids_topn(
+            df, cents, 3, ["vec_id"], force="literal"
+        ).collect()
+    }
+    # 600 centroids x 9 BIGINTs = ~43 KB; a 4 KB budget forces ~11 shards
+    monkeypatch.setattr(ml, "BROADCAST_CENTROID_BYTES", 4096)
+    assert len(ml._centroid_shards(cents)) > 5
+    sh_arg = {
+        r["vec_id"]: (r["m"]["d2"], r["m"]["cl"])
+        for r in nearest_centroid(df, cents, ["vec_id"], force="relation").collect()
+    }
+    sh_top = {
+        r["vec_id"]: [(p["d2"], p["cl"]) for p in r["probes"]]
+        for r in nearest_centroids_topn(
+            df, cents, 3, ["vec_id"], force="relation"
+        ).collect()
+    }
+    assert sh_arg == lit_arg
+    assert sh_top == lit_top
+
+
 # ----------------------------- the REAL prod faces through the dispatch
 
 

