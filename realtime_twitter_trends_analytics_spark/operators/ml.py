@@ -279,6 +279,42 @@ def nearest_centroids_topn(
     return u.groupBy(*key_cols).agg(*agg).select(*key_cols, *carry, out)
 
 
+def nearest_centroid_probes(
+    df: DataFrame,
+    rows: "list[tuple[int, list[int]]]",
+    n: int,
+    key_cols: "list[str]",
+    qe_expr: str = "qe",
+    out: str = "p",
+    carry: "list[str] | tuple[str, ...]" = (),
+    force: "str | None" = None,
+) -> DataFrame:
+    """One row per (key, probe struct) — the EXPLODED form of
+    nearest_centroids_topn, and the face every probe call site uses.
+
+    Why this exists (r13 bench_diff adjudication, +26% on
+    sim_ivf_kmeans_ann): exploding an ALIASED top-n column lets
+    InferFiltersFromGenerate infer ``size(probes) > 0`` on the alias, and
+    projection collapse then inlines the full O(K*D) literal argmin into
+    that pushed filter — the expression evaluates TWICE per row. The
+    literal face here explodes the expression INLINE (one Generate
+    evaluating it once, the pre-r13 plan shape); the relation face
+    explodes the aggregated column, where the inferred filter references a
+    cheap attribute, not an expression."""
+    k = len(rows)
+    if not _use_relation(k, force):
+        _check_literal_k(k)
+        return df.select(
+            *key_cols,
+            *carry,
+            F.explode(F.expr(centroid_topn_sql(rows, n, qe_expr))).alias(out),
+        )
+    topn = nearest_centroids_topn(
+        df, rows, n, key_cols, qe_expr, "__probes", carry, force
+    )
+    return topn.select(*key_cols, *carry, F.explode("__probes").alias(out))
+
+
 def centroid_argmin_sql(rows: "list[tuple[int, list[int]]]", qe_expr: str = "qe") -> str:
     """Spark SQL struct ``(d2, cl)`` = nearest centroid of ``qe_expr``
     against LITERAL centroid rows — assignment as a MAP-SIDE expression.

@@ -616,7 +616,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quant_sql,
         kmeans_centroid_rows,
         nearest_centroid,
-        nearest_centroids_topn,
+        nearest_centroid_probes,
         quantized_vectors,
     )
 
@@ -628,9 +628,9 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — map-side literal expressions at gate K, the broadcast centroid
     # relation past K_LITERAL_CEILING); at gate K the only exchange in
     # this query is the probe equi-join itself
-    probe = nearest_centroids_topn(qq, rows, IVF_NPROBE, ["vec_id"]).select(
-        F.col("vec_id").alias("query_id"), F.explode("probes").alias("p")
-    ).select("query_id", F.col("p.cl").alias("cell"))
+    probe = nearest_centroid_probes(qq, rows, IVF_NPROBE, ["vec_id"]).select(
+        F.col("vec_id").alias("query_id"), F.col("p.cl").alias("cell")
+    )
     qv = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -1050,7 +1050,7 @@ def _ivf_kmeans_report(
     """sim_ivf_kmeans_ann body, parametric in the coarse-quantizer face
     (None = dispatch on K — literal at the gate constant; "relation" =
     the broadcast-join face, oracle-gated via sim_ivf_kmeans_ann_rel)."""
-    from .ml import _quant_sql, kmeans_centroid_rows, nearest_centroids_topn
+    from .ml import _quant_sql, kmeans_centroid_rows, nearest_centroid_probes
 
     asg = kmeans_cell_assignment(spark, sf_dir, force=force)
     rows = kmeans_centroid_rows(spark, sf_dir)
@@ -1059,15 +1059,11 @@ def _ivf_kmeans_report(
         F.col("embedding").alias("qv"),
         F.col("nrm").alias("qnorm"),
     )
-    probe = (
-        nearest_centroids_topn(
-            asg.filter(F.col("vec_id") < N_QUERY_VECS),
-            rows, IVFK_NPROBE, ["vec_id"],
-            qe_expr=_quant_sql(dl.SPARK, "embedding"), force=force,
-        )
-        .select(F.col("vec_id").alias("query_id"), F.explode("probes").alias("p"))
-        .select("query_id", F.col("p.cl").alias("cell"))
-    )
+    probe = nearest_centroid_probes(
+        asg.filter(F.col("vec_id") < N_QUERY_VECS),
+        rows, IVFK_NPROBE, ["vec_id"],
+        qe_expr=_quant_sql(dl.SPARK, "embedding"), force=force,
+    ).select(F.col("vec_id").alias("query_id"), F.col("p.cl").alias("cell"))
     cand = asg.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
@@ -1299,7 +1295,7 @@ def _ivfpq_report(
         _pq_assign,
         _quant_sql,
         kmeans_centroid_rows,
-        nearest_centroids_topn,
+        nearest_centroid_probes,
         pq_trained,
     )
 
@@ -1325,15 +1321,11 @@ def _ivfpq_report(
             ).alias("d2"),
         )
     )
-    probe = (
-        nearest_centroids_topn(
-            asg.filter(F.col("vec_id") < N_QUERY_VECS),
-            rows, IVFPQ_NPROBE, ["vec_id"],
-            qe_expr=_quant_sql(dl.SPARK, "embedding"),
-        )
-        .select(F.col("vec_id").alias("query_id"), F.explode("probes").alias("p"))
-        .select("query_id", F.col("p.cl").alias("cell"))
-    )
+    probe = nearest_centroid_probes(
+        asg.filter(F.col("vec_id") < N_QUERY_VECS),
+        rows, IVFPQ_NPROBE, ["vec_id"],
+        qe_expr=_quant_sql(dl.SPARK, "embedding"),
+    ).select(F.col("vec_id").alias("query_id"), F.col("p.cl").alias("cell"))
     adc_input = (
         cellcodes.join(F.broadcast(probe), "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
@@ -1580,13 +1572,13 @@ def sim_knn_label_probe_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same vote and accuracy semantics as the brute probe; differences in
     n_correct between the two ARE the eval signal for how much ANN
     candidate truncation costs on this embedding space."""
-    from .ml import kmeans_centroid_rows, nearest_centroids_topn, quantized_vectors
+    from .ml import kmeans_centroid_rows, nearest_centroid_probes, quantized_vectors
 
     rows = kmeans_centroid_rows(spark, sf_dir)
     qq = quantized_vectors(spark, sf_dir).filter(F.col("vec_id") < KNN_EVAL_N)
-    probe = nearest_centroids_topn(qq, rows, IVF_NPROBE, ["vec_id"]).select(
-        F.col("vec_id").alias("query_id"), F.explode("probes").alias("p")
-    ).select("query_id", F.col("p.cl").alias("cell"))
+    probe = nearest_centroid_probes(qq, rows, IVF_NPROBE, ["vec_id"]).select(
+        F.col("vec_id").alias("query_id"), F.col("p.cl").alias("cell")
+    )
     asg = kmeans_cell_assignment(spark, sf_dir)
     q = asg.filter(F.col("vec_id") < KNN_EVAL_N).select(
         F.col("vec_id").alias("query_id"),

@@ -202,23 +202,49 @@ def _serve_ivfpq_topk(
     quantizer (ml.nearest_centroids_topn), so a post-retrain model with
     K > K_LITERAL_CEILING serves through the broadcast centroid relation
     instead of refusing."""
-    from ..operators.ml import nearest_centroids_topn, pq_lut_sql
+    from ..operators.ml import (
+        _use_relation,
+        centroid_topn_sql,
+        nearest_centroids_topn,
+        pq_lut_sql,
+    )
 
     cent, cb = _model_rows(model)
     qe = _quant_expr()
-    probe = (
-        nearest_centroids_topn(
-            queries, cent, IVFPQ_NPROBE, ["query_id"],
-            qe_expr=qe, carry=["embedding"],
-        )
-        .select(
+    if not _use_relation(len(cent), None):
+        # literal face: LUT build + probe ranking + explode in ONE
+        # projection — the expression explodes INLINE so the Generate
+        # evaluates it once (aliasing the array and exploding the alias
+        # lets InferFiltersFromGenerate inline the whole argmin into a
+        # pushed size() filter — double evaluation; see
+        # ml.nearest_centroid_probes) and the per-query LUT is computed
+        # BEFORE the explode (once per query, not once per probe row)
+        probe = queries.select(
             "query_id",
             F.col("embedding").alias("qv"),
             F.expr(pq_lut_sql(cb, qe)).alias("lut"),
-            F.explode("probes").alias("p"),
+            F.explode(
+                F.expr(centroid_topn_sql(cent, IVFPQ_NPROBE, qe))
+            ).alias("p"),
+        ).select("query_id", "qv", "lut", F.col("p.cl").alias("cell"))
+    else:
+        # relation face (post-retrain K past the ceiling): probes come
+        # from the broadcast centroid relation as an aggregated COLUMN
+        # (cheap-attribute explode, no double-eval); the LUT rides the
+        # same pre-explode projection
+        probe = (
+            nearest_centroids_topn(
+                queries, cent, IVFPQ_NPROBE, ["query_id"],
+                qe_expr=qe, carry=["embedding"],
+            )
+            .select(
+                "query_id",
+                F.col("embedding").alias("qv"),
+                F.expr(pq_lut_sql(cb, qe)).alias("lut"),
+                F.explode("probes").alias("p"),
+            )
+            .select("query_id", "qv", "lut", F.col("p.cl").alias("cell"))
         )
-        .select("query_id", "qv", "lut", F.col("p.cl").alias("cell"))
-    )
     if broadcast_queries is None:
         broadcast_queries = (
             queries.limit(IVFPQ_SERVE_BCAST_MAX_Q + 1).count()
