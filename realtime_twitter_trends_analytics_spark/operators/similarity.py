@@ -628,9 +628,9 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — map-side literal expressions at gate K, the broadcast centroid
     # relation past K_LITERAL_CEILING); at gate K the only exchange in
     # this query is the probe equi-join itself
-    probe = nearest_centroid_probes(qq, rows, IVF_NPROBE, ["vec_id"]).select(
-        F.col("vec_id").alias("query_id"), F.col("p.cl").alias("cell")
-    )
+    probe = nearest_centroid_probes(
+        qq, rows, IVF_NPROBE, ["vec_id"], max_rows=N_QUERY_VECS
+    ).select(F.col("vec_id").alias("query_id"), F.col("p.cl").alias("cell"))
     qv = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -1063,6 +1063,7 @@ def _ivf_kmeans_report(
         asg.filter(F.col("vec_id") < N_QUERY_VECS),
         rows, IVFK_NPROBE, ["vec_id"],
         qe_expr=_quant_sql(dl.SPARK, "embedding"), force=force,
+        max_rows=N_QUERY_VECS,
     ).select(F.col("vec_id").alias("query_id"), F.col("p.cl").alias("cell"))
     cand = asg.select(
         F.col("vec_id").alias("cand_id"),
@@ -1325,6 +1326,7 @@ def _ivfpq_report(
         asg.filter(F.col("vec_id") < N_QUERY_VECS),
         rows, IVFPQ_NPROBE, ["vec_id"],
         qe_expr=_quant_sql(dl.SPARK, "embedding"),
+        max_rows=N_QUERY_VECS,
     ).select(F.col("vec_id").alias("query_id"), F.col("p.cl").alias("cell"))
     adc_input = (
         cellcodes.join(F.broadcast(probe), "cell")
@@ -1576,9 +1578,9 @@ def sim_knn_label_probe_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = kmeans_centroid_rows(spark, sf_dir)
     qq = quantized_vectors(spark, sf_dir).filter(F.col("vec_id") < KNN_EVAL_N)
-    probe = nearest_centroid_probes(qq, rows, IVF_NPROBE, ["vec_id"]).select(
-        F.col("vec_id").alias("query_id"), F.col("p.cl").alias("cell")
-    )
+    probe = nearest_centroid_probes(
+        qq, rows, IVF_NPROBE, ["vec_id"], max_rows=KNN_EVAL_N
+    ).select(F.col("vec_id").alias("query_id"), F.col("p.cl").alias("cell"))
     asg = kmeans_cell_assignment(spark, sf_dir)
     q = asg.filter(F.col("vec_id") < KNN_EVAL_N).select(
         F.col("vec_id").alias("query_id"),

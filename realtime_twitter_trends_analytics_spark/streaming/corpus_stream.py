@@ -36,6 +36,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..audit import audit_plan
 from ..functions import dialect as dl
 from ..operators.cleaning import _verdict_sql
 from ..operators.dedup import JACCARD_THRESHOLD
@@ -141,8 +142,14 @@ def streaming_corpus_writer(
             # contamination, and driver memory holds the id list); the
             # anti-join keeps the predicate PLAN-SIDE — the batch face
             # (corpus_pipeline_v4) uses the same join shape. contam_ids is
-            # batch-bounded, so it broadcasts; the metric is one bounded
-            # count over the same batch-local subplan.
+            # batch-bounded, so it broadcasts. It is localCheckpoint'ed
+            # first (ADVICE r13): the shingle-join subplan executes exactly
+            # ONCE (at the checkpoint) — the n_contam metric count and the
+            # anti-join both read the materialized blocks instead of each
+            # re-running the scan + explode + join.
+            contam_ids = audit_plan(
+                "corpus_stream_contam_ids", contam_ids
+            ).localCheckpoint()
             n_contam = contam_ids.count()
             gated = gated.join(F.broadcast(contam_ids), "doc_id", "left_anti")
         survivors = dedup_write(gated, batch_id)

@@ -180,6 +180,15 @@ def encode_ivfpq_rows(df: DataFrame, model: dict) -> DataFrame:
 # most MAX+1 query rows, never the corpus).
 IVFPQ_SERVE_BCAST_MAX_Q = 100_000
 
+# Misuse tripwire for the serve-side RELATION probe ranking (the coarse
+# quantizer's topn face past K_LITERAL_CEILING): collect_list buffers K
+# structs per QUERY row, which is fine for any real query volume but
+# catastrophic if a corpus is fed in as "queries". 100x the broadcast
+# bound (~1e7 queries x nprobe x 16 B ~ 0.5 GB of shuffled probe structs)
+# comfortably covers the shuffle face's legitimate range while still
+# refusing a 1e8-row corpus loudly at plan time.
+IVFPQ_SERVE_MAX_Q_RELATION = 100 * IVFPQ_SERVE_BCAST_MAX_Q
+
 
 def _serve_ivfpq_topk(
     idx: DataFrame,
@@ -197,9 +206,14 @@ def _serve_ivfpq_topk(
     rows are bit-equal to the batch plan over the same corpus.
 
     ``broadcast_queries``: None = decide via the IVFPQ_SERVE_BCAST_MAX_Q
-    bound (see above); True/False pins the face (tests pin both and assert
-    row equality). The coarse probe ranking itself rides the dispatched
-    quantizer (ml.nearest_centroids_topn), so a post-retrain model with
+    bound with a LIMIT-capped count — an extra job that re-executes the
+    (possibly derived) query subplan, so callers with a KNOWN per-call
+    bound should pass the face explicitly (ADVICE r13: the streaming
+    writer passes True — its per-trigger |Q| is bounded by the source
+    trigger options, the sizing rule in session.cluster_conf); True/False
+    pins the face (tests pin both and assert row equality). The coarse
+    probe ranking itself rides the dispatched quantizer
+    (ml.nearest_centroids_topn), so a post-retrain model with
     K > K_LITERAL_CEILING serves through the broadcast centroid relation
     instead of refusing."""
     from ..operators.ml import (
@@ -236,6 +250,7 @@ def _serve_ivfpq_topk(
             nearest_centroids_topn(
                 queries, cent, IVFPQ_NPROBE, ["query_id"],
                 qe_expr=qe, carry=["embedding"],
+                max_rows=IVFPQ_SERVE_MAX_Q_RELATION,
             )
             .select(
                 "query_id",
@@ -419,7 +434,15 @@ def streaming_ivfpq_maintain_writer(
         )
         idx = read_maintained_ivfpq(spark, index_dir, model, compact_dir)
         if idx is not None:
-            topk = _serve_ivfpq_topk(idx, queries, model, k, exclude_self)
+            # broadcast face pinned explicitly (ADVICE r13): per-trigger
+            # |Q| is bounded by the source's maxFilesPerTrigger /
+            # maxOffsetsPerTrigger (session.cluster_conf sizes it against
+            # IVFPQ_SERVE_BCAST_MAX_Q), so the auto-decision's per-batch
+            # LIMIT-count job — which re-executed the query subplan every
+            # trigger — is dead weight here
+            topk = _serve_ivfpq_topk(
+                idx, queries, model, k, exclude_self, broadcast_queries=True
+            )
         else:
             topk = spark.createDataFrame([], EMPTY_RESULT_SCHEMA)
         topk.write.mode("overwrite").parquet(f"{results_dir}/batch={batch_id}")
@@ -500,7 +523,11 @@ def _recall_at_k(
     )
     got = {
         (r["query_id"], r["cand_id"])
-        for r in _serve_ivfpq_topk(idx, queries, model, k, True).collect()
+        for r in _serve_ivfpq_topk(
+            # n_probe_q queries — a known driver-side bound; skip the
+            # auto-decision's count job (ADVICE r13)
+            idx, queries, model, k, True, broadcast_queries=True
+        ).collect()
     }
     return len(truth & got) / max(1, len(truth))
 

