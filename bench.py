@@ -107,6 +107,7 @@ HEADLINE = [
     "ml_kmeans_embeddings",
     "ml_embedding_dim_variance",
     "ml_pq_codebook",
+    "ml_pq_encode_rel",
     "ml_negative_samples",
     "ml_normal_equations",
     "events_markov_transitions",

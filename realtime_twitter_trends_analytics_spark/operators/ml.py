@@ -805,24 +805,247 @@ def pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 DEAD_CODE_D2 = 1 << 40
 
 
+# Ceiling on the literal PQ encode/LUT design (ADVICE r13, closed the same
+# way the centroid wall was in r13): pq_codes_sql / pq_lut_sql unroll one
+# aggregate/zip_with subexpression per (block, code) — O(blocks * K)
+# literals. Unlike the centroid face there is no hard refusal up to 65k
+# entries (measured, tools/pq_probe.py), but the PLAN cost grows linearly
+# (~1.2 ms/entry of parse+optimize+codegen per call on this box: ~5 s at
+# 4096 entries, ~19 s at 16k) and it is paid PER CALL — per micro-batch in
+# the streaming ingest/serve hot paths — while the relation face
+# (equi-join on block against a broadcast codebook relation + min(struct)
+# keyed argmin, the batch _pq_assign shape) plans in constant time. The
+# gate model (8x16 = 128 entries) stays literal; a production 8-bit
+# codebook (16 x 256 = 4096) dispatches. Crossover measured in
+# SCALE_SMOKE.md (tools/pq_probe.py).
+PQ_LITERAL_CEILING = 2048
+
+
+def _pq_literal_ceiling() -> int:
+    """Late read of the module global — tests lower it (monkeypatch) to
+    drive the real encode/serve paths through the relation dispatch."""
+    return PQ_LITERAL_CEILING
+
+
+def _check_pq_literal(n_entries: int) -> None:
+    if n_entries > PQ_LITERAL_CEILING:
+        raise ValueError(
+            f"{n_entries} codebook entries exceeds PQ_LITERAL_CEILING="
+            f"{PQ_LITERAL_CEILING} for the inlined literal PQ expression; "
+            "use the dispatched faces pq_encode / pq_query_lut, which switch "
+            "to the broadcast codebook relation (equi-join on block + "
+            "min(struct) keyed argmin) past the ceiling"
+        )
+
+
+def _use_pq_relation(n_entries: int, force: "str | None") -> bool:
+    """Dispatch rule shared by pq_encode / pq_query_lut — the PQ twin of
+    _use_relation (same force semantics: "literal" still trips the guard
+    past the wall; "relation" exercises the join face below it)."""
+    if force == "literal":
+        _check_pq_literal(n_entries)
+        return False
+    if force == "relation":
+        return True
+    return n_entries > PQ_LITERAL_CEILING
+
+
+def _codebook_relation(
+    spark: SparkSession, rows: "list[tuple[int, int, list[int]]]"
+) -> DataFrame:
+    return spark.createDataFrame(
+        sorted((int(b), int(c), [int(v) for v in vec]) for b, c, vec in rows),
+        "__block int, __code int, __c array<bigint>",
+    )
+
+
+def _pq_block_rows(
+    df: DataFrame,
+    key_cols: "list[str]",
+    carry: "list[str] | tuple[str, ...]",
+    qe_expr: str,
+    n_blocks: int,
+    sub_dim: int,
+) -> DataFrame:
+    """One (key, __block, __sub) row per (input row, block) — the relation
+    faces' exploded form of _pq_blocks, carry columns riding along."""
+    slim = df.select(*key_cols, *carry, F.expr(qe_expr).alias("__qe"))
+    return slim.select(
+        *key_cols,
+        *carry,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}), "
+                f"b -> struct(b AS block, slice(__qe, b * {sub_dim} + 1, {sub_dim}) AS sub))"
+            )
+        ).alias("__bs"),
+    ).select(
+        *key_cols, *carry,
+        F.col("__bs.block").alias("__block"),
+        F.col("__bs.sub").alias("__sub"),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook_rows: "list[tuple[int, int, list[int]]]",
+    key_cols: "list[str]",
+    qe_expr: str = "qe",
+    out: str = "codes",
+    carry: "list[str] | tuple[str, ...]" = (),
+    force: "str | None" = None,
+) -> DataFrame:
+    """PQ ENCODE (``array<int>`` of per-block nearest-codeword codes per
+    row), dispatched on codebook size — the PQ twin of nearest_centroid:
+
+    - entries <= PQ_LITERAL_CEILING: the literal map-side expression
+      (pq_codes_sql) — zero exchanges, but O(entries) plan cost per call.
+    - past it: the codebook becomes DATA — explode to (key, block, sub)
+      rows, ONE broadcast equi-join on block (K candidate rows per block,
+      the batch _pq_assign shape), min(struct(d2, code)) argmin per
+      (key, block) with full map-side partial reduction (the exchange
+      moves N*blocks rows, not N*blocks*K), then the codes re-assemble
+      per key ordered by block (blocks-bounded collect_list — corpus-SAFE,
+      unlike the LUT face). Ties break to the lowest code in both faces
+      (min(struct) = array_min struct order); dead codewords simply never
+      join — the exact pq_codes_sql candidate-exclusion semantics.
+
+    ``key_cols`` must be unique per row. Returns key_cols + carry + out."""
+    if not _use_pq_relation(len(codebook_rows), force):
+        return df.select(
+            *key_cols, *carry,
+            F.expr(pq_codes_sql(codebook_rows, qe_expr)).alias(out),
+        )
+    spark = df.sparkSession
+    n_blocks, sub_dim, _slots = _codebook_geom(codebook_rows)
+    bs = _pq_block_rows(df, key_cols, carry, qe_expr, n_blocks, sub_dim)
+    d2 = F.expr(_pq_dist2(dl.SPARK, "__sub", "__c"))
+    asg = (
+        bs.join(F.broadcast(_codebook_relation(spark, codebook_rows)), "__block")
+        .groupBy(*key_cols, "__block")
+        .agg(
+            F.min(F.struct(d2.alias("d2"), F.col("__code").alias("code"))).alias("__m"),
+            *[F.any_value(c).alias(c) for c in carry],
+        )
+    )
+    return (
+        asg.groupBy(*key_cols)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__block, __m.code AS code))), "
+                "p -> p.code)"
+            ).alias(out),
+            *[F.any_value(c).alias(c) for c in carry],
+        )
+        .select(*key_cols, *carry, out)
+    )
+
+
+def pq_query_lut(
+    df: DataFrame,
+    codebook_rows: "list[tuple[int, int, list[int]]]",
+    key_cols: "list[str]",
+    qe_expr: str = "qe",
+    out: str = "lut",
+    carry: "list[str] | tuple[str, ...]" = (),
+    force: "str | None" = None,
+    max_rows: "int | None" = None,
+) -> DataFrame:
+    """Per-row dense ADC lookup table (``array<array<bigint>>``, see
+    pq_lut_sql), dispatched on codebook size — the PQ twin of
+    nearest_centroids_topn, with the same QUERY-SIDE-ONLY contract: the
+    relation face buffers K distances per (key, block) (collect_list into
+    map_from_entries), so it is reserved for the bounded query set —
+    ``max_rows`` declares and verifies the bound exactly as in
+    nearest_centroids_topn. Dead slots hold the stored DEAD_CODE_D2
+    constant in both faces (coalesce over the live-code map)."""
+    if not _use_pq_relation(len(codebook_rows), force):
+        return df.select(
+            *key_cols, *carry,
+            F.expr(pq_lut_sql(codebook_rows, qe_expr)).alias(out),
+        )
+    spark = df.sparkSession
+    n_blocks, sub_dim, n_slots = _codebook_geom(codebook_rows)
+    if max_rows is not None:
+        got = df.limit(int(max_rows) + 1).count()
+        if got > int(max_rows):
+            raise ValueError(
+                f"pq_query_lut relation face: input exceeds the declared "
+                f"query-side bound max_rows={max_rows} (the LUT buffers "
+                f"{n_slots} distances per (row, block) with no map-side "
+                f"reduction — corpus relations take pq_encode instead)"
+            )
+    bs = _pq_block_rows(df, key_cols, carry, qe_expr, n_blocks, sub_dim)
+    d2 = F.expr(_pq_dist2(dl.SPARK, "__sub", "__c"))
+    pairs = bs.join(
+        F.broadcast(_codebook_relation(spark, codebook_rows)), "__block"
+    ).select(*key_cols, *carry, "__block", F.col("__code"), d2.alias("__d2"))
+    per_block = pairs.groupBy(*key_cols, "__block").agg(
+        F.expr("map_from_entries(collect_list(struct(__code, __d2)))").alias("__m"),
+        *[F.any_value(c).alias(c) for c in carry],
+    )
+    dense = per_block.select(
+        *key_cols, *carry, "__block",
+        F.expr(
+            f"transform(sequence(0, {n_slots - 1}), "
+            f"c -> coalesce(element_at(__m, c), CAST({DEAD_CODE_D2} AS BIGINT)))"
+        ).alias("__arr"),
+    )
+    return (
+        dense.groupBy(*key_cols)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__block, __arr))), "
+                "p -> p.__arr)"
+            ).alias(out),
+            *[F.any_value(c).alias(c) for c in carry],
+        )
+        .select(*key_cols, *carry, out)
+    )
+
+
 def _live_codebook(
     codebook_rows: "list[tuple[int, int, list[int]]]",
 ) -> "dict[int, dict[int, list[int]]]":
+    if not codebook_rows:
+        raise ValueError("no codewords: the PQ encoder needs >= 1 codebook rows")
     by_block: dict[int, dict[int, list[int]]] = {}
     for b, c, vec in codebook_rows:
         by_block.setdefault(int(b), {})[int(c)] = [int(v) for v in vec]
-    for b in range(PQ_BLOCKS):
+    # geometry comes from the codebook itself (round 14): blocks must be
+    # contiguous 0..B-1 with >= 1 live codeword each — the gate model has
+    # B = PQ_BLOCKS, a production 8-bit model can differ
+    for b in range(max(by_block) + 1):
         if not by_block.get(b):
             raise ValueError(f"PQ block {b} has no live codewords")
     return by_block
 
 
+def _codebook_geom(
+    codebook_rows: "list[tuple[int, int, list[int]]]",
+) -> "tuple[int, int, int]":
+    """(n_blocks, sub_dim, n_slots) derived FROM the codebook rows, so the
+    encode/LUT faces work for any PQ geometry, not just the gate constants
+    (ADVICE r13: the serve-bound comments contemplate 16 blocks x 256
+    codes). n_slots (the dense LUT width) floors at PQ_K so a gate model
+    whose top codeword died keeps the exact pre-r14 padded layout."""
+    by_block = _live_codebook(codebook_rows)
+    n_blocks = max(by_block) + 1
+    dims = {len(vec) for codes in by_block.values() for vec in codes.values()}
+    if len(dims) != 1:
+        raise ValueError(f"inconsistent PQ subvector widths: {sorted(dims)}")
+    n_slots = max(PQ_K, 1 + max(c for codes in by_block.values() for c in codes))
+    return n_blocks, dims.pop(), n_slots
+
+
 def _pq_sub_d2(b: int, vec: "list[int]") -> str:
     """Exact BIGINT d2 between qe0's block-b subvector and a literal
-    codeword (the compact zip_with form, see _dist2_sql)."""
+    codeword (the compact zip_with form, see _dist2_sql). The slice
+    geometry derives from the codeword itself (len(vec) = sub_dim)."""
     lit = "array(" + ",".join(f"{int(v)}L" for v in vec) + ")"
+    sub = len(vec)
     return (
-        f"aggregate(zip_with(slice(qe0, {b * PQ_SUB_DIM + 1}, {PQ_SUB_DIM}), {lit}, "
+        f"aggregate(zip_with(slice(qe0, {b * sub + 1}, {sub}), {lit}, "
         "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
 
@@ -838,7 +1061,11 @@ def pq_codes_sql(
     identical order to _pq_assign's min(struct(d2, code)) agg, so the
     codes are bit-equal to the batch trainer's. Only LIVE codewords enter
     the candidate array (see DEAD_CODE_D2) — the same semantics as the
-    batch equi-join, where a dead (block, code) row never joins."""
+    batch equi-join, where a dead (block, code) row never joins.
+
+    LITERAL face only: O(blocks * K) unrolled subexpressions — refuses
+    past PQ_LITERAL_CEILING entries (use the dispatched pq_encode)."""
+    _check_pq_literal(len(codebook_rows))
     per_block = []
     for b, codes in sorted(_live_codebook(codebook_rows).items()):
         entries = ", ".join(
@@ -864,14 +1091,19 @@ def pq_lut_sql(
     DEAD_CODE_D2 instead of a computed distance: no candidate can carry a
     dead code (pq_codes_sql never emits one), so the slot is unreachable
     padding — and nothing ever squares it (the r12 sentinel overflowed
-    BIGINT under ANSI the moment a cluster emptied)."""
+    BIGINT under ANSI the moment a cluster emptied).
+
+    LITERAL face only: O(blocks * K) unrolled subexpressions — refuses
+    past PQ_LITERAL_CEILING entries (use the dispatched pq_query_lut)."""
+    _check_pq_literal(len(codebook_rows))
     by_block = _live_codebook(codebook_rows)
+    n_blocks, _sub, n_slots = _codebook_geom(codebook_rows)
     blocks = []
-    for b in range(PQ_BLOCKS):
+    for b in range(n_blocks):
         codes = by_block[b]
         entries = ", ".join(
             _pq_sub_d2(b, codes[k]) if k in codes else f"CAST({DEAD_CODE_D2} AS BIGINT)"
-            for k in range(PQ_K)
+            for k in range(n_slots)
         )
         blocks.append(f"array({entries})")
     return (
@@ -979,6 +1211,36 @@ def _oracle_pq() -> str:
     return (
         f"WITH {ctes}\nSELECT block, code, count(*) AS n_vecs, "
         f"CAST(sum(d2) AS BIGINT) AS inertia FROM {final} GROUP BY block, code"
+    )
+
+
+def ml_pq_encode_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(block, code) code population of the WHOLE corpus encoded
+    through pq_encode's RELATION face (force="relation") — the
+    value-oracled gate twin of the round-14 PQ dispatch, mirroring the
+    dedup_semantic_cells_rel / sim_ivf_kmeans_ann_rel pattern for the
+    coarse quantizer: the scale-safe face (the one a production 8-bit
+    codebook actually encodes through, past PQ_LITERAL_CEILING) is
+    hash-gated against DuckDB every round, not just pytest-pinned. The
+    oracle is the trained-codebook argmin (pq_oracle_ctes' final
+    assignment), so equality here proves the broadcast equi-join encode
+    bit-equal to the batch trainer's assignment semantics."""
+    q = quantized_vectors(spark, sf_dir)
+    cb = pq_codebook_rows(spark, sf_dir)
+    enc = pq_encode(q, cb, ["vec_id"], force="relation")
+    return (
+        enc.select(F.posexplode("codes").alias("block", "code"))
+        .groupBy("block", "code")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+def _oracle_pq_encode() -> str:
+    ctes, final, _ = pq_oracle_ctes()
+    return (
+        f"WITH {ctes}\nSELECT CAST(block AS INT) AS block, "
+        f"CAST(code AS INT) AS code, count(*) AS n_vecs "
+        f"FROM {final} GROUP BY block, code"
     )
 
 
@@ -1991,6 +2253,7 @@ QUERIES = {
     "ml_normal_equations": ml_normal_equations,
     "ml_embedding_dim_variance": ml_embedding_dim_variance,
     "ml_pq_codebook": ml_pq_codebook,
+    "ml_pq_encode_rel": ml_pq_encode_rel,
     "ml_pca_power_iteration": ml_pca_power_iteration,
     "ml_decision_stump": ml_decision_stump,
     "ml_stump_cv_gain": ml_stump_cv_gain,
@@ -2005,6 +2268,7 @@ ORACLES = {
     "ml_normal_equations": _oracle_normal_equations(),
     "ml_embedding_dim_variance": _oracle_dim_variance(),
     "ml_pq_codebook": _oracle_pq(),
+    "ml_pq_encode_rel": _oracle_pq_encode(),
     "ml_pca_power_iteration": _oracle_pca(),
     "ml_decision_stump": _oracle_stump(),
     "ml_stump_cv_gain": _oracle_stump_cv(),

@@ -145,21 +145,25 @@ def _model_rows(model: dict):
 
 def encode_ivfpq_rows(df: DataFrame, model: dict) -> DataFrame:
     """(cell, cand_id, codes, cv) from (cand_id, embedding) — the ingest
-    hot path. Below K_LITERAL_CEILING this is ONE projection (literal
-    centroids + literal codebook, no joins, no shuffles); past it the
-    coarse cell comes from the dispatched broadcast-join centroid relation
-    (ml.nearest_centroid — one broadcast + one keyed argmin agg), and the
-    PQ encode stays a literal projection (PQ_K is a small constant, never
-    near the ceiling)."""
-    from ..operators.ml import nearest_centroid, pq_codes_sql
+    hot path. At gate constants this is ONE projection (literal centroids
+    + literal codebook, no joins, no shuffles); both halves dispatch
+    independently past their walls (round 14): the coarse cell through
+    the broadcast centroid relation past K_LITERAL_CEILING
+    (ml.nearest_centroid), the PQ codes through the broadcast codebook
+    relation past PQ_LITERAL_CEILING entries (ml.pq_encode — the
+    corpus-safe equi-join face, so an 8-bit production codebook never
+    pays the literal face's per-call O(entries) plan cost per
+    micro-batch)."""
+    from ..operators.ml import nearest_centroid, pq_encode
 
     cent, cb = _model_rows(model)
     qe = _quant_expr()
     asg = nearest_centroid(df, cent, ["cand_id"], qe_expr=qe, carry=["embedding"])
-    return asg.select(
+    enc = pq_encode(asg, cb, ["cand_id"], qe_expr=qe, carry=["embedding", "m"])
+    return enc.select(
         F.col("m.cl").alias("cell"),
         "cand_id",
-        F.expr(pq_codes_sql(cb, qe)).alias("codes"),
+        F.col("codes"),
         F.col("embedding").alias("cv"),
     )
 
@@ -217,26 +221,43 @@ def _serve_ivfpq_topk(
     K > K_LITERAL_CEILING serves through the broadcast centroid relation
     instead of refusing."""
     from ..operators.ml import (
+        _use_pq_relation,
         _use_relation,
         centroid_topn_sql,
         nearest_centroids_topn,
         pq_lut_sql,
+        pq_query_lut,
     )
 
     cent, cb = _model_rows(model)
     qe = _quant_expr()
+    # The two model halves dispatch INDEPENDENTLY (round 14): the coarse
+    # probe ranking on K vs K_LITERAL_CEILING, the ADC LUT build on
+    # codebook entries vs PQ_LITERAL_CEILING — a post-retrain model can
+    # cross either wall alone. The LUT frame is built first (per query,
+    # before any probe explode), then the probe ranking rides it.
+    if _use_pq_relation(len(cb), None):
+        qlut = pq_query_lut(
+            queries, cb, ["query_id"], qe_expr=qe, carry=["embedding"],
+            out="lut", max_rows=IVFPQ_SERVE_MAX_Q_RELATION,
+        )
+        lut_col = F.col("lut")
+    else:
+        qlut = queries
+        lut_col = F.expr(pq_lut_sql(cb, qe))
     if not _use_relation(len(cent), None):
-        # literal face: LUT build + probe ranking + explode in ONE
-        # projection — the expression explodes INLINE so the Generate
-        # evaluates it once (aliasing the array and exploding the alias
-        # lets InferFiltersFromGenerate inline the whole argmin into a
-        # pushed size() filter — double evaluation; see
+        # literal face: LUT + probe ranking + explode in ONE projection —
+        # the expression explodes INLINE so the Generate evaluates it once
+        # (aliasing the array and exploding the alias lets
+        # InferFiltersFromGenerate inline the whole argmin into a pushed
+        # size() filter — double evaluation; see
         # ml.nearest_centroid_probes) and the per-query LUT is computed
-        # BEFORE the explode (once per query, not once per probe row)
-        probe = queries.select(
+        # BEFORE the explode (ExtractGenerator lowers sibling expressions
+        # into the pre-Generate project: once per query, not per probe row)
+        probe = qlut.select(
             "query_id",
             F.col("embedding").alias("qv"),
-            F.expr(pq_lut_sql(cb, qe)).alias("lut"),
+            lut_col.alias("lut"),
             F.explode(
                 F.expr(centroid_topn_sql(cent, IVFPQ_NPROBE, qe))
             ).alias("p"),
@@ -245,17 +266,19 @@ def _serve_ivfpq_topk(
         # relation face (post-retrain K past the ceiling): probes come
         # from the broadcast centroid relation as an aggregated COLUMN
         # (cheap-attribute explode, no double-eval); the LUT rides the
-        # same pre-explode projection
+        # same pre-explode projection (or carries through the topn agg
+        # when it was itself relation-built)
+        carry = ["embedding"] + (["lut"] if "lut" in qlut.columns else [])
         probe = (
             nearest_centroids_topn(
-                queries, cent, IVFPQ_NPROBE, ["query_id"],
-                qe_expr=qe, carry=["embedding"],
+                qlut, cent, IVFPQ_NPROBE, ["query_id"],
+                qe_expr=qe, carry=carry,
                 max_rows=IVFPQ_SERVE_MAX_Q_RELATION,
             )
             .select(
                 "query_id",
                 F.col("embedding").alias("qv"),
-                F.expr(pq_lut_sql(cb, qe)).alias("lut"),
+                lut_col.alias("lut"),
                 F.explode("probes").alias("p"),
             )
             .select("query_id", "qv", "lut", F.col("p.cl").alias("cell"))
