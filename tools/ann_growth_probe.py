@@ -75,6 +75,98 @@ def build_source(
                 )
 
 
+def serve_faces_probe(spark, args) -> int:
+    """Both faces of the serve-side query dispatch at the SAME |Q| — the
+    broadcast face ships |Q| x nprobe probe rows (each carrying the LUT +
+    query vector) to every executor; the shuffle face exchanges probe and
+    index rows on cell. Warm min-of-2 noop-sink walls (the fresh-plan
+    rebuild per run matches per-trigger streaming reality), row equality
+    asserted at every |Q|."""
+    import time
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from realtime_twitter_trends_analytics_spark.streaming.ivfpq_stream import (
+        IVFPQ_SERVE_BCAST_MAX_Q,
+        _serve_ivfpq_topk,
+        build_ivfpq_model,
+        encode_ivfpq_rows,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        model = build_ivfpq_model(spark, "/root/testdata/sf0.001")
+        corpus = spark.createDataFrame(
+            [(i, vec_of(i)) for i in range(args.serve_n)],
+            "cand_id long, embedding array<double>",
+        )
+        idx = encode_ivfpq_rows(corpus, model).localCheckpoint()
+        lines = [
+            "",
+            f"### IVF-PQ serve query-face dispatch: broadcast vs shuffle "
+            f"(round 14; index {args.serve_n} rows, gate model, warm "
+            f"min-of-2 noop-sink; dispatch bound "
+            f"IVFPQ_SERVE_BCAST_MAX_Q={IVFPQ_SERVE_BCAST_MAX_Q})",
+            "",
+            "| \\|Q\\| | broadcast face | shuffle face | rows equal |",
+            "|---|---|---|---|",
+        ]
+        for qi, n_q in enumerate(args.serve_qs):
+            queries = spark.createDataFrame(
+                [(1_000_000 + i, vec_of(i % args.serve_n)) for i in range(n_q)],
+                "query_id long, embedding array<double>",
+            ).localCheckpoint()
+
+            def wall(bcast: bool) -> float:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    _serve_ivfpq_topk(
+                        idx, queries, model, 10, False, broadcast_queries=bcast
+                    ).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.time() - t0)
+                return best
+
+            t_b, t_s = wall(True), wall(False)
+            # row equality is pinned at the smallest |Q| (and in
+            # tests/test_ivfpq_maintain.py at every face combination);
+            # re-collecting 10*|Q| rows twice per larger point would
+            # dominate the probe's own wall without adding signal
+            if qi == 0:
+                eq = sorted(
+                    map(
+                        tuple,
+                        _serve_ivfpq_topk(
+                            idx, queries, model, 10, False,
+                            broadcast_queries=True,
+                        ).collect(),
+                    )
+                ) == sorted(
+                    map(
+                        tuple,
+                        _serve_ivfpq_topk(
+                            idx, queries, model, 10, False,
+                            broadcast_queries=False,
+                        ).collect(),
+                    )
+                )
+                eq_s = "yes" if eq else "NO — BUG"
+            else:
+                eq_s = "(pinned at smallest |Q|)"
+            lines.append(f"| {n_q} | {t_b:.2f}s | {t_s:.2f}s | {eq_s} |")
+            print(lines[-1])
+        report = "\n".join(lines) + "\n"
+        if args.append:
+            with open(args.append, "a") as fh:
+                fh.write(report)
+            print(f"appended to {args.append}")
+        return 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.stop()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=12)
@@ -106,9 +198,28 @@ def main() -> int:
         "k_for_corpus(N) — the derived-K occupancy reset, the IVF-PQ "
         "analogue of --rebucket-bits",
     )
+    ap.add_argument(
+        "--serve-faces",
+        action="store_true",
+        help="time the IVF-PQ serve dispatch's BOTH query faces (round 14, "
+        "VERDICT r13 item 4): broadcast(probe) join vs plain shuffle "
+        "equi-join on cell, same |Q|, warm min-of-2 noop-sink walls + row "
+        "equality — the shuffle fallback past IVFPQ_SERVE_BCAST_MAX_Q "
+        "becomes a measured fact, the house style for every dispatch",
+    )
+    ap.add_argument(
+        "--serve-n", type=int, default=8000,
+        help="--serve-faces: index size (encoded vectors)",
+    )
+    ap.add_argument(
+        "--serve-qs", type=int, nargs="*", default=[500, 2000, 6000],
+        help="--serve-faces: query-batch sizes to time at",
+    )
     args = ap.parse_args()
 
     spark = get_spark("ann-growth-probe")
+    if args.serve_faces:
+        return serve_faces_probe(spark, args)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     work = tempfile.mkdtemp(prefix="ann_growth_")

@@ -56,6 +56,15 @@ def main() -> int:
         "--ks", type=int, nargs="*", default=[8, 512, 2048, 4096, 8192, 16384]
     )
     ap.add_argument("--append", default=None)
+    ap.add_argument(
+        "--shard-k", type=int, default=None,
+        help="also time the SHARDED relation regime (round 14, VERDICT r13 "
+        "item 5): at this K, lower BROADCAST_CENTROID_BYTES to force "
+        "--shards shards and time the per-shard-broadcast + final keyed "
+        "agg face against the single-broadcast face at the same K, with "
+        "row equality — the ceil(K/K_shard) cost model measured, not argued",
+    )
+    ap.add_argument("--shards", type=int, default=6)
     args = ap.parse_args()
 
     spark = get_spark("coarse-probe")
@@ -111,6 +120,43 @@ def main() -> int:
                 lines.append(
                     f"| {k} | {refusal} | {t_rel:.2f}s | {mb:.1f} MB | n/a (relation only) |"
                 )
+            print(lines[-1])
+        if args.shard_k is not None:
+            import realtime_twitter_trends_analytics_spark.operators.ml as ml_mod
+
+            k = args.shard_k
+            cents = _cents(k)
+            bytes_total = k * (EMB_DIM + 1) * 8
+            un = nearest_centroid(vecs, cents, ["vec_id"], force="relation")
+            t_un = wall(un)
+            rows_un = sorted(
+                (r["vec_id"], r["m"]["d2"], r["m"]["cl"]) for r in un.collect()
+            )
+            saved = ml_mod.BROADCAST_CENTROID_BYTES
+            try:
+                ml_mod.BROADCAST_CENTROID_BYTES = max(
+                    1, bytes_total // args.shards
+                )
+                n_sh = len(ml_mod._centroid_shards(cents))
+                sh = nearest_centroid(vecs, cents, ["vec_id"], force="relation")
+                t_sh = wall(sh)
+                rows_sh = sorted(
+                    (r["vec_id"], r["m"]["d2"], r["m"]["cl"])
+                    for r in sh.collect()
+                )
+            finally:
+                ml_mod.BROADCAST_CENTROID_BYTES = saved
+            eq = "yes" if rows_sh == rows_un else "NO — BUG"
+            lines += [
+                "",
+                f"Sharded regime at K={k} (forced budget "
+                f"{bytes_total // args.shards} B -> {n_sh} shards of the "
+                f"{bytes_total / 1e6:.1f} MB relation): single-broadcast "
+                f"{t_un:.2f}s vs sharded {t_sh:.2f}s, rows equal: {eq}. "
+                f"Cost model: {n_sh} broadcasts + per-shard keyed argmin "
+                f"over the checkpointed input + one final keyed agg over "
+                f"{n_sh} x N rows.",
+            ]
             print(lines[-1])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
