@@ -45,3 +45,62 @@ def test_parse_flags_empty_when_pass(tmp_path):
     p = tmp_path / "diff.txt"
     p.write_text("common set: 10 queries\nPASS\n")
     assert parse_flags(str(p)) == []
+
+
+def _write_payload(path, sec):
+    # "a" carries the regression; "z" keeps the common-set TOTAL inside the
+    # 1.15x gate so only the per-query flag drives the exit code
+    import json
+
+    with open(path, "w") as fh:
+        json.dump({"queries": {"a": sec, "z": 20.0}, "canary_sec": 1.0}, fh)
+
+
+def test_bench_diff_adjudicate_gates_on_rebench_verdict(tmp_path, monkeypatch):
+    """--adjudicate (round 14, VERDICT r13 item 6): a per-query FAIL list
+    triggers rebench_flagged inline and the EXIT CODE follows the
+    adjudicated verdict — parity clears the gate, a confirmed regression
+    still fails. The rebench subprocess is stubbed (its real interleaved
+    worktree ritual has its own coverage via the round artifacts)."""
+    import subprocess
+
+    import tools.bench_diff as bd
+
+    old, new = tmp_path / "old.json", tmp_path / "new.json"
+    _write_payload(old, 1.0)
+    _write_payload(new, 2.0)  # query "a" regresses 2x
+
+    calls = []
+
+    class _Proc:
+        def __init__(self, rc):
+            self.returncode = rc
+            self.stdout = "## stub adjudication table\n"
+            self.stderr = ""
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+        return _Proc(fake_run.rc)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    for rc, want in ((0, 0), (1, 1)):
+        fake_run.rc = rc
+        calls.clear()
+        monkeypatch.setattr(
+            sys, "argv",
+            ["bench_diff.py", str(old), str(new), "--adjudicate", "HEAD~1"],
+        )
+        got = bd.main()
+        assert got == want, f"stub rc={rc}"
+        assert calls and "rebench_flagged.py" in calls[0][1]
+        assert calls[0][-1] == "a"  # the flagged query reaches the tool
+
+
+def test_bench_diff_without_adjudicate_fails_on_flags(tmp_path, monkeypatch):
+    import tools.bench_diff as bd
+
+    old, new = tmp_path / "old.json", tmp_path / "new.json"
+    _write_payload(old, 1.0)
+    _write_payload(new, 2.0)
+    monkeypatch.setattr(sys, "argv", ["bench_diff.py", str(old), str(new)])
+    assert bd.main() == 1

@@ -94,6 +94,17 @@ def main() -> int:
         default=0.3,
         help="ignore per-query ratios when BOTH sides are below this (noise floor)",
     )
+    ap.add_argument(
+        "--adjudicate",
+        default=None,
+        metavar="OLD_REF",
+        help="on per-query FAIL, run tools/rebench_flagged.py against this "
+        "git ref inline (round 14, VERDICT r13 item 6): the same-box "
+        "interleaved table prints right here, so redirecting this command "
+        "produces BENCH_DIFF_r{N}.txt with the adjudication embedded; the "
+        "exit code then reflects the ADJUDICATED verdicts (a flag cleared "
+        "to parity no longer fails the gate)",
+    )
     args = ap.parse_args()
 
     (old, c_old), (new, c_new) = load_payload(args.old), load_payload(args.new)
@@ -167,14 +178,40 @@ def main() -> int:
     if only_new:
         print(f"added in new ({len(only_new)}): {', '.join(only_new)}")
 
-    failed = bool(failures) or total_ratio > args.total_max
     if failures:
         print(f"FAIL: {len(failures)} per-query regressions > {args.per_query_max}x: "
               f"{', '.join(failures)}")
+    if failures and args.adjudicate:
+        # same-box adjudication inline (the r4 ritual; mechanized in r13,
+        # auto-triggered in r14): interleaved min-of-N against the
+        # UNCHANGED old tree decides drift vs regression — its exit code
+        # replaces the raw flag list in the gate verdict
+        import os
+        import subprocess
+
+        print()
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "rebench_flagged.py"),
+                args.adjudicate,
+                "--queries", *failures,
+            ],
+            text=True, capture_output=True,
+        )
+        sys.stdout.write(proc.stdout)
+        sys.stderr.write(proc.stderr)
+        confirmed = proc.returncode != 0
+        if not confirmed:
+            print("per-query flags adjudicated to parity (host drift)")
+        failed = confirmed or total_ratio > args.total_max
+    else:
+        failed = bool(failures) or total_ratio > args.total_max
     if total_ratio > args.total_max:
         print(f"FAIL: common-set total {total_ratio:.3f}x > {args.total_max}x")
     if not failed:
-        print("PASS")
+        print("PASS" + (" (after adjudication)" if failures else ""))
     return 1 if failed else 0
 
 

@@ -29,8 +29,16 @@ Method (the r4 ritual, mechanized):
 - Verdict per query: new_min/old_min <= --parity-max (default 1.15x, the
   bench total gate) = parity/host-drift; above = regression CONFIRMED on
   this box. Exit 1 iff any confirmed.
+- ESCALATION rule (r13 lesson, the events_acf case: sub-threshold
+  "confirmed" verdicts at 1.15-1.20x with flipping per-round raws are
+  usually phase noise): a confirmed query whose ratio lands inside
+  (parity-max, --escalate-below] is automatically re-adjudicated with
+  --escalate-rounds extra interleaved rounds before the verdict stands —
+  min-of-more is strictly tighter, so escalation can only ACQUIT.
 
-The stdout table is the adjudication section BENCH_DIFF_r{N}.txt embeds.
+The stdout table is the adjudication section BENCH_DIFF_r{N}.txt embeds —
+and bench_diff.py --adjudicate OLD_REF runs this tool inline on its own
+FAIL list, so one command produces the diff with the table embedded.
 """
 
 from __future__ import annotations
@@ -128,6 +136,13 @@ def main() -> int:
     ap.add_argument("--parity-max", type=float, default=1.15)
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument("--keep-worktree", action="store_true")
+    ap.add_argument(
+        "--escalate-below", type=float, default=1.20,
+        help="confirmed ratios <= this get --escalate-rounds extra "
+        "interleaved rounds before the verdict stands (r13: sub-threshold "
+        "confirmations with flipping raws are usually phase noise)",
+    )
+    ap.add_argument("--escalate-rounds", type=int, default=2)
     args = ap.parse_args()
 
     names = args.queries or (parse_flags(args.bench_diff) if args.bench_diff else [])
@@ -142,20 +157,48 @@ def main() -> int:
     )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     mins: dict[tuple[str, str], float] = {}
-    try:
-        for rnd in range(args.rounds):
+
+    def interleave(qnames: "list[str]", rounds: int, tag: str) -> None:
+        for rnd in range(rounds):
             for label, tree in (("old", wt), ("new", REPO)):  # INTERLEAVED
-                got = run_tree(tree, args.sf, cpus, names)
+                got = run_tree(tree, args.sf, cpus, qnames)
                 for q, sec in got.items():
                     if sec is None:
                         continue
                     key = (label, q)
                     mins[key] = min(mins.get(key, float("inf")), sec)
                 print(
-                    f"  round {rnd + 1}/{args.rounds} {label}: "
-                    + " ".join(f"{q}={got[q]}" for q in names),
+                    f"  {tag} round {rnd + 1}/{rounds} {label}: "
+                    + " ".join(f"{q}={got[q]}" for q in qnames),
                     file=sys.stderr,
                 )
+
+    def verdicts(qnames: "list[str]") -> "dict[str, float | None]":
+        out: dict[str, float | None] = {}
+        for q in qnames:
+            o, n = mins.get(("old", q)), mins.get(("new", q))
+            out[q] = (n / o) if (o and n is not None) else None
+        return out
+
+    try:
+        interleave(names, args.rounds, "base")
+        ratios = verdicts(names)
+        marginal = [
+            q
+            for q, r in ratios.items()
+            if r is not None and args.parity_max < r <= args.escalate_below
+        ]
+        escalated = set()
+        if marginal:
+            print(
+                f"  escalating {len(marginal)} sub-threshold confirmation(s) "
+                f"(<= {args.escalate_below}x) with {args.escalate_rounds} "
+                f"extra interleaved rounds: {', '.join(marginal)}",
+                file=sys.stderr,
+            )
+            interleave(marginal, args.escalate_rounds, "escalate")
+            escalated = set(marginal)
+            ratios = verdicts(names)
     finally:
         if args.keep_worktree:
             print(f"worktree kept at {wt}", file=sys.stderr)
@@ -165,9 +208,11 @@ def main() -> int:
                 cwd=REPO, capture_output=True,
             )
 
+    total_rounds = args.rounds + args.escalate_rounds
     print(
         f"## same-box adjudication (tools/rebench_flagged.py): old={args.old_ref} "
-        f"vs current tree, interleaved min-of-{args.rounds} warm noop-sink, sf={args.sf}"
+        f"vs current tree, interleaved min-of-{args.rounds} warm noop-sink "
+        f"(min-of-{total_rounds} where escalated), sf={args.sf}"
     )
     print(f"{'query':42s} {'old_min':>8s} {'new_min':>8s} {'ratio':>7s}  verdict")
     confirmed = []
@@ -177,7 +222,12 @@ def main() -> int:
             print(f"{q:42s} {'-':>8s} {'-':>8s} {'-':>7s}  absent in one tree")
             continue
         ratio = n / o if o else float("inf")
-        verdict = "parity (host drift)" if ratio <= args.parity_max else "REGRESSION confirmed"
+        esc = " [escalated]" if q in escalated else ""
+        verdict = (
+            "parity (host drift)"
+            if ratio <= args.parity_max
+            else "REGRESSION confirmed"
+        ) + esc
         if ratio > args.parity_max:
             confirmed.append(q)
         print(f"{q:42s} {o:8.3f} {n:8.3f} {ratio:6.2f}x  {verdict}")
