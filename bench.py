@@ -108,6 +108,7 @@ HEADLINE = [
     "ml_embedding_dim_variance",
     "ml_pq_codebook",
     "ml_pq_encode_rel",
+    "ml_pq_lut_rel",
     "ml_negative_samples",
     "ml_normal_equations",
     "events_markov_transitions",

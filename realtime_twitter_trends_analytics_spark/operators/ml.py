@@ -1244,6 +1244,51 @@ def _oracle_pq_encode() -> str:
     )
 
 
+PQ_LUT_GATE_QUERIES = 20  # bounded query set for the LUT gate face
+
+
+def ml_pq_lut_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense per-query ADC lookup table built through pq_query_lut's
+    RELATION face, flattened to (vec_id, block, code, d2) rows — the
+    value-oracled gate twin of the round-14 LUT dispatch (the serve-side
+    half; ml_pq_encode_rel gates the ingest-side half). The oracle
+    recomputes every (query, block, code) distance against the trained
+    codebook with dead slots coalesced to the stored DEAD_CODE_D2
+    constant, so equality pins the map_from_entries + densify pipeline
+    bit-exact — including the padding layout the serve-side ADC indexes
+    into."""
+    q = quantized_vectors(spark, sf_dir).filter(
+        F.col("vec_id") < PQ_LUT_GATE_QUERIES
+    )
+    cb = pq_codebook_rows(spark, sf_dir)
+    lut = pq_query_lut(
+        q, cb, ["vec_id"], force="relation", max_rows=PQ_LUT_GATE_QUERIES
+    )
+    return lut.select(
+        "vec_id", F.posexplode("lut").alias("block", "arr")
+    ).select(
+        "vec_id", "block", F.posexplode("arr").alias("code", "d2")
+    )
+
+
+def _oracle_pq_lut() -> str:
+    ctes, _final, cbook = pq_oracle_ctes()
+    d2 = _pq_dist2(dl.DUCK, "b.sub", "g.c")
+    return f"""
+WITH {ctes},
+grid AS (
+  SELECT sb.block, sc.code, c.c
+  FROM (SELECT unnest(generate_series(0, {PQ_BLOCKS - 1})) AS block) sb
+  CROSS JOIN (SELECT unnest(generate_series(0, {PQ_K - 1})) AS code) sc
+  LEFT JOIN {cbook} c ON c.block = sb.block AND c.code = sc.code
+)
+SELECT b.vec_id, CAST(g.block AS INT) AS block, CAST(g.code AS INT) AS code,
+  CAST(CASE WHEN g.c IS NULL THEN {DEAD_CODE_D2} ELSE ({d2}) END AS BIGINT) AS d2
+FROM blocks b JOIN grid g ON g.block = b.block
+WHERE b.vec_id < {PQ_LUT_GATE_QUERIES}
+"""
+
+
 NORMAL_EQ_DIMS = 8  # leading embedding dims used as features
 
 
@@ -2254,6 +2299,7 @@ QUERIES = {
     "ml_embedding_dim_variance": ml_embedding_dim_variance,
     "ml_pq_codebook": ml_pq_codebook,
     "ml_pq_encode_rel": ml_pq_encode_rel,
+    "ml_pq_lut_rel": ml_pq_lut_rel,
     "ml_pca_power_iteration": ml_pca_power_iteration,
     "ml_decision_stump": ml_decision_stump,
     "ml_stump_cv_gain": ml_stump_cv_gain,
@@ -2269,6 +2315,7 @@ ORACLES = {
     "ml_embedding_dim_variance": _oracle_dim_variance(),
     "ml_pq_codebook": _oracle_pq(),
     "ml_pq_encode_rel": _oracle_pq_encode(),
+    "ml_pq_lut_rel": _oracle_pq_lut(),
     "ml_pca_power_iteration": _oracle_pca(),
     "ml_decision_stump": _oracle_stump(),
     "ml_stump_cv_gain": _oracle_stump_cv(),
