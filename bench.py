@@ -105,6 +105,7 @@ HEADLINE = [
     "textstats_lm_score",
     # ML primitives
     "ml_kmeans_embeddings",
+    "ml_kmeans_two_level",
     "ml_embedding_dim_variance",
     "ml_pq_codebook",
     "ml_pq_encode_rel",

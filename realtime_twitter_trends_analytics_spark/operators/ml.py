@@ -357,6 +357,236 @@ def nearest_centroid_probes(
     return topn.select(*key_cols, *carry, F.explode("__probes").alias(out))
 
 
+# ---------------------------------------------------------------------------
+# Two-level coarse quantizer (round 14 — the wall SCALE.md names past the
+# sharded single-level face): at K ~ 1e6 the flat relation face still RUNS
+# (sharded broadcasts, no planability wall) but pays O(N*K*D) distance work
+# and a ~0.5 GB broadcast per pass. The two-level remedy groups the K
+# centroids under S ~= sqrt(K) SUPER-cells (trained with the same
+# fixed-point Lloyd semantics as level 1, over the K centroid rows — driver
+# state, not the corpus); serving ranks the S super-cells per vector
+# (stage 1), then equi-joins each vector's p probed super-cells to their
+# sub-centroid groups and takes the keyed argmin (stage 2). Per-vector
+# distance work drops to S + p*K/S ~= (1+p)*sqrt(K) — ~500x less than flat
+# at K=1e6, p=2 — and every step stays map-side or equi-keyed.
+# probes >= S is EXACTLY the flat argmin (every candidate considered, same
+# tie order — equality-pinned); smaller p is the standard IVF-style
+# approximation with agreement measured, not guessed (tools/coarse_probe.py
+# --two-level-k). Crossovers + agreement live in SCALE_SMOKE.md.
+# ---------------------------------------------------------------------------
+SUPER_PROBES = 2            # super-cells probed per vector (the p in p*K/S)
+SUPER_ITERS = KMEANS_ITERS  # Lloyd rounds for the super level (same unroll)
+
+
+def s_for_k(k: int) -> int:
+    """S = ceil(sqrt(K)) super-cells — balances stage-1 ranking (O(N*S*D))
+    against stage-2 refinement (O(N*p*(K/S)*D)) at the sqrt point."""
+    import math
+
+    return max(1, math.isqrt(max(k - 1, 0)) + 1)
+
+
+def _super_round_label(s: int) -> str:
+    """Audit label for a super-level Lloyd round, face-specific — the
+    _kmeans_round_label rule (ADVICE r13): captures through the relation
+    face land under the whitelisted _rel label."""
+    return (
+        "kmeans_super_round_rel" if s > _literal_ceiling() else "kmeans_super_round"
+    )
+
+
+def two_level_rows(
+    spark: SparkSession,
+    rows: "list[tuple[int, list[int]]]",
+    s: "int | None" = None,
+) -> "tuple[list[tuple[int, list[int]]], list[tuple[int, int, list[int]]]]":
+    """Train the super level over the K level-1 centroids. Returns
+    ``(super_rows, group_rows)``: ``super_rows = [(g, sc)]`` for the LIVE
+    super-cells only (cells that own at least one centroid — a probed cell
+    therefore always yields candidates); ``group_rows = [(g, cl, c)]`` —
+    the sub-centroid relation keyed by super-cell.
+
+    Semantics mirror level 1 exactly so the DuckDB oracle can replicate
+    them (ml_kmeans_two_level): seeds = the first S centroids in cl order
+    (g = 0..S-1), SUPER_ITERS fixed-point Lloyd rounds with the identical
+    ``_update`` (exact BIGINT sums, floor-div means, min(struct) tie
+    order), then one final grouping assignment. The K centroid rows are
+    already driver state (the MLlib pattern every trainer here follows);
+    training runs through ``nearest_centroid`` so the super level inherits
+    the K-dispatch (literal at sandbox S, relation past the ceiling) and
+    costs SUPER_ITERS+1 passes over K rows — never the corpus."""
+    k = len(rows)
+    if k == 0:
+        raise ValueError("no centroids: the coarse quantizer needs K >= 1 rows")
+    s = s_for_k(k) if s is None else int(s)
+    ordered = sorted((int(cl), [int(v) for v in c]) for cl, c in rows)
+    # sub_* names: the relation face crossJoins a (cl, c) centroid relation,
+    # so the input side must not reuse those attribute names
+    cent_df = spark.createDataFrame(ordered, "sub_cl int, sub_c array<bigint>")
+    sup = [(g, list(vec)) for g, (_cl, vec) in enumerate(ordered[:s])]
+    for _ in range(SUPER_ITERS):
+        assigned = nearest_centroid(
+            cent_df, sup, ["sub_cl"], qe_expr="sub_c", carry=["sub_c"]
+        ).select(F.col("m.cl").alias("cluster"), F.col("sub_c").alias("qe"))
+        collected = audit_plan(
+            _super_round_label(len(sup)), _update(assigned)
+        ).collect()
+        sup = sorted((int(r.cluster), [int(v) for v in r.c]) for r in collected)
+    grp = (
+        nearest_centroid(cent_df, sup, ["sub_cl"], qe_expr="sub_c", carry=["sub_c"])
+        .select("sub_cl", "sub_c", F.col("m.cl").alias("g"))
+        .collect()
+    )
+    group_rows = sorted((int(r.g), int(r.sub_cl), [int(v) for v in r.sub_c]) for r in grp)
+    live = {g for g, _, _ in group_rows}
+    super_rows = [(g, vec) for g, vec in sup if g in live]
+    return super_rows, group_rows
+
+
+def _iterated_super_probes(
+    slim: DataFrame,
+    super_rows: "list[tuple[int, list[int]]]",
+    p: int,
+    key_cols: "list[str]",
+    carry: "list[str] | tuple[str, ...]",
+) -> DataFrame:
+    """Exact top-p super-cells per row at ANY S — p rounds of the
+    relation-face argmin, each round excluding the cells already picked
+    (``NOT array_contains(__gs, cl)``). CORPUS-SAFE where the topn
+    relation face is not: every round is the map-side-partial min(struct)
+    agg (the exchange moves N rows), never a per-key collect_list of S
+    structs. Used when S > K_LITERAL_CEILING — i.e. K > ceiling^2 ~ 1.7e7,
+    where stage-1 ranking can neither inline S literals nor buffer S
+    structs per corpus row. Cost: p rounds x (sharded broadcast + keyed
+    agg); the input is materialized once (staging-tier rule).
+
+    Exactness: round r's argmin over the not-yet-picked candidates is the
+    (r+1)-th order statistic of the full candidate set (same struct tie
+    order), so the picked list equals the topn prefix — pinned against the
+    literal topn in tests/test_two_level.py."""
+    spark = slim.sparkSession
+    shards = _centroid_shards(super_rows)
+    cur = audit_plan("two_level_probe_input", slim).localCheckpoint()
+    cur = cur.withColumn("__gs", F.expr("CAST(array() AS array<int>)"))
+    d2 = F.expr(_dist2_sql(dl.SPARK, "__qe", "c"))
+    for _ in range(int(p)):
+        parts = []
+        for shard in shards:
+            pairs = cur.crossJoin(
+                F.broadcast(_centroid_relation(spark, shard))
+            ).filter(F.expr("NOT array_contains(__gs, cl)"))
+            agg = [
+                F.min(F.struct(d2.alias("d2"), F.col("cl").alias("cl"))).alias("__m"),
+                F.any_value("__qe").alias("__qe"),
+                F.any_value("__gs").alias("__gs"),
+            ]
+            agg += [F.any_value(c).alias(c) for c in carry]
+            parts.append(pairs.groupBy(*key_cols).agg(*agg))
+        u = parts[0]
+        for q in parts[1:]:
+            u = u.unionByName(q)
+        if len(parts) > 1:
+            # a fully-excluded shard drops its keys; the union of per-shard
+            # argmins still covers every key (>= 1 candidate remains in
+            # total while r < p <= S)
+            agg = [
+                F.min("__m").alias("__m"),
+                F.any_value("__qe").alias("__qe"),
+                F.any_value("__gs").alias("__gs"),
+            ]
+            agg += [F.any_value(c).alias(c) for c in carry]
+            u = u.groupBy(*key_cols).agg(*agg)
+        cur = u.withColumn(
+            "__gs", F.concat("__gs", F.array(F.col("__m.cl")))
+        ).drop("__m")
+    return cur
+
+
+def nearest_centroid_two_level(
+    df: DataFrame,
+    rows: "list[tuple[int, list[int]]]",
+    key_cols: "list[str]",
+    qe_expr: str = "qe",
+    out: str = "m",
+    carry: "list[str] | tuple[str, ...]" = (),
+    probes: int = SUPER_PROBES,
+    s: "int | None" = None,
+    plan: "tuple[list, list] | None" = None,
+    force_stage1: "str | None" = None,
+    force_join: "str | None" = None,
+) -> DataFrame:
+    """Two-level nearest-centroid struct ``(d2, cl)`` per row — the
+    K ~ 1e6 arm of the coarse quantizer (see the block comment above
+    SUPER_PROBES for the cost model).
+
+    - **Stage 1** ranks the S ~= sqrt(K) live super-cells per vector: a
+      literal map-side top-p expression at S <= K_LITERAL_CEILING (zero
+      exchanges — the gate plan); past it, ``_iterated_super_probes`` —
+      p rounds of the excluded relation argmin, corpus-safe at any S.
+    - **Stage 2** explodes the p probed cells and equi-joins them to the
+      sub-centroid group relation on ``g``: broadcast below
+      BROADCAST_CENTROID_BYTES, ``shuffle_hash`` equi-join past it (both
+      sides hash-partition on g — NO broadcast of the K-row relation at
+      any scale). min(struct(d2, cl)) keyed argmin with full map-side
+      partial reduction finishes (the exchange moves N*p probe rows).
+
+    ``probes >= len(super_rows)`` makes the result EXACTLY the flat
+    ``nearest_centroid`` (every group joined -> all K candidates, same
+    min(struct) tie order) — equality-pinned in tests/test_two_level.py
+    below AND above the ceiling; smaller p is the standard IVF
+    approximation (agreement measured in tools/coarse_probe.py). ``plan``
+    accepts a pretrained ``two_level_rows`` result (probe/serve reuse);
+    ``force_stage1``/``force_join`` are the test/probe hooks, same
+    convention as ``_use_relation``'s ``force``."""
+    spark = df.sparkSession
+    if plan is None:
+        plan = two_level_rows(spark, rows, s)
+    super_rows, group_rows = plan
+    if not super_rows or not group_rows:
+        raise ValueError("no centroids: the coarse quantizer needs K >= 1 rows")
+    reserved = {"g", "cl", "c", "__qe", "__gs", "__m"} & (
+        set(key_cols) | set(carry)
+    )
+    if reserved:
+        raise ValueError(
+            f"nearest_centroid_two_level: key/carry columns {sorted(reserved)} "
+            "collide with the probe/group relation attributes — rename them "
+            "on the input side (the two_level_rows trainer uses sub_cl/sub_c)"
+        )
+    sk = len(super_rows)
+    p = max(1, min(int(probes), sk))
+    slim = df.select(*key_cols, *carry, F.expr(qe_expr).alias("__qe"))
+    use_iter = force_stage1 == "iterated" or (
+        force_stage1 != "literal" and sk > _literal_ceiling()
+    )
+    if not use_iter:
+        _check_literal_k(sk)
+        probed = slim.withColumn(
+            "__gs",
+            F.expr(
+                f"transform({centroid_topn_sql(super_rows, p, '__qe')}, x -> x.cl)"
+            ),
+        )
+    else:
+        probed = _iterated_super_probes(slim, super_rows, p, key_cols, carry)
+    ex = probed.select(*key_cols, *carry, "__qe", F.explode("__gs").alias("g"))
+    dim = len(group_rows[0][2])
+    grp_rel = spark.createDataFrame(
+        group_rows, "g int, cl int, c array<bigint>"
+    )
+    g_bytes = len(group_rows) * (dim + 2) * 8
+    if force_join == "shuffle" or (
+        force_join is None and g_bytes > BROADCAST_CENTROID_BYTES
+    ):
+        joined = ex.join(grp_rel.hint("shuffle_hash"), "g")
+    else:
+        joined = ex.join(F.broadcast(grp_rel), "g")
+    d2 = F.expr(_dist2_sql(dl.SPARK, "__qe", "c"))
+    agg = [F.min(F.struct(d2.alias("d2"), F.col("cl").alias("cl"))).alias(out)]
+    agg += [F.any_value(c).alias(c) for c in carry]
+    return joined.groupBy(*key_cols).agg(*agg).select(*key_cols, *carry, out)
+
+
 def centroid_argmin_sql(rows: "list[tuple[int, list[int]]]", qe_expr: str = "qe") -> str:
     """Spark SQL struct ``(d2, cl)`` = nearest centroid of ``qe_expr``
     against LITERAL centroid rows — assignment as a MAP-SIDE expression.
@@ -607,6 +837,97 @@ def _oracle_kmeans() -> str:
     return (
         f"WITH {ctes}\nSELECT cluster, count(*) AS n_vecs, "
         f"CAST(sum(d2) AS BIGINT) AS inertia FROM {final} GROUP BY cluster"
+    )
+
+
+# Two-level plan (super_rows, group_rows) per sf_dir — deterministic
+# fixed-point training over the (memoized) level-1 centroids; tiny driver
+# state (S + K rows), same memo discipline as _KMEANS_CENT_MEMO.
+_TWO_LEVEL_MEMO: dict[str, tuple[list, list]] = {}
+
+
+def two_level_plan_for(spark: SparkSession, sf_dir: str) -> "tuple[list, list]":
+    """The sf-table-trained two-level plan (super_rows, group_rows) over
+    the gate k-means centroids, memoized per sf_dir."""
+    plan = _TWO_LEVEL_MEMO.get(sf_dir)
+    if plan is None:
+        plan = two_level_rows(spark, kmeans_centroid_rows(spark, sf_dir))
+        _TWO_LEVEL_MEMO[sf_dir] = plan
+    return plan
+
+
+def ml_kmeans_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster (n_vecs, inertia) of the corpus assigned through the
+    TWO-LEVEL coarse quantizer (nearest_centroid_two_level) at the gate
+    constants: S = s_for_k(8) = 3 super-cells over the trained K=8
+    centroids, p = SUPER_PROBES = 2 probes — genuinely approximate
+    (p < S), so the oracle replicates the FULL two-level semantics (super
+    Lloyd training, top-p super ranking, in-group argmin) rather than
+    assuming agreement with the flat face. The hash gate therefore pins
+    the hierarchy bit-exact every round: seeds, floor-div means,
+    (d2, g)/(d2, cl) tie orders, live-cell filtering, and the stage-2
+    equi-join + keyed argmin. The EXACT arm (p >= S == flat argmin) is
+    equality-pinned in tests/test_two_level.py; this gate query
+    value-oracles the approximate serving arm production actually runs."""
+    rows = kmeans_centroid_rows(spark, sf_dir)
+    plan = two_level_plan_for(spark, sf_dir)
+    q = quantized_vectors(spark, sf_dir)
+    asg = nearest_centroid_two_level(q, rows, ["vec_id"], plan=plan)
+    return (
+        asg.select(F.col("m.cl").alias("cluster"), F.col("m.d2").alias("d2"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("inertia"))
+    )
+
+
+def _oracle_two_level() -> str:
+    """DuckDB twin of ml_kmeans_two_level: the level-1 k-means chain
+    (kmeans_oracle_ctes), the super-level Lloyd chain over its final
+    centroids (identical seed/update/tie semantics), the final grouping,
+    top-p super ranking per vector, and the in-group argmin."""
+    d = dl.DUCK
+    s = s_for_k(K_CLUSTERS)
+    fdiv = _FLOOR_DIV.format(s="sum(x)", n="count(*)")
+    ctes, _final = kmeans_oracle_ctes()
+    parts = [
+        ctes,
+        f"cent AS (SELECT cluster AS cl, c FROM c{KMEANS_ITERS})",
+        f"s0 AS (SELECT CAST(rn - 1 AS INT) AS g, c AS sc FROM "
+        f"(SELECT c, row_number() OVER (ORDER BY cl) AS rn FROM cent) WHERE rn <= {s})",
+    ]
+    d2_ts = _dist2_sql(d, "t.c", "s.sc")
+    for i in range(SUPER_ITERS):
+        parts.append(
+            f"sa{i + 1} AS (SELECT cl, c, g FROM ("
+            f"SELECT t.cl, t.c, s.g, row_number() OVER (PARTITION BY t.cl "
+            f"ORDER BY {d2_ts}, s.g) AS rnk FROM cent t, s{i} s) WHERE rnk = 1)"
+        )
+        parts.append(
+            f"s{i + 1} AS (SELECT g, list(cv ORDER BY dim) AS sc FROM ("
+            f"SELECT g, dim, {fdiv} AS cv FROM ("
+            f"SELECT g, unnest(generate_series(1, len(c))) AS dim, "
+            f"unnest(c) AS x FROM sa{i + 1}) GROUP BY g, dim) GROUP BY g)"
+        )
+    d2_q = _dist2_sql(d, "q.qe", "s.sc")
+    d2_w = _dist2_sql(d, "p.qe", "w.c")
+    parts += [
+        f"grp AS (SELECT cl, c, g FROM ("
+        f"SELECT t.cl, t.c, s.g, row_number() OVER (PARTITION BY t.cl "
+        f"ORDER BY {d2_ts}, s.g) AS rnk FROM cent t, s{SUPER_ITERS} s) WHERE rnk = 1)",
+        f"sup AS (SELECT s.g, s.sc FROM s{SUPER_ITERS} s "
+        f"WHERE s.g IN (SELECT g FROM grp))",
+        f"pr AS (SELECT vec_id, qe, g FROM ("
+        f"SELECT q.vec_id, q.qe, s.g, row_number() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY {d2_q}, s.g) AS rnk FROM q, sup s) WHERE rnk <= {SUPER_PROBES})",
+        f"asg AS (SELECT vec_id, cl, d2 FROM ("
+        f"SELECT p.vec_id, w.cl, {d2_w} AS d2, "
+        f"row_number() OVER (PARTITION BY p.vec_id ORDER BY {d2_w}, w.cl) AS rnk "
+        f"FROM pr p JOIN grp w ON w.g = p.g) WHERE rnk = 1)",
+    ]
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT CAST(cl AS INT) AS cluster, count(*) AS n_vecs, "
+        f"CAST(sum(d2) AS BIGINT) AS inertia FROM asg GROUP BY cl"
     )
 
 
@@ -2294,6 +2615,7 @@ QUERIES = {
     "ml_naive_bayes_lang": ml_naive_bayes_lang,
     "ml_logreg_irls": ml_logreg_irls,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
+    "ml_kmeans_two_level": ml_kmeans_two_level,
     "ml_negative_samples": ml_negative_samples,
     "ml_normal_equations": ml_normal_equations,
     "ml_embedding_dim_variance": ml_embedding_dim_variance,
@@ -2310,6 +2632,7 @@ ORACLES = {
     "ml_naive_bayes_lang": _nb_sql(dl.DUCK),
     "ml_logreg_irls": _logreg_sql(),
     "ml_kmeans_embeddings": _oracle_kmeans(),
+    "ml_kmeans_two_level": _oracle_two_level(),
     "ml_negative_samples": _oracle_negative_samples(),
     "ml_normal_equations": _oracle_normal_equations(),
     "ml_embedding_dim_variance": _oracle_dim_variance(),

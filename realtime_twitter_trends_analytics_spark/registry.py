@@ -184,6 +184,7 @@ def clear_staging_memos() -> None:
         ml._QVEC_MEMO,
         ml._KMEANS_CENT_MEMO,
         ml._PQ_CENT_MEMO,
+        ml._TWO_LEVEL_MEMO,
         similarity._CELL_ASSIGN_MEMO,
         textstats._BIGRAM_MEMO,
         textstats._BPE_MERGES_MEMO,

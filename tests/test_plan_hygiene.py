@@ -239,6 +239,12 @@ AUDIT_CARTESIAN_OK = {
     # un-whitelisted, so the label dispatches with the face)
     "kmeans_update_round_rel": "broadcast centroid relation x vector scan "
     "inside a relation-face Lloyd round",
+    # the super-level Lloyd round of the two-level quantizer when S exceeds
+    # the ceiling (lowered-ceiling tests; production K > ~1.7e7): same
+    # whitelisted broadcast-centroid product, dispatched with the face
+    # exactly like kmeans_update_round_rel
+    "kmeans_super_round_rel": "broadcast super-centroid relation x level-1 "
+    "centroid rows inside a relation-face super Lloyd round",
 }
 AUDIT_ROW_PYTHON_OK: dict[str, str] = {}
 

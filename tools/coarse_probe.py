@@ -65,6 +65,15 @@ def main() -> int:
         "row equality — the ceil(K/K_shard) cost model measured, not argued",
     )
     ap.add_argument("--shards", type=int, default=6)
+    ap.add_argument(
+        "--two-level-ks", type=int, nargs="*", default=None,
+        help="also probe the TWO-LEVEL quantizer (round 14 — the K~1e6 "
+        "remedy SCALE.md names): at each K, time the flat relation face "
+        "vs nearest_centroid_two_level at p=1/p=2 (S=ceil(sqrt(K)) "
+        "super-cells), measure assignment agreement with the flat argmin, "
+        "and pin the EXACT arm (p=S) row-equal — compute drops from "
+        "O(N*K) to O(N*(S + p*K/S))",
+    )
     args = ap.parse_args()
 
     spark = get_spark("coarse-probe")
@@ -158,6 +167,64 @@ def main() -> int:
                 f"{n_sh} x N rows.",
             ]
             print(lines[-1])
+        if args.two_level_ks:
+            from realtime_twitter_trends_analytics_spark.operators.ml import (
+                nearest_centroid_two_level,
+                s_for_k,
+                two_level_rows,
+            )
+
+            lines += [
+                "",
+                f"### Two-level quantizer vs flat relation face (round 14; "
+                f"N={args.n} x {EMB_DIM}-dim, warm min-of-2 noop-sink; "
+                f"S=ceil(sqrt(K)) super-cells, SUPER_ITERS Lloyd rounds over "
+                f"the K centroid ROWS — distance work N*(S + p*K/S) vs N*K)",
+                "",
+                "| K | S | train | flat relation | two-level p=1 | p=2 | "
+                "agree p=1 | p=2 | exact arm (p=S) |",
+                "|---|---|---|---|---|---|---|---|---|",
+            ]
+            for k in args.two_level_ks:
+                cents = _cents(k)
+                t0 = time.time()
+                plan = two_level_rows(spark, cents)
+                t_train = time.time() - t0
+                flat = nearest_centroid(vecs, cents, ["vec_id"], force="relation")
+                t_flat = wall(flat)
+                flat_cl = {r["vec_id"]: r["m"]["cl"] for r in flat.collect()}
+                times, agree = {}, {}
+                for p in (1, 2):
+                    two = nearest_centroid_two_level(
+                        vecs, cents, ["vec_id"], probes=p, plan=plan
+                    )
+                    times[p] = wall(two)
+                    got = {r["vec_id"]: r["m"]["cl"] for r in two.collect()}
+                    agree[p] = sum(
+                        1 for i, cl in got.items() if flat_cl[i] == cl
+                    ) / len(flat_cl)
+                exact = nearest_centroid_two_level(
+                    vecs, cents, ["vec_id"], probes=len(plan[0]), plan=plan
+                )
+                ex_rows = sorted(
+                    (r["vec_id"], r["m"]["d2"], r["m"]["cl"])
+                    for r in exact.collect()
+                )
+                fl_rows = sorted(
+                    (i, None, cl) for i, cl in flat_cl.items()
+                )
+                ex_eq = (
+                    "equal"
+                    if [(i, cl) for i, _, cl in ex_rows]
+                    == [(i, cl) for i, _, cl in fl_rows]
+                    else "NO — BUG"
+                )
+                lines.append(
+                    f"| {k} | {s_for_k(k)} | {t_train:.1f}s | {t_flat:.2f}s "
+                    f"| {times[1]:.2f}s | {times[2]:.2f}s | {agree[1]:.3f} "
+                    f"| {agree[2]:.3f} | {ex_eq} |"
+                )
+                print(lines[-1])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     report = "\n".join(lines) + "\n"
