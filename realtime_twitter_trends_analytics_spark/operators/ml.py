@@ -1159,16 +1159,62 @@ def _check_pq_literal(n_entries: int) -> None:
         )
 
 
-def _use_pq_relation(n_entries: int, force: "str | None") -> bool:
+# Batch-aware PQ dispatch (round 14, second pass — closing the
+# N-independence gap in the ceiling): the literal face's cost is a
+# PER-CALL PLAN tax ~ a * entries (parse + optimize + codegen,
+# N-independent), the relation face's an EXECUTION tax ~ b + s * N *
+# blocks (plan-constant, shuffles N*blocks rows). The crossover is
+# therefore N-DEPENDENT: entries*(N) = (b + s*N*blocks) / a. Constants
+# fit from tools/pq_probe.py measurements (SCALE_SMOKE.md): literal
+# 0.56 s @ 128 entries -> 6.66 s @ 2048 (a ~ 3.2 ms/entry, fresh plan per
+# call); relation @ 2048 entries 1.2-1.45 s for N <= 2000 (b) rising
+# 2.3e-4 s/row at 16 blocks (s = 1.4e-5 s per row*block). The model
+# REPRODUCES the measured N=2000 crossover: (1.2 + 2.3e-4*2000)/3.2e-3
+# ~= 519 vs ~512 observed. Callers with a known batch bound (streaming
+# micro-batches — the literal tax is paid per TRIGGER) pass batch_rows
+# and get the cheaper face; without a hint the dispatch stays the
+# conservative entries-only ceiling (ad-hoc batch callers are usually
+# corpus-sized, where the literal face's zero-shuffle execution wins).
+PQ_PLAN_SEC_PER_ENTRY = 3.2e-3   # a: literal per-call plan tax
+PQ_REL_BASE_SEC = 1.2            # b: relation per-call floor
+PQ_REL_SEC_PER_ROWBLOCK = 1.4e-5  # s: relation marginal cost per row*block
+
+
+def pq_crossover_entries(batch_rows: int, n_blocks: int = PQ_BLOCKS) -> float:
+    """Codebook entries at which the literal face's per-call plan tax
+    overtakes the relation face's whole cost for a ``batch_rows``-row
+    batch — the measured cost model above."""
+    return (
+        PQ_REL_BASE_SEC
+        + PQ_REL_SEC_PER_ROWBLOCK * int(batch_rows) * int(n_blocks)
+    ) / PQ_PLAN_SEC_PER_ENTRY
+
+
+def _use_pq_relation(
+    n_entries: int,
+    force: "str | None",
+    batch_rows: "int | None" = None,
+    n_blocks: "int | None" = None,
+) -> bool:
     """Dispatch rule shared by pq_encode / pq_query_lut — the PQ twin of
     _use_relation (same force semantics: "literal" still trips the guard
-    past the wall; "relation" exercises the join face below it)."""
+    past the wall; "relation" exercises the join face below it).
+    ``batch_rows`` is the caller's per-call row bound (per-trigger batch
+    size in streaming): below the hard ceiling the faces are both correct
+    and the cheaper one is N-dependent, so a hint dispatches on the
+    measured crossover instead of the entries-only policy ceiling."""
     if force == "literal":
         _check_pq_literal(n_entries)
         return False
     if force == "relation":
         return True
-    return n_entries > PQ_LITERAL_CEILING
+    if n_entries > PQ_LITERAL_CEILING:
+        return True
+    if batch_rows is not None:
+        return n_entries > pq_crossover_entries(
+            batch_rows, n_blocks if n_blocks is not None else PQ_BLOCKS
+        )
+    return False
 
 
 def _codebook_relation(
@@ -1215,9 +1261,15 @@ def pq_encode(
     out: str = "codes",
     carry: "list[str] | tuple[str, ...]" = (),
     force: "str | None" = None,
+    batch_rows: "int | None" = None,
 ) -> DataFrame:
     """PQ ENCODE (``array<int>`` of per-block nearest-codeword codes per
-    row), dispatched on codebook size — the PQ twin of nearest_centroid:
+    row), dispatched on codebook size AND — when the caller declares a
+    ``batch_rows`` bound — on the measured N-dependent crossover
+    (pq_crossover_entries): a streaming trigger of a few hundred rows is
+    cheaper through the relation face from ~400 entries, while a
+    corpus-sized batch amortizes the literal plan tax to the ceiling.
+    The PQ twin of nearest_centroid:
 
     - entries <= PQ_LITERAL_CEILING: the literal map-side expression
       (pq_codes_sql) — zero exchanges, but O(entries) plan cost per call.
@@ -1232,13 +1284,13 @@ def pq_encode(
       join — the exact pq_codes_sql candidate-exclusion semantics.
 
     ``key_cols`` must be unique per row. Returns key_cols + carry + out."""
-    if not _use_pq_relation(len(codebook_rows), force):
+    n_blocks, sub_dim, _slots = _codebook_geom(codebook_rows)
+    if not _use_pq_relation(len(codebook_rows), force, batch_rows, n_blocks):
         return df.select(
             *key_cols, *carry,
             F.expr(pq_codes_sql(codebook_rows, qe_expr)).alias(out),
         )
     spark = df.sparkSession
-    n_blocks, sub_dim, _slots = _codebook_geom(codebook_rows)
     bs = _pq_block_rows(df, key_cols, carry, qe_expr, n_blocks, sub_dim)
     d2 = F.expr(_pq_dist2(dl.SPARK, "__sub", "__c"))
     asg = (
@@ -1271,6 +1323,7 @@ def pq_query_lut(
     carry: "list[str] | tuple[str, ...]" = (),
     force: "str | None" = None,
     max_rows: "int | None" = None,
+    batch_rows: "int | None" = None,
 ) -> DataFrame:
     """Per-row dense ADC lookup table (``array<array<bigint>>``, see
     pq_lut_sql), dispatched on codebook size — the PQ twin of
@@ -1279,14 +1332,18 @@ def pq_query_lut(
     map_from_entries), so it is reserved for the bounded query set —
     ``max_rows`` declares and verifies the bound exactly as in
     nearest_centroids_topn. Dead slots hold the stored DEAD_CODE_D2
-    constant in both faces (coalesce over the live-code map)."""
-    if not _use_pq_relation(len(codebook_rows), force):
+    constant in both faces (coalesce over the live-code map).
+    ``batch_rows`` (usually the same bound as ``max_rows``) additionally
+    dispatches on the measured N-dependent crossover — a per-trigger
+    query batch stops paying the literal face's per-call plan tax (see
+    pq_encode / pq_crossover_entries)."""
+    n_blocks, sub_dim, n_slots = _codebook_geom(codebook_rows)
+    if not _use_pq_relation(len(codebook_rows), force, batch_rows, n_blocks):
         return df.select(
             *key_cols, *carry,
             F.expr(pq_lut_sql(codebook_rows, qe_expr)).alias(out),
         )
     spark = df.sparkSession
-    n_blocks, sub_dim, n_slots = _codebook_geom(codebook_rows)
     if max_rows is not None:
         got = df.limit(int(max_rows) + 1).count()
         if got > int(max_rows):

@@ -143,7 +143,9 @@ def _model_rows(model: dict):
     return cent, cb
 
 
-def encode_ivfpq_rows(df: DataFrame, model: dict) -> DataFrame:
+def encode_ivfpq_rows(
+    df: DataFrame, model: dict, batch_rows: "int | None" = None
+) -> DataFrame:
     """(cell, cand_id, codes, cv) from (cand_id, embedding) — the ingest
     hot path. At gate constants this is ONE projection (literal centroids
     + literal codebook, no joins, no shuffles); both halves dispatch
@@ -153,13 +155,20 @@ def encode_ivfpq_rows(df: DataFrame, model: dict) -> DataFrame:
     relation past PQ_LITERAL_CEILING entries (ml.pq_encode — the
     corpus-safe equi-join face, so an 8-bit production codebook never
     pays the literal face's per-call O(entries) plan cost per
-    micro-batch)."""
+    micro-batch). ``batch_rows`` — the caller's per-trigger row bound —
+    additionally dispatches the codes on the measured N-dependent
+    crossover (ml.pq_crossover_entries): a few-hundred-row trigger stops
+    paying the literal plan tax from ~400 entries instead of the
+    policy ceiling."""
     from ..operators.ml import nearest_centroid, pq_encode
 
     cent, cb = _model_rows(model)
     qe = _quant_expr()
     asg = nearest_centroid(df, cent, ["cand_id"], qe_expr=qe, carry=["embedding"])
-    enc = pq_encode(asg, cb, ["cand_id"], qe_expr=qe, carry=["embedding", "m"])
+    enc = pq_encode(
+        asg, cb, ["cand_id"], qe_expr=qe, carry=["embedding", "m"],
+        batch_rows=batch_rows,
+    )
     return enc.select(
         F.col("m.cl").alias("cell"),
         "cand_id",
@@ -426,6 +435,7 @@ def streaming_ivfpq_maintain_writer(
     exclude_self: bool = False,
     metrics: list | None = None,
     compact_dir: str | None = None,
+    rows_per_trigger: int | None = None,
 ):
     """Ingest + serve on ONE IVF-PQ index (the maintained-writer contract
     of ann_stream.streaming_ann_maintain_writer, for the production
@@ -433,7 +443,12 @@ def streaming_ivfpq_maintain_writer(
     CURRENT model (read per trigger — a retrain promotion between
     triggers is picked up exactly like a rebucket's manifest), land them
     as a stamped epoch, then serve this batch's queries against
-    base+delta including this batch's own rows."""
+    base+delta including this batch's own rows. ``rows_per_trigger`` —
+    the source's trigger bound (maxFilesPerTrigger x rows/file,
+    maxOffsetsPerTrigger) — flows to the encode's batch-aware PQ dispatch
+    (ml.pq_crossover_entries): the literal plan tax is paid per TRIGGER
+    here, so a bounded micro-batch takes the relation face well below the
+    entries-only ceiling."""
     import time as _time
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -444,7 +459,7 @@ def streaming_ivfpq_maintain_writer(
         ing = batch_df.filter(F.col("kind") == "ingest").select(
             F.col("id").alias("cand_id"), F.col("embedding")
         )
-        rows = encode_ivfpq_rows(ing, model)
+        rows = encode_ivfpq_rows(ing, model, batch_rows=rows_per_trigger)
         epoch_dir = f"{index_dir}/batch={batch_id}"
         rows.coalesce(2).write.mode("overwrite").parquet(epoch_dir)
         from .ann_stream import _write_epoch_meta_dict

@@ -251,3 +251,90 @@ def test_encode_and_serve_through_pq_relation_face(spark, monkeypatch):
         monkeypatch.undo()
     assert got_enc == want_enc and got_srv == want_srv
     assert both_enc == want_enc and both_srv == want_srv
+
+
+# ------------------------------------- batch-aware (N-dependent) dispatch
+
+
+def test_crossover_model_reproduces_measurement():
+    """pq_crossover_entries is the measured cost model (SCALE_SMOKE.md):
+    monotone in the batch bound, and it reproduces the observed N=2000
+    crossover (~512 entries at 16 blocks) within the probe's noise."""
+    c500 = ml.pq_crossover_entries(500, 16)
+    c2000 = ml.pq_crossover_entries(2000, 16)
+    c32000 = ml.pq_crossover_entries(32000, 16)
+    assert c500 < c2000 < c32000
+    assert 400 <= c2000 <= 650, c2000
+    # a corpus-sized batch amortizes the plan tax past the policy ceiling
+    assert ml.pq_crossover_entries(10**6, 16) > PQ_LITERAL_CEILING
+
+
+def test_batch_hint_dispatches_to_relation(spark):
+    """Below the entries ceiling, a small declared batch takes the
+    relation face (the literal plan tax dominates) while a large one
+    stays literal — and the faces stay row-identical either way."""
+    cb = [
+        (b, c, [((b * 31 + c * 7 + d * 3) % 201) - 100 for d in range(8)])
+        for b in range(16)
+        for c in range(64)
+    ]  # 1024 entries: between crossover(small N) and PQ_LITERAL_CEILING
+    vecs = spark.createDataFrame(
+        [
+            (i, [((i * 29 + d * 7) % 201) - 100 for d in range(128)])
+            for i in range(200)
+        ],
+        "vec_id long, qe array<bigint>",
+    )
+    assert ml._use_pq_relation(1024, None, batch_rows=200, n_blocks=16)
+    assert not ml._use_pq_relation(1024, None, batch_rows=10**6, n_blocks=16)
+    assert not ml._use_pq_relation(1024, None)  # no hint: entries-only rule
+    small = pq_encode(vecs, cb, ["vec_id"], batch_rows=200)
+    big = pq_encode(vecs, cb, ["vec_id"], batch_rows=10**6)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small  # relation face
+    assert "Join" not in plan_big  # literal face: one map-side projection
+    flat = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], tuple(r["codes"])) for r in df.collect()
+    )
+    assert flat(small) == flat(big)
+    # the LUT face takes the same hint (query side, bounded by max_rows)
+    lut_rel = pq_query_lut(
+        vecs, cb, ["vec_id"], max_rows=200, batch_rows=200
+    )
+    assert (
+        "BroadcastHashJoin"
+        in lut_rel._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_encode_ivfpq_rows_takes_batch_hint(spark, monkeypatch):
+    """The streaming ingest hot path forwards its per-trigger bound: with
+    the plan tax inflated (monkeypatched cost model) the gate model's 128
+    entries dispatch to the relation face, rows identical to literal."""
+    from realtime_twitter_trends_analytics_spark.streaming.ivfpq_stream import (
+        build_ivfpq_model,
+        encode_ivfpq_rows,
+    )
+
+    emb = (
+        quantized_vectors(spark, SF)
+        .limit(120)
+        .selectExpr(
+            "vec_id AS cand_id",
+            "transform(qe, x -> CAST(x AS DOUBLE) / 1024.0) AS embedding",
+        )
+        .localCheckpoint()
+    )
+    model = build_ivfpq_model(spark, SF)
+    want = _rows_of(
+        encode_ivfpq_rows(emb, model).select("cell", "cand_id", "codes")
+    )
+    monkeypatch.setattr(ml, "PQ_PLAN_SEC_PER_ENTRY", 1.0)  # tax >> relation
+    got_df = encode_ivfpq_rows(emb, model, batch_rows=120)
+    assert (
+        "BroadcastHashJoin"
+        in got_df._jdf.queryExecution().executedPlan().toString()
+    )
+    got = _rows_of(got_df.select("cell", "cand_id", "codes"))
+    assert got == want
