@@ -73,9 +73,10 @@ def cluster_conf(
       QUERY volume per trigger of the maintained-ANN serve paths so the
       per-query broadcast state stays inside the executor budget —
       |Q|/trigger x nprobe x (LUT + query vector) bytes; the dispatch at
-      ivfpq_stream.IVFPQ_SERVE_BCAST_MAX_Q (1e5 queries ~ 0.5-6 GB
-      depending on PQ width) is the in-plan backstop when a caller
-      exceeds it anyway.
+      ivfpq_stream.ivfpq_serve_bcast_max_q(model) (GEOMETRY-derived:
+      480 MB budget / per-query payload — ~1e5 queries at the gate
+      codebook, ~5e3 at production 8-bit PQ) is the in-plan backstop
+      when a caller exceeds it anyway.
     """
     total_cores = executors * cores_per_executor
     by_cores = 2 * total_cores

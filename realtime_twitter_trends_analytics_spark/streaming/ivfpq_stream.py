@@ -202,6 +202,36 @@ IVFPQ_SERVE_BCAST_MAX_Q = 100_000
 # refusing a 1e8-row corpus loudly at plan time.
 IVFPQ_SERVE_MAX_Q_RELATION = 100 * IVFPQ_SERVE_BCAST_MAX_Q
 
+# The broadcast budget behind the bound: |Q| x nprobe x (dense LUT +
+# query vector + struct overhead). At the gate model (128 entries,
+# ~1.6 KiB/probe row) this affords the r13 constant (~1e5 queries); the
+# per-query payload scales with CODEBOOK SIZE, so the bound must too.
+IVFPQ_SERVE_BCAST_BUDGET_BYTES = 480 << 20
+
+
+def ivfpq_serve_bcast_max_q(model: dict) -> int:
+    """Geometry-DERIVED broadcast bound (round 14, second pass — the 8-bit
+    serve-faces measurement in SCALE_SMOKE.md): each probe row ships its
+    dense LUT (entries x 8 B) plus the full-precision query vector
+    (dim x 8 B), duplicated IVFPQ_NPROBE times by the explode. A static
+    |Q| cap is therefore wrong across model shapes — at the production
+    8-bit codebook (16 x 256 = 4096 entries, ~32 KiB LUT/query-probe) the
+    measured broadcast face falls behind the shuffle face ~20x earlier
+    than at the gate shape (74.8 s vs 39.4 s at |Q|=2000 on the local
+    probe). This derives the bound from the model: budget / (nprobe x
+    per-probe payload), capped by the r13 constant. Gate model -> ~1e5
+    (the old behavior, unchanged); 8-bit -> ~5e3."""
+    cb = model["codebook"]
+    n_entries = len(cb)
+    blocks = max(int(b) for b, _c, _v in cb) + 1
+    dim = blocks * len(cb[0][2])
+    per_probe = n_entries * 8 + dim * 8 + 64
+    per_q = IVFPQ_NPROBE * per_probe
+    return max(
+        1,
+        min(IVFPQ_SERVE_BCAST_MAX_Q, IVFPQ_SERVE_BCAST_BUDGET_BYTES // per_q),
+    )
+
 
 def _serve_ivfpq_topk(
     idx: DataFrame,
@@ -218,8 +248,11 @@ def _serve_ivfpq_topk(
     BIGINT ADC, same cosine_sql doubles, same tie-breaks) so the served
     rows are bit-equal to the batch plan over the same corpus.
 
-    ``broadcast_queries``: None = decide via the IVFPQ_SERVE_BCAST_MAX_Q
-    bound with a LIMIT-capped count — an extra job that re-executes the
+    ``broadcast_queries``: None = decide via the geometry-derived
+    ivfpq_serve_bcast_max_q(model) bound (codebook-size-aware — an 8-bit
+    model affords ~20x fewer broadcast queries than the gate shape, see
+    the bound's docstring) with a LIMIT-capped count — an extra job that
+    re-executes the
     (possibly derived) query subplan, so callers with a KNOWN per-call
     bound should pass the face explicitly (ADVICE r13: the streaming
     writer passes True — its per-trigger |Q| is bounded by the source
@@ -293,10 +326,10 @@ def _serve_ivfpq_topk(
             .select("query_id", "qv", "lut", F.col("p.cl").alias("cell"))
         )
     if broadcast_queries is None:
-        broadcast_queries = (
-            queries.limit(IVFPQ_SERVE_BCAST_MAX_Q + 1).count()
-            <= IVFPQ_SERVE_BCAST_MAX_Q
-        )
+        # bound derived from THIS model's geometry (8-bit codebooks afford
+        # ~20x fewer broadcast queries than the gate shape — measured)
+        bound = ivfpq_serve_bcast_max_q(model)
+        broadcast_queries = queries.limit(bound + 1).count() <= bound
     joined = (F.broadcast(probe) if broadcast_queries else probe).join(idx, "cell")
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("cand_id"))

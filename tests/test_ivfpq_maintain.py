@@ -500,3 +500,58 @@ def test_stranded_generation_epoch_repaired_at_serve(spark, tmp_path):
         .collect()
     }
     assert got2 == {900: items[0][0], 901: items[20][0]}
+
+
+def test_serve_bcast_bound_derives_from_model_geometry(spark, tmp_path):
+    """The broadcast-side |Q| bound scales inversely with codebook size
+    (round 14, second pass — the 8-bit serve-faces measurement): the gate
+    model reproduces the r13 constant, the production 8-bit shape drops
+    ~20x, and the auto-decision actually takes the shuffle face once the
+    derived bound is below |Q| (forced via a tiny budget)."""
+    import realtime_twitter_trends_analytics_spark.streaming.ivfpq_stream as ivq
+    from realtime_twitter_trends_analytics_spark.streaming.ivfpq_stream import (
+        _serve_ivfpq_topk,
+        build_ivfpq_model,
+        encode_ivfpq_rows,
+        ivfpq_serve_bcast_max_q,
+    )
+
+    model = build_ivfpq_model(spark, SF)
+    assert ivfpq_serve_bcast_max_q(model) == ivq.IVFPQ_SERVE_BCAST_MAX_Q
+    pq8 = {
+        **model,
+        "codebook": [
+            [b, c, [((b * 31 + c * 7 + d) % 201) - 100 for d in range(4)]]
+            for b in range(16)
+            for c in range(256)
+        ],
+    }
+    b8 = ivfpq_serve_bcast_max_q(pq8)
+    assert 2000 <= b8 <= 20000, b8  # ~5e3 at the 480 MB budget
+    assert b8 < ivq.IVFPQ_SERVE_BCAST_MAX_Q // 10
+    # the auto decision honors the derived bound: tiny budget -> shuffle
+    emb = [
+        (i, [((i * 13 + d * 7) % 1000) / 1000.0 - 0.5 for d in range(64)])
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(emb, "cand_id long, embedding array<double>")
+    idx = encode_ivfpq_rows(corpus, model).localCheckpoint()
+    queries = spark.createDataFrame(
+        [(1000 + i, v) for i, (_j, v) in enumerate(emb[:20])],
+        "query_id long, embedding array<double>",
+    )
+    auto_bc = _serve_ivfpq_topk(idx, queries, model, 5, False)
+    assert "BroadcastHashJoin" in (
+        auto_bc._jdf.queryExecution().executedPlan().toString()
+    )
+    want = sorted(map(tuple, auto_bc.collect()))
+    old = ivq.IVFPQ_SERVE_BCAST_BUDGET_BYTES
+    try:
+        ivq.IVFPQ_SERVE_BCAST_BUDGET_BYTES = 1024  # derived bound -> 1
+        assert ivfpq_serve_bcast_max_q(model) < 20
+        auto_sh = _serve_ivfpq_topk(idx, queries, model, 5, False)
+        plan = auto_sh._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert sorted(map(tuple, auto_sh.collect())) == want
+    finally:
+        ivq.IVFPQ_SERVE_BCAST_BUDGET_BYTES = old

@@ -97,6 +97,24 @@ def serve_faces_probe(spark, args) -> int:
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
         model = build_ivfpq_model(spark, "/root/testdata/sf0.001")
+        if args.pq8:
+            # PRODUCTION 8-bit PQ shape (16 blocks x 256 codes = 4096
+            # entries > PQ_LITERAL_CEILING): geometry derives from the
+            # codebook rows, so the serve LUT takes the RELATION face and
+            # the encode the broadcast equi-join — this arm times the
+            # 8-bit serve volume the round-14 dispatch contemplates
+            # (deterministic synthetic codewords; recall is not the
+            # subject here, the plan shape and wall are)
+            sub = 4  # 64-dim vectors / 16 blocks
+            model = {
+                **model,
+                "codebook": [
+                    [b, c, [((b * 31 + c * 7 + d * 3) % 201) - 100 for d in range(sub)]]
+                    for b in range(16)
+                    for c in range(256)
+                ],
+            }
+        n_entries = len(model["codebook"])
         corpus = spark.createDataFrame(
             [(i, vec_of(i)) for i in range(args.serve_n)],
             "cand_id long, embedding array<double>",
@@ -105,7 +123,9 @@ def serve_faces_probe(spark, args) -> int:
         lines = [
             "",
             f"### IVF-PQ serve query-face dispatch: broadcast vs shuffle "
-            f"(round 14; index {args.serve_n} rows, gate model, warm "
+            f"(round 14; index {args.serve_n} rows, "
+            f"{'8-BIT model (16x256 = 4096 entries -> RELATION LUT face)' if args.pq8 else 'gate model'} "
+            f"[{n_entries} codebook entries], warm "
             f"min-of-2 noop-sink; dispatch bound "
             f"IVFPQ_SERVE_BCAST_MAX_Q={IVFPQ_SERVE_BCAST_MAX_Q})",
             "",
@@ -214,6 +234,16 @@ def main() -> int:
     ap.add_argument(
         "--serve-qs", type=int, nargs="*", default=[500, 2000, 6000],
         help="--serve-faces: query-batch sizes to time at",
+    )
+    ap.add_argument(
+        "--pq8",
+        action="store_true",
+        help="--serve-faces: swap in the PRODUCTION 8-bit PQ codebook "
+        "shape (16 blocks x 256 codes = 4096 entries, past "
+        "PQ_LITERAL_CEILING) so the serve runs the RELATION LUT face and "
+        "the encode the broadcast equi-join — times the 8-bit serve "
+        "volume the round-14 PQ dispatch contemplates (round 14, second "
+        "pass)",
     )
     args = ap.parse_args()
 
