@@ -2026,7 +2026,7 @@ def sim_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself).
 
     Plan: the running max-similarity column updates each round against
-    ONLY the newest pick (a 1-row broadcast — max over a set folds
+    ONLY the newest pick (a LITERAL array column — max over a set folds
     incrementally), so a round is one map-side projection + one global
     TakeOrdered(1); rounds are K-1, a constant; driver state is K picked
     vectors (the kmeans model-state pattern). Similarities are
@@ -2035,25 +2035,38 @@ def sim_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the same K-1 picks against the full selected set (max is
     associative — identical values). Each round's frame is
     localCheckpointed (audited: kcenter_round) so pick t does not replay
-    rounds 1..t-1."""
+    rounds 1..t-1.
+
+    r14 overhead pass (the corpus is tiny next to the K-1 round constant,
+    so DRIVER-side cost per round dominated the wall): (a) the newest
+    pick rides as an F.array-of-F.lit literal column — the house
+    literal-face pattern (ml.centroid_argmin_sql) — instead of a 1-row
+    createDataFrame + broadcast + crossJoin, which paid py4j conversion,
+    a broadcast exchange build, and a BroadcastNestedLoopJoin node per
+    round (F.lit round-trips the exact collected doubles, so ms_q bits
+    are unchanged); (b) localCheckpoint is LAZY — the pick's TakeOrdered
+    action computes every partition anyway, so it materializes the
+    checkpoint blocks as a side effect: one job per round instead of two.
+    Measured at sf0.1 (N=2000): 26 -> 12 jobs, 4.34 -> 2.56 s warm
+    min-of-3. Round t+1 still reads round t's checkpointed blocks, so
+    lineage stays one round deep either way."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seed = emb.filter(F.col("vec_id") == 0).collect()[0]
     picks = [(1, int(seed["vec_id"]), None)]
 
-    def one_row_df(row_vec):
-        return spark.createDataFrame(
-            [(list(map(float, row_vec)),)], "nv array<double>"
-        )
+    def lit_vec(row_vec):
+        # exact doubles: F.lit(float) ships the binary value, no parsing
+        return F.array(*[F.lit(float(v)) for v in row_vec])
 
     qsim = _quant_cos(
         dl.SPARK, cosine_sql(dl.SPARK, "embedding", "nv")
     )
     cur = audit_plan(
         "kcenter_round",
-        emb.crossJoin(F.broadcast(one_row_df(seed["embedding"]))).select(
+        emb.withColumn("nv", lit_vec(seed["embedding"])).select(
             "vec_id", "embedding", F.expr(qsim).alias("ms_q")
         ),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for step in range(2, KCENTER_K + 1):
         chosen = {p[1] for p in picks}
         pick = (
@@ -2078,12 +2091,12 @@ def sim_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Cost is ~constant jobs x K — amortizes at any corpus size.
             cur = audit_plan(
                 "kcenter_round",
-                cur.crossJoin(F.broadcast(one_row_df(pick["embedding"]))).select(
+                cur.withColumn("nv", lit_vec(pick["embedding"])).select(
                     "vec_id",
                     "embedding",
                     F.greatest("ms_q", F.expr(qsim)).alias("ms_q"),
                 ),
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         [
             (s, v, None if m is None else m / float(MMR_SCALE))
