@@ -102,6 +102,17 @@ def streaming_dedup_writer(
     bands_dir, sigs_dir, surv_dir = _index_paths(index_dir)
 
     def write(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        # n_in rides an Observation on the source frame (r14, the
+        # corpus_stream ADVICE-r10 pattern): the old batch_df.count()
+        # re-scanned the micro-batch source once per trigger purely for
+        # metrics; the observed count fills during the signature
+        # checkpoint's own scan (sig derives from the observed frame).
+        obs_in = None
+        if results is not None:
+            from pyspark.sql import Observation
+
+            obs_in = Observation()
+            batch_df = batch_df.observe(obs_in, F.count(F.lit(1)).alias("n_in"))
         # one distributed signature build per batch; localCheckpoint so the
         # band explode, the two probes and the survivor anti-join all read
         # the materialized K-hash rows instead of re-shingling the text
@@ -173,16 +184,33 @@ def streaming_dedup_writer(
 
         # ONE distributed job materializes the whole drop set (cross +
         # within verified in the same plan); "cross" < "within", so a doc
-        # caught by both is attributed to the index hit
-        dropped = audit_plan(
-            "stream_dedup_drop_set",
+        # caught by both is attributed to the index hit. The per-why drop
+        # counts ride a second Observation on the pre-checkpoint frame
+        # (r14): they fill during the checkpoint job, replacing the old
+        # dropped.groupBy("why").count().collect() follow-up job.
+        drop_plan = (
             cand.join(sa, "n")
             .join(sb, "c")
             .select("n", est, "why")
             .filter(F.col("est_jaccard") >= threshold)
             .groupBy(F.col("n").alias("doc_id"))
-            .agg(F.min("why").alias("why")),
-        ).localCheckpoint()
+            .agg(F.min("why").alias("why"))
+        )
+        obs_drop = None
+        if results is not None:
+            from pyspark.sql import Observation
+
+            obs_drop = Observation()
+            drop_plan = drop_plan.observe(
+                obs_drop,
+                F.sum(F.when(F.col("why") == "cross", 1).otherwise(0)).alias(
+                    "n_cross"
+                ),
+                F.sum(F.when(F.col("why") == "within", 1).otherwise(0)).alias(
+                    "n_within"
+                ),
+            )
+        dropped = audit_plan("stream_dedup_drop_set", drop_plan).localCheckpoint()
         drop_ids = dropped.select("doc_id")
 
         # ---- survivors: everything not dropped (including sig-less short
@@ -204,16 +232,17 @@ def streaming_dedup_writer(
         )
 
         if results is not None:
-            why_counts = {r[0]: r[1] for r in dropped.groupBy("why").count().collect()}
-            n_in = batch_df.count()
-            n_dropped = sum(why_counts.values())
+            # both observations were filled by the checkpoint jobs above
+            n_cross = int(obs_drop.get["n_cross"] or 0)
+            n_within = int(obs_drop.get["n_within"] or 0)
+            n_in = int(obs_in.get["n_in"])
             results.append(
                 {
                     "batch_id": batch_id,
                     "n_in": n_in,
-                    "n_dropped_cross": why_counts.get("cross", 0),
-                    "n_dropped_within": why_counts.get("within", 0),
-                    "n_kept": n_in - n_dropped,
+                    "n_dropped_cross": n_cross,
+                    "n_dropped_within": n_within,
+                    "n_kept": n_in - n_cross - n_within,
                 }
             )
         # foreachBatch ignores the return value; composed topologies

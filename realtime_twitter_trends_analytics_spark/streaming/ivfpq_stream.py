@@ -489,6 +489,23 @@ def streaming_ivfpq_maintain_writer(
         model = read_ivfpq_model(model_dir)
         if model is None:
             raise ValueError(f"no {IVFPQ_MODEL} under {model_dir}; train first")
+        # Metric counts ride an Observation on the source frame (r14, the
+        # corpus_stream ADVICE-r10 pattern): the old n_ing = ing.count() +
+        # batch_df.count() pair re-scanned the micro-batch source twice per
+        # trigger purely for metrics; the observed counts fill during the
+        # epoch write's own scan.
+        obs = None
+        if metrics is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            batch_df = batch_df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_raw"),
+                F.sum(
+                    F.when(F.col("kind") == "ingest", 1).otherwise(0)
+                ).alias("n_ing"),
+            )
         ing = batch_df.filter(F.col("kind") == "ingest").select(
             F.col("id").alias("cand_id"), F.col("embedding")
         )
@@ -518,12 +535,14 @@ def streaming_ivfpq_maintain_writer(
             topk = spark.createDataFrame([], EMPTY_RESULT_SCHEMA)
         topk.write.mode("overwrite").parquet(f"{results_dir}/batch={batch_id}")
         if metrics is not None:
-            n_ing = ing.count()
+            # filled by the epoch write above — no extra job
+            got = obs.get
+            n_ing = int(got["n_ing"] or 0)
             metrics.append(
                 {
                     "batch_id": batch_id,
                     "n_ingest": n_ing,
-                    "n_queries": batch_df.count() - n_ing,
+                    "n_queries": int(got["n_raw"]) - n_ing,
                     "model_generation": int(model["generation"]),
                     "batch_sec": round(_time.time() - t0, 3),
                 }
