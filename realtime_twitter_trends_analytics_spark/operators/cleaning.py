@@ -224,28 +224,38 @@ def corpus_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     (verdict is pure column arithmetic, no shuffle), one hash shuffle on
     the content hash (dedup keeps min doc_id per identical text), one agg
     shuffle on (shard, lang). Every stage key is uniform (md5), every
-    output an exact integer."""
+    output an exact integer.
+
+    r14 (guide: project before the exchange): the dedup window needs only
+    the 32-char content hash, and everything downstream needs only
+    (lang, source, n_tok) — both are computed MAP-SIDE before the window
+    shuffle, so the exchange carries ~60 bytes/row instead of the full
+    document text. Identical rows out: the window partitions by the same
+    md5(text) value either way."""
     from pyspark.sql.window import Window
 
     from .sampling import SHUFFLE_SALT, SHUFFLE_SHARDS
 
     docs = load_table(spark, sf_dir, "documents")
     kept = docs.filter(F.expr(_verdict_sql(dl.SPARK)) == "kept")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    n_tok = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
+    slim = kept.select(
+        "doc_id", "lang", "source", F.md5("text").alias("h"), n_tok.alias("n_tok")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
     survivors = (
-        kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        slim.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     )
     shard_key = f"md5(CAST(doc_id AS STRING) || '|' || '{SHUFFLE_SALT}')"
     shard = F.expr(
         f"{dl.hex_nibble(dl.SPARK, f'substr({shard_key}, 1, 1)')} % {SHUFFLE_SHARDS}"
     )
-    n_tok = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
     return (
         survivors.select(
             shard.cast("int").alias("shard"),
             "lang",
             "source",
-            n_tok.alias("n_tok"),
+            "n_tok",
         )
         .groupBy("shard", "lang")
         .agg(
@@ -348,11 +358,17 @@ def corpus_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b").alias("doc_id"))
         .distinct()
     )
-    survivors = kept.join(dropped, "doc_id", "left_anti")
+    # r14 (guide: project before the exchange): the anti-join is keyed on
+    # doc_id and everything after it needs only (lang, source, n_tok) —
+    # computing n_tok MAP-SIDE keeps the document text out of the
+    # anti-join's shuffle of the full kept side (~28 bytes/row instead of
+    # the text column). The join stays shuffled (dropped is corpus-growth
+    # bounded, not broadcast-bounded at 100 TB); it just moves fewer bytes.
     n_tok = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
+    slim = kept.select("doc_id", "lang", "source", n_tok.alias("n_tok"))
+    survivors = slim.join(dropped, "doc_id", "left_anti")
     return (
-        survivors.select("lang", "source", n_tok.alias("n_tok"))
-        .groupBy("lang", "source")
+        survivors.groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
@@ -506,17 +522,21 @@ def corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b").alias("doc_id"))
         .distinct()
     )
-    status = flagged.join(
-        dup_ids.withColumn("is_dup", F.lit(1)), "doc_id", "left"
-    )
+    # r14 (guide: project before the exchange): the status join is keyed
+    # on doc_id and the accounting needs only (lang, source, is_contam,
+    # n_tok) — computing n_tok MAP-SIDE over the checkpointed flagged
+    # relation keeps the text column out of the join's shuffle.
     n_tok = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
+    status = flagged.select(
+        "doc_id", "lang", "source", "is_contam", n_tok.alias("n_tok")
+    ).join(dup_ids.withColumn("is_dup", F.lit(1)), "doc_id", "left")
     survivor = F.col("is_contam").isNull() & F.col("is_dup").isNull()
     return (
         status.select(
             "lang",
             "source",
             survivor.cast("int").alias("surv"),
-            F.when(survivor, n_tok).otherwise(F.lit(0)).alias("n_tok"),
+            F.when(survivor, F.col("n_tok")).otherwise(F.lit(0)).alias("n_tok"),
             F.coalesce("is_contam", F.lit(0)).alias("contam"),
             F.when(
                 F.col("is_contam").isNull(), F.coalesce("is_dup", F.lit(0))
@@ -630,7 +650,13 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: codegen scan+filter (verdict + normalize are pure column work),
     one window shuffle on md5(norm) for representative selection, one agg
     shuffle on (lang, source), plus the parallel gated-stats agg joined
-    back — all keys uniform hashes."""
+    back — all keys uniform hashes.
+
+    r14 (guide: project before the exchange): the representative window
+    needs only the 32-char hash of the normalization, and the kept-agg
+    needs only its token count — both computed MAP-SIDE, so the window
+    exchange carries ~60 bytes/row instead of text + norm_text (the two
+    widest columns in the corpus). Identical rows out."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -642,11 +668,18 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_gated"),
         F.count_distinct(F.md5("text")).alias("n_raw_distinct"),
     )
-    w = Window.partitionBy(F.md5("norm_text")).orderBy("doc_id")
-    reps = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    slim = gated.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("norm_text").alias("nh"),
+        F.size(F.split("norm_text", " ")).cast("bigint").alias("norm_tok"),
+    )
+    w = Window.partitionBy("nh").orderBy("doc_id")
+    reps = slim.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     kept = reps.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_kept"),
-        F.sum(F.size(F.split("norm_text", " ")).cast("bigint")).alias("kept_tokens"),
+        F.sum("norm_tok").alias("kept_tokens"),
     )
     return stats.join(kept, ["lang", "source"], "left").select(
         "lang",
