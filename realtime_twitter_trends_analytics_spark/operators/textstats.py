@@ -958,7 +958,10 @@ def textstats_bpe_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
         .select(F.expr(syms0).alias("syms"), "wc")
-        .localCheckpoint()
+        # LAZY checkpoint (r14): the counts collect right below is the
+        # first consumer and computes every partition — it materializes
+        # the blocks itself, saving the standalone checkpoint job
+        .localCheckpoint(eager=False)
     )
     fold = (
         "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
@@ -1033,11 +1036,18 @@ def textstats_bpe_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     counts[k] = nv
                 else:
                     counts.pop(k, None)
+            # LAZY checkpoint (r14): the NEXT round's delta collect
+            # is the first consumer and computes every partition, so it
+            # materializes the rewritten vocabulary as a side effect —
+            # ONE job per round instead of two (rewrite + delta), the
+            # sim_kcenter_select lesson applied to the 32-round loop.
+            # Lineage still truncates one round deep: each delta job
+            # leaves the round's blocks behind it.
             cur = (
                 tagged.select(
                     F.expr(f"IF({has_pair}, {fold}, syms)").alias("syms"), "wc"
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
     return spark.createDataFrame(
         merges, "merge_round int, sym_a string, sym_b string, freq bigint"
@@ -1093,7 +1103,10 @@ def textstats_bpe_induction_batched(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
         .select(F.expr(syms0).alias("syms"), "wc")
-        .localCheckpoint()
+        # LAZY checkpoint (r14): the counts collect right below is the
+        # first consumer and computes every partition — it materializes
+        # the blocks itself, saving the standalone checkpoint job
+        .localCheckpoint(eager=False)
     )
     pair_structs = (
         "transform(sequence(1, size(syms) - 1), "
@@ -1208,9 +1221,12 @@ def textstats_bpe_induction_batched(
                 counts[k] = nv
             else:
                 counts.pop(k, None)
+        # LAZY checkpoint (r14): next scan's delta collect materializes
+        # the rewrite — one job per scan instead of two (see the gate
+        # face's in-loop comment)
         cur = cur.select(
             F.expr(f"IF({has_any}, {fold_expr}, syms)").alias("syms"), "wc"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "merge_round int, sym_a string, sym_b string, freq bigint"
     ).orderBy("merge_round")
