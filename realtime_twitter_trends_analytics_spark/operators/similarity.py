@@ -816,8 +816,39 @@ def _semantic_cells_report(
         F.col("embedding").alias("bv"),
         F.col("nrm").alias("b_nrm"),
     )
+    # Parallelism salt (r14): with K join keys the pair stage runs at most
+    # K tasks, and the per-pair cosine (interpreted HOF fold — the
+    # engine-exact form; the unrolled element_at variant measured 3.5x
+    # SLOWER) is the dominant cost, so at gate K=8 the stage used ~1/4 of
+    # a local[32] box. When K < 2 x defaultParallelism, split each cell S
+    # ways: the a-side carries a deterministic salt pmod(xxhash64(a_id),
+    # S), the b-side replicates S ways, and the join keys on (cell, s) —
+    # every (a, b) pair still matches exactly once (only at s =
+    # salt(a_id)), so the result is row-identical (re-verified by the
+    # oracle). The explicit repartition-by-number is load-bearing: the
+    # pair shuffle is only ~KB-sized, so AQE coalescing otherwise packs
+    # the salted keys back into 1-2 partitions and erases the win
+    # (measured: salt alone 1.88 s, salt+repartition 0.58 s vs 1.75 s
+    # unsalted at sf0.1). At production K (k_for_corpus: K >> cores)
+    # S = 1 and the plan is byte-identical to the unsalted form — the
+    # b-side replication never inflates a corpus-sized shuffle.
+    from .ml import K_CLUSTERS
+
+    k_eff = k if k is not None else K_CLUSTERS
+    par = spark.sparkContext.defaultParallelism
+    n_salt = max(1, -(-2 * par // max(1, k_eff)))  # ceil(2*par / K)
+    if n_salt > 1:
+        a = a.withColumn(
+            "s", F.pmod(F.xxhash64("a_id"), F.lit(n_salt)).cast("int")
+        ).repartition(k_eff * n_salt, "cell", "s")
+        b = b.withColumn(
+            "s", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        ).repartition(k_eff * n_salt, "cell", "s")
+        join_keys = ["cell", "s"]
+    else:
+        join_keys = ["cell"]
     pairs = (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "cell",
