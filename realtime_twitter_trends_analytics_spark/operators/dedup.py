@@ -26,7 +26,7 @@ from pyspark.sql.window import Window as W
 
 from ..audit import audit_plan
 from ..functions import dialect as dl
-from ..sources.loaders import load_table
+from ..sources.loaders import fan_out_small, load_table
 
 SHINGLE = 3            # tokens per shingle
 MINHASH_K = 8          # minhash functions (salted md5 mins)
@@ -88,7 +88,10 @@ def tokenized_docs_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = _TOKD_MEMO.get(key)
     if memo is not None:
         return memo
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out_small (r14): the local fixture is one row group, so the
+    # tokenize — and every shingle/bigram/dsir build stacked on this
+    # checkpoint — otherwise runs as ONE task; identity at scale
+    docs = fan_out_small(load_table(spark, sf_dir, "documents"), spark)
     out = audit_plan(
         "tokenized_docs",
         docs.select(

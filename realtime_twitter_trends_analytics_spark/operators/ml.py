@@ -761,10 +761,14 @@ def kmeans_centroid_rows(
         # with no checkpoint blocks AND makes every assignment pass map-side
         # (centroid_argmin_sql). The collects are the scalar-aggregate kind
         # the plan-hygiene policy allows (K rows, not data).
-        rows = [
+        # sorted(): collect order of a multi-partition agg/filter is
+        # partition-layout-dependent; centroid VALUES are order-invariant
+        # (ties break by (d2, cl) in both faces), so canonicalize so the
+        # returned driver rows are deterministic at any partitioning (r14)
+        rows = sorted(
             (int(r.vec_id), [int(v) for v in r.qe])
             for r in q.filter(F.col("vec_id") < k).collect()
-        ]
+        )
         for _ in range(KMEANS_ITERS):
             assigned = nearest_centroid(q, rows, ["vec_id"], carry=["qe"]).select(
                 F.col("m.cl").alias("cluster"), "qe"
@@ -772,7 +776,7 @@ def kmeans_centroid_rows(
             collected = audit_plan(
                 _kmeans_round_label(len(rows)), _update(assigned)
             ).collect()
-            rows = [(int(r.cluster), [int(v) for v in r.c]) for r in collected]
+            rows = sorted((int(r.cluster), [int(v) for v in r.c]) for r in collected)
         _KMEANS_CENT_MEMO[(sf_dir, k)] = rows
     return rows
 
@@ -1103,7 +1107,11 @@ def pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             collected = audit_plan(
                 "pq_update_round", _pq_update(_pq_assign(blocks, cent))
             ).collect()
-            rows = [(int(r.block), int(r.code), [int(v) for v in r.c]) for r in collected]
+            # canonical (block, code) order — collect order is
+            # partition-layout-dependent, values are not (r14)
+            rows = sorted(
+                (int(r.block), int(r.code), [int(v) for v in r.c]) for r in collected
+            )
             cent = spark.createDataFrame(rows, "block int, code int, c array<bigint>")
         _PQ_CENT_MEMO[sf_dir] = rows
     return blocks, spark.createDataFrame(rows, "block int, code int, c array<bigint>")
@@ -1508,7 +1516,10 @@ def train_kmeans_rows_from(
         collected = audit_plan(
             _kmeans_round_label(len(rows)), _update(assigned)
         ).collect()
-        rows = [(int(r.cluster), [int(v) for v in r.c]) for r in collected]
+        # canonical cluster order: collect order of the update agg depends
+        # on the input partitioning (the retrain input is ALWAYS
+        # multi-partition in production); values are order-invariant (r14)
+        rows = sorted((int(r.cluster), [int(v) for v in r.c]) for r in collected)
     return rows
 
 
@@ -1537,7 +1548,10 @@ def train_pq_rows_from(vecs: DataFrame) -> "list[tuple[int, int, list[int]]]":
         collected = audit_plan(
             "pq_update_round", _pq_update(_pq_assign(blocks, cent))
         ).collect()
-        rows = [(int(r.block), int(r.code), [int(v) for v in r.c]) for r in collected]
+        # canonical (block, code) order — see train_kmeans_rows_from (r14)
+        rows = sorted(
+            (int(r.block), int(r.code), [int(v) for v in r.c]) for r in collected
+        )
         cent = spark.createDataFrame(rows, "block int, code int, c array<bigint>")
     return rows
 

@@ -86,3 +86,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def fan_out_small(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Floor the physical parallelism of a map-heavy relation (r14).
+
+    Parquet scan parallelism is bounded by ROW GROUPS, not by split
+    configs: a table written as one row group scans as ONE task no matter
+    what maxPartitionBytes/minPartitionNum say, and every map-side stage
+    built on it (tokenize, shingle+md5, LSH bucket + cosine, quantize)
+    runs single-threaded until the first exchange. The local gate/bench
+    fixtures are exactly that shape (one small file, one row group).
+
+    When the plan yields fewer partitions than the session's default
+    parallelism, round-robin repartition to the default; otherwise return
+    the input UNCHANGED. At 100 TB the scan fans out over thousands of
+    row groups, the condition is false, and no corpus-sized shuffle is
+    ever added — the floor is input-size-adaptive by construction, not a
+    local[32] constant. The partition probe (df.rdd.getNumPartitions)
+    plans the query but runs no job.
+    """
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
