@@ -2703,14 +2703,24 @@ def sim_mmr_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     can order-drift; counts are exact. Scale: both selections are
     (queries x K)-bounded relations; the pair fan-out is K^2/2 per
     query — constants — joined back to vectors by id (equi-joins)."""
-    mmr = sim_mmr_topk(spark, sf_dir).select("query_id", "cand_id")
+    # Each selection is consumed THREE times (both sides of its pair
+    # self-join + the overlap join), and each embeds an expensive subplan
+    # (the MMR cogroup / the brute-force scan+window) — un-materialized,
+    # the final job executed the MMR greedy and the brute top-k twice
+    # each (plan receipt: plans/r14/sim_mmr_diversity_eval_before.txt has
+    # TWO FlatMapCoGroupsInPandas nodes). The selections are (queries x
+    # MMR_K)-row relations, so the lazy checkpoint pins ~100 rows (r14).
+    mmr = audit_plan(
+        "mmr_eval_sel", sim_mmr_topk(spark, sf_dir).select("query_id", "cand_id")
+    ).localCheckpoint(eager=False)
     # cut the relevance baseline to the SAME set size (MMR returns MMR_K
     # per query; unequal sizes would bias the intra-set cosine)
-    brute = (
+    brute = audit_plan(
+        "mmr_eval_brute_sel",
         sim_topk_bruteforce(spark, sf_dir)
         .filter(F.col("rnk") <= MMR_K)
-        .select("query_id", "cand_id")
-    )
+        .select("query_id", "cand_id"),
+    ).localCheckpoint(eager=False)
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("v")
     )

@@ -245,6 +245,12 @@ AUDIT_CARTESIAN_OK = {
     # exactly like kmeans_update_round_rel
     "kmeans_super_round_rel": "broadcast super-centroid relation x level-1 "
     "centroid rows inside a relation-face super Lloyd round",
+    # sim_mmr_diversity_eval's checkpointed brute-force baseline selection
+    # (r14: materialized once so the pair self-join + overlap join stop
+    # re-executing the scan) — the subplan is sim_topk_bruteforce's
+    # already-whitelisted broadcast query-set x candidates product
+    "mmr_eval_brute_sel": "broadcast query-set x candidates inside the "
+    "materialized relevance-baseline selection (sim_topk_bruteforce form)",
 }
 AUDIT_ROW_PYTHON_OK: dict[str, str] = {}
 
