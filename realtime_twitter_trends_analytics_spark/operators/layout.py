@@ -675,12 +675,21 @@ def layout_range_splits_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = cents.agg(
         F.expr(f"approx_percentile(cents, array({qs}), 10000)").alias("bs")
     )
+    # bucket by an unrolled CASE over the sorted bounds, highest first —
+    # equivalent to "1 + count of bounds below cents" because the bounds
+    # array is ascending (approx_percentile returns sorted quantiles, so
+    # the highest exceeded index i means all i+1 lower bounds are exceeded
+    # too). The former aggregate() fold is a non-codegen lambda: 31
+    # interpreted steps for EVERY row; the CASE chain is codegen'd
+    # straight-line with early exit (r14: 1.65 -> 0.77 s at sf0.1,
+    # identical rows).
+    whens = " ".join(
+        f"WHEN cents > element_at(bs, {i + 1}) THEN {i + 2}"
+        for i in reversed(range(RANGE_SPLITS - 1))
+    )
     assigned = cents.join(F.broadcast(bounds)).select(
         "cents",
-        F.expr(
-            "1 + aggregate(bs, 0, (acc, b) -> acc + CASE WHEN cents > b "
-            "THEN 1 ELSE 0 END)"
-        ).alias("split_id"),
+        F.expr(f"CASE {whens} ELSE 1 END").alias("split_id"),
     )
     return (
         assigned.groupBy("split_id")
