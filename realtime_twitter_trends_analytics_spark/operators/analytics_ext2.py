@@ -585,55 +585,68 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's unrolled-CTE iteration."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    trans = (
-        e.withColumn("nxt", F.lead("event_type").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     from ..audit import audit_plan
 
-    tot = trans.groupBy("src").agg(F.sum("cnt").alias("tot"))
-    # no checkpoint: the matrix is consumed exactly once, by the collect
-    tm = audit_plan(
+    # ONE pass collects both model inputs (r14): the transition counts
+    # AND the empirical per-state counts ride the same scan + lag window
+    # via GROUPING SETS ((src, dst), (src)) — the (src) subtotal counts
+    # every event (each row appears exactly once as src in the lagged
+    # frame), so it IS the old e.groupBy(event_type) empirical agg. The
+    # former form paid THREE events scans per run: the matrix job, the
+    # emp agg, and emp_tot's un-reused duplicate of the emp subplan. The
+    # per-src totals and the p6 quantization move to the driver over the
+    # collected K^2 rows — model-state arithmetic (Python // == the DIV
+    # both engines quantize with), same discipline as the power
+    # iteration below.
+    lagged = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    gs = audit_plan(
         "markov_tm",
-        trans.join(tot, "src").select(
-            "src", "dst", F.expr("(cnt * 1000000) DIV tot").alias("p6")
+        lagged.groupingSets([["src", "dst"], ["src"]], "src", "dst").agg(
+            F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("gid")
         ),
     )
-    tm_rows = tm.collect()  # K^2 rows — the model (see docstring)
-    states = sorted({r["src"] for r in tm_rows})
+    rows = gs.collect()  # K^2 + K rows — the model (see docstring)
+    # gid 0 = (src, dst) cells (drop the terminal dst-NULL cell: the old
+    # form filtered nxt IS NOT NULL before counting); gid 1 = (src)
+    # subtotals over ALL rows = the empirical state counts
+    trans_rows = [r for r in rows if r["gid"] == 0 and r["dst"] is not None]
+    emp_counts = {r["src"]: int(r["cnt"]) for r in rows if r["gid"] == 1}
+    tot: dict[str, int] = {}
+    for r in trans_rows:
+        tot[r["src"]] = tot.get(r["src"], 0) + int(r["cnt"])
+    tm_rows = [
+        (r["src"], r["dst"], (int(r["cnt"]) * 1_000_000) // tot[r["src"]])
+        for r in trans_rows
+    ]
+    states = sorted({src for src, _dst, _p6 in tm_rows})
     k = len(states)
     mass = {s: MARKOV_SCALE // k for s in states}
     for _ in range(MARKOV_ITERS):
         nxt: dict[str, int] = {}
-        for r in tm_rows:
-            m = mass.get(r["src"])
+        for src, dst, p6 in tm_rows:
+            m = mass.get(src)
             if m is not None:
-                nxt[r["dst"]] = nxt.get(r["dst"], 0) + (m * r["p6"]) // 1_000_000
+                nxt[dst] = nxt.get(dst, 0) + (m * p6) // 1_000_000
         mass = nxt
+    n_tot = sum(emp_counts.values())
+    out_rows = sorted(
+        (s, m, emp_counts[s], n_tot) for s, m in mass.items() if s in emp_counts
+    )
     v = spark.createDataFrame(
-        sorted(mass.items()), "state string, mass bigint"
+        out_rows, "state string, mass bigint, n_events bigint, n_tot bigint"
     )
-    emp = (
-        e.groupBy(F.col("event_type").alias("state"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    emp_tot = emp.groupBy().agg(F.sum("n_events").alias("n_tot"))
     share = dl.round_ratio(dl.SPARK, "n_events", "n_tot")
     stat = dl.round_ratio(dl.SPARK, "mass", str(MARKOV_SCALE))
-    return (
-        v.join(emp, "state")
-        .join(F.broadcast(emp_tot))
-        .selectExpr(
-            "state",
-            "mass",
-            f"{stat} AS stationary_share",
-            f"{share} AS empirical_share",
-            f"round({stat} - {share}, 4) AS drift",
-        )
-        .orderBy("state")
-    )
+    return v.selectExpr(
+        "state",
+        "mass",
+        f"{stat} AS stationary_share",
+        f"{share} AS empirical_share",
+        f"round({stat} - {share}, 4) AS drift",
+    ).orderBy("state")
 
 
 def _oracle_markov_stationary() -> str:
