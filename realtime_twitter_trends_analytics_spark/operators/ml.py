@@ -1013,16 +1013,26 @@ def _pq_blocks(q: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("bs.block").alias("block"), F.col("bs.sub").alias("sub"))
 
 
-def _pq_dist2(d: str, a: str, b: str) -> str:
+def _pq_dist2(d: str, a: str, b: str, width: int = PQ_SUB_DIM) -> str:
+    """Exact squared L2 between two WIDTH-long BIGINT subvectors. The
+    subvector width is always known at plan-build time (PQ_SUB_DIM for
+    the trained geometry; _codebook_geom's sub_dim on the generic encode
+    faces), so the Spark form is an unrolled straight-line element_at
+    chain (r14): at width 8 it beats the interpreted zip_with/aggregate
+    lambda pair 2x on the assign stage (0.91 -> 0.47 s at sf0.1,
+    bit-identical d2). The 64-dim embedding dot keeps its zip_with form —
+    the crossover measured there went the other way (3.5x)."""
     if d == dl.SPARK:
-        return (
-            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
-            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        terms = " + ".join(
+            f"(element_at({a}, {i}) - element_at({b}, {i})) * "
+            f"(element_at({a}, {i}) - element_at({b}, {i}))"
+            for i in range(1, width + 1)
         )
+        return f"CAST({terms} AS BIGINT)"
     e_a = dl.arr_element(d, a, "i")
     e_b = dl.arr_element(d, b, "i")
     diffs = dl.transform(
-        d, dl.seq(d, "1", str(PQ_SUB_DIM)), "i", f"(({e_a}) - ({e_b})) * (({e_a}) - ({e_b}))"
+        d, dl.seq(d, "1", str(width)), "i", f"(({e_a}) - ({e_b})) * (({e_a}) - ({e_b}))"
     )
     return dl.arr_sum_bigint(d, diffs)
 
@@ -1300,7 +1310,7 @@ def pq_encode(
         )
     spark = df.sparkSession
     bs = _pq_block_rows(df, key_cols, carry, qe_expr, n_blocks, sub_dim)
-    d2 = F.expr(_pq_dist2(dl.SPARK, "__sub", "__c"))
+    d2 = F.expr(_pq_dist2(dl.SPARK, "__sub", "__c", width=sub_dim))
     asg = (
         bs.join(F.broadcast(_codebook_relation(spark, codebook_rows)), "__block")
         .groupBy(*key_cols, "__block")
@@ -1362,7 +1372,7 @@ def pq_query_lut(
                 f"reduction — corpus relations take pq_encode instead)"
             )
     bs = _pq_block_rows(df, key_cols, carry, qe_expr, n_blocks, sub_dim)
-    d2 = F.expr(_pq_dist2(dl.SPARK, "__sub", "__c"))
+    d2 = F.expr(_pq_dist2(dl.SPARK, "__sub", "__c", width=sub_dim))
     pairs = bs.join(
         F.broadcast(_codebook_relation(spark, codebook_rows)), "__block"
     ).select(*key_cols, *carry, "__block", F.col("__code"), d2.alias("__d2"))
