@@ -3445,15 +3445,24 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one (type, dow, cents) hash agg for medians (value-domain
     grain); the 35-row median map rides a broadcast join back onto the
-    event scan; then the ANOVA aggs (35 cells -> 5 rows)."""
+    SAME value-domain cells (r14: deviations are constant within a
+    (type, dow, cents) cell, so the per-group sums are the cnt-weighted
+    cell sums — the former form re-scanned the events table a second
+    time to fold row-grain deviations the cells already determine); then
+    the ANOVA aggs (35 cells -> 5 rows). The cells relation feeds both
+    the median window and the deviation agg, so it rides a lazy
+    localCheckpoint — one events scan per run, value-domain rows
+    pinned (the same grain the median shuffle already moves)."""
     e = load_table(spark, sf_dir, "events")
     base = e.select(
         "event_type",
         F.expr(ANOVA_DOW).alias("dow"),
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
     )
-    per = base.groupBy("event_type", "dow", "cents").agg(
-        F.count(F.lit(1)).alias("cnt")
+    per = (
+        base.groupBy("event_type", "dow", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     wt = (
         W.partitionBy("event_type", "dow")
@@ -3477,15 +3486,15 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m_hi"),
     )
-    dev = base.join(F.broadcast(med), ["event_type", "dow"]).selectExpr(
-        "event_type", "dow", "abs(2 * cents - (m_lo + m_hi)) AS dv"
+    dev = per.join(F.broadcast(med), ["event_type", "dow"]).selectExpr(
+        "event_type", "dow", "cnt", "abs(2 * cents - (m_lo + m_hi)) AS dv"
     )
     g = (
         dev.groupBy("event_type", "dow")
         .agg(
-            F.count(F.lit(1)).alias("ng"),
-            F.sum("dv").alias("s1g"),
-            F.sum(F.col("dv") * F.col("dv")).alias("s2g"),
+            F.sum("cnt").alias("ng"),
+            F.sum(F.col("cnt") * F.col("dv")).alias("s1g"),
+            F.sum(F.col("cnt") * F.col("dv") * F.col("dv")).alias("s2g"),
         )
         .withColumn("tg", F.expr("(2 * s1g * s1g + ng) DIV (2 * ng)"))
     )
