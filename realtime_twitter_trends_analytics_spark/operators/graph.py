@@ -321,10 +321,13 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-shuffling the edge list (PR_ITERS exchanges saved) —
     # the pre-partitioned-iteration pattern a 1000-executor PageRank needs
     # anyway to keep the big side stationary across rounds.
+    # lazy (r14): nodes.count() below is the first action over the edge
+    # list and materializes the checkpoint in its own scan — the eager
+    # form paid a separate build job per run
     edges = audit_plan(
         "graph_pr_edges",
         edges.join(F.broadcast(out_w), "src").repartition(F.col("src")),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("token"))
         .union(edges.select(F.col("dst").alias("token")))
