@@ -477,21 +477,21 @@ def _lsh_ann_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate side to TABLES rows — same candidate set, 1 join + 1
     # distinct instead of 4 joins + 3 unions (each small stage carries
     # fixed scheduling/codegen overhead that dominated the old shape)
+    # ONE parsed expression for the TABLES x PROBES fan-out (r14): the
+    # former py4j comprehension (68 F.struct/F.lit/bitwiseXOR column
+    # objects) cost ~0.9 s of DRIVER time per construction — more than
+    # the query's whole execution; the single F.expr parse is ~60 ms
+    # with an identical analyzed plan (§5: the driver should do almost
+    # no work, and plan construction is part of the bench's timed cost)
+    probe_entries = ", ".join(
+        f"named_struct('t', {t}, 'bucket', (bucket_{t} ^ {m}))"
+        for t in range(ANN_LSH_TABLES)
+        for m in LSH_PROBE_MASKS
+    )
     probes = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        F.col(f"bucket_{t}").bitwiseXOR(F.lit(m)).alias("bucket"),
-                    )
-                    for t in range(ANN_LSH_TABLES)
-                    for m in LSH_PROBE_MASKS
-                ]
-            )
-        ).alias("p"),
+        F.expr(f"explode(array({probe_entries}))").alias("p"),
     ).select("query_id", "qv", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
     c = bucketed.select(
         F.col("vec_id").alias("cand_id"),
