@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
-from ..sources.loaders import load_table
+from ..sources.loaders import load_table, register_table_view
 
 
 def _dec(c: str | Column) -> Column:
@@ -735,7 +735,7 @@ FROM events
 def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via the SQL front-end (spark.sql), proving the engine's
     SQL surface, not just the DataFrame DSL."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    register_table_view(spark, sf_dir, "orders")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.loaders import load_table
+from ..sources.loaders import load_table, register_table_view
 
 SQL_Q2_MIN_COST_SUPPLIER = """
 SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
@@ -298,7 +298,7 @@ _NEEDED = ("supplier", "nation", "region", "lineitem", "orders", "customer", "pa
 def _run(sql: str):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in _NEEDED:
-            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+            register_table_view(spark, sf_dir, t)
         return spark.sql(sql)
 
     return runner

@@ -42,14 +42,32 @@ TABLES = (
 BROADCAST_TABLES = ("region", "nation", "supplier", "part")
 
 
+# (applicationId, sf_dir, name, mtime_ns, size) -> lazy DataFrame PLAN.
+# Metadata memo, not a result cache (r14): spark.read.parquet costs
+# ~0.15 s of driver time per call (py4j + footer schema read), and the
+# bench-wide call count made that the single largest driver-side tax.
+# The memoized object is an unexecuted plan — every action still scans
+# the parquet data pages; only the footer-derived schema/file-listing
+# work is reused, the same class of state as _ROW_COUNT_MEMO below.
+# Keyed on the file stat so a regenerated fixture invalidates naturally.
+_TABLE_PLAN_MEMO: dict[tuple[str, str, str, int, int], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; normalizes the events.ts nanos column to TimestampType."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(path)
+    key = (spark.sparkContext.applicationId, sf_dir, name, st.st_mtime_ns, st.st_size)
+    memo = _TABLE_PLAN_MEMO.get(key)
+    if memo is not None:
+        return memo
     apply_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # int64 nanos -> microsecond timestamp. INTEGER division: the double
         # path loses 1us above 2^53 ns, which breaks oracle equality.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _TABLE_PLAN_MEMO[key] = df
     return df
 
 
@@ -80,12 +98,31 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+# (applicationId, view name) -> the load_table memo key last registered
+# under that name. Re-registration is idempotent catalog work (~25 ms of
+# py4j per view); skipping it when the SAME table plan is already bound
+# saves a fixed per-query driver tax. A different sf_dir (or regenerated
+# fixture) changes the key and re-registers, so multi-SF sessions —
+# the test suites do this — stay correct.
+_VIEW_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def register_table_view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Bind table ``name`` as a temp view, once per (session, fixture)."""
+    df = load_table(spark, sf_dir, name)
+    st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+    vkey = (spark.sparkContext.applicationId, name)
+    tkey = (sf_dir, st.st_mtime_ns, st.st_size)
+    if _VIEW_MEMO.get(vkey) != tkey:
+        df.createOrReplaceTempView(name)
+        _VIEW_MEMO[vkey] = tkey
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every table as a temp view (for spark.sql entry points)."""
-    dfs = load_tables(spark, sf_dir)
-    for name, df in dfs.items():
-        df.createOrReplaceTempView(name)
-    return dfs
+    for name in TABLES:
+        register_table_view(spark, sf_dir, name)
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
 def fan_out_small(df: DataFrame, spark: SparkSession) -> DataFrame:
