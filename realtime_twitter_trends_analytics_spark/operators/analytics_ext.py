@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions import dialect as dl
-from ..sources.loaders import load_table
+from ..sources.loaders import fan_out_small, load_table
 
 
 # ---------------------------------------------------------------- gaps/islands
@@ -827,11 +827,17 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CASE (b - 1) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 "
         "ELSE 8 END)"
     )
+    # fan_out_small (r14): the xBOOT_B explode + nibble filter + partial
+    # agg ran as ONE task on the single-row-group fixture; the floor
+    # shuffles only the slim 3-column projection (one md5 per row).
     rep = (
-        e.select(
-            "event_type",
-            F.expr("md5(CAST(event_id AS STRING))").alias("h"),
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        fan_out_small(
+            e.select(
+                "event_type",
+                F.expr("md5(CAST(event_id AS STRING))").alias("h"),
+                F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            ),
+            spark,
         )
         .withColumn("b", F.explode(F.expr(f"sequence(1, {BOOT_B})")))
         .filter(F.expr(f"(({nib}) DIV {bitmask}) % 2 = 1"))
@@ -2808,10 +2814,16 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(PERM_GROUP_A, PERM_GROUP_B)
     )
-    base = e.select(
-        "event_type",
-        F.col("event_id").cast("string").alias("eid"),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    # fan_out_small (r14): the replicate relabeling below computes R md5s
+    # per row — on the single-row-group local fixture that whole fan-out
+    # ran as ONE task. The floor shuffles only the 3-column slim base.
+    base = fan_out_small(
+        e.select(
+            "event_type",
+            F.col("event_id").cast("string").alias("eid"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        ),
+        spark,
     )
     obs = base.groupBy().agg(
         F.sum(F.when(F.col("event_type") == PERM_GROUP_A, F.col("cents"))).alias("sa"),
@@ -3048,11 +3060,17 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
         F.expr("CAST((unix_timestamp(ts) DIV 3600) % 24 AS BIGINT)").alias("hod"),
     )
-    joint = base.groupBy("event_type", "cents", "hod").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # one events scan (r14): the rank maps derive EXACTLY from the joint
+    # cells (per-(type,col) count = sum over the other axis of cell cnt),
+    # so base is scanned once and the lazily-pinned value-domain cells
+    # feed all three consumers — before, each rank map re-scanned events.
+    joint = (
+        base.groupBy("event_type", "cents", "hod")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     def rank_map(col: str):
-        per = base.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("c"))
+        per = joint.groupBy("event_type", col).agg(F.sum("cnt").alias("c"))
         wt = (
             W.partitionBy("event_type")
             .orderBy(col)
@@ -3185,8 +3203,13 @@ FROM tot ORDER BY event_type, digit
 MI_Q = 10**12  # per-cell information terms quantized before the SUM
 
 
-def _mi_pair_spark(df: DataFrame, a: str, b: str) -> DataFrame:
-    obs = df.groupBy(a, b).agg(F.count(F.lit(1)).alias("o"))
+def _mi_pair_spark(df: DataFrame, a: str, b: str, weight: str | None = None) -> DataFrame:
+    # weight: name of a pre-aggregated cell-count column (sum(cnt) == the
+    # row count, exact BIGINT either way). Lazy localCheckpoint (r14):
+    # obs has FOUR consumers (ra, cb, nn, mi) — without the pin the input
+    # scan + contingency agg re-execute per consumer.
+    o_agg = F.sum(weight) if weight else F.count(F.lit(1))
+    obs = df.groupBy(a, b).agg(o_agg.alias("o")).localCheckpoint(eager=False)
     ra = obs.groupBy(a).agg(F.sum("o").alias("rt"))
     cb = obs.groupBy(b).agg(F.sum("o").alias("ct"))
     nn = obs.groupBy().agg(F.sum("o").alias("n"))
@@ -3261,10 +3284,19 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         dow.cast("string").alias("dow"),
         vb.cast("string").alias("vbin"),
     )
+    # one events scan (r14): the three pair branches each derive their
+    # contingency table EXACTLY from the pinned 3-way category cells
+    # (sum(cnt) over the dropped axis == the pair count) — before, every
+    # branch (and every consumer inside it) re-scanned events.
+    cells = (
+        base.groupBy("etype", "dow", "vbin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     out = (
-        _mi_pair_spark(base, "etype", "dow")
-        .union(_mi_pair_spark(base, "etype", "vbin"))
-        .union(_mi_pair_spark(base, "dow", "vbin"))
+        _mi_pair_spark(cells, "etype", "dow", weight="cnt")
+        .union(_mi_pair_spark(cells, "etype", "vbin", weight="cnt"))
+        .union(_mi_pair_spark(cells, "dow", "vbin", weight="cnt"))
     )
     return out.orderBy("var_a", "var_b")
 
@@ -3367,7 +3399,10 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cumb", F.coalesce(F.sum("cnt").over(wt), F.lit(0))
     ).withColumn("n", F.sum("cnt").over(W.partitionBy("event_type")))
     kk = F.expr(f"least(CAST({HILL_KMAX} AS BIGINT), n DIV 10)")
-    cells = cells.withColumn("k", kk)
+    # lazy localCheckpoint (r14): thr AND agg both consume cells — without
+    # the pin the events scan + both windows execute twice per run. The
+    # pinned relation is value-domain grain (bounded), the §8 rule.
+    cells = cells.withColumn("k", kk).localCheckpoint(eager=False)
     thr = cells.filter(
         (F.col("cumb") <= F.col("k")) & (F.col("cumb") + F.col("cnt") > F.col("k"))
     ).select("event_type", F.col("cents").alias("xk1"))

@@ -437,29 +437,32 @@ def events_uplift_by_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((min(di) + max(di) + 1) DIV 2 AS BIGINT)").alias("split_di")
     )
     tagged = e.join(F.broadcast(split))
-    pre = (
-        tagged.filter(F.col("di") < F.col("split_di"))
-        .groupBy("user_id")
-        .agg(F.sum("cents").alias("pre_cents"))
-    )
-    post = (
-        tagged.filter(F.col("di") >= F.col("split_di"))
-        .groupBy("user_id")
-        .agg(
-            F.max(
-                F.when(F.col("event_type") == UPLIFT_OUTCOME, 1).otherwise(0)
-            ).alias("converted")
-        )
-    )
-    users = e.select("user_id").distinct()
     nib = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(user_id AS STRING)"))
+    # one user-grain agg (r14): pre-spend and post-conversion fold into
+    # conditional aggregates over ONE pass — before, pre/post/users were
+    # three separate scans + aggs stitched by two left joins. Exact
+    # equivalence: sum(when(pre, cents)) is NULL for a user with no pre
+    # rows (== the old left-join miss, coalesced to 0 identically), and
+    # max(when(post & outcome, 1) else 0) is 0 whenever the old post-side
+    # max was absent or 0.
     scored = (
-        users.join(pre, "user_id", "left")
-        .join(post, "user_id", "left")
+        tagged.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("di") < F.col("split_di"), F.col("cents"))
+            ).alias("pre_sum"),
+            F.max(
+                F.when(
+                    (F.col("di") >= F.col("split_di"))
+                    & (F.col("event_type") == UPLIFT_OUTCOME),
+                    1,
+                ).otherwise(0)
+            ).alias("conv"),
+        )
         .select(
             "user_id",
-            F.coalesce("pre_cents", F.lit(0)).alias("pre_cents"),
-            F.coalesce("converted", F.lit(0)).alias("converted"),
+            F.coalesce("pre_sum", F.lit(0)).alias("pre_cents"),
+            F.col("conv").alias("converted"),
             F.when(nib < 8, "control").otherwise("treat").alias("arm"),
         )
         .withColumn(

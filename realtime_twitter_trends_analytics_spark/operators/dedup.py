@@ -587,7 +587,11 @@ def _simhash_bit_sql(d: str, b: int) -> str:
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SIMHASH_BITS-bit signature per doc: sum token votes per bit, take the
     sign, pack to one BIGINT. One explode + one groupBy."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out_small (r14): explode + md5 + the 64-bit-vote map-side
+    # partial agg all ran as ONE task on the single-row-group fixture.
+    docs = fan_out_small(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     tok = docs.select(
         "doc_id", F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("tok")
     ).select("doc_id", F.md5("tok").alias("h"))
@@ -868,7 +872,12 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per pair, span count, longest span, total duplicated tokens
     (sum over disjoint-diagonal spans). Everything shuffles on uniform
     md5 / (a, b, diag) keys; nothing is ever all-pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out_small (r14): the positional-shingle md5 build (the dominant
+    # map work, materialized by the checkpoint below) ran as ONE task on
+    # the single-row-group fixture.
+    docs = fan_out_small(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     sh = (
         docs.select("doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks"))
         .select(

@@ -1022,11 +1022,15 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     _lpa_labels chain (vocab-sized relations, fixed rounds)."""
     labels = _lpa_labels(spark, sf_dir)
     edges = _cooc_edges(spark, sf_dir)
-    lab = labels.select("node", "label")
+    # lazy localCheckpoint (r14): lab has THREE consumers (both e2 joins +
+    # the n_comm count) and e2 has two (tot, wdeg's union) — without the
+    # pins the whole LPA_ITERS join/agg lineage re-executes per consumer.
+    # Both relations are vocab-bounded (node-grain / capped edge-grain).
+    lab = labels.select("node", "label").localCheckpoint(eager=False)
     e2 = (
         edges.join(lab.withColumnRenamed("node", "tok_a").withColumnRenamed("label", "la"), "tok_a")
         .join(lab.withColumnRenamed("node", "tok_b").withColumnRenamed("label", "lb"), "tok_b")
-    )
+    ).localCheckpoint(eager=False)
     tot = e2.agg(
         F.sum("w").alias("m"),
         F.sum(F.when(F.col("la") == F.col("lb"), F.col("w")).otherwise(0)).alias(

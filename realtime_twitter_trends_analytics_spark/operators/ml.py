@@ -30,7 +30,7 @@ from pyspark.sql.window import Window as W
 
 from ..audit import audit_plan
 from ..functions import dialect as dl
-from ..sources.loaders import load_table
+from ..sources.loaders import fan_out_small, load_table, register_table_view
 
 EMB_DIM = 64
 K_CLUSTERS = 8       # seeds = vec_id 0..7
@@ -2191,7 +2191,7 @@ FROM pred GROUP BY actual, pred ORDER BY actual, pred
 
 
 def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    register_table_view(spark, sf_dir, "documents")
     return spark.sql(_nb_sql(dl.SPARK))
 
 
@@ -2199,7 +2199,7 @@ ml_naive_bayes_lang.__doc__ = _nb_sql.__doc__
 
 
 def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    register_table_view(spark, sf_dir, "events")
     return spark.sql(_logreg_sql())
 
 
@@ -2372,7 +2372,9 @@ def ml_stump_cv_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: everything runs on the (folds x dims x bins x labels) grid —
     bounded by constants and never data-sized; the raw scan feeds one
     hash agg with map-side partials."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out_small (r14): the xSTUMP_DIMS posexplode + binning + partial
+    # agg ran as ONE task on the single-row-group fixture.
+    emb = fan_out_small(load_table(spark, sf_dir, "embeddings"), spark)
     fold = (
         f"pmod({dl.hex_prefix_uint(dl.SPARK, 'md5(CAST(vec_id AS STRING))', 8)},"
         f" {CV_FOLDS})"
@@ -2387,8 +2389,14 @@ def ml_stump_cv_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr(f"CAST(floor(x * {STUMP_BIN_SCALE}) AS BIGINT)").alias("bin"),
     )
-    counts = binned.groupBy("fold", "dim", "label", "bin").agg(
-        F.count(F.lit(1)).alias("c")
+    # lazy localCheckpoints (r14): counts has THREE consumers (bins_d,
+    # lab_tot_f, the grid join) and cum two (tot_all, both) — without the
+    # pins the embeddings scan + histogram agg re-execute per consumer.
+    # Both relations are (folds x dims x bins x labels)-bounded.
+    counts = (
+        binned.groupBy("fold", "dim", "label", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     bins_d = counts.select("dim", "bin").distinct()
     lab_tot_f = counts.groupBy("fold", "dim", "label").agg(F.sum("c").alias("tot"))
@@ -2403,7 +2411,7 @@ def ml_stump_cv_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = grid.withColumn(
         "cum",
         F.sum("c").over(W.partitionBy("fold", "dim", "label").orderBy("bin")),
-    )
+    ).localCheckpoint(eager=False)
     tot_all = cum.groupBy("dim", "label", "bin").agg(
         F.sum("cum").alias("cum_all"), F.sum("tot").alias("tot_all")
     )

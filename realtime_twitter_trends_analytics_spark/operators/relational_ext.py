@@ -23,7 +23,7 @@ from ..functions.text import (
     country_from_location,
     parse_sentinel,
 )
-from ..sources.loaders import load_table
+from ..sources.loaders import fan_out_small, load_table, register_table_view
 
 
 def _dec4(col) -> "F.Column":
@@ -275,8 +275,8 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
 def subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar + IN + correlated-EXISTS subqueries through the SQL front-end
     (one ANSI text shared verbatim with the oracle)."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    register_table_view(spark, sf_dir, "customer")
+    register_table_view(spark, sf_dir, "orders")
     return spark.sql(SQL_SUBQUERIES)
 
 
@@ -1665,7 +1665,12 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rule ordering is (lift DESC, item_a, item_b) — lift doubles come from
     identical BIGINTs in both engines, so the top-MB_TOP cut is stable."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # fan_out_small (r14): the broadcast probe + partial collect_set over
+    # every lineitem row ran as ONE task on the single-row-group fixture;
+    # the floor shuffles only the slim 2-column projection.
+    li = fan_out_small(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"), spark
+    )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)

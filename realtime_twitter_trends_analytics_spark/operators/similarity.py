@@ -24,7 +24,7 @@ from pyspark.sql.window import Window as W
 
 from ..audit import audit_plan
 from ..functions import dialect as dl
-from ..sources.loaders import load_table
+from ..sources.loaders import fan_out_small, load_table
 
 N_QUERY_VECS = 10   # vec_id < 10 are the query set
 TOP_K = 10
@@ -1524,7 +1524,12 @@ def sim_knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
         F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
     )
-    c = emb.filter(F.col("vec_id") >= KNN_EVAL_N).select(
+    # fan_out_small (r14): the broadcast-q × candidate cosine product (the
+    # whole query cost — |eval| dots per candidate row) runs on the
+    # candidate scan's partitions, ONE task on the single-row-group
+    # fixture. Fan the scan before the norm projection so norms and the
+    # cross product both run at full width.
+    c = fan_out_small(emb, spark).filter(F.col("vec_id") >= KNN_EVAL_N).select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cand_label"),
         F.col("embedding").alias("cv"),
@@ -1823,7 +1828,10 @@ def sim_ann_int8_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-query agg. At scale the int8 side would come from the IVF/PQ
     candidate paths — the eval contract (join the two top-K sets, count
     hits) is unchanged."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out_small (r14): the int8 quantization + per-pair double dot
+    # products (the whole query cost) run on the scan's partitions — ONE
+    # task on the single-row-group fixture.
+    emb = fan_out_small(load_table(spark, sf_dir, "embeddings"), spark)
     d = dl.SPARK
     base = emb.select(
         "vec_id",
@@ -2508,7 +2516,12 @@ def ml_knn_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
         F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
     )
-    c = emb.filter(F.col("vec_id") >= KNN_EVAL_N).select(
+    # fan_out_small (r14): the broadcast-q × candidate cosine product (the
+    # whole query cost — |eval| dots per candidate row) runs on the
+    # candidate scan's partitions, ONE task on the single-row-group
+    # fixture. Fan the scan before the norm projection so norms and the
+    # cross product both run at full width.
+    c = fan_out_small(emb, spark).filter(F.col("vec_id") >= KNN_EVAL_N).select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cand_label"),
         F.col("embedding").alias("cv"),

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..audit import audit_plan
 from ..functions import dialect as dl
-from ..sources.loaders import load_table
+from ..sources.loaders import fan_out_small, load_table
 
 # Marker-token sets for the deterministic n-gram-ish language heuristic.
 # (The driver corpus is a synthetic shared-vocab word salad, so the heuristic
@@ -732,7 +732,12 @@ def textstats_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2/(w+1) by the algorithm), extremes, and an md5 signature of the
     selected set. Pure array projection — zero shuffle; at 100 TB this is
     a map-only pass whose output feeds a fingerprint-equality join."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out_small (r14): the k-gram md5 + window-min chain IS the query
+    # cost, and on the single-row-group local fixture it ran as ONE task.
+    # Slim projection first so the floor shuffles only (doc_id, text).
+    docs = fan_out_small(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     c = _winnow_cols(dl.SPARK)
     staged = docs.select(
         "doc_id", F.expr(c["toks"]).alias("toks")
@@ -2117,7 +2122,13 @@ def textstats_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     d = dl.SPARK
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out_small (r14): tokenize + posexplode ran as ONE task on the
+    # single-row-group fixture, and the first exchange above it moves
+    # token-grain rows (larger than the text itself). Fan the slim
+    # doc-grain projection out first.
+    docs = fan_out_small(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     toks = docs.select(
         "doc_id",
         F.posexplode(F.expr(dl.split_ws(d, "text"))).alias("pos0", "w"),
@@ -2489,22 +2500,32 @@ def textstats_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
     tok_per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
-    outs = []
-    for cp in checkpoints:
-        v = first.filter(F.col("first_doc") < cp).agg(
-            F.count(F.lit(1)).alias("vocab")
-        )
-        n = tok_per_doc.filter(F.col("doc_id") < cp).agg(
-            F.sum("nt").alias("n_tokens")
-        )
-        outs.append(
-            v.join(F.broadcast(n)).selectExpr(
-                f"CAST({cp} AS BIGINT) AS prefix_docs", "vocab", "n_tokens"
-            )
-        )
-    pts = outs[0]
-    for o in outs[1:]:
-        pts = pts.unionByName(o)
+    # one pass per relation (r14): every checkpoint's vocab / token count
+    # is a CONDITIONAL aggregate over the same token-grain relations —
+    # before, each of the HEAPS_POINTS branches re-executed the full
+    # explode + agg subplan (~2 x HEAPS_POINTS corpus passes per run).
+    # Exact equivalence: count(when(first_doc < cp, 1)) == the filtered
+    # count (0 when empty), sum(when(doc_id < cp, nt)) == the filtered
+    # sum (NULL when empty — dropped by the n_tokens > 0 filter, as the
+    # old NULL sum was).
+    v_row = first.agg(
+        *[
+            F.count(F.when(F.col("first_doc") < cp, F.lit(1))).alias(f"v_{i}")
+            for i, cp in enumerate(checkpoints)
+        ]
+    )
+    n_row = tok_per_doc.agg(
+        *[
+            F.sum(F.when(F.col("doc_id") < cp, F.col("nt"))).alias(f"n_{i}")
+            for i, cp in enumerate(checkpoints)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({cp} AS BIGINT), v_{i}, n_{i}" for i, cp in enumerate(checkpoints)
+    )
+    pts = v_row.join(n_row).selectExpr(
+        f"stack({len(checkpoints)}, {stack_args}) AS (prefix_docs, vocab, n_tokens)"
+    )
     pts = pts.filter(F.col("n_tokens") > 0).selectExpr(
         "prefix_docs",
         "vocab",
