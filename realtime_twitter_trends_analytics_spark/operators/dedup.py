@@ -789,21 +789,15 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-explode projection (one md5 per document) — a join against a
     per-doc flags table would make the 'small' side corpus-sized, which
     is broadcast-OOM at scale and a needless shuffle otherwise."""
-    docs = load_table(spark, sf_dir, "documents")
     bucket = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(doc_id AS STRING)"))
-    sh = (
-        docs.select(
-            "doc_id",
-            (bucket == 0).alias("is_test"),
-            F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks"),
-        )
-        .select(
-            "doc_id",
-            "is_test",
-            F.explode(
-                F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "toks")))
-            ).alias("sh"),
-        )
+    # r14: read the SHARED distinct-shingle staging relation (identical
+    # tokenize + arr_distinct(shingles) rows, checkpointed + fanned once
+    # per app x sf_dir) — sh has two consumers (train_sh, test_sh), each
+    # of which re-executed the single-task shingle build before. The
+    # is_test flag is still one md5 per (doc, shingle) row computed
+    # map-side off the checkpoint, never a joined flags table.
+    sh = shingle_rel_staging(spark, sf_dir).select(
+        "doc_id", (bucket == 0).alias("is_test"), "sh"
     )
     train_sh = sh.filter(~F.col("is_test")).select("sh").distinct()
     test_sh = sh.filter(F.col("is_test")).select("doc_id", "sh")
@@ -1012,21 +1006,12 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     all before the only train-side shuffle (the DISTINCT over the tiny
     surviving set). The confirming join + per-doc agg are identical to the
     exact operator's."""
-    docs = load_table(spark, sf_dir, "documents")
     bucket = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(doc_id AS STRING)"))
-    sh = (
-        docs.select(
-            "doc_id",
-            (bucket == 0).alias("is_test"),
-            F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks"),
-        )
-        .select(
-            "doc_id",
-            "is_test",
-            F.explode(
-                F.expr(dl.arr_distinct(dl.SPARK, shingles_sql(dl.SPARK, "toks")))
-            ).alias("sh"),
-        )
+    # r14: the SHARED distinct-shingle staging relation replaces the
+    # inline single-task shingle build (three consumers here: bits,
+    # surviving_train, hits — each re-executed it before).
+    sh = shingle_rel_staging(spark, sf_dir).select(
+        "doc_id", (bucket == 0).alias("is_test"), "sh"
     )
     m = 1 << BLOOM_BITS_LOG2
     p1 = f"pmod(xxhash64(sh), {m})"
@@ -1577,7 +1562,13 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: reuses the verified-pair relation (staging-backed); the
     curve itself is a constant-size agg per grid point over pair-grain
     rows."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("jaccard")
+    # lazy localCheckpoint (r14): every LSH_TUNE_GRID union branch consumes
+    # pairs — without the pin the whole ngram-jaccard verifier (shingle
+    # self-join + three joins) re-executes once per grid point. The pinned
+    # relation is the thresholded pair set (tiny by construction).
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir).select("jaccard").localCheckpoint(eager=False)
+    )
     outs = []
     for b, r in LSH_TUNE_GRID:
         prob = f"(1.0 - {_pow_expr('1.0 - ' + _pow_expr('jaccard', r), b)})"

@@ -108,6 +108,12 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hazard, see dedup_minhash_pairs). With the edge/oriented relations
     # also checkpointed: triangle 2.39->1.87s, pagerank 3.12->2.51s at
     # sf0.1.
+    # r14 note: switching this build to the shared tokenized staging
+    # relation was MEASURED as a 1.43x regression (interleaved rebench) —
+    # deserializing the checkpointed full-token arrays costs more than
+    # re-tokenizing the (tiny, column-pruned) documents scan here, because
+    # the capped-distinct slice keeps almost none of the tokens. Left on
+    # the direct scan deliberately.
     tok = audit_plan(
         "graph_token_rel",
         docs.select(

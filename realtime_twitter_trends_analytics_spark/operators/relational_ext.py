@@ -86,6 +86,9 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small-sf ORACLE; the scale path is ``percentiles_approx`` below
     (mergeable sketch, bounded memory), kept side-by-side so the bench can
     show both and the rank-error bound is test-asserted between them."""
+    # r14 note: fanning the scan measured 1.01x (parity) — the holistic
+    # final merge dominates, which is the documented reason
+    # percentiles_approx is the 100 TB face. Left on the direct scan.
     l = load_table(spark, sf_dir, "lineitem")
     # ONE percentile agg with an array of fractions = one sort buffer per
     # group, not three (Spark's exact percentile sorts per aggregate call).

@@ -84,6 +84,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr(norm_sql(dl.SPARK, "embedding")).alias("cnorm"),
     )
+    # fan_out_small (r14): the broadcast-q × candidate cosine product runs
+    # on the candidate scan's partitions — ONE task on the single-row-group
+    # fixture (same dispatch as sim_knn_label_probe).
+    c = fan_out_small(c, spark)
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
     sim = pairs.withColumn(
         "cosine",
@@ -241,7 +245,10 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
         F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
     )
-    c = emb.select(
+    # fan_out_small (r14): same single-row-group dispatch as
+    # sim_topk_bruteforce — the relevance product runs on the candidate
+    # scan's partitions.
+    c = fan_out_small(emb, spark).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
         F.expr(norm_sql(dl.SPARK, "embedding")).alias("cnorm"),
@@ -1730,7 +1737,9 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
         F.expr(norm_sql(dl.SPARK, "embedding")).alias("qnorm"),
     )
-    tr = emb.filter(F.col("vec_id") >= KNN_EVAL_N).select(
+    # fan_out_small (r14): the eval × train cosine scan runs on the train
+    # side's partitions — ONE task on the single-row-group fixture.
+    tr = fan_out_small(emb, spark).filter(F.col("vec_id") >= KNN_EVAL_N).select(
         F.col("vec_id").alias("train_id"),
         "label",
         F.col("embedding").alias("cv"),
@@ -1947,7 +1956,10 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     two top-K sets regardless of how candidates were produced."""
     d = dl.SPARK
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
+    # fan_out_small (r14): the sliced-prefix norms + double dot products
+    # per pair run on the scan's partitions — ONE task on the
+    # single-row-group fixture (same dispatch as sim_ann_int8_eval).
+    base = fan_out_small(emb, spark).select(
         "vec_id",
         "embedding",
         F.expr(f"slice(embedding, 1, {MAT_DIMS})").alias("vm"),

@@ -641,10 +641,12 @@ def textstats_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the threshold (the local case) and falls back to a shuffle
     equi-join on the bigram key when it isn't — hot bigrams are
     uniform-ish and AQE skew-split covers the rest."""
-    docs = load_table(spark, sf_dir, "documents")
-    tokd = docs.select(
-        "doc_id", "source", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
-    )
+    from .dedup import tokenized_docs_staging
+
+    # r14: the vocab scalar reads the SHARED tokenized staging relation
+    # (identical split_ws tokens, checkpointed + fanned) instead of
+    # re-tokenizing the raw documents scan single-task.
+    tokd = tokenized_docs_staging(spark, sf_dir)
     vocab = tokd.select(F.explode("toks").alias("t")).agg(
         F.count_distinct("t").alias("v")
     ).collect()[0]["v"]
@@ -1546,9 +1548,15 @@ def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     match (the textstats_lm_score ln-on-integer-ratio argument). Docs with
     fewer than 2 tokens have no bigrams and are excluded identically by
     both engines."""
+    from .dedup import tokenized_docs_staging
+
     docs = load_table(spark, sf_dir, "documents")
+    # r14: vocab scalar from the SHARED tokenized staging relation
+    # (identical split_ws tokens, checkpointed + fanned) instead of
+    # re-tokenizing the raw documents scan single-task.
     vocab = (
-        docs.select(F.explode(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("t"))
+        tokenized_docs_staging(spark, sf_dir)
+        .select(F.explode("toks").alias("t"))
         .agg(F.count_distinct("t").alias("v"))
         .collect()[0]["v"]
     )  # scalar agg (same pattern as textstats_lm_score)
