@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from ..audit import audit_plan
 from ..functions import dialect as dl
-from ..sources.loaders import load_table
+from ..sources.loaders import fan_out_small, load_table
 
 # PII patterns, shared verbatim by both engines (no backslash classes, so
 # the literal is identical in Java regex and RE2).
@@ -236,6 +236,9 @@ def corpus_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sampling import SHUFFLE_SALT, SHUFFLE_SHARDS
 
+    # r14 note: fanning this scan measured 1.13x (the verdict + content
+    # hash are too light to pay for a full-text round-robin exchange);
+    # left on the direct scan deliberately.
     docs = load_table(spark, sf_dir, "documents")
     kept = docs.filter(F.expr(_verdict_sql(dl.SPARK)) == "kept")
     n_tok = F.size(F.expr(dl.split_ws(dl.SPARK, "text")))
@@ -328,7 +331,9 @@ def corpus_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         signature_match_count,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out_small (r14): the gate/normalize/shingle map work before
+    # the first exchange ran as ONE task on the single-row-group fixture.
+    docs = fan_out_small(load_table(spark, sf_dir, "documents"), spark)
     kept = docs.filter(F.expr(_verdict_sql(dl.SPARK)) == "kept")
     sig = minhash_signatures_for(kept.select("doc_id", "text")).localCheckpoint()
     banded = banded_rel(sig)
@@ -444,7 +449,9 @@ def corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         signature_match_count,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out_small (r14): the gate/normalize/shingle map work before
+    # the first exchange ran as ONE task on the single-row-group fixture.
+    docs = fan_out_small(load_table(spark, sf_dir, "documents"), spark)
     bucket = F.expr(dl.md5_prefix_nibble(dl.SPARK, "CAST(doc_id AS STRING)"))
     eval_sh = (
         docs.filter(bucket == 0)
@@ -659,6 +666,9 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     widest columns in the corpus). Identical rows out."""
     from pyspark.sql.window import Window
 
+    # r14 note: fanning this scan measured a 1.43x regression (interleaved
+    # rebench) — verdict + normalize are cheap column arithmetic and the
+    # round-robin exchange ships text + norm_text; left on the direct scan.
     docs = load_table(spark, sf_dir, "documents")
     norm = F.expr(_normalize_sql(dl.SPARK))
     gated = docs.filter(F.expr(_verdict_sql(dl.SPARK)) == "kept").select(
