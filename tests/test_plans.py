@@ -246,14 +246,22 @@ def test_bpe_merges_is_takeordered_over_vocab(spark, sf_dir):
     assert has_node(textstats_bpe_merges(spark, sf_dir), "TakeOrderedAndProject")
 
 
-def test_winnowing_has_no_shuffle(spark, sf_dir):
-    """Winnowing is a pure per-row array pipeline — any exchange in the
-    plan means someone introduced a join/agg into the map-only pass."""
+def test_winnowing_has_no_keyed_shuffle(spark, sf_dir):
+    """Winnowing is a pure per-row array pipeline — a KEYED exchange in
+    the plan means someone introduced a join/agg into the map-only pass.
+    The one allowed exchange is the r14 fan_out_small parallelism floor
+    (RoundRobinPartitioning over the single-row-group local fixture),
+    which is identity at scale and never re-keys data."""
     from realtime_twitter_trends_analytics_spark.operators.textstats import (
         textstats_winnowing,
     )
 
-    assert count_exchanges(textstats_winnowing(spark, sf_dir)) == 0
+    plan = textstats_winnowing(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(kind == "RoundRobinPartitioning" for kind in exchanges), exchanges
+    assert len(exchanges) <= 1, exchanges
 
 
 def test_text_normalize_has_no_shuffle(spark, sf_dir):
