@@ -1040,6 +1040,10 @@ def dsir_perdoc_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
         ).alias("ct"),
     )
+    # DSIR_BUCKETS-bounded pin (r14): the tot collect below materializes
+    # it, and the lr broadcast build then reads the pinned cells instead of
+    # re-running the instance-grain agg a second time per staging build.
+    counts = counts.localCheckpoint(eager=False)
     tot = counts.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt")).collect()[0]
     lr = counts.select(
         "b",

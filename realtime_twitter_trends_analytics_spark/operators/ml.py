@@ -1107,8 +1107,9 @@ def pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         # + the caller's final assign): materialize the explode once
         # (multi-consumer staging rule; the checkpointed base is the
         # memoized quantized_vectors, so this only pins the 8x slice
-        # fan-out, not another scan)
-        blocks = audit_plan("pq_blocks", blocks).localCheckpoint()
+        # fan-out, not another scan). Lazy (r14): round 1's collect is the
+        # first action and materializes it — no separate checkpoint job.
+        blocks = audit_plan("pq_blocks", blocks).localCheckpoint(eager=False)
         # seeds: vectors 0..PQ_K-1 provide the initial codeword per block
         cent = blocks.filter(F.col("vec_id") < PQ_K).select(
             "block", F.col("vec_id").cast("int").alias("code"), F.col("sub").alias("c")

@@ -1681,8 +1681,10 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
     )
     # three consumers (basket count, item counts, pair fan-out):
-    # materialize once — the staging-tier lesson.
-    baskets = audit_plan("basket_rel", baskets).localCheckpoint()
+    # materialize once — the staging-tier lesson. Lazy (r14): the final
+    # query's first touch (the nb broadcast build) materializes it, so the
+    # basket shuffle no longer runs as its own eager pre-job.
+    baskets = audit_plan("basket_rel", baskets).localCheckpoint(eager=False)
     nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets")).withColumn(
         "j", F.lit(1)
     )
