@@ -236,10 +236,23 @@ def main() -> int:
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     body = proc.stdout + proc.stderr
+    # Benign driver-side race, noise-filtered by MESSAGE (not by level, so
+    # real errors still land in the artifact): when a Python DataFrame is
+    # GC'd after its job completes, straggler task-completion events can
+    # reference its already-unregistered SQL-metric accumulators and the
+    # DAGScheduler logs "Failed to update accumulator ... non-existent
+    # accumulator" plus a JVM stack trace. Harmless (the job already
+    # finished; PASS/FAIL lines are unaffected) but it buried the r14
+    # artifact under 4k stack-frame lines.
+    _noise = (
+        "WARN", "Using Spark", "Setting default", "incubator",
+        "Failed to update accumulator",
+        "attempted to access non-existent accumulator",
+    )
     lines = [
         ln
         for ln in body.splitlines()
-        if not any(s in ln for s in ("WARN", "Using Spark", "Setting default", "incubator"))
+        if not any(s in ln for s in _noise) and not ln.startswith("\tat ")
     ]
     if not args.skip_prod:
         lines += prod_face_probe(sf_dir)
