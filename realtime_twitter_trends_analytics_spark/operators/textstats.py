@@ -209,6 +209,30 @@ FROM documents
 # equivalent is a parquet n-gram staging table every scorer reads.
 _BIGRAM_MEMO: dict[tuple[str, str], DataFrame] = {}
 
+# Corpus vocabulary size |V| — deterministic model state (one BIGINT per
+# application x fixture, the add-one-smoothing denominator both bigram-LM
+# scorers embed as a literal). Memoized in the same tier as the kmeans/PQ
+# codebooks and _BPE_MERGES_MEMO, cleared by registry.clear_staging_memos;
+# without the memo every lm_score/ccnet execution re-ran the full
+# distinct-token scan for a scalar that cannot change within a process.
+_VOCAB_MEMO: dict[tuple[str, str], int] = {}
+
+
+def _corpus_vocab(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    v = _VOCAB_MEMO.get(key)
+    if v is None:
+        from .dedup import tokenized_docs_staging
+
+        v = int(
+            tokenized_docs_staging(spark, sf_dir)
+            .select(F.explode("toks").alias("t"))
+            .agg(F.count_distinct("t").alias("v"))
+            .collect()[0]["v"]
+        )
+        _VOCAB_MEMO[key] = v
+    return v
+
 
 def bigram_instance_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, bigram, w1) — one row per corpus bigram instance,
@@ -641,15 +665,11 @@ def textstats_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the threshold (the local case) and falls back to a shuffle
     equi-join on the bigram key when it isn't — hot bigrams are
     uniform-ish and AQE skew-split covers the rest."""
-    from .dedup import tokenized_docs_staging
-
     # r14: the vocab scalar reads the SHARED tokenized staging relation
     # (identical split_ws tokens, checkpointed + fanned) instead of
-    # re-tokenizing the raw documents scan single-task.
-    tokd = tokenized_docs_staging(spark, sf_dir)
-    vocab = tokd.select(F.explode("toks").alias("t")).agg(
-        F.count_distinct("t").alias("v")
-    ).collect()[0]["v"]
+    # re-tokenizing the raw documents scan single-task, and is memoized
+    # model state (_corpus_vocab) like the codebooks it parallels.
+    vocab = _corpus_vocab(spark, sf_dir)
     # EAGER materialization via the shared staging table: the relation
     # feeds c2, c1 AND the scoring join — un-materialized, the explode
     # executes once per consumer inside the final job (the in-job
@@ -1548,18 +1568,10 @@ def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     match (the textstats_lm_score ln-on-integer-ratio argument). Docs with
     fewer than 2 tokens have no bigrams and are excluded identically by
     both engines."""
-    from .dedup import tokenized_docs_staging
-
     docs = load_table(spark, sf_dir, "documents")
-    # r14: vocab scalar from the SHARED tokenized staging relation
-    # (identical split_ws tokens, checkpointed + fanned) instead of
-    # re-tokenizing the raw documents scan single-task.
-    vocab = (
-        tokenized_docs_staging(spark, sf_dir)
-        .select(F.explode("toks").alias("t"))
-        .agg(F.count_distinct("t").alias("v"))
-        .collect()[0]["v"]
-    )  # scalar agg (same pattern as textstats_lm_score)
+    # r14: vocab scalar from the SHARED tokenized staging relation via the
+    # memoized _corpus_vocab (same scalar textstats_lm_score embeds).
+    vocab = _corpus_vocab(spark, sf_dir)
     bg = bigram_instance_staging(spark, sf_dir)
     c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))

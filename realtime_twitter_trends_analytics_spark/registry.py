@@ -188,6 +188,7 @@ def clear_staging_memos() -> None:
         similarity._CELL_ASSIGN_MEMO,
         textstats._BIGRAM_MEMO,
         textstats._BPE_MERGES_MEMO,
+        textstats._VOCAB_MEMO,
         cleaning._DSIR_INST_MEMO,
         cleaning._DSIR_PERDOC_MEMO,
     ):
