@@ -137,12 +137,22 @@ def main() -> int:
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument("--keep-worktree", action="store_true")
     ap.add_argument(
-        "--escalate-below", type=float, default=1.20,
+        "--escalate-below", type=float, default=1.45,
         help="confirmed ratios <= this get --escalate-rounds extra "
         "interleaved rounds before the verdict stands (r13: sub-threshold "
-        "confirmations with flipping raws are usually phase noise)",
+        "confirmations with flipping raws are usually phase noise; r15: "
+        "raised 1.20 -> 1.45 after three min-of-3 CONFIRMED flags at "
+        "1.32-1.38x all flipped to parity at min-of-5 — this box's phase "
+        "band is wider than the old ceiling assumed)",
     )
     ap.add_argument("--escalate-rounds", type=int, default=2)
+    ap.add_argument(
+        "--escalate-above", type=float, default=1.10,
+        help="SYMMETRIC escalation floor (r15, VERDICT r14 item 9): parity "
+        "verdicts with ratio in (this, parity-max] ALSO get the extra "
+        "rounds — escalating only confirmations is a one-sided acquittal "
+        "bias (min-of-more can push a near-threshold parity either way)",
+    )
     args = ap.parse_args()
 
     names = args.queries or (parse_flags(args.bench_diff) if args.bench_diff else [])
@@ -183,16 +193,19 @@ def main() -> int:
     try:
         interleave(names, args.rounds, "base")
         ratios = verdicts(names)
+        # symmetric band around parity_max (r15): near-threshold verdicts
+        # on BOTH sides re-run, not just sub-threshold confirmations
         marginal = [
             q
             for q, r in ratios.items()
-            if r is not None and args.parity_max < r <= args.escalate_below
+            if r is not None and args.escalate_above < r <= args.escalate_below
         ]
         escalated = set()
         if marginal:
             print(
-                f"  escalating {len(marginal)} sub-threshold confirmation(s) "
-                f"(<= {args.escalate_below}x) with {args.escalate_rounds} "
+                f"  escalating {len(marginal)} near-threshold verdict(s) "
+                f"(({args.escalate_above}, {args.escalate_below}]x) with "
+                f"{args.escalate_rounds} "
                 f"extra interleaved rounds: {', '.join(marginal)}",
                 file=sys.stderr,
             )

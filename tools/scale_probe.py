@@ -249,11 +249,22 @@ def main() -> int:
         "Failed to update accumulator",
         "attempted to access non-existent accumulator",
     )
-    lines = [
-        ln
-        for ln in body.splitlines()
-        if not any(s in ln for s in _noise) and not ln.startswith("\tat ")
-    ]
+    # Stateful frame filter (ADVICE r14): drop "\tat " stack-frame lines
+    # ONLY while inside a noise block (i.e. following a matched noise
+    # message) — an unconditional startswith filter also stripped the
+    # frames of REAL failures, leaving only the exception message line.
+    lines: list[str] = []
+    in_noise_block = False
+    for ln in body.splitlines():
+        if any(s in ln for s in _noise):
+            in_noise_block = True
+            continue
+        if ln.startswith("\tat "):
+            if in_noise_block:
+                continue  # frame of a filtered accumulator-race trace
+        else:
+            in_noise_block = False
+        lines.append(ln)
     if not args.skip_prod:
         lines += prod_face_probe(sf_dir)
     if args.with_ivfpq_serve:
