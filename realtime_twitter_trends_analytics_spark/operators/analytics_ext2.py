@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions import dialect as dl
-from ..sources.loaders import load_table
+from ..sources.loaders import driver_rows_df, load_table
 from .analytics_ext import ANOVA_DOW, ANOVA_DOW_DUCK
 
 
@@ -638,8 +638,8 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_rows = sorted(
         (s, m, emp_counts[s], n_tot) for s, m in mass.items() if s in emp_counts
     )
-    v = spark.createDataFrame(
-        out_rows, "state string, mass bigint, n_events bigint, n_tot bigint"
+    v = driver_rows_df(
+        spark, out_rows, "state string, mass bigint, n_events bigint, n_tot bigint"
     )
     share = dl.round_ratio(dl.SPARK, "n_events", "n_tot")
     stat = dl.round_ratio(dl.SPARK, "mass", str(MARKOV_SCALE))

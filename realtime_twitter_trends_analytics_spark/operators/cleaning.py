@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from ..audit import audit_plan
 from ..functions import dialect as dl
-from ..sources.loaders import fan_out_small, load_table
+from ..sources.loaders import driver_rows_df, fan_out_small, load_table
 
 # PII patterns, shared verbatim by both engines (no backslash classes, so
 # the literal is identical in Java regex and RE2).
@@ -973,8 +973,8 @@ def _topk_selected_bucket_split(df: DataFrame, k: int) -> DataFrame:
         # past the boundary, so the rank test below is self-gating
         flags.append((r["_rb"], cum + r["_bn"] <= k, k - cum))
         cum += r["_bn"]
-    fdf = df.sparkSession.createDataFrame(
-        flags, "_rb bigint, _full_in boolean, _rem bigint"
+    fdf = driver_rows_df(
+        df.sparkSession, flags, "_rb bigint, _full_in boolean, _rem bigint"
     )
     wd = Window.partitionBy("_rb").orderBy(F.desc("dsir_logw"), F.asc("doc_id"))
     return (

@@ -30,7 +30,7 @@ from pyspark.sql.window import Window as W
 
 from ..audit import audit_plan
 from ..functions import dialect as dl
-from ..sources.loaders import fan_out_small, load_table, register_table_view
+from ..sources.loaders import driver_rows_df, fan_out_small, load_table, register_table_view
 
 EMB_DIM = 64
 K_CLUSTERS = 8       # seeds = vec_id 0..7
@@ -124,7 +124,8 @@ def _use_relation(n_rows: int, force: "str | None") -> bool:
 
 
 def _centroid_relation(spark: SparkSession, rows: "list[tuple[int, list[int]]]") -> DataFrame:
-    return spark.createDataFrame(
+    return driver_rows_df(
+        spark,
         sorted((int(cl), [int(v) for v in c]) for cl, c in rows),
         "cl int, c array<bigint>",
     )
@@ -422,7 +423,7 @@ def two_level_rows(
     ordered = sorted((int(cl), [int(v) for v in c]) for cl, c in rows)
     # sub_* names: the relation face crossJoins a (cl, c) centroid relation,
     # so the input side must not reuse those attribute names
-    cent_df = spark.createDataFrame(ordered, "sub_cl int, sub_c array<bigint>")
+    cent_df = driver_rows_df(spark, ordered, "sub_cl int, sub_c array<bigint>")
     sup = [(g, list(vec)) for g, (_cl, vec) in enumerate(ordered[:s])]
     for _ in range(SUPER_ITERS):
         assigned = nearest_centroid(
@@ -571,9 +572,7 @@ def nearest_centroid_two_level(
         probed = _iterated_super_probes(slim, super_rows, p, key_cols, carry)
     ex = probed.select(*key_cols, *carry, "__qe", F.explode("__gs").alias("g"))
     dim = len(group_rows[0][2])
-    grp_rel = spark.createDataFrame(
-        group_rows, "g int, cl int, c array<bigint>"
-    )
+    grp_rel = driver_rows_df(spark, group_rows, "g int, cl int, c array<bigint>")
     g_bytes = len(group_rows) * (dim + 2) * 8
     if force_join == "shuffle" or (
         force_join is None and g_bytes > BROADCAST_CENTROID_BYTES
@@ -743,8 +742,8 @@ def kmeans_centroids(
     rounds; training memoized per (sf_dir, k) (deterministic fixed-point).
     ``k`` defaults to the gate constant; density-scaled callers pass
     ``k_for_corpus(N)`` (same seeds rule: vec_id < k)."""
-    return spark.createDataFrame(
-        kmeans_centroid_rows(spark, sf_dir, k), "cluster int, c array<bigint>"
+    return driver_rows_df(
+        spark, kmeans_centroid_rows(spark, sf_dir, k), "cluster int, c array<bigint>"
     )
 
 
@@ -1123,9 +1122,9 @@ def pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             rows = sorted(
                 (int(r.block), int(r.code), [int(v) for v in r.c]) for r in collected
             )
-            cent = spark.createDataFrame(rows, "block int, code int, c array<bigint>")
+            cent = driver_rows_df(spark, rows, "block int, code int, c array<bigint>")
         _PQ_CENT_MEMO[sf_dir] = rows
-    return blocks, spark.createDataFrame(rows, "block int, code int, c array<bigint>")
+    return blocks, driver_rows_df(spark, rows, "block int, code int, c array<bigint>")
 
 
 # A DEAD codeword (cluster emptied during training) must never win the
@@ -1239,7 +1238,8 @@ def _use_pq_relation(
 def _codebook_relation(
     spark: SparkSession, rows: "list[tuple[int, int, list[int]]]"
 ) -> DataFrame:
-    return spark.createDataFrame(
+    return driver_rows_df(
+        spark,
         sorted((int(b), int(c), [int(v) for v in vec]) for b, c, vec in rows),
         "__block int, __code int, __c array<bigint>",
     )
@@ -1547,7 +1547,8 @@ def train_pq_rows_from(vecs: DataFrame) -> "list[tuple[int, int, list[int]]]":
         for r in blocks.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K).collect()
     ]
     code_of = {vid: i for i, vid in enumerate(seed_ids)}
-    cent = spark.createDataFrame(
+    cent = driver_rows_df(
+        spark,
         [
             (int(r.block), code_of[int(r.vec_id)], [int(v) for v in r.sub])
             for r in blocks.filter(F.col("vec_id").isin(seed_ids)).collect()
@@ -1563,7 +1564,7 @@ def train_pq_rows_from(vecs: DataFrame) -> "list[tuple[int, int, list[int]]]":
         rows = sorted(
             (int(r.block), int(r.code), [int(v) for v in r.c]) for r in collected
         )
-        cent = spark.createDataFrame(rows, "block int, code int, c array<bigint>")
+        cent = driver_rows_df(spark, rows, "block int, code int, c array<bigint>")
     return rows
 
 
@@ -1944,8 +1945,8 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4
 
     rows = [(i + 1, r4(float(v[i])), r4(evr)) for i in range(d1)]
-    return spark.createDataFrame(
-        rows, "dim int, loading double, explained_var_ratio double"
+    return driver_rows_df(
+        spark, rows, "dim int, loading double, explained_var_ratio double"
     )
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
-from ..sources.loaders import load_table, register_table_view
+from ..sources.loaders import driver_rows_df, load_table, register_table_view
 
 
 def _dec(c: str | Column) -> Column:
@@ -461,9 +461,10 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny broadcast side, so the theta condition runs as BroadcastNestedLoop —
     the right physical plan for band joins at any scale."""
     p = load_table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = driver_rows_df(
+        spark,
         [("cheap", 0.0, 500.0), ("mid", 500.0, 1200.0), ("expensive", 1200.0, 1e9)],
-        ["band", "lo", "hi"],
+        "band string, lo double, hi double",
     )
     return (
         p.join(

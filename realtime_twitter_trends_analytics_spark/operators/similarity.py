@@ -24,7 +24,7 @@ from pyspark.sql.window import Window as W
 
 from ..audit import audit_plan
 from ..functions import dialect as dl
-from ..sources.loaders import fan_out_small, load_table
+from ..sources.loaders import driver_rows_df, fan_out_small, load_table
 
 N_QUERY_VECS = 10   # vec_id < 10 are the query set
 TOP_K = 10
@@ -2148,7 +2148,8 @@ def sim_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.greatest("ms_q", F.expr(qsim)).alias("ms_q"),
                 ),
             ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
+    return driver_rows_df(
+        spark,
         [
             (s, v, None if m is None else m / float(MMR_SCALE))
             for s, v, m in picks

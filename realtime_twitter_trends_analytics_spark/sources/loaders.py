@@ -125,6 +125,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def driver_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """1-partition DataFrame from bounded driver model-state rows (r15).
+
+    ``spark.createDataFrame(list, schema)`` parallelizes over
+    defaultParallelism — at local[32] every downstream stage over a
+    32-row codebook/merge-table/flag relation launches 32 tasks, and the
+    per-task launch floor measured ~8 ms on the bench box (a 32-row
+    readout write: 1.13 s default vs 0.57 s at 1 partition). These
+    relations are K/grid/value-domain-bounded BY CONSTRUCTION (the repo's
+    model-state discipline), so one partition is the right physical shape
+    at any corpus scale; values and schema are unchanged."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def fan_out_small(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Floor the physical parallelism of a map-heavy relation (r14).
 
