@@ -79,6 +79,7 @@ def shingle_rel(docs: DataFrame) -> DataFrame:
 # (application, sf_dir); registered as the FIRST staging line so its build
 # cost is a named number and every consumer line prices only its own work.
 _TOKD_MEMO: dict[tuple[str, str], DataFrame] = {}
+_TOKD_FANNED: dict[tuple[str, str], bool] = {}
 
 
 def tokenized_docs_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +92,12 @@ def tokenized_docs_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out_small (r14): the local fixture is one row group, so the
     # tokenize — and every shingle/bigram/dsir build stacked on this
     # checkpoint — otherwise runs as ONE task; identity at scale
-    docs = fan_out_small(load_table(spark, sf_dir, "documents"), spark)
+    raw = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small(raw, spark)
+    # r15: record whether the floor FIRED (i.e. the checkpoint is
+    # fan-out-wide on a local-small corpus) so LIGHT token-grain
+    # consumers can narrow back in — see tokenized_docs_fanned.
+    _TOKD_FANNED[key] = docs is not raw
     out = audit_plan(
         "tokenized_docs",
         docs.select(
@@ -100,6 +106,23 @@ def tokenized_docs_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     _TOKD_MEMO[key] = out
     return out
+
+
+def tokenized_docs_fanned(spark: SparkSession, sf_dir: str) -> bool:
+    """True iff the staging checkpoint above was round-robin fanned to
+    defaultParallelism because the DOCUMENTS scan planned below it (the
+    local single-row-group fixture). r15, VERDICT r14 item 4: the fan-out
+    serves the HEAVY builds stacked on the checkpoint (shingles, DSIR);
+    light token-grain consumers (a single explode + count agg) pay more
+    in per-task launch overhead (~8 ms/task measured on the bench box)
+    than the map work is worth, so they coalesce back down when — and
+    only when — this flag is set. At production scale the scan plans
+    wide, the flag is False by construction, and consumers keep the
+    scan's parallelism."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TOKD_FANNED:
+        tokenized_docs_staging(spark, sf_dir)
+    return _TOKD_FANNED[key]
 
 
 # The UNCAPPED distinct-shingle relation sh_all is read by TWO builds (the

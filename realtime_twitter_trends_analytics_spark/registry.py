@@ -83,6 +83,12 @@ def all_staging() -> dict[str, QueryFn]:
         # and dsir_instances all read it — before r8 each re-tokenized
         # documents from raw text
         "tokenized_docs": dedup.tokenized_docs_staging,
+        # r15 (VERDICT r14 item 2): the |V| scalar's distinct-token agg is
+        # a timed line — without it the memoized build landed in the
+        # untimed warm-up and its two consumers' bench lines stopped being
+        # comparable round-over-round. Right after tokenized_docs (its
+        # input) so the line prices ONLY the distinct-count aggregation.
+        "corpus_vocab": textstats.corpus_vocab_staging,
         # the uncapped distinct-shingle relation, read by BOTH the hot-list
         # cap build and the minhash signature agg
         "doc_shingles": dedup.shingle_rel_staging,
