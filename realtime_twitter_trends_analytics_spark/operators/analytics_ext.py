@@ -1419,8 +1419,17 @@ def customers_clv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").cast("date").alias("om"),
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
-    cohort = o.groupBy("o_custkey").agg(F.min("om").alias("cohort"))
-    tagged = o.join(cohort, "o_custkey").select(
+    # r15 (§2.4 share the exchange): cohort = min(om) PER CUSTOMER is a
+    # window over the same key the old agg + self-join shuffled twice
+    # (orders into the agg, orders + the agg output into an SMJ). One
+    # hash exchange of orders feeds the window min; values identical.
+    wcoh = W.partitionBy("o_custkey")
+    tagged = o.select(
+        "o_custkey",
+        F.min("om").over(wcoh).alias("cohort"),
+        "om",
+        "cents",
+    ).select(
         "o_custkey",
         "cohort",
         F.expr("CAST(months_between(om, cohort) AS BIGINT)").alias("age"),

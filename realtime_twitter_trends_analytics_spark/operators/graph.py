@@ -606,13 +606,22 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     that re-derivation overtakes the edge-relation serialization it
     saves. Cost is dominated by the one-time edge build (lineitem x
     orders join + distinct, ~3 s of the ~3.2 s total). The scalar
-    thresholds ride a 1-row broadcast side (the whitelisted
-    scalar-aggregate pattern, see sql_q11). At 100 TB: edges
+    thresholds are collected once as driver model state and injected as
+    literals (r15 — the 1-row broadcast side re-ran its count-distinct
+    expand over the edges per action). At 100 TB: edges
     shuffle-partition by node id; the per-round keep-sets are node-sized
     (orders of magnitude below edge-sized); rounds are a constant."""
     e0 = kcore_edges_staging(spark, sf_dir)
     d = dl.SPARK
-    th = e0.agg(
+    # r15 (§2.4 remove passes): the thresholds used to ride a 1-row
+    # broadcast side joined into every keep-set and both readout sides —
+    # each per-ACTION broadcast build re-ran the count + two
+    # count-DISTINCT expands over the full edge relation (~4 extra edge
+    # passes per execution across the 3 round jobs + readout). They are
+    # bounded driver model state (two BIGINTs from deterministic integer
+    # arithmetic — the markov/bm25 scalar-collect discipline): collect
+    # once, inject as literals. Values identical; oracle unchanged.
+    th_row = e0.agg(
         F.expr(
             "1 + "
             + dl.int_div(d, f"(count(*) * {KCORE_NUM})", f"(count(DISTINCT c) * {KCORE_DEN})")
@@ -621,24 +630,20 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1 + "
             + dl.int_div(d, f"(count(*) * {KCORE_NUM})", f"(count(DISTINCT s) * {KCORE_DEN})")
         ).alias("k_s"),
-    ).withColumn("j", F.lit(1))
-    thb = F.broadcast(th)
+    ).collect()[0]
+    k_c, k_s = int(th_row["k_c"]), int(th_row["k_s"])
     cur = e0
     for r in range(KCORE_ITERS):
         keep_c = (
             cur.groupBy("c")
             .agg(F.count(F.lit(1)).alias("dg"))
-            .withColumn("j", F.lit(1))
-            .join(thb, "j")
-            .filter(F.col("dg") >= F.col("k_c"))
+            .filter(F.col("dg") >= F.lit(k_c))
             .select("c")
         )
         keep_s = (
             cur.groupBy("s")
             .agg(F.count(F.lit(1)).alias("dg"))
-            .withColumn("j", F.lit(1))
-            .join(thb, "j")
-            .filter(F.col("dg") >= F.col("k_s"))
+            .filter(F.col("dg") >= F.lit(k_s))
             .select("s")
         )
         cur = cur.join(keep_c, "c").join(keep_s, "s")
@@ -646,7 +651,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur = audit_plan("kcore_round", cur)
         cur = cur.localCheckpoint()
 
-    def _side(node_col: str, side: str, k_col: str) -> DataFrame:
+    def _side(node_col: str, side: str, k_val: int) -> DataFrame:
         return (
             cur.groupBy(node_col)
             .agg(F.count(F.lit(1)).alias("dg"))
@@ -656,11 +661,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("dg").alias("min_deg"),
                 F.max("dg").alias("max_deg"),
             )
-            .withColumn("j", F.lit(1))
-            .join(thb, "j")
             .select(
                 F.lit(side).alias("side"),
-                F.col(k_col).cast("bigint").alias("threshold"),
+                F.lit(k_val).cast("bigint").alias("threshold"),
                 "n_nodes",
                 "n_edges",
                 "min_deg",
@@ -668,8 +671,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return _side("c", "customer", "k_c").unionByName(
-        _side("s", "supplier", "k_s")
+    return _side("c", "customer", k_c).unionByName(
+        _side("s", "supplier", k_s)
     )
 
 

@@ -1681,13 +1681,18 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
     )
     # three consumers (basket count, item counts, pair fan-out):
-    # materialize once — the staging-tier lesson. Lazy (r14): the final
-    # query's first touch (the nb broadcast build) materializes it, so the
-    # basket shuffle no longer runs as its own eager pre-job.
+    # materialize once — the staging-tier lesson. r15 (ADVICE r14,
+    # medium): the r14 LAZY checkpoint's first touch happened INSIDE the
+    # nb/items BroadcastExchange builds, compiling the whole basket
+    # shuffle into an opaque lineage raced by three concurrent broadcast
+    # threads under spark.sql.broadcastTimeout — fine at gate scale, a
+    # timeout risk at 100 TB. Materialize through a cheap NON-broadcast
+    # action instead: the count IS the n_baskets scalar (driver model
+    # state, one BIGINT), so the 1-row broadcast + crossJoin disappear
+    # into a literal and the checkpoint still costs one pre-job, not two
+    # (the count job is the materializer).
     baskets = audit_plan("basket_rel", baskets).localCheckpoint(eager=False)
-    nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets")).withColumn(
-        "j", F.lit(1)
-    )
+    n_baskets = baskets.count()
     items = (
         baskets.select(F.explode("items").alias("item"))
         .groupBy("item")
@@ -1717,8 +1722,7 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(items.select(F.col("item").alias("item_b"), F.col("cnt").alias("b_n"))),
             "item_b",
         )
-        .withColumn("j", F.lit(1))
-        .join(F.broadcast(nb), "j")
+        .withColumn("n_baskets", F.lit(n_baskets).cast("bigint"))
         .filter(F.col("pair_n") * MB_SUP_DEN >= F.lit(MB_SUP_NUM) * F.col("n_baskets"))
         .select(
             "item_a",
