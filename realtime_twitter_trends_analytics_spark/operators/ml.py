@@ -2193,8 +2193,97 @@ FROM pred GROUP BY actual, pred ORDER BY actual, pred
 
 
 def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_table_view(spark, sf_dir, "documents")
-    return spark.sql(_nb_sql(dl.SPARK))
+    # r15 (§2.4): the dual-dialect SQL string stays the ORACLE form, but
+    # running it verbatim in Spark inlined every CTE — the executed plan
+    # held SIXTEEN documents scans / 40 Exchange nodes (train re-exploded
+    # for vocab, langs, ltot, cnts, dcounts, dtotal...). The Spark side
+    # now pins the (lang, token, c) training cells ONCE (vocabulary x
+    # langs — value-domain-bounded, the §8 decide-on-small-rows
+    # discipline) and derives vocab/langs/ltot/the smoothed grid from the
+    # pinned relation; |V| is collected as an exact-integer scalar (no
+    # float crosses the driver). Three token explodes per execution
+    # (cells, priors, test scoring) instead of sixteen. Every expression
+    # keeps the SQL form's exact shape (same ln/round/quantization on the
+    # same exact integers); the DuckDB oracle is unchanged and the gate
+    # hash-matches the restructure.
+    from .dedup import tokenized_docs_staging
+
+    toks = tokenized_docs_staging(spark, sf_dir).select(
+        "doc_id", "lang", F.explode("toks").alias("token")
+    )
+    train = toks.filter(F.col("doc_id") % NB_FOLD != 0)
+    cells = audit_plan(
+        "nb_cells",
+        train.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c")),
+    ).localCheckpoint(eager=False)
+    # |V| — exact BIGINT, safe to inject as a literal (no libm at the
+    # driver; the ln below still runs in-engine on identical integers)
+    v = cells.select("token").distinct().count()
+    langs = cells.select("lang").distinct()
+    vocab = cells.select("token").distinct()
+    ltot = cells.groupBy("lang").agg(F.sum("c").alias("nl"))
+    grid = (
+        langs.crossJoin(vocab)
+        .join(cells, ["lang", "token"], "left")
+        .select("lang", "token", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    lp = grid.join(F.broadcast(ltot), "lang").select(
+        "lang",
+        "token",
+        F.expr(
+            f"CAST(round(ln((c + 1.0) / CAST(nl + {v} AS DOUBLE)) * {NB_SCALE}) AS BIGINT)"
+        ).alias("lq"),
+    )
+    # per-lang distinct train-doc counts: langs-bounded scalar collect
+    # (the markov/kcore discipline); doc->lang is functional, so the
+    # per-lang distinct counts sum to the SQL form's count(DISTINCT
+    # doc_id) total. Exact integers cross the driver; the ln runs
+    # in-engine on them, same as the SQL form.
+    dd_rows = sorted(
+        (r["lang"], int(r["dn"]))
+        for r in train.select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("dn"))
+        .collect()
+    )
+    total = sum(dn for _, dn in dd_rows)
+    priors = driver_rows_df(
+        spark,
+        [(lang, dn, total) for lang, dn in dd_rows],
+        "lang string, dn bigint, total bigint",
+    ).selectExpr(
+        "lang",
+        f"CAST(round(ln(CAST(dn AS DOUBLE) / CAST(total AS DOUBLE)) * {NB_SCALE})"
+        " AS BIGINT) AS lprior",
+    )
+    test = toks.filter(F.col("doc_id") % NB_FOLD == 0)
+    scored = (
+        test.join(
+            F.broadcast(lp.select(F.col("lang").alias("cand"), "token", "lq")),
+            "token",
+        )
+        .groupBy(F.col("doc_id"), F.col("lang").alias("actual"), F.col("cand"))
+        .agg(F.sum("lq").alias("s"))
+    )
+    tot = scored.join(
+        F.broadcast(priors.select(F.col("lang").alias("cand"), "lprior")), "cand"
+    ).select("doc_id", "actual", "cand", (F.col("s") + F.col("lprior")).alias("score"))
+    pred = (
+        tot.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "actual", F.col("cand").alias("pred"))
+    )
+    return (
+        pred.groupBy(F.col("actual").alias("actual_lang"), F.col("pred").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual_lang", "pred_lang")
+    )
 
 
 ml_naive_bayes_lang.__doc__ = _nb_sql.__doc__

@@ -967,13 +967,23 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
             for t in range(LSH_TABLES)
         ],
     ).cache()
-    cand = None
-    for t in range(LSH_TABLES):
-        l = bucketed.select(F.col("vec_id").alias("a"), F.col(f"bucket_{t}").alias("bk"))
-        r = bucketed.select(F.col("vec_id").alias("b"), F.col(f"bucket_{t}").alias("bk"))
-        p = l.join(r, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+    # r15 (§2.4): the per-table self-joins used to be LSH_TABLES separate
+    # join subtrees unioned (2 exchanges each); including the table id in
+    # the join key makes them ONE equi-join over the exploded (t, bucket)
+    # relation — identical pair set (a union over t IS a join keyed on t).
+    lbk = bucketed.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"bucket_{t}") for t in range(LSH_TABLES)])).alias(
+            "t", "bk"
+        ),
+    )
+    cand = (
+        lbk.select(F.col("vec_id").alias("a"), "t", "bk")
+        .join(lbk.select(F.col("vec_id").alias("b"), "t", "bk"), ["t", "bk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
     av = bucketed.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"), F.col("nrm").alias("na"))
     bv = bucketed.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
     return (
@@ -2260,17 +2270,24 @@ def _rrf_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded scoring over the fixed BM25_QUERY term set, cut to a
     RRF_POOL-deep (doc_id, lex_rank) list — shared by the brute-force
     and ANN-composed fusion entries."""
+    from .dedup import tokenized_docs_staging
     from .textstats import BM25_B, BM25_K1, BM25_QUERY
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.expr(dl.split_ws(dl.SPARK, "text")).alias("toks")
-    ).select("doc_id", F.size("toks").alias("dl_"), F.explode("toks").alias("token"))
+    # r15 (§2.4): the lexical side tokenized documents TWICE per
+    # execution — once for the posting explode, once for the avgdl stats
+    # collect. Both now read the shared tokenize-once staging relation
+    # (identical token arrays by construction — same split_ws template);
+    # at 100 TB that is two fewer full corpus tokenizes per run, the same
+    # trade batch-3 of r14 made for textstats_lm_score.
+    tokd = tokenized_docs_staging(spark, sf_dir)
+    toks = tokd.select(
+        "doc_id", F.size("toks").alias("dl_"), F.explode("toks").alias("token")
+    )
     qtok = toks.filter(F.col("token").isin(*BM25_QUERY))
     tf = qtok.groupBy("doc_id", "dl_", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = (
-        docs.select(F.size(F.expr(dl.split_ws(dl.SPARK, "text"))).alias("dl_"))
+        tokd.select(F.size("toks").alias("dl_"))
         .agg(F.sum("dl_").alias("s"), F.count(F.lit(1)).alias("c"))
         .collect()[0]
     )

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
-from ..functions.sentiment import score_texts_pandas
+from ..functions.sentiment import score_texts_pandas_vec
 from ..functions.text import (
     clean_hashtag,
     clean_tweet_text,
@@ -54,8 +54,11 @@ SCORED_COLUMNS = ["hashtag", "sentiment_score", "sentiment_type", "country"]
 def sentiment_score_udf(texts: pd.Series) -> pd.Series:
     """Arrow-batched sentiment (P11). Lexicon is module state — loaded once
     per executor, amortized over batches (the reference rebuilt its CoreNLP
-    pipeline per record, proc:144)."""
-    return pd.Series(score_texts_pandas(texts.tolist()), dtype="float64")
+    pipeline per record, proc:144). r15: batches go through the VECTORIZED
+    scorer (§4.2 — C-speed explode/groupby kernels instead of the per-row
+    Python loop; bit-identical scores, pinned by the vec-vs-reference
+    suite in tests/test_text_functions.py)."""
+    return pd.Series(score_texts_pandas_vec(texts), dtype="float64")
 
 
 def use_rocksdb_state_store(spark: SparkSession) -> None:

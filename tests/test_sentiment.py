@@ -75,3 +75,48 @@ def test_duckdb_matches_python_reference(duck):
     ).fetchall()]
     assert got == score_texts_pandas(texts)
     duck.unregister("t_sent")
+
+
+# ---------------------------------------------------------------- vec scorer
+# r15: the streaming pandas_udf scores through the VECTORIZED pandas/NumPy
+# form (§4.2 — the per-row Python loop was ~6 µs/row on the hot path). The
+# scores must be BIT-identical to the scalar reference: every per-chunk
+# term is an exact small integer, the num/den accumulations are exact in
+# float64 (far below 2^53), and the sentinel condition is reproduced.
+def test_vec_scorer_matches_reference_edges():
+    from realtime_twitter_trends_analytics_spark.functions.sentiment import (
+        score_texts_pandas_vec,
+    )
+
+    texts = [
+        "", " ", "   ", None, "\t", "\t x",
+        "fast spark big vector merge",
+        "slow dup small filter slow dup small filter",
+        "double  space", "  leading", "trailing  ",
+        " ".join(["slow"] * 20),
+        "unicode Łódź café 東京",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    ]
+    ref = score_texts_pandas(texts)
+    vec = list(score_texts_pandas_vec(texts))
+    assert vec == ref
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["fast", "slow", "spark", "dup", "abc", "xyz", "", " ", "\t"]
+            ),
+            max_size=20,
+        ).map(" ".join),
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_vec_scorer_matches_reference_property(texts):
+    from realtime_twitter_trends_analytics_spark.functions.sentiment import (
+        score_texts_pandas_vec,
+    )
+
+    assert list(score_texts_pandas_vec(texts)) == score_texts_pandas(texts)
