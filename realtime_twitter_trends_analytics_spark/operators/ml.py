@@ -2206,9 +2206,9 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps the SQL form's exact shape (same ln/round/quantization on the
     # same exact integers); the DuckDB oracle is unchanged and the gate
     # hash-matches the restructure.
-    from .dedup import tokenized_docs_staging
+    from .dedup import tokenized_docs_narrow
 
-    toks = tokenized_docs_staging(spark, sf_dir).select(
+    toks = tokenized_docs_narrow(spark, sf_dir).select(
         "doc_id", "lang", F.explode("toks").alias("token")
     )
     train = toks.filter(F.col("doc_id") % NB_FOLD != 0)

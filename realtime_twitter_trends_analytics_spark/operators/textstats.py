@@ -222,10 +222,10 @@ def _corpus_vocab(spark: SparkSession, sf_dir: str) -> int:
     key = (spark.sparkContext.applicationId, sf_dir)
     v = _VOCAB_MEMO.get(key)
     if v is None:
-        from .dedup import tokenized_docs_staging
+        from .dedup import tokenized_docs_narrow
 
         v = int(
-            tokenized_docs_staging(spark, sf_dir)
+            tokenized_docs_narrow(spark, sf_dir)
             .select(F.explode("toks").alias("t"))
             .agg(F.count_distinct("t").alias("v"))
             .collect()[0]["v"]
@@ -270,6 +270,11 @@ def bigram_instance_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
     )
     out = audit_plan("bigram_instances", out).localCheckpoint()
+    # r15: the checkpoint BUILDS wide (the explode wants the fan-out) but
+    # every consumer is a bounded agg/join over bigram instances — narrow
+    # the read side when the underlying corpus was local-small-fanned
+    # (see dedup.tokenized_docs_narrow; identity at scale)
+    out = _narrow_token_read(spark, sf_dir, out)
     _BIGRAM_MEMO[key] = out
     return out
 
@@ -957,17 +962,10 @@ _TOKEN_AGG_FAN_IN = 4  # read partitions for LIGHT aggs over the fanned ckpt
 
 
 def _narrow_token_read(spark: SparkSession, sf_dir: str, toks: DataFrame) -> DataFrame:
-    """Consumer-side fan-in for LIGHT token-grain aggregations over the
-    tokenized-docs checkpoint (r15, VERDICT r14 item 4). The r14
-    fan_out_small floor widened the checkpoint to defaultParallelism for
-    the heavy shingle/DSIR builds; a single explode+count consumer then
-    pays ~defaultParallelism task launches (measured ~8 ms each on the
-    bench box) for map work worth less than that, and its (source, token)
-    partial aggs multiply the per-partition vocabulary into the exchange.
-    Coalesce (narrow, no shuffle) back to a bounded fan-in — ONLY when the
-    checkpoint was actually fanned, i.e. on a local-small corpus; at
-    production scale the flag is False and the scan's own parallelism is
-    kept."""
+    """Consumer-side fan-in for LIGHT token-grain aggregations over a
+    FANNED staging checkpoint (r15, VERDICT r14 item 4) — see
+    dedup.tokenized_docs_narrow for the rule; this form takes the
+    relation explicitly so bigram-derived inputs can narrow too."""
     from .dedup import tokenized_docs_fanned
 
     if tokenized_docs_fanned(spark, sf_dir):
@@ -2317,10 +2315,10 @@ def textstats_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bigram + unigram hash aggs off the shared tokenized/bigram
     staging relations; two vocabulary-grain equi-joins; the 1-row
     corpus total rides a broadcast; TakeOrdered top-k."""
-    from .dedup import tokenized_docs_staging  # shared tokenize-once staging
+    from .dedup import tokenized_docs_narrow  # shared tokenize-once staging
 
     bg = bigram_instance_staging(spark, sf_dir)
-    toks = tokenized_docs_staging(spark, sf_dir).select(
+    toks = tokenized_docs_narrow(spark, sf_dir).select(
         F.explode("toks").alias("w")
     )
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
@@ -2572,9 +2570,9 @@ def textstats_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one tokenize pass (shared staging), one token-grain min-agg,
     then everything is checkpoint-grain (10 rows)."""
-    from .dedup import tokenized_docs_staging
+    from .dedup import tokenized_docs_narrow
 
-    toks = tokenized_docs_staging(spark, sf_dir).select(
+    toks = tokenized_docs_narrow(spark, sf_dir).select(
         "doc_id", F.explode("toks").alias("w")
     )
     n_docs = toks.agg(F.max("doc_id")).first()[0] + 1  # scalar model-state

@@ -174,12 +174,12 @@ CARTESIAN_OK = {
     "events_survival_km": "the censoring horizon (max corpus date) rides "
     "a 1-row broadcast side (scalar-aggregate pattern); the per-user "
     "first-view/first-purchase joins are user-keyed equi-joins",
-    "graph_kcore": "per-side peel thresholds ride a 1-row broadcast side "
-    "(scalar-aggregate pattern, see sql_q11_important_supply); the peeling "
-    "joins themselves are node-keyed equi-joins",
-    "market_basket_rules": "the basket-count denominator rides a 1-row "
-    "broadcast side (scalar-aggregate pattern); pair generation is an "
-    "equi-join on the order key",
+    "graph_kcore": "r15: per-side peel thresholds are now collected once "
+    "as driver literals (no broadcast side remains); kept listed for the "
+    "node-keyed peel equi-joins' safety margin",
+    "market_basket_rules": "r15: the basket-count denominator is now a "
+    "collected driver literal (no broadcast side remains); pair "
+    "generation is an equi-join on the order key",
     "sim_ann_int8_eval": "broadcast N_QUERY_VECS-row query set x candidates "
     "— the float side IS the exact-recall oracle (sim_topk_bruteforce "
     "pattern); at scale the int8 side comes from the IVF/PQ candidate "
@@ -216,7 +216,8 @@ AUDIT_CARTESIAN_OK = {
     # k-core round-1 plan: the per-side degree thresholds ride a 1-row
     # broadcast side inside the keep-set filters (scalar-aggregate
     # pattern); the peel joins are node-keyed equi-joins
-    "kcore_round": "1-row scalar threshold broadcast inside the peel round",
+    "kcore_round": "r15: thresholds are driver literals now; the round is "
+    "node-keyed equi-joins only (entry kept for margin)",
     # MMR relevance scan: broadcast Q-row query set x corpus — the same
     # documented brute-force pattern as sim_topk_bruteforce; at production
     # scale the pool comes from the ANN paths instead (see docstring)
